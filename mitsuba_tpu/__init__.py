@@ -1,0 +1,42 @@
+"""mitsuba_tpu — a TPU-native differentiable path tracer in JAX.
+
+Brand-new implementation of the capability set of the reference
+Jentuuh/mitsuba3-differentiable-heightfield-rendering (Mitsuba 3.3.0 fork +
+heightfield north star), re-architected for TPU: jax.jit megakernels,
+struct-of-arrays plugin tables with masked-merge dispatch, lax.scan path
+loops, Pallas kernels for the hot ops, and shard_map scale-out.
+
+    import mitsuba_tpu as mt
+    scene = mt.load_dict(mt.cornell_box())
+    img = mt.render(scene, spp=64)
+"""
+from __future__ import annotations
+
+__version__ = '0.1.0'
+
+from .core.transform import Transform4, ScalarTransform4f  # noqa: F401
+from .render.loader import load_dict  # noqa: F401
+from .render.integrator import render, render_wavefront  # noqa: F401
+from .render import scene as _scene  # noqa: F401
+from .render.scene import (Scene, ray_intersect, ray_test,  # noqa: F401
+                           ray_intersect_preliminary)
+from .models.scenes import cornell_box, heightfield_scene  # noqa: F401
+from .ad.params import traverse, SceneParameters  # noqa: F401
+
+# mi.set_variant compatibility shim: variants collapse on TPU (SURVEY.md §1);
+# accepted for API parity, only dtype is configurable.
+_variant = 'tpu_ad_rgb'
+
+
+def set_variant(*names):
+    global _variant
+    if names:
+        _variant = names[0]
+
+
+def variant():
+    return _variant
+
+
+def variants():
+    return ['tpu_ad_rgb', 'tpu_rgb', 'cpu_ad_rgb']

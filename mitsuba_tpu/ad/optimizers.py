@@ -1,0 +1,123 @@
+"""Optimizers (reference src/python/python/ad/optimizers.py).
+
+SGD (momentum, mask_updates) and Adam (per-param lr, mask_updates for sparse
+PRB-style gradients). Functional JAX design: state is a pytree dict; step()
+returns (new_params, new_state). The optax library is deliberately not
+required (parity with the reference's standalone optimizers), but the state
+layout matches optax conventions.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+class Optimizer:
+    def __init__(self, lr, params: dict):
+        self.lr_default = lr
+        self.lr = {k: lr for k in params}
+        self.params = dict(params)
+        self.state = {}
+        for k, v in params.items():
+            self.reset(k)
+
+    def set_learning_rate(self, lr):
+        if isinstance(lr, dict):
+            self.lr.update(lr)
+        else:
+            self.lr = {k: lr for k in self.lr}
+            self.lr_default = lr
+
+    def __getitem__(self, k):
+        return self.params[k]
+
+    def __setitem__(self, k, v):
+        self.params[k] = v
+        if k not in self.state:
+            self.lr.setdefault(k, self.lr_default)
+            self.reset(k)
+
+    def keys(self):
+        return self.params.keys()
+
+    def items(self):
+        return self.params.items()
+
+    def reset(self, key):
+        raise NotImplementedError
+
+
+class SGD(Optimizer):
+    """optimizers.py:112 — optional momentum; mask_updates skips parameters
+    with zero gradient (sparse updates)."""
+
+    def __init__(self, lr, params: dict, momentum=0.0, mask_updates=False):
+        self.momentum = momentum
+        self.mask_updates = mask_updates
+        super().__init__(lr, params)
+
+    def reset(self, key):
+        self.state[key] = jnp.zeros_like(self.params[key]) \
+            if self.momentum > 0 else None
+
+    def step(self, grads: dict):
+        for k, g in grads.items():
+            if k not in self.params:
+                continue
+            p = self.params[k]
+            lr = self.lr[k]
+            if self.momentum > 0:
+                v = self.state[k] * self.momentum + g
+                if self.mask_updates:
+                    nonzero = g != 0
+                    v = jnp.where(nonzero, v, self.state[k])
+                    p = jnp.where(nonzero, p - lr * v, p)
+                else:
+                    p = p - lr * v
+                self.state[k] = v
+            else:
+                upd = lr * g
+                if self.mask_updates:
+                    upd = jnp.where(g != 0, upd, 0.0)
+                p = p - upd
+            self.params[k] = p
+        return self.params
+
+
+class Adam(Optimizer):
+    """optimizers.py:204 — Adam with optional per-parameter lr and
+    mask_updates (UniformAdam-style sparse variant)."""
+
+    def __init__(self, lr, params: dict, beta_1=0.9, beta_2=0.999,
+                 epsilon=1e-8, mask_updates=False, uniform=False):
+        self.beta_1, self.beta_2, self.epsilon = beta_1, beta_2, epsilon
+        self.mask_updates = mask_updates
+        self.uniform = uniform
+        super().__init__(lr, params)
+
+    def reset(self, key):
+        p = self.params[key]
+        self.state[key] = (jnp.zeros_like(p), jnp.zeros_like(p), 0)
+
+    def step(self, grads: dict):
+        for k, g in grads.items():
+            if k not in self.params:
+                continue
+            m_t, v_t, t = self.state[k]
+            t = t + 1
+            lr = self.lr[k] * jnp.sqrt(1 - self.beta_2 ** t) / (1 - self.beta_1 ** t)
+            nonzero = g != 0
+            m_new = self.beta_1 * m_t + (1 - self.beta_1) * g
+            v_new = self.beta_2 * v_t + (1 - self.beta_2) * g * g
+            if self.mask_updates:
+                m_new = jnp.where(nonzero, m_new, m_t)
+                v_new = jnp.where(nonzero, v_new, v_t)
+            if self.uniform:
+                step = lr * m_new / (jnp.sqrt(jnp.max(v_new)) + self.epsilon)
+            else:
+                step = lr * m_new / (jnp.sqrt(v_new) + self.epsilon)
+            if self.mask_updates:
+                step = jnp.where(nonzero, step, 0.0)
+            self.params[k] = self.params[k] - step
+            self.state[k] = (m_new, v_new, t)
+        return self.params

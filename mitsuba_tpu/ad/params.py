@@ -1,0 +1,111 @@
+"""Scene parameter traversal (reference src/python/python/util.py:13-292
+SceneParameters/traverse).
+
+TPU design: the scene IS a pytree, so traversal = tree_flatten_with_path.
+`SceneParameters` is a mutable dict-like view keyed by dotted path strings;
+`update()` writes the edited leaves back into a NEW scene pytree (functional
+analogue of parameters_changed()).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+
+
+def _path_str(path):
+    parts = []
+    for p in path:
+        if isinstance(p, jtu.GetAttrKey):
+            parts.append(p.name)
+        elif isinstance(p, jtu.DictKey):
+            parts.append(str(p.key))
+        elif isinstance(p, jtu.SequenceKey):
+            parts.append(str(p.idx))
+        elif isinstance(p, jtu.FlattenedIndexKey):
+            parts.append(str(p.key))
+        else:
+            parts.append(str(p))
+    return '.'.join(parts)
+
+
+class SceneParameters:
+    """Dict-like view over a scene's differentiable leaves."""
+
+    def __init__(self, scene, float_only=True):
+        self._scene = scene
+        leaves, self._treedef = jtu.tree_flatten_with_path(scene)
+        self._keys = []
+        self._values = {}
+        self._index = {}
+        for i, (path, leaf) in enumerate(leaves):
+            k = _path_str(path)
+            self._keys.append(k)
+            self._values[k] = leaf
+            self._index[k] = i
+
+    # -- mapping interface --------------------------------------------------
+    def __getitem__(self, k):
+        return self._values[k]
+
+    def __setitem__(self, k, v):
+        if k not in self._values:
+            raise KeyError(k)
+        self._values[k] = v
+
+    def __contains__(self, k):
+        return k in self._values
+
+    def keys(self):
+        return list(self._keys)
+
+    def items(self):
+        return [(k, self._values[k]) for k in self._keys]
+
+    def __iter__(self):
+        return iter(self._keys)
+
+    def __len__(self):
+        return len(self._keys)
+
+    def differentiable_keys(self):
+        return [k for k, v in self.items()
+                if hasattr(v, 'dtype') and jnp.issubdtype(v.dtype, jnp.floating)]
+
+    def keep(self, patterns):
+        """Restrict view to keys containing any of the given substrings
+        (util.py:234 keep)."""
+        if isinstance(patterns, str):
+            patterns = [patterns]
+        self._keys = [k for k in self._keys
+                      if any(p in k for p in patterns)]
+        return self
+
+    # -- writeback ----------------------------------------------------------
+    def update(self, values: dict = None):
+        """Return a NEW scene with the edited leaves applied."""
+        if values:
+            for k, v in values.items():
+                self[k] = v
+        leaves = [None] * len(self._index)
+        all_leaves = jtu.tree_leaves(self._scene)
+        for i, leaf in enumerate(all_leaves):
+            leaves[i] = leaf
+        for k, v in self._values.items():
+            leaves[self._index[k]] = v
+        return jtu.tree_unflatten(self._treedef, leaves)
+
+    def scene_with(self, subset: dict):
+        """Functional substitution used under jax.grad: returns a new scene
+        where only `subset` (key -> leaf) replaces the current leaves."""
+        leaves = list(jtu.tree_leaves(self._scene))
+        for k, v in subset.items():
+            leaves[self._index[k]] = v
+        return jtu.tree_unflatten(self._treedef, leaves)
+
+    def subset(self, keys):
+        return {k: self._values[k] for k in keys}
+
+
+def traverse(scene) -> SceneParameters:
+    return SceneParameters(scene)

@@ -1,0 +1,3 @@
+from . import math, frame, transform, rng, warp, distr, rfilter, spectrum  # noqa: F401
+from .transform import Transform4, ScalarTransform4f  # noqa: F401
+from .frame import Frame  # noqa: F401

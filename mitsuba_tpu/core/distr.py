@@ -1,0 +1,166 @@
+"""Sampleable distributions (reference include/mitsuba/core/distr_1d.h,
+distr_2d.h). Built at scene-construction time from arrays; sampling runs
+device-side with searchsorted (binary search lowers well on TPU since the
+tables are small and uniform-stride)."""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import math as m
+
+
+class DiscreteDistribution:
+    """distr_1d.h:DiscreteDistribution — sample index ∝ pmf[i]."""
+
+    def __init__(self, pmf):
+        pmf = jnp.asarray(pmf, jnp.float32)
+        cdf = jnp.cumsum(pmf)
+        self.pmf_unnorm = pmf
+        self.sum = cdf[-1]
+        self.normalization = 1.0 / self.sum
+        self.cdf = cdf * self.normalization  # normalized, last entry == 1
+        self.pmf = pmf * self.normalization
+        self.size = pmf.shape[0]
+
+    def sample(self, u):
+        """u in [0,1) -> index."""
+        idx = jnp.searchsorted(self.cdf, u, side='right')
+        return jnp.clip(idx, 0, self.size - 1)
+
+    def eval_pmf(self, idx):
+        return self.pmf[idx]
+
+    def sample_pmf(self, u):
+        idx = self.sample(u)
+        return idx, self.pmf[idx]
+
+    def sample_reuse(self, u):
+        """Sample and rescale u for reuse (distr_1d.h:sample_reuse)."""
+        idx = self.sample(u)
+        cdf_lo = jnp.where(idx > 0, self.cdf[jnp.maximum(idx - 1, 0)], 0.0)
+        pmf = self.pmf[idx]
+        u_re = (u - cdf_lo) / jnp.maximum(pmf, 1e-20)
+        return idx, jnp.clip(u_re, 0.0, 1.0 - 1e-7), pmf
+
+
+class ContinuousDistribution:
+    """distr_1d.h:ContinuousDistribution — piecewise-linear pdf on [a, b]."""
+
+    def __init__(self, range_, pdf):
+        pdf = jnp.asarray(pdf, jnp.float32)
+        a, b = float(range_[0]), float(range_[1])
+        n = pdf.shape[0]
+        self.range = (a, b)
+        self.interval_size = (b - a) / (n - 1)
+        # trapezoid integral per cell
+        cell = 0.5 * (pdf[:-1] + pdf[1:]) * self.interval_size
+        cdf = jnp.cumsum(cell)
+        self.integral = cdf[-1]
+        self.normalization = 1.0 / self.integral
+        self.cdf = cdf * self.normalization
+        self.pdf_vals = pdf * self.normalization
+        self.n = n
+
+    def sample(self, u):
+        idx = jnp.clip(jnp.searchsorted(self.cdf, u, side='right'), 0, self.n - 2)
+        cdf_lo = jnp.where(idx > 0, self.cdf[jnp.maximum(idx - 1, 0)], 0.0)
+        u_cell = (u - cdf_lo)
+        p0 = self.pdf_vals[idx]
+        p1 = self.pdf_vals[idx + 1]
+        w = self.interval_size
+        # solve 0.5*(p0 + lerp(p0,p1,t)) * t * w = u_cell  for t in [0,1]
+        a_ = 0.5 * (p1 - p0) * w
+        b_ = p0 * w
+        t = jnp.where(
+            jnp.abs(p1 - p0) < 1e-9 * jnp.maximum(p0, 1e-9),
+            u_cell / jnp.maximum(b_, 1e-20),
+            (-b_ + m.safe_sqrt(b_ * b_ + 4.0 * a_ * u_cell)) / jnp.maximum(2.0 * a_, jnp.where(a_ >= 0, 1e-20, -1e20)))
+        t = jnp.clip(t, 0.0, 1.0)
+        return self.range[0] + (idx + t) * self.interval_size
+
+    def eval_pdf(self, x):
+        t = (x - self.range[0]) / (self.range[1] - self.range[0]) * (self.n - 1)
+        idx = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, self.n - 2)
+        frac = t - idx
+        val = m.lerp(self.pdf_vals[idx], self.pdf_vals[idx + 1], frac)
+        inside = (x >= self.range[0]) & (x <= self.range[1])
+        return jnp.where(inside, val, 0.0)
+
+
+class Hierarchical2D:
+    """distr_2d.h:Hierarchical2D<0> — mip-hierarchy warp over a 2D luminance
+    grid; used by the envmap emitter for importance sampling
+    (reference src/emitters/envmap.cpp:103).
+
+    TPU-native formulation: instead of a per-sample descent with data-dependent
+    gather chains over many mip levels (fine on CPU), we precompute per-level
+    4-texel conditional tables and do a fixed `levels`-step descent with
+    dynamic_slice gathers — fully vectorized, static trip count.
+    """
+
+    def __init__(self, data):
+        data = np.maximum(np.asarray(data, np.float32), 0.0)
+        h, w = data.shape
+        levels = [data]
+        while levels[-1].shape[0] > 1 or levels[-1].shape[1] > 1:
+            cur = levels[-1]
+            ph = (cur.shape[0] + 1) // 2 * 2
+            pw = (cur.shape[1] + 1) // 2 * 2
+            pad = np.zeros((ph, pw), np.float32)
+            pad[:cur.shape[0], :cur.shape[1]] = cur
+            nxt = pad[0::2, 0::2] + pad[0::2, 1::2] + pad[1::2, 0::2] + pad[1::2, 1::2]
+            levels.append(nxt)
+        self.levels = [jnp.asarray(l) for l in levels[::-1]]  # coarse->fine
+        self.shape = (h, w)
+        self.total = float(levels[-1][0, 0])
+        self.pdf_grid = jnp.asarray(data / max(self.total, 1e-20))  # integrates to 1 over texels
+
+    def sample(self, u):
+        """u: (...,2) uniform -> ((...,2) position in [0,1)^2, pdf w.r.t.
+        unit-square area)."""
+        ux, uy = u[..., 0], u[..., 1]
+        row = jnp.zeros(ux.shape, jnp.int32)
+        col = jnp.zeros(ux.shape, jnp.int32)
+        for lvl in self.levels[1:]:
+            row *= 2
+            col *= 2
+            H, W = lvl.shape
+
+            def tex(r, c):
+                r = jnp.clip(r, 0, H - 1)
+                c = jnp.clip(c, 0, W - 1)
+                return lvl[r, c]
+            v00 = tex(row, col)
+            v01 = tex(row, col + 1)
+            v10 = tex(row + 1, col)
+            v11 = tex(row + 1, col + 1)
+            top = v00 + v01
+            bot = v10 + v11
+            total = jnp.maximum(top + bot, 1e-20)
+            p_bot = bot / total
+            go_down = uy < p_bot
+            uy = jnp.where(go_down, uy / jnp.maximum(p_bot, 1e-20),
+                           (uy - p_bot) / jnp.maximum(1 - p_bot, 1e-20))
+            left = jnp.where(go_down, v10, v00)
+            right = jnp.where(go_down, v11, v01)
+            p_left = left / jnp.maximum(left + right, 1e-20)
+            go_left = ux < p_left
+            ux = jnp.where(go_left, ux / jnp.maximum(p_left, 1e-20),
+                           (ux - p_left) / jnp.maximum(1 - p_left, 1e-20))
+            row = jnp.where(go_down, row + 1, row)
+            col = jnp.where(go_left, col, col + 1)
+        h, w = self.shape
+        row = jnp.clip(row, 0, h - 1)
+        col = jnp.clip(col, 0, w - 1)
+        # uniform within texel using the leftover (ux, uy)
+        pos = jnp.stack([(col + jnp.clip(ux, 0., 1. - 1e-7)) / w,
+                         (row + jnp.clip(uy, 0., 1. - 1e-7)) / h], axis=-1)
+        pdf = self.pdf_grid[row, col] * (h * w)
+        return pos, pdf
+
+    def eval_pdf(self, pos):
+        h, w = self.shape
+        col = jnp.clip((pos[..., 0] * w).astype(jnp.int32), 0, w - 1)
+        row = jnp.clip((pos[..., 1] * h).astype(jnp.int32), 0, h - 1)
+        return self.pdf_grid[row, col] * (h * w)

@@ -1,0 +1,117 @@
+"""Orthonormal frames (reference include/mitsuba/core/frame.h).
+
+A Frame is represented structurally as a tuple of three (..., 3) arrays
+(s, t, n). Functions are free so they vmap/jit trivially.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from . import math as m
+
+
+def coordinate_system(n):
+    """Duff et al. 2017 branchless ONB construction (frame.h:coordinate_system).
+
+    n: (..., 3) unit normal -> (s, t): two (..., 3) tangents.
+    """
+    nx, ny, nz = n[..., 0], n[..., 1], n[..., 2]
+    sign = jnp.where(nz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + nz)
+    b = nx * ny * a
+    s = jnp.stack([1.0 + sign * nx * nx * a, sign * b, -sign * nx], axis=-1)
+    t = jnp.stack([b, sign + ny * ny * a, -ny], axis=-1)
+    return s, t
+
+
+class Frame:
+    """Shading frame: local +Z = n. Lightweight container of (s, t, n) arrays."""
+
+    __slots__ = ("s", "t", "n")
+
+    def __init__(self, n=None, s=None, t=None):
+        if s is None:
+            s, t = coordinate_system(n)
+        self.s, self.t, self.n = s, t, n
+
+    def to_local(self, v):
+        return jnp.stack([m.dot(v, self.s), m.dot(v, self.t), m.dot(v, self.n)],
+                         axis=-1)
+
+    def to_world(self, v):
+        return (self.s * v[..., 0:1] + self.t * v[..., 1:2] + self.n * v[..., 2:3])
+
+    def tree_flatten(self):
+        return (self.s, self.t, self.n), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        s, t, n = children
+        obj = cls.__new__(cls)
+        obj.s, obj.t, obj.n = s, t, n
+        return obj
+
+
+import jax.tree_util as jtu  # noqa: E402
+jtu.register_pytree_node(Frame, Frame.tree_flatten, Frame.tree_unflatten)
+
+
+# --- local-frame trigonometry (frame.h:84-160); v in local coords, z = cos --
+
+def cos_theta(v):
+    return v[..., 2]
+
+
+def cos_theta_2(v):
+    return v[..., 2] * v[..., 2]
+
+
+def sin_theta_2(v):
+    return jnp.maximum(1.0 - cos_theta_2(v), 0.0)
+
+
+def sin_theta(v):
+    return m.safe_sqrt(sin_theta_2(v))
+
+
+def tan_theta(v):
+    return sin_theta(v) / jnp.where(v[..., 2] == 0, 1e-20, v[..., 2])
+
+
+def tan_theta_2(v):
+    c2 = cos_theta_2(v)
+    return jnp.maximum(1.0 - c2, 0.0) / jnp.maximum(c2, 1e-20)
+
+
+def sin_phi(v):
+    st = sin_theta(v)
+    return jnp.where(st == 0.0, 0.0, jnp.clip(v[..., 1] / jnp.maximum(st, 1e-20), -1.0, 1.0))
+
+
+def cos_phi(v):
+    st = sin_theta(v)
+    return jnp.where(st == 0.0, 1.0, jnp.clip(v[..., 0] / jnp.maximum(st, 1e-20), -1.0, 1.0))
+
+
+def sincos_phi_2(v):
+    s2 = sin_theta_2(v)
+    inv = 1.0 / jnp.maximum(s2, 1e-20)
+    sin_phi2 = jnp.where(s2 == 0.0, 0.0, jnp.clip(v[..., 1] ** 2 * inv, 0.0, 1.0))
+    cos_phi2 = jnp.where(s2 == 0.0, 1.0, jnp.clip(v[..., 0] ** 2 * inv, 0.0, 1.0))
+    return sin_phi2, cos_phi2
+
+
+def reflect(wi, n=None):
+    """Reflection. If n is None: about local +Z (bsdf.h:reflect)."""
+    if n is None:
+        return jnp.stack([-wi[..., 0], -wi[..., 1], wi[..., 2]], axis=-1)
+    return 2.0 * m.dot(wi, n, keepdims=True) * n - wi
+
+
+def refract(wi, cos_theta_t, eta_ti, n=None):
+    """Refraction (fresnel.h:refract). cos_theta_t from `fresnel()`, eta_ti = 1/eta
+    for the relevant hemisphere."""
+    if n is None:
+        return jnp.stack([-wi[..., 0] * eta_ti, -wi[..., 1] * eta_ti,
+                          cos_theta_t], axis=-1)
+    ci = m.dot(wi, n, keepdims=True)
+    return n * (ci * eta_ti[..., None] + cos_theta_t[..., None]) - wi * eta_ti[..., None]

@@ -1,0 +1,53 @@
+"""Fresnel equations (reference include/mitsuba/render/fresnel.h)."""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from . import math as m
+
+
+def fresnel(cos_theta_i, eta):
+    """Dielectric Fresnel (fresnel.h:fresnel).
+
+    Returns (F, cos_theta_t, eta_it, eta_ti): reflectance, transmitted-cosine
+    (signed, opposite hemisphere), relative IOR for entering, and its inverse.
+    Handles rays from either side (eta flips when cos_theta_i < 0).
+    """
+    outside = cos_theta_i >= 0.0
+    rcp_eta = 1.0 / eta
+    eta_it = jnp.where(outside, eta, rcp_eta)
+    eta_ti = jnp.where(outside, rcp_eta, eta)
+    cos_theta_t_sqr = 1.0 - eta_ti * eta_ti * (1.0 - cos_theta_i * cos_theta_i)
+    abs_cos_i = jnp.abs(cos_theta_i)
+    cos_theta_t = m.safe_sqrt(cos_theta_t_sqr)
+    a_s = (abs_cos_i - eta_it * cos_theta_t) / jnp.maximum(abs_cos_i + eta_it * cos_theta_t, 1e-20)
+    a_p = (eta_it * abs_cos_i - cos_theta_t) / jnp.maximum(eta_it * abs_cos_i + cos_theta_t, 1e-20)
+    F = 0.5 * (a_s * a_s + a_p * a_p)
+    tir = cos_theta_t_sqr <= 0.0
+    F = jnp.where(tir, 1.0, F)
+    F = jnp.where(eta == 1.0, 0.0, F)
+    cos_theta_t_signed = jnp.where(tir, 0.0, -m.mulsign(cos_theta_t, cos_theta_i))
+    return F, cos_theta_t_signed, eta_it, eta_ti
+
+
+def fresnel_conductor(cos_theta_i, eta, k):
+    """Conductor Fresnel, unpolarized average (fresnel.h:fresnel_conductor).
+    eta/k may be (..., 3) spectra; cos_theta_i broadcasts."""
+    ct2 = cos_theta_i * cos_theta_i
+    st2 = 1.0 - ct2
+    e2 = eta * eta
+    k2 = k * k
+    t0 = e2 - k2 - st2
+    a2pb2 = m.safe_sqrt(t0 * t0 + 4.0 * e2 * k2)
+    t1 = a2pb2 + ct2
+    a = m.safe_sqrt(0.5 * (a2pb2 + t0))
+    t2 = 2.0 * a * cos_theta_i
+    rs = (t1 - t2) / jnp.maximum(t1 + t2, 1e-20)
+    t3 = ct2 * a2pb2 + st2 * st2
+    t4 = t2 * st2
+    rp = rs * (t3 - t4) / jnp.maximum(t3 + t4, 1e-20)
+    return 0.5 * (rs + rp)
+
+
+def schlick(cos_theta, r0):
+    w = jnp.power(jnp.clip(1.0 - cos_theta, 0.0, 1.0), 5.0)
+    return r0 + (1.0 - r0) * w

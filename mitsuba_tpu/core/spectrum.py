@@ -1,0 +1,31 @@
+"""Color/spectrum helpers (reference include/mitsuba/core/spectrum.h).
+
+The TPU build renders in RGB mode by default (variant axis collapses to a
+channel count; see SURVEY.md §1 "TPU mapping"). Spectral rendering uses the
+same code paths with n_channels spectral bins (round 2+).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# ITU-R Rec. BT.709 luminance weights (spectrum.h:luminance)
+LUMINANCE_WEIGHTS = (0.212671, 0.715160, 0.072169)
+
+
+def luminance(c):
+    w = jnp.asarray(LUMINANCE_WEIGHTS, c.dtype)
+    return jnp.sum(c * w, axis=-1)
+
+
+def srgb_to_xyz(c):
+    M = jnp.asarray([[0.412453, 0.357580, 0.180423],
+                     [0.212671, 0.715160, 0.072169],
+                     [0.019334, 0.119193, 0.950227]], c.dtype)
+    return jnp.einsum('ij,...j->...i', M, c)
+
+
+def xyz_to_srgb(c):
+    M = jnp.asarray([[3.240479, -1.537150, -0.498535],
+                     [-0.969256, 1.875991, 0.041556],
+                     [0.055648, -0.204043, 1.057311]], c.dtype)
+    return jnp.einsum('ij,...j->...i', M, c)

@@ -1,0 +1,168 @@
+"""Affine / projective transforms (reference include/mitsuba/core/transform.h).
+
+Two layers:
+  * `Transform4` — host-side scene-construction transform (numpy float64),
+    mirroring the reference's ScalarTransform4f chaining API
+    (T.translate(...).rotate(...).scale(...), look_at, perspective).
+  * jnp application helpers — `apply_point/apply_vector/apply_normal` operate on
+    (..., 3) arrays given a (4,4) (or batched (...,4,4)) matrix; these run
+    inside jitted kernels. A transform is stored in scene tables as the pair
+    (matrix, inverse) like the reference's matrix/inverse_transpose pair.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class Transform4:
+    """Host-side 4x4 transform with lazily maintained inverse."""
+
+    def __init__(self, matrix=None, inverse=None):
+        if matrix is None:
+            matrix = np.eye(4)
+        self.matrix = np.asarray(matrix, dtype=np.float64)
+        self._inverse = None if inverse is None else np.asarray(inverse, np.float64)
+
+    # -- properties ---------------------------------------------------------
+    @property
+    def inverse_matrix(self):
+        if self._inverse is None:
+            self._inverse = np.linalg.inv(self.matrix)
+        return self._inverse
+
+    def inverse(self):
+        return Transform4(self.inverse_matrix, self.matrix)
+
+    # -- chaining constructors (classmethod OR instance-method, like the
+    #    reference's ScalarTransform4f T.translate(...).rotate(...)) ---------
+    def _chain(self, mat):
+        return Transform4(self.matrix @ mat)
+
+    def translate(self, v):
+        m = np.eye(4)
+        m[:3, 3] = np.asarray(v, np.float64).reshape(3) if np.ndim(v) else np.full(3, v)
+        return self._chain(m)
+
+    def scale(self, v):
+        v = np.asarray(v, np.float64)
+        if v.ndim == 0:
+            v = np.full(3, float(v))
+        m = np.diag(np.concatenate([v.reshape(3), [1.0]]))
+        return self._chain(m)
+
+    def rotate(self, axis, angle_deg):
+        a = np.asarray(axis, np.float64)
+        a = a / np.linalg.norm(a)
+        th = np.deg2rad(float(angle_deg))
+        c, s = np.cos(th), np.sin(th)
+        x, y, z = a
+        K = np.array([[0, -z, y], [z, 0, -x], [-y, x, 0]])
+        R3 = c * np.eye(3) + s * K + (1 - c) * np.outer(a, a)
+        m = np.eye(4)
+        m[:3, :3] = R3
+        return self._chain(m)
+
+    def look_at(self, origin, target, up):
+        origin = np.asarray(origin, np.float64)
+        target = np.asarray(target, np.float64)
+        up = np.asarray(up, np.float64)
+        # Mitsuba convention (transform.h:look_at): camera looks down +Z in
+        # local coords; columns are [left?, newUp, dir, origin]. Reference uses
+        # dir = normalize(target-origin), left = normalize(cross(up, dir)),
+        # new_up = cross(dir, left).
+        dirv = target - origin
+        dirv = dirv / np.linalg.norm(dirv)
+        left = np.cross(up / np.linalg.norm(up), dirv)
+        left = left / np.linalg.norm(left)
+        new_up = np.cross(dirv, left)
+        m = np.eye(4)
+        m[:3, 0] = left
+        m[:3, 1] = new_up
+        m[:3, 2] = dirv
+        m[:3, 3] = origin
+        return self._chain(m)
+
+    def perspective(self, fov_deg, near, far):
+        """Projective camera matrix (transform.h:perspective): maps the frustum
+        to the unit cube in x/y and [0,1] in z."""
+        recip = 1.0 / (far - near)
+        cot = 1.0 / np.tan(np.deg2rad(float(fov_deg)) / 2.0)
+        m = np.array([
+            [cot, 0, 0, 0],
+            [0, cot, 0, 0],
+            [0, 0, far * recip, -near * far * recip],
+            [0, 0, 1, 0],
+        ])
+        return self._chain(m)
+
+    def orthographic(self, near, far):
+        m = np.eye(4)
+        m[2, 2] = 1.0 / (far - near)
+        m[2, 3] = -near / (far - near)
+        return self._chain(m)
+
+    # -- application (host-side, numpy) -------------------------------------
+    def transform_point(self, p):
+        p = np.asarray(p, np.float64)
+        r = self.matrix[:3, :3] @ p + self.matrix[:3, 3]
+        w = self.matrix[3, :3] @ p + self.matrix[3, 3]
+        return r / w
+
+    def transform_vector(self, v):
+        return self.matrix[:3, :3] @ np.asarray(v, np.float64)
+
+    def transform_normal(self, n):
+        return self.inverse_matrix[:3, :3].T @ np.asarray(n, np.float64)
+
+    def __matmul__(self, other):
+        if isinstance(other, Transform4):
+            return Transform4(self.matrix @ other.matrix)
+        return self.transform_point(other)
+
+    def __repr__(self):
+        return f"Transform4(\n{self.matrix}\n)"
+
+
+def _classmethod_chain(name):
+    # allow  Transform4.translate([1,2,3])  without an instance
+    orig = getattr(Transform4, name)
+
+    def wrapper(*args, **kwargs):
+        if args and isinstance(args[0], Transform4):
+            return orig(*args, **kwargs)
+        return orig(Transform4(), *args, **kwargs)
+    return wrapper
+
+
+class _TMeta:
+    """`ScalarTransform4f`-style entry point: both `T.translate(v)` and
+    `T(matrix)` work, and results chain."""
+
+    def __call__(self, matrix=None):
+        return Transform4(matrix)
+
+    def __getattr__(self, name):
+        return _classmethod_chain(name)
+
+
+ScalarTransform4f = _TMeta()
+
+
+# ---------------------------------------------------------------------------
+# jnp application helpers (device-side). mat: (...,4,4); p/v/n: (...,3)
+# ---------------------------------------------------------------------------
+
+def apply_point(mat, p):
+    r = jnp.einsum('...ij,...j->...i', mat[..., :3, :3], p) + mat[..., :3, 3]
+    w = jnp.einsum('...j,...j->...', mat[..., 3, :3], p) + mat[..., 3, 3]
+    return r / w[..., None]
+
+
+def apply_vector(mat, v):
+    return jnp.einsum('...ij,...j->...i', mat[..., :3, :3], v)
+
+
+def apply_normal(inv_mat, n):
+    """Apply inverse-transpose: pass the INVERSE matrix; contraction transposes."""
+    return jnp.einsum('...ji,...j->...i', inv_mat[..., :3, :3], n)

@@ -1,0 +1,222 @@
+"""Sampling warps (reference include/mitsuba/core/warp.h:27-504).
+
+Every `square_to_X(sample)` maps (..., 2) uniform samples to the target
+domain; `square_to_X_pdf(v)` evaluates the density w.r.t. the natural measure
+(solid angle for directions, area for 2D domains).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from . import math as m
+
+
+# ---------------------------------------------------------------------------
+# 2D domains
+# ---------------------------------------------------------------------------
+
+def square_to_uniform_disk(s):
+    r = jnp.sqrt(s[..., 0])
+    theta = m.TwoPi * s[..., 1]
+    return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)], axis=-1)
+
+
+def square_to_uniform_disk_pdf(p):
+    inside = m.squared_norm(p) <= 1.0
+    return jnp.where(inside, m.InvPi, 0.0)
+
+
+def square_to_uniform_disk_concentric(s):
+    """Shirley-Chiu concentric mapping (warp.h:square_to_uniform_disk_concentric)."""
+    x = 2.0 * s[..., 0] - 1.0
+    y = 2.0 * s[..., 1] - 1.0
+    is_zero = jnp.logical_and(x == 0.0, y == 0.0)
+    quadrant_1_or_3 = jnp.abs(x) < jnp.abs(y)
+    r = jnp.where(quadrant_1_or_3, y, x)
+    rp = jnp.where(quadrant_1_or_3, x, y)
+    phi = 0.25 * m.Pi * rp / jnp.where(r == 0.0, 1.0, r)
+    phi = jnp.where(quadrant_1_or_3, 0.5 * m.Pi - phi, phi)
+    phi = jnp.where(is_zero, 0.0, phi)
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi)], axis=-1)
+
+
+square_to_uniform_disk_concentric_pdf = square_to_uniform_disk_pdf
+
+
+def square_to_uniform_triangle(s):
+    t = m.safe_sqrt(1.0 - s[..., 0])
+    return jnp.stack([1.0 - t, t * s[..., 1]], axis=-1)
+
+
+def square_to_uniform_triangle_pdf(p):
+    inside = (p[..., 0] >= 0) & (p[..., 1] >= 0) & (p[..., 0] + p[..., 1] <= 1)
+    return jnp.where(inside, 2.0, 0.0)
+
+
+def interval_to_tent(s):
+    s = 2.0 * s - 1.0
+    return m.mulsign(1.0 - m.safe_sqrt(1.0 - jnp.abs(s)), s)
+
+
+def square_to_tent(s):
+    return jnp.stack([interval_to_tent(s[..., 0]), interval_to_tent(s[..., 1])], axis=-1)
+
+
+def square_to_tent_pdf(p):
+    inside = (jnp.abs(p[..., 0]) <= 1) & (jnp.abs(p[..., 1]) <= 1)
+    return jnp.where(inside, (1 - jnp.abs(p[..., 0])) * (1 - jnp.abs(p[..., 1])), 0.0)
+
+
+def square_to_std_normal(s):
+    r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(1.0 - s[..., 0], 1e-20)))
+    phi = m.TwoPi * s[..., 1]
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi)], axis=-1)
+
+
+def square_to_std_normal_pdf(p):
+    return m.InvTwoPi * jnp.exp(-0.5 * m.squared_norm(p))
+
+
+def square_to_bilinear(v00, v10, v01, v11, s):
+    """Sample a bilinear patch proportionally to its values
+    (warp.h:square_to_bilinear). Returns (pos, pdf)."""
+    # Sample y marginal: linear between (v00+v10) and (v01+v11)
+    r0 = v00 + v10
+    r1 = v01 + v11
+    y = _sample_linear(r0, r1, s[..., 1])
+    c0 = m.lerp(v00, v01, y)
+    c1 = m.lerp(v10, v11, y)
+    x = _sample_linear(c0, c1, s[..., 0])
+    pdf = square_to_bilinear_pdf(v00, v10, v01, v11, jnp.stack([x, y], -1))
+    return jnp.stack([x, y], axis=-1), pdf
+
+
+def _sample_linear(a, b, u):
+    denom = a + b
+    safe = jnp.where(denom == 0, 1.0, denom)
+    # invert CDF of f(x) = lerp(a,b,x)
+    c = a * a + u * (b * b - a * a)
+    x = (a - m.safe_sqrt(c)) / jnp.where(a == b, 1.0, (a - b))
+    return jnp.where(jnp.abs(a - b) < 1e-7 * jnp.abs(safe), u, jnp.clip(x, 0.0, 1.0))
+
+
+def square_to_bilinear_pdf(v00, v10, v01, v11, p):
+    x, y = p[..., 0], p[..., 1]
+    mean = 0.25 * (v00 + v10 + v01 + v11)
+    val = m.lerp(m.lerp(v00, v10, x), m.lerp(v01, v11, x), y)
+    inside = (x >= 0) & (x <= 1) & (y >= 0) & (y <= 1)
+    return jnp.where(inside, val / jnp.maximum(mean, 1e-20), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Sphere / hemisphere
+# ---------------------------------------------------------------------------
+
+def square_to_uniform_sphere(s):
+    z = 1.0 - 2.0 * s[..., 1]
+    r = m.safe_sqrt(1.0 - z * z)
+    phi = m.TwoPi * s[..., 0]
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+
+
+def square_to_uniform_sphere_pdf(v):
+    return jnp.full(v.shape[:-1], m.InvFourPi, dtype=v.dtype)
+
+
+def square_to_uniform_hemisphere(s):
+    """Concentric-mapping based (warp.h:square_to_uniform_hemisphere)."""
+    p = square_to_uniform_disk_concentric(s)
+    z = 1.0 - m.squared_norm(p)
+    scale = m.safe_sqrt(z + 1.0)
+    return jnp.stack([p[..., 0] * scale, p[..., 1] * scale, z], axis=-1)
+
+
+def square_to_uniform_hemisphere_pdf(v):
+    return jnp.where(v[..., 2] >= 0, m.InvTwoPi, 0.0)
+
+
+def square_to_cosine_hemisphere(s):
+    p = square_to_uniform_disk_concentric(s)
+    z = m.safe_sqrt(1.0 - m.squared_norm(p))
+    return jnp.stack([p[..., 0], p[..., 1], z], axis=-1)
+
+
+def square_to_cosine_hemisphere_pdf(v):
+    return jnp.maximum(v[..., 2], 0.0) * m.InvPi
+
+
+def square_to_uniform_cone(s, cos_cutoff):
+    """Uniform direction in cone around +Z (warp.h:square_to_uniform_cone)."""
+    one_minus = 1.0 - cos_cutoff
+    cos_theta = 1.0 - one_minus * s[..., 1]
+    sin_theta = m.safe_sqrt(1.0 - cos_theta * cos_theta)
+    phi = m.TwoPi * s[..., 0]
+    return jnp.stack([jnp.cos(phi) * sin_theta, jnp.sin(phi) * sin_theta,
+                      cos_theta], axis=-1)
+
+
+def square_to_uniform_cone_pdf(v, cos_cutoff):
+    inside = v[..., 2] >= cos_cutoff
+    return jnp.where(inside, m.InvTwoPi / jnp.maximum(1.0 - cos_cutoff, 1e-20), 0.0)
+
+
+def square_to_beckmann(s, alpha):
+    """Beckmann NDF-distributed normal (warp.h:square_to_beckmann)."""
+    phi = m.TwoPi * s[..., 0]
+    tan_theta_2 = -(alpha * alpha) * jnp.log(jnp.maximum(1.0 - s[..., 1], 1e-20))
+    cos_theta = 1.0 / jnp.sqrt(1.0 + tan_theta_2)
+    sin_theta = m.safe_sqrt(1.0 - cos_theta * cos_theta)
+    return jnp.stack([jnp.cos(phi) * sin_theta, jnp.sin(phi) * sin_theta,
+                      cos_theta], axis=-1)
+
+
+def square_to_beckmann_pdf(v, alpha):
+    ct = v[..., 2]
+    a2 = alpha * alpha
+    ct2 = ct * ct
+    tt2 = (1.0 - ct2) / jnp.maximum(ct2, 1e-20)
+    pdf = jnp.exp(-tt2 / a2) / (m.Pi * a2 * jnp.maximum(ct2 * ct, 1e-20))
+    return jnp.where(ct >= 1e-9, pdf, 0.0)
+
+
+def square_to_von_mises_fisher(s, kappa):
+    """vMF distribution around +Z (warp.h:square_to_von_mises_fisher); used by
+    the reparameterization's auxiliary rays (ad/reparam.py)."""
+    sy = jnp.maximum(s[..., 1], 1e-7)
+    # numerically stable: cos_theta = 1 + log(sy + (1-sy) e^{-2k})/k
+    cos_theta = 1.0 + jnp.log(sy + (1.0 - sy) * jnp.exp(-2.0 * kappa)) / kappa
+    sin_theta = m.safe_sqrt(1.0 - cos_theta * cos_theta)
+    phi = m.TwoPi * s[..., 0]
+    v = jnp.stack([jnp.cos(phi) * sin_theta, jnp.sin(phi) * sin_theta, cos_theta], -1)
+    isotropic = kappa == 0.0
+    return jnp.where(jnp.broadcast_to(jnp.asarray(isotropic)[..., None], v.shape),
+                     square_to_uniform_sphere(s), v)
+
+
+def square_to_von_mises_fisher_pdf(v, kappa):
+    ct = v[..., 2]
+    pdf = jnp.exp(kappa * (ct - 1.0)) * (kappa * m.InvTwoPi) / (1.0 - jnp.exp(-2.0 * kappa))
+    return jnp.where(kappa == 0.0, m.InvFourPi, pdf)
+
+
+# ---------------------------------------------------------------------------
+# Equirectangular (used by envmap)
+# ---------------------------------------------------------------------------
+
+def square_to_uniform_spherical(s):
+    """(u,v) -> direction with theta = pi*v, phi = 2pi*u (not solid-angle uniform)."""
+    theta = m.Pi * s[..., 1]
+    phi = m.TwoPi * s[..., 0]
+    st = jnp.sin(theta)
+    return jnp.stack([st * jnp.sin(phi), jnp.cos(theta), -st * jnp.cos(phi)], axis=-1)
+
+
+def direction_to_spherical_uv(d):
+    """Inverse of the envmap mapping (envmap.cpp eval): returns (u, v)."""
+    u = jnp.arctan2(d[..., 0], -d[..., 2]) * m.InvTwoPi
+    u = u - jnp.floor(u)
+    v = m.safe_acos(jnp.clip(d[..., 1], -1.0, 1.0)) * m.InvPi
+    return jnp.stack([u, v], axis=-1)
+
+
+def interval_to_linear(v0, v1, u):
+    return _sample_linear(v0, v1, u)

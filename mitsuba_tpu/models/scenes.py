@@ -1,0 +1,110 @@
+"""Scene presets (reference src/python/python/util.py:565 cornell_box plus
+heightfield test scenes for the BASELINE configs)."""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.transform import ScalarTransform4f as T
+
+
+def cornell_box(spp=64, res=256, max_depth=8):
+    """Verbatim parity with reference util.py:565-700 cornell_box()."""
+    return {
+        'type': 'scene',
+        'integrator': {'type': 'path', 'max_depth': max_depth},
+        'sensor': {
+            'type': 'perspective',
+            'fov_axis': 'smaller',
+            'near_clip': 0.001,
+            'far_clip': 100.0,
+            'focus_distance': 1000,
+            'fov': 39.3077,
+            'to_world': T.look_at(origin=[0, 0, 3.90], target=[0, 0, 0],
+                                  up=[0, 1, 0]),
+            'sampler': {'type': 'independent', 'sample_count': spp},
+            'film': {'type': 'hdrfilm', 'width': res, 'height': res,
+                     'rfilter': {'type': 'gaussian'},
+                     'pixel_format': 'rgb', 'component_format': 'float32'},
+        },
+        'white': {'type': 'diffuse',
+                  'reflectance': {'type': 'rgb', 'value': [0.885809, 0.698859, 0.666422]}},
+        'green': {'type': 'diffuse',
+                  'reflectance': {'type': 'rgb', 'value': [0.105421, 0.37798, 0.076425]}},
+        'red': {'type': 'diffuse',
+                'reflectance': {'type': 'rgb', 'value': [0.570068, 0.0430135, 0.0443706]}},
+        'light': {'type': 'rectangle',
+                  'to_world': T.translate([0.0, 0.99, 0.01]).rotate([1, 0, 0], 90).scale([0.23, 0.19, 0.19]),
+                  'bsdf': {'type': 'ref', 'id': 'white'},
+                  'emitter': {'type': 'area',
+                              'radiance': {'type': 'rgb', 'value': [18.387, 13.9873, 6.75357]}}},
+        'floor': {'type': 'rectangle',
+                  'to_world': T.translate([0.0, -1.0, 0.0]).rotate([1, 0, 0], -90),
+                  'bsdf': {'type': 'ref', 'id': 'white'}},
+        'ceiling': {'type': 'rectangle',
+                    'to_world': T.translate([0.0, 1.0, 0.0]).rotate([1, 0, 0], 90),
+                    'bsdf': {'type': 'ref', 'id': 'white'}},
+        'back': {'type': 'rectangle',
+                 'to_world': T.translate([0.0, 0.0, -1.0]),
+                 'bsdf': {'type': 'ref', 'id': 'white'}},
+        'green-wall': {'type': 'rectangle',
+                       'to_world': T.translate([1.0, 0.0, 0.0]).rotate([0, 1, 0], -90),
+                       'bsdf': {'type': 'ref', 'id': 'green'}},
+        'red-wall': {'type': 'rectangle',
+                     'to_world': T.translate([-1.0, 0.0, 0.0]).rotate([0, 1, 0], 90),
+                     'bsdf': {'type': 'ref', 'id': 'red'}},
+        'small-box': {'type': 'cube',
+                      'to_world': T.translate([0.335, -0.7, 0.38]).rotate([0, 1, 0], -17).scale(0.3),
+                      'bsdf': {'type': 'ref', 'id': 'white'}},
+        'large-box': {'type': 'cube',
+                      'to_world': T.translate([-0.33, -0.4, -0.28]).rotate([0, 1, 0], 18.25).scale([0.3, 0.61, 0.3]),
+                      'bsdf': {'type': 'ref', 'id': 'white'}},
+    }
+
+
+def make_test_heights(res=128, amplitude=0.35, seed=3):
+    """Smooth random terrain for tests/benchmarks."""
+    rng = np.random.default_rng(seed)
+    k = 8
+    coarse = rng.standard_normal((k, k)).astype(np.float32)
+    # cosine upsample
+    xs = np.linspace(0, k - 1, res)
+    from scipy.ndimage import map_coordinates
+    g = map_coordinates(coarse, np.meshgrid(xs, xs, indexing='ij'), order=3,
+                        mode='nearest').astype(np.float32)
+    g = (g - g.min()) / max(g.max() - g.min(), 1e-6)
+    return (g * amplitude).astype(np.float32)
+
+
+def heightfield_scene(res_hf=512, res_img=256, spp=64, heights=None,
+                      envmap_res=64, max_depth=4):
+    """BASELINE config[2]: heightfield under an environment light."""
+    if heights is None:
+        heights = make_test_heights(res_hf)
+    # simple sky gradient envmap
+    H, W = envmap_res, 2 * envmap_res
+    theta = np.linspace(0, np.pi, H)[:, None]
+    sky = np.stack([
+        0.4 + 0.4 * np.cos(theta) ** 2 + np.zeros((H, W)),
+        0.5 + 0.3 * np.cos(theta) + np.zeros((H, W)),
+        0.8 + 0.2 * np.cos(theta) + np.zeros((H, W))], -1).astype(np.float32)
+    return {
+        'type': 'scene',
+        'integrator': {'type': 'path', 'max_depth': max_depth},
+        'sensor': {
+            'type': 'perspective',
+            'fov': 45.0,
+            'to_world': T.look_at(origin=[0.0, 1.6, 2.4], target=[0, 0.1, 0],
+                                  up=[0, 1, 0]),
+            'sampler': {'type': 'independent', 'sample_count': spp},
+            'film': {'type': 'hdrfilm', 'width': res_img, 'height': res_img,
+                     'rfilter': {'type': 'gaussian'}},
+        },
+        'terrain': {
+            'type': 'heightfield',
+            'heights': heights,
+            'to_world': T.translate([-1.0, 0.0, 1.0]).scale([2.0, 1.0, -2.0]),
+            'bsdf': {'type': 'diffuse',
+                     'reflectance': {'type': 'rgb', 'value': [0.55, 0.45, 0.35]}},
+        },
+        'sky': {'type': 'envmap', 'data': sky},
+    }

@@ -1,0 +1,26 @@
+"""BSDF plugin registry (analogue of PluginManager for src/bsdfs/*)."""
+from .core_bsdfs import (diffuse, conductor, roughconductor, dielectric,
+                         thindielectric)
+
+REGISTRY = {
+    'diffuse': diffuse,
+    'conductor': conductor,
+    'roughconductor': roughconductor,
+    'dielectric': dielectric,
+    'thindielectric': thindielectric,
+}
+
+
+def _extend():
+    try:
+        from .extra_bsdfs import EXTRA
+        REGISTRY.update(EXTRA)
+    except ImportError:
+        pass
+
+
+_extend()
+
+
+def registry():
+    return REGISTRY

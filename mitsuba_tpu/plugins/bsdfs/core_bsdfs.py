@@ -1,0 +1,451 @@
+"""Core BSDF plugins: diffuse, conductor, roughconductor, dielectric,
+thindielectric (reference src/bsdfs/*.cpp).
+
+SoA-table design mirroring the shape plugins: one table per BSDF type with
+leading dim S; all functions evaluate a full wavefront with per-lane `slot`
+gathers. Directions are in the local shading frame.
+
+Each plugin provides:
+    build(props_list, tex_builder) -> Table
+    eval(tbl, slot, tex, wi, wo, uv)      -> (N,3)   f * cos_theta(wo)? NO —
+        follows the reference convention: eval() INCLUDES the cosine
+        foreshortening factor (bsdf.h:346 note).
+    pdf(tbl, slot, tex, wi, wo, uv)       -> (N,)
+    sample(tbl, slot, tex, wi, uv, s1, s2) -> (BSDFSample, weight (N,3))
+        weight = f * cos / pdf (bsdf.h:314).
+    flags: int
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from ...core import math as m
+from ...core import frame as fr
+from ...core import warp
+from ...core import fresnel as fre
+from ...core import microfacet as mf
+from ...render import bsdf_flags as bf
+from ...render.records import BSDFSample
+from ...render.texture import eval_texture, eval_texture_1
+
+
+def _zero_sample(wi):
+    n = wi.shape[0]
+    z = jnp.zeros((n,), wi.dtype)
+    return BSDFSample(wo=jnp.zeros_like(wi), pdf=z, eta=jnp.ones_like(z),
+                      sampled_type=jnp.zeros((n,), jnp.uint32),
+                      sampled_component=jnp.full((n,), -1, jnp.int32))
+
+
+def _resolve_texture(props, key, default, texb):
+    """Returns a texture id for a props entry that may be a scalar, rgb list,
+    or texture dict."""
+    v = props.get(key, default)
+    if isinstance(v, int) and not isinstance(v, bool):
+        return v  # already a texture id
+    if isinstance(v, dict):
+        t = v.get('type')
+        if t == 'rgb':
+            return texb.add_constant(v['value'])
+        if t == 'checkerboard':
+            c0 = v.get('color0', 0.4)
+            c1 = v.get('color1', 0.2)
+            if isinstance(c0, dict):
+                c0 = c0['value']
+            if isinstance(c1, dict):
+                c1 = c1['value']
+            sc = v.get('to_uv', None)
+            uv_scale = (1, 1)
+            if sc is not None and hasattr(sc, 'matrix'):
+                uv_scale = (sc.matrix[0, 0], sc.matrix[1, 1])
+            return texb.add_checkerboard(c0, c1, uv_scale=uv_scale)
+        if t == 'bitmap':
+            data = v.get('data')
+            if data is None:
+                import imageio.v3 as iio
+                data = np.asarray(iio.imread(v['filename']), np.float32)
+                if data.dtype == np.uint8 or data.max() > 1.5:
+                    data = data / 255.0
+                if not v.get('raw', False):
+                    data = np.where(data <= 0.04045, data / 12.92,
+                                    ((data + 0.055) / 1.055) ** 2.4)
+            return texb.add_bitmap(data, nearest=v.get('filter_type') == 'nearest')
+        raise ValueError(f'unsupported texture spec {v}')
+    return texb.add_constant(v)
+
+
+# ===========================================================================
+# diffuse  (src/bsdfs/diffuse.cpp)
+# ===========================================================================
+
+@struct.dataclass
+class DiffuseTable:
+    reflectance: jnp.ndarray  # (S,) int32 texture ids
+    twosided: jnp.ndarray     # (S,) bool — folded-in twosided wrapper
+
+
+class diffuse:
+    Table = DiffuseTable
+    flags = bf.DiffuseReflection | bf.FrontSide
+
+    @staticmethod
+    def build(props_list, texb):
+        refl, ts = [], []
+        for p in props_list:
+            refl.append(_resolve_texture(p, 'reflectance', 0.5, texb))
+            ts.append(bool(p.get('_twosided', False)))
+        return DiffuseTable(reflectance=jnp.asarray(refl, jnp.int32),
+                            twosided=jnp.asarray(ts))
+
+    @staticmethod
+    def _flip(tbl, slot, wi):
+        """Fold the twosided wrapper (twosided.cpp): flip the frame when the
+        incident direction is on the back side."""
+        flip = tbl.twosided[slot] & (fr.cos_theta(wi) < 0)
+        return jnp.where(flip[..., None], wi * jnp.asarray([1.0, 1.0, -1.0]), wi), flip
+
+    @staticmethod
+    def eval(tbl, slot, tex, wi, wo, uv):
+        wi, flip = diffuse._flip(tbl, slot, wi)
+        wo = jnp.where(flip[..., None], wo * jnp.asarray([1.0, 1.0, -1.0]), wo)
+        cos_i = fr.cos_theta(wi)
+        cos_o = fr.cos_theta(wo)
+        refl = eval_texture(tex, tbl.reflectance[slot], uv)
+        val = refl * (m.InvPi * jnp.maximum(cos_o, 0.0))[..., None]
+        return jnp.where(((cos_i > 0) & (cos_o > 0))[..., None], val, 0.0)
+
+    @staticmethod
+    def pdf(tbl, slot, tex, wi, wo, uv):
+        wi, flip = diffuse._flip(tbl, slot, wi)
+        wo = jnp.where(flip[..., None], wo * jnp.asarray([1.0, 1.0, -1.0]), wo)
+        cos_i = fr.cos_theta(wi)
+        cos_o = fr.cos_theta(wo)
+        return jnp.where((cos_i > 0) & (cos_o > 0),
+                         warp.square_to_cosine_hemisphere_pdf(wo), 0.0)
+
+    @staticmethod
+    def sample(tbl, slot, tex, wi, uv, sample1, sample2):
+        wi_f, flip = diffuse._flip(tbl, slot, wi)
+        cos_i = fr.cos_theta(wi_f)
+        wo = warp.square_to_cosine_hemisphere(sample2)
+        pdf = warp.square_to_cosine_hemisphere_pdf(wo)
+        active = cos_i > 0
+        refl = eval_texture(tex, tbl.reflectance[slot], uv)
+        weight = jnp.where(active[..., None], refl, 0.0)
+        pdf = jnp.where(active, pdf, 0.0)
+        wo = jnp.where(flip[..., None], wo * jnp.asarray([1.0, 1.0, -1.0]), wo)
+        n = wi.shape[0]
+        bs = BSDFSample(
+            wo=wo, pdf=pdf, eta=jnp.ones((n,), wi.dtype),
+            sampled_type=jnp.full((n,), bf.DiffuseReflection, jnp.uint32),
+            sampled_component=jnp.zeros((n,), jnp.int32))
+        return bs, weight
+
+
+# ===========================================================================
+# conductor — smooth mirror with complex IOR (src/bsdfs/conductor.cpp)
+# ===========================================================================
+
+@struct.dataclass
+class ConductorTable:
+    eta: jnp.ndarray   # (S,3)
+    k: jnp.ndarray     # (S,3)
+    specular_reflectance: jnp.ndarray  # (S,) int32 texture id
+
+
+_IOR_DATA = {
+    # (eta, k) rgb approximations (resources/data/ior/*.spd reduced to rgb)
+    'Au': ([0.1431, 0.3749, 1.4424], [3.9831, 2.3857, 1.6032]),
+    'Ag': ([0.1552, 0.1167, 0.1383], [4.8283, 3.1222, 2.1457]),
+    'Al': ([1.6574, 0.8803, 0.5212], [9.2238, 6.2696, 4.8370]),
+    'Cu': ([0.2004, 0.9240, 1.1022], [3.9129, 2.4528, 2.1421]),
+    'none': ([0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),  # perfect mirror
+}
+
+
+class conductor:
+    Table = ConductorTable
+    flags = bf.DeltaReflection | bf.FrontSide
+
+    @staticmethod
+    def build(props_list, texb):
+        etas, ks, srefl = [], [], []
+        for p in props_list:
+            mat = p.get('material', 'none')
+            eta_d, k_d = _IOR_DATA.get(mat, _IOR_DATA['none'])
+            eta = p.get('eta', eta_d)
+            k = p.get('k', k_d)
+            if isinstance(eta, dict):
+                eta = eta['value']
+            if isinstance(k, dict):
+                k = k['value']
+            etas.append(np.broadcast_to(np.asarray(eta, np.float32).reshape(-1), (3,)))
+            ks.append(np.broadcast_to(np.asarray(k, np.float32).reshape(-1), (3,)))
+            srefl.append(_resolve_texture(p, 'specular_reflectance', 1.0, texb))
+        return ConductorTable(eta=jnp.asarray(np.stack(etas)),
+                              k=jnp.asarray(np.stack(ks)),
+                              specular_reflectance=jnp.asarray(srefl, jnp.int32))
+
+    @staticmethod
+    def eval(tbl, slot, tex, wi, wo, uv):
+        return jnp.zeros_like(wi)  # delta lobe: eval == 0
+
+    @staticmethod
+    def pdf(tbl, slot, tex, wi, wo, uv):
+        return jnp.zeros(wi.shape[0], wi.dtype)
+
+    @staticmethod
+    def sample(tbl, slot, tex, wi, uv, sample1, sample2):
+        cos_i = fr.cos_theta(wi)
+        wo = fr.reflect(wi)
+        F = fre.fresnel_conductor(cos_i[..., None], tbl.eta[slot], tbl.k[slot])
+        srefl = eval_texture(tex, tbl.specular_reflectance[slot], uv)
+        active = cos_i > 0
+        weight = jnp.where(active[..., None], F * srefl, 0.0)
+        n = wi.shape[0]
+        bs = BSDFSample(
+            wo=wo, pdf=jnp.where(active, 1.0, 0.0),
+            eta=jnp.ones((n,), wi.dtype),
+            sampled_type=jnp.full((n,), bf.DeltaReflection, jnp.uint32),
+            sampled_component=jnp.zeros((n,), jnp.int32))
+        return bs, weight
+
+
+# ===========================================================================
+# roughconductor — GGX/Beckmann microfacet (src/bsdfs/roughconductor.cpp)
+# ===========================================================================
+
+@struct.dataclass
+class RoughConductorTable:
+    eta: jnp.ndarray       # (S,3)
+    k: jnp.ndarray         # (S,3)
+    alpha_u: jnp.ndarray   # (S,) int32 texture id (eval_1)
+    alpha_v: jnp.ndarray   # (S,) int32 texture id
+    specular_reflectance: jnp.ndarray  # (S,) int32
+    mtype: jnp.ndarray     # (S,) int32 (0=ggx, 1=beckmann) — per-slot static-ish
+    twosided: jnp.ndarray  # (S,) bool
+
+
+class roughconductor:
+    Table = RoughConductorTable
+    flags = bf.GlossyReflection | bf.FrontSide
+
+    @staticmethod
+    def build(props_list, texb):
+        etas, ks, au, av, srefl, mt, ts = [], [], [], [], [], [], []
+        for p in props_list:
+            mat = p.get('material', 'none')
+            eta_d, k_d = _IOR_DATA.get(mat, _IOR_DATA['none'])
+            eta = p.get('eta', eta_d)
+            k = p.get('k', k_d)
+            if isinstance(eta, dict):
+                eta = eta['value']
+            if isinstance(k, dict):
+                k = k['value']
+            etas.append(np.broadcast_to(np.asarray(eta, np.float32).reshape(-1), (3,)))
+            ks.append(np.broadcast_to(np.asarray(k, np.float32).reshape(-1), (3,)))
+            if 'alpha_u' in p or 'alpha_v' in p:
+                au.append(_resolve_texture(p, 'alpha_u', 0.1, texb))
+                av.append(_resolve_texture(p, 'alpha_v', 0.1, texb))
+            else:
+                aid = _resolve_texture(p, 'alpha', 0.1, texb)
+                au.append(aid)
+                av.append(aid)
+            srefl.append(_resolve_texture(p, 'specular_reflectance', 1.0, texb))
+            mt.append(mf.BECKMANN if p.get('distribution', 'beckmann') == 'beckmann' else mf.GGX)
+            ts.append(bool(p.get('_twosided', False)))
+        return RoughConductorTable(
+            eta=jnp.asarray(np.stack(etas)), k=jnp.asarray(np.stack(ks)),
+            alpha_u=jnp.asarray(au, jnp.int32), alpha_v=jnp.asarray(av, jnp.int32),
+            specular_reflectance=jnp.asarray(srefl, jnp.int32),
+            mtype=jnp.asarray(mt, jnp.int32), twosided=jnp.asarray(ts))
+
+    @staticmethod
+    def _flip(tbl, slot, wi, wo):
+        flip = tbl.twosided[slot] & (fr.cos_theta(wi) < 0)
+        s = jnp.asarray([1.0, 1.0, -1.0])
+        return (jnp.where(flip[..., None], wi * s, wi),
+                None if wo is None else jnp.where(flip[..., None], wo * s, wo), flip)
+
+    @staticmethod
+    def _eval_pdf(tbl, slot, tex, wi, wo, uv):
+        wi, wo, _ = roughconductor._flip(tbl, slot, wi, wo)
+        cos_i = fr.cos_theta(wi)
+        cos_o = fr.cos_theta(wo)
+        active = (cos_i > 0) & (cos_o > 0)
+        h = m.normalize(wi + wo)
+        a_u = jnp.maximum(eval_texture_1(tex, tbl.alpha_u[slot], uv), 1e-4)
+        a_v = jnp.maximum(eval_texture_1(tex, tbl.alpha_v[slot], uv), 1e-4)
+        # evaluate both NDF modes, select per-slot (cheap: both are VPU math)
+        val = 0.0
+        pdf = 0.0
+        for mt in (mf.GGX, mf.BECKMANN):
+            D = mf.eval_ndf(mt, h, a_u, a_v)
+            Gv = mf.G(mt, wi, wo, h, a_u, a_v)
+            v = D * Gv / jnp.maximum(4.0 * cos_i, 1e-20)
+            # pdf of wo: visible-normal pdf with Jacobian 1/(4 |wo.h|)
+            p = mf.pdf_visible(mt, wi, h, a_u, a_v) / jnp.maximum(4.0 * jnp.abs(m.dot(wo, h)), 1e-20)
+            sel = tbl.mtype[slot] == mt
+            val = jnp.where(sel, v, val)
+            pdf = jnp.where(sel, p, pdf)
+        F = fre.fresnel_conductor(m.dot(wi, h)[..., None], tbl.eta[slot], tbl.k[slot])
+        srefl = eval_texture(tex, tbl.specular_reflectance[slot], uv)
+        spec = F * srefl * val[..., None]
+        return (jnp.where(active[..., None], spec, 0.0),
+                jnp.where(active, pdf, 0.0))
+
+    @staticmethod
+    def eval(tbl, slot, tex, wi, wo, uv):
+        return roughconductor._eval_pdf(tbl, slot, tex, wi, wo, uv)[0]
+
+    @staticmethod
+    def pdf(tbl, slot, tex, wi, wo, uv):
+        return roughconductor._eval_pdf(tbl, slot, tex, wi, wo, uv)[1]
+
+    @staticmethod
+    def sample(tbl, slot, tex, wi, uv, sample1, sample2):
+        wi_f, _, flip = roughconductor._flip(tbl, slot, wi, None)
+        cos_i = fr.cos_theta(wi_f)
+        a_u = jnp.maximum(eval_texture_1(tex, tbl.alpha_u[slot], uv), 1e-4)
+        a_v = jnp.maximum(eval_texture_1(tex, tbl.alpha_v[slot], uv), 1e-4)
+        h_g, _ = mf.sample_visible(mf.GGX, wi_f, sample2, a_u, a_v)
+        h_b, _ = mf.sample_visible(mf.BECKMANN, wi_f, sample2, a_u, a_v)
+        h = jnp.where((tbl.mtype[slot] == mf.GGX)[..., None], h_g, h_b)
+        wo = fr.reflect(wi_f, h)
+        val, pdf = roughconductor._eval_pdf(
+            tbl, slot, tex,
+            jnp.where(flip[..., None], wi_f * jnp.asarray([1., 1., -1.]), wi_f),
+            jnp.where(flip[..., None], wo * jnp.asarray([1., 1., -1.]), wo), uv)
+        active = (cos_i > 0) & (fr.cos_theta(wo) > 0) & (pdf > 1e-12)
+        weight = jnp.where(active[..., None], val / jnp.maximum(pdf, 1e-20)[..., None], 0.0)
+        wo_out = jnp.where(flip[..., None], wo * jnp.asarray([1., 1., -1.]), wo)
+        n = wi.shape[0]
+        bs = BSDFSample(
+            wo=wo_out, pdf=jnp.where(active, pdf, 0.0),
+            eta=jnp.ones((n,), wi.dtype),
+            sampled_type=jnp.full((n,), bf.GlossyReflection, jnp.uint32),
+            sampled_component=jnp.zeros((n,), jnp.int32))
+        return bs, weight
+
+
+# ===========================================================================
+# dielectric — smooth glass (src/bsdfs/dielectric.cpp)
+# ===========================================================================
+
+@struct.dataclass
+class DielectricTable:
+    eta: jnp.ndarray  # (S,) int/ext ratio
+    specular_reflectance: jnp.ndarray   # (S,) int32
+    specular_transmittance: jnp.ndarray  # (S,) int32
+
+
+_IOR_NAMED = {'vacuum': 1.0, 'air': 1.000277, 'water': 1.3330, 'glass': 1.5046,
+              'bk7': 1.5046, 'diamond': 2.419, 'ethanol': 1.3610, 'ice': 1.31,
+              'polypropylene': 1.49, 'acrylic glass': 1.49, 'pet': 1.5750}
+
+
+def _ior(v, default):
+    if v is None:
+        return default
+    if isinstance(v, str):
+        return _IOR_NAMED[v]
+    return float(v)
+
+
+class dielectric:
+    Table = DielectricTable
+    flags = bf.DeltaReflection | bf.DeltaTransmission | bf.FrontSide | bf.BackSide | bf.NonSymmetric
+
+    @staticmethod
+    def build(props_list, texb):
+        etas, sr, st = [], [], []
+        for p in props_list:
+            int_ior = _ior(p.get('int_ior'), 1.5046)
+            ext_ior = _ior(p.get('ext_ior'), 1.000277)
+            etas.append(int_ior / ext_ior)
+            sr.append(_resolve_texture(p, 'specular_reflectance', 1.0, texb))
+            st.append(_resolve_texture(p, 'specular_transmittance', 1.0, texb))
+        return DielectricTable(eta=jnp.asarray(etas, jnp.float32),
+                               specular_reflectance=jnp.asarray(sr, jnp.int32),
+                               specular_transmittance=jnp.asarray(st, jnp.int32))
+
+    @staticmethod
+    def eval(tbl, slot, tex, wi, wo, uv):
+        return jnp.zeros_like(wi)
+
+    @staticmethod
+    def pdf(tbl, slot, tex, wi, wo, uv):
+        return jnp.zeros(wi.shape[0], wi.dtype)
+
+    @staticmethod
+    def sample(tbl, slot, tex, wi, uv, sample1, sample2):
+        cos_i = fr.cos_theta(wi)
+        eta = tbl.eta[slot]
+        F, cos_t, eta_it, eta_ti = fre.fresnel(cos_i, eta)
+        reflect_sel = sample1 <= F
+        wo_r = fr.reflect(wi)
+        wo_t = fr.refract(wi, cos_t, eta_ti)
+        wo = jnp.where(reflect_sel[..., None], wo_r, wo_t)
+        sr = eval_texture(tex, tbl.specular_reflectance[slot], uv)
+        st = eval_texture(tex, tbl.specular_transmittance[slot], uv)
+        # radiance transport: factor eta_ti^2 on transmission (dielectric.cpp:215)
+        w_t = st * (eta_ti * eta_ti)[..., None]
+        weight = jnp.where(reflect_sel[..., None], sr, w_t)
+        pdf = jnp.where(reflect_sel, F, 1.0 - F)
+        n = wi.shape[0]
+        bs = BSDFSample(
+            wo=wo, pdf=pdf,
+            eta=jnp.where(reflect_sel, 1.0, eta_it),
+            sampled_type=jnp.where(reflect_sel, bf.DeltaReflection,
+                                   bf.DeltaTransmission).astype(jnp.uint32),
+            sampled_component=jnp.where(reflect_sel, 0, 1).astype(jnp.int32))
+        return bs, weight
+
+
+# ===========================================================================
+# thindielectric (src/bsdfs/thindielectric.cpp)
+# ===========================================================================
+
+@struct.dataclass
+class ThinDielectricTable:
+    eta: jnp.ndarray
+    specular_reflectance: jnp.ndarray
+    specular_transmittance: jnp.ndarray
+
+
+class thindielectric:
+    Table = ThinDielectricTable
+    flags = bf.DeltaReflection | bf.Null | bf.FrontSide | bf.BackSide
+
+    @staticmethod
+    def build(props_list, texb):
+        t = dielectric.build(props_list, texb)
+        return ThinDielectricTable(eta=t.eta,
+                                   specular_reflectance=t.specular_reflectance,
+                                   specular_transmittance=t.specular_transmittance)
+
+    eval = dielectric.eval
+    pdf = dielectric.pdf
+
+    @staticmethod
+    def sample(tbl, slot, tex, wi, uv, sample1, sample2):
+        cos_i = fr.cos_theta(wi)
+        eta = tbl.eta[slot]
+        F, _, _, _ = fre.fresnel(jnp.abs(cos_i), eta)
+        # interference of the two interfaces (thindielectric.cpp:122)
+        F2 = jnp.where(F < 1.0, F + (1.0 - F) * (1.0 - F) * F / (1.0 - F * F), 1.0)
+        reflect_sel = sample1 <= F2
+        wo = jnp.where(reflect_sel[..., None], fr.reflect(wi), -wi)
+        sr = eval_texture(tex, tbl.specular_reflectance[slot], uv)
+        st = eval_texture(tex, tbl.specular_transmittance[slot], uv)
+        weight = jnp.where(reflect_sel[..., None], sr, st)
+        pdf = jnp.where(reflect_sel, F2, 1.0 - F2)
+        n = wi.shape[0]
+        bs = BSDFSample(
+            wo=wo, pdf=pdf, eta=jnp.ones((n,), wi.dtype),
+            sampled_type=jnp.where(reflect_sel, bf.DeltaReflection,
+                                   bf.Null).astype(jnp.uint32),
+            sampled_component=jnp.where(reflect_sel, 0, 1).astype(jnp.int32))
+        return bs, weight

@@ -1,0 +1,131 @@
+"""MIS path tracer (reference src/integrators/path.cpp).
+
+The Dr.Jit megakernel loop (path.cpp:133-141, dr::Loop with 11 state vars)
+becomes a `lax.scan` over a fixed `max_depth` trip count with an `active`
+mask — the standard TPU formulation: static shapes, reverse-differentiable,
+and XLA fuses the whole body into one program.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ...core import math as m
+from ...render import scene as sc
+from ...render import bsdf as bsdf_mod
+from ...render import bsdf_flags as bf
+from ...render import sampler as sa
+from ...render.records import Ray
+
+
+def mis_weight(pdf_a, pdf_b):
+    """Power heuristic (path.cpp:300-305)."""
+    a2 = pdf_a * pdf_a
+    w = a2 / jnp.maximum(a2 + pdf_b * pdf_b, 1e-32)
+    return jnp.where(pdf_a > 0, w, 0.0)
+
+
+@struct.dataclass
+class PathState:
+    o: jnp.ndarray
+    d: jnp.ndarray
+    L: jnp.ndarray
+    beta: jnp.ndarray
+    eta: jnp.ndarray
+    active: jnp.ndarray
+    prev_pdf: jnp.ndarray     # bsdf pdf of previous bounce (MIS)
+    prev_delta: jnp.ndarray   # previous bounce was a delta lobe
+    prev_p: jnp.ndarray       # previous vertex position
+    sampler: sa.SamplerState
+    valid: jnp.ndarray        # primary ray hit anything (alpha channel)
+
+
+def sample(scene: sc.Scene, sampler: sa.SamplerState, ray: Ray,
+           max_depth: int, rr_depth: int = 5, hide_emitters: bool = False):
+    """Returns (L (N,3), valid (N,), sampler)."""
+    n = ray.o.shape[0]
+    dt = ray.o.dtype
+    state = PathState(
+        o=ray.o, d=ray.d,
+        L=jnp.zeros((n, 3), dt),
+        beta=jnp.ones((n, 3), dt),
+        eta=jnp.ones((n,), dt),
+        active=jnp.ones((n,), bool),
+        prev_pdf=jnp.ones((n,), dt),
+        prev_delta=jnp.ones((n,), bool),
+        prev_p=ray.o,
+        sampler=sampler,
+        valid=jnp.zeros((n,), bool))
+
+    def body(state: PathState, depth):
+        cur_ray = Ray.make(state.o, state.d)
+        si = sc.ray_intersect(scene, cur_ray)
+        first = depth == 0
+        active = state.active
+
+        # ---- direct emission at the hit (path.cpp:158-174) ----
+        hit_em = active & (si.emitter_index >= 0)
+        Le = sc.eval_emitter_hit(scene, si, hit_em)
+        pdf_light = sc.pdf_emitter_direction(scene, state.prev_p, si, hit_em)
+        mis_bsdf = jnp.where(state.prev_delta, 1.0,
+                             mis_weight(state.prev_pdf, pdf_light))
+        show = jnp.where(first, not hide_emitters, True)
+        L = state.L + state.beta * Le * (mis_bsdf * show)[..., None]
+
+        # ---- environment for escaped rays ----
+        escaped = active & ~si.is_valid
+        Lenv = sc.eval_environment(scene, state.d, escaped)
+        pdf_env = sc.pdf_env_direction(scene, state.d, escaped)
+        mis_env = jnp.where(state.prev_delta, 1.0,
+                            mis_weight(state.prev_pdf, pdf_env))
+        L = L + state.beta * Lenv * (mis_env * show)[..., None]
+
+        valid = state.valid | (active & si.is_valid)
+        active = active & si.is_valid
+
+        # ---- emitter sampling (path.cpp:193-233) ----
+        smpl = state.sampler
+        s_em, smpl = sa.next_2d(smpl)
+        active_em = active & bsdf_mod.has_smooth(scene, si)
+        ds, em_weight = sc.sample_emitter_direction(
+            scene, si, jax.lax.stop_gradient(s_em), test_visibility=True,
+            active=active_em)
+        wo_local = si.to_local(ds.d)
+        bsdf_val, bsdf_pdf = bsdf_mod.eval_pdf(scene, si, wo_local, active_em)
+        mis_em = jnp.where(ds.delta, 1.0, mis_weight(
+            jax.lax.stop_gradient(ds.pdf), jax.lax.stop_gradient(bsdf_pdf)))
+        contrib = state.beta * bsdf_val * em_weight * mis_em[..., None]
+        L = L + jnp.where(active_em[..., None], contrib, 0.0)
+
+        # ---- BSDF sampling (path.cpp:236-258) ----
+        s1, smpl = sa.next_1d(smpl)
+        s2, smpl = sa.next_2d(smpl)
+        bs, bsdf_weight = bsdf_mod.sample(
+            scene, si, jax.lax.stop_gradient(s1), jax.lax.stop_gradient(s2),
+            active)
+        wo_world = si.to_world(bs.wo)
+        new_ray = si.spawn_ray(wo_world)
+        beta = state.beta * bsdf_weight
+        eta = state.eta * bs.eta
+        prev_delta = (bs.sampled_type & jnp.uint32(bf.Delta)) != 0
+
+        # ---- russian roulette (path.cpp:264-280) ----
+        beta_max = jnp.max(beta, axis=-1) * eta * eta
+        rr_prob = jnp.minimum(beta_max, 0.95)
+        rr_active = depth >= rr_depth
+        u_rr, smpl = sa.next_1d(smpl)
+        rr_continue = ~rr_active | (u_rr < rr_prob)
+        beta = beta * jnp.where(rr_active,
+                                1.0 / jnp.maximum(rr_prob, 1e-8), 1.0)[..., None]
+
+        active = active & rr_continue & (bs.pdf > 0) & (beta_max > 0)
+
+        new_state = PathState(
+            o=new_ray.o, d=new_ray.d, L=L, beta=beta, eta=eta, active=active,
+            prev_pdf=bs.pdf, prev_delta=prev_delta, prev_p=si.p,
+            sampler=smpl, valid=valid)
+        return new_state, None
+
+    state, _ = jax.lax.scan(body, state, jnp.arange(max_depth))
+    return state.L, state.valid, state.sampler

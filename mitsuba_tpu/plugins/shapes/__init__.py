@@ -1,0 +1,24 @@
+"""Shape plugin registry (analogue of PluginManager for src/shapes/*)."""
+from .analytic import rectangle, sphere, cube, disk, cylinder
+
+REGISTRY = {
+    'rectangle': rectangle,
+    'sphere': sphere,
+    'cube': cube,
+    'disk': disk,
+    'cylinder': cylinder,
+}
+
+try:
+    from .heightfield import heightfield
+    REGISTRY['heightfield'] = heightfield
+except ImportError:
+    pass
+
+try:
+    from .mesh import mesh
+    REGISTRY['obj'] = mesh
+    REGISTRY['ply'] = mesh
+    REGISTRY['mesh'] = mesh
+except ImportError:
+    pass

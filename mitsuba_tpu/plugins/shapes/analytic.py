@@ -1,0 +1,513 @@
+"""Analytic shape plugins: rectangle, sphere, cube, disk, cylinder
+(reference src/shapes/{rectangle,sphere,cube,disk,cylinder}.cpp).
+
+TPU-native design: shapes of one type are stored as a struct-of-arrays table
+with leading dim S (slot). Intersection evaluates ALL slots against ALL rays
+((S, N) grid — XLA fuses the elementwise chain into the argmin reduction), the
+scene keeps the nearest. `compute_si` then re-derives the surface interaction
+*attached* (differentiable w.r.t. to_world / shape params and the ray) from the
+detached traversal result, following the replace-grad contract of
+reference sphere.cpp:458-573.
+
+Each plugin namespace provides:
+    build(props_list)        host-side -> Table
+    intersect(table, o, d)   -> t:(S,N), prim_uv:(S,N,2), prim_index:(S,N)
+    compute_si(table, slot, o, d, t, prim_uv, prim_index) -> dict of SI fields
+    sample_position(table, slot, sample2) -> dict(p, n, uv, pdf)
+    surface_area(table) -> (S,)
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ...core import math as m
+from ...core.transform import Transform4, apply_point, apply_vector, apply_normal
+
+
+def _stack_transforms(props_list):
+    tw = np.stack([p['to_world'].matrix for p in props_list]).astype(np.float32)
+    to = np.stack([p['to_world'].inverse_matrix for p in props_list]).astype(np.float32)
+    return jnp.asarray(tw), jnp.asarray(to)
+
+
+def _gather_mats(mats, slot):
+    return mats[jnp.clip(slot, 0, mats.shape[0] - 1)]
+
+
+# ===========================================================================
+# Rectangle — object space: z=0 plane, x,y in [-1,1]  (rectangle.cpp)
+# ===========================================================================
+
+@struct.dataclass
+class RectangleTable:
+    to_world: jnp.ndarray   # (S,4,4)
+    to_object: jnp.ndarray  # (S,4,4)
+
+
+class rectangle:
+    Table = RectangleTable
+
+    @staticmethod
+    def build(props_list):
+        tw, to = _stack_transforms(props_list)
+        return RectangleTable(to_world=tw, to_object=to)
+
+    @staticmethod
+    def intersect(tbl, o, d):
+        # object-space rays for every slot: (S,N,3)
+        o_obj = apply_point(tbl.to_object[:, None], o[None])
+        d_obj = apply_vector(tbl.to_object[:, None], d[None])
+        dz = d_obj[..., 2]
+        t = -o_obj[..., 2] / jnp.where(jnp.abs(dz) < 1e-12, 1e-12, dz)
+        p = o_obj + d_obj * t[..., None]
+        hit = (t > 0) & (jnp.abs(p[..., 0]) <= 1) & (jnp.abs(p[..., 1]) <= 1) \
+            & (jnp.abs(dz) > 1e-12)
+        t = jnp.where(hit, t, jnp.inf)
+        prim_uv = jnp.stack([0.5 * (p[..., 0] + 1), 0.5 * (p[..., 1] + 1)], -1)
+        prim_index = jnp.zeros(t.shape, jnp.int32)
+        return t, prim_uv, prim_index
+
+    @staticmethod
+    def compute_si(tbl, slot, o, d, t, prim_uv, prim_index):
+        tw = _gather_mats(tbl.to_world, slot)
+        to = _gather_mats(tbl.to_object, slot)
+        o_obj = apply_point(to, o)
+        d_obj = apply_vector(to, d)
+        dz = d_obj[..., 2]
+        t_att = -o_obj[..., 2] / jnp.where(jnp.abs(dz) < 1e-12, 1e-12, dz)
+        t_att = m.replace_grad(t, t_att)
+        p_obj = o_obj + d_obj * t_att[..., None]
+        p = apply_point(tw, p_obj)
+        dp_du = apply_vector(tw, jnp.asarray([2.0, 0.0, 0.0]))
+        dp_dv = apply_vector(tw, jnp.asarray([0.0, 2.0, 0.0]))
+        n = m.normalize(jnp.cross(dp_du, dp_dv))
+        uv = jnp.stack([0.5 * (p_obj[..., 0] + 1), 0.5 * (p_obj[..., 1] + 1)], -1)
+        return dict(t=t_att, p=p, n=n, uv=uv, dp_du=dp_du, dp_dv=dp_dv, sh_n=n)
+
+    @staticmethod
+    def surface_area(tbl):
+        e1 = apply_vector(tbl.to_world, jnp.asarray([2.0, 0.0, 0.0]))
+        e2 = apply_vector(tbl.to_world, jnp.asarray([0.0, 2.0, 0.0]))
+        return m.norm(jnp.cross(e1, e2))
+
+    @staticmethod
+    def sample_position(tbl, slot, sample2):
+        tw = _gather_mats(tbl.to_world, slot)
+        p_obj = jnp.stack([2 * sample2[..., 0] - 1, 2 * sample2[..., 1] - 1,
+                           jnp.zeros_like(sample2[..., 0])], -1)
+        p = apply_point(tw, p_obj)
+        e1 = apply_vector(tw, jnp.asarray([2.0, 0.0, 0.0]))
+        e2 = apply_vector(tw, jnp.asarray([0.0, 2.0, 0.0]))
+        cr = jnp.cross(e1, e2)
+        area = m.norm(cr)
+        n = cr / jnp.maximum(area[..., None], 1e-20)
+        return dict(p=p, n=n, uv=sample2, pdf=1.0 / jnp.maximum(area, 1e-20))
+
+
+# ===========================================================================
+# Sphere  (sphere.cpp)
+# ===========================================================================
+
+@struct.dataclass
+class SphereTable:
+    to_world: jnp.ndarray
+    to_object: jnp.ndarray
+    center: jnp.ndarray   # (S,3)
+    radius: jnp.ndarray   # (S,)
+    flip: jnp.ndarray     # (S,) float (1 or -1)
+
+
+class sphere:
+    Table = SphereTable
+
+    @staticmethod
+    def build(props_list):
+        tws, centers, radii, flips = [], [], [], []
+        for p in props_list:
+            tw = p.get('to_world', Transform4())
+            c = np.asarray(p.get('center', [0., 0., 0.]), np.float64)
+            r = float(p.get('radius', 1.0))
+            tw = tw.translate(c).scale(r)
+            centers.append(tw.transform_point([0., 0., 0.]))
+            radii.append(np.linalg.norm(tw.transform_vector([1., 0., 0.])))
+            tws.append({'to_world': tw})
+            flips.append(-1.0 if p.get('flip_normals', False) else 1.0)
+        tw, to = _stack_transforms(tws)
+        return SphereTable(to_world=tw, to_object=to,
+                           center=jnp.asarray(np.stack(centers), jnp.float32),
+                           radius=jnp.asarray(radii, jnp.float32),
+                           flip=jnp.asarray(flips, jnp.float32))
+
+    @staticmethod
+    def intersect(tbl, o, d):
+        # world-space robust quadratic (sphere.cpp:346-412): the reference
+        # solves in double; we use the geometrically-stable formulation
+        # (b' = dot(d, c-o)) which is well-conditioned in fp32 for our scales.
+        oc = o[None] - tbl.center[:, None]                      # (S,N,3)
+        b = m.dot(oc, d[None])
+        c = m.squared_norm(oc) - (tbl.radius ** 2)[:, None]
+        disc = b * b - c
+        sq = m.safe_sqrt(disc)
+        t0 = -b - sq
+        t1 = -b + sq
+        t = jnp.where(t0 > 1e-5, t0, t1)
+        hit = (disc >= 0) & (t > 1e-5)
+        t = jnp.where(hit, t, jnp.inf)
+        prim_uv = jnp.zeros(t.shape + (2,), o.dtype)
+        return t, prim_uv, jnp.zeros(t.shape, jnp.int32)
+
+    @staticmethod
+    def compute_si(tbl, slot, o, d, t, prim_uv, prim_index):
+        center = tbl.center[slot]
+        radius = tbl.radius[slot]
+        flip = tbl.flip[slot]
+        oc = o - center
+        b = m.dot(oc, d)
+        c = m.squared_norm(oc) - radius ** 2
+        disc = b * b - c
+        sq = m.safe_sqrt(disc)
+        t0 = -b - sq
+        t1 = -b + sq
+        t_att = jnp.where(t0 > 1e-5, t0, t1)
+        t_att = m.replace_grad(t, t_att)
+        p_raw = o + d * t_att[..., None]
+        # re-project onto the sphere (sphere.cpp:520: improves precision AND
+        # routes the derivative through the shape parameters)
+        local = p_raw - center
+        local = local * (radius / jnp.maximum(m.norm(local), 1e-20))[..., None]
+        p = center + local
+        n = local / radius[..., None] * flip[..., None]
+        # spherical uv (sphere.cpp:526-540)
+        inv_r = 1.0 / radius
+        x, y, z = local[..., 0] * inv_r, local[..., 1] * inv_r, local[..., 2] * inv_r
+        phi = jnp.arctan2(y, x)
+        phi = jnp.where(phi < 0, phi + m.TwoPi, phi)
+        theta = m.safe_acos(z)
+        uv = jnp.stack([phi * m.InvTwoPi, theta * m.InvPi], -1)
+        rd = m.safe_sqrt(x * x + y * y)
+        inv_rd = 1.0 / jnp.maximum(rd, 1e-9)
+        cos_phi = jnp.where(rd > 1e-9, x * inv_rd, 1.0)
+        sin_phi = jnp.where(rd > 1e-9, y * inv_rd, 0.0)
+        dp_du = jnp.stack([-m.TwoPi * local[..., 1], m.TwoPi * local[..., 0],
+                           jnp.zeros_like(x)], -1)
+        dp_dv = m.Pi * jnp.stack([z * cos_phi, z * sin_phi, -rd], -1) * radius[..., None]
+        return dict(t=t_att, p=p, n=n, uv=uv, dp_du=dp_du, dp_dv=dp_dv, sh_n=n)
+
+    @staticmethod
+    def surface_area(tbl):
+        return 4.0 * m.Pi * tbl.radius ** 2
+
+    @staticmethod
+    def sample_position(tbl, slot, sample2):
+        from ...core import warp
+        center = tbl.center[slot]
+        radius = tbl.radius[slot]
+        flip = tbl.flip[slot]
+        nrm = warp.square_to_uniform_sphere(sample2)
+        p = center + nrm * radius[..., None]
+        area = 4.0 * m.Pi * radius ** 2
+        return dict(p=p, n=nrm * flip[..., None], uv=sample2,
+                    pdf=1.0 / jnp.maximum(area, 1e-20))
+
+
+# ===========================================================================
+# Cube — object space [-1,1]^3 slab test (cube.cpp instantiates a mesh; the
+# analytic version is branch-free and faster on TPU)
+# ===========================================================================
+
+@struct.dataclass
+class CubeTable:
+    to_world: jnp.ndarray
+    to_object: jnp.ndarray
+
+
+# face tangent frames for uv / dp_du per axis (+-x, +-y, +-z)
+_CUBE_DU = np.asarray([[0, 0, 1], [0, 0, -1], [1, 0, 0], [-1, 0, 0], [-1, 0, 0], [1, 0, 0]], np.float32)
+_CUBE_DV = np.asarray([[0, 1, 0], [0, 1, 0], [0, 0, 1], [0, 0, -1], [0, 1, 0], [0, 1, 0]], np.float32)
+_CUBE_N = np.asarray([[-1, 0, 0], [1, 0, 0], [0, -1, 0], [0, 1, 0], [0, 0, -1], [0, 0, 1]], np.float32)
+
+
+class cube:
+    Table = CubeTable
+
+    @staticmethod
+    def build(props_list):
+        tw, to = _stack_transforms(props_list)
+        return CubeTable(to_world=tw, to_object=to)
+
+    @staticmethod
+    def _slab(o_obj, d_obj):
+        inv_d = 1.0 / jnp.where(jnp.abs(d_obj) < 1e-12,
+                                jnp.where(d_obj < 0, -1e-12, 1e-12), d_obj)
+        t_lo = (-1.0 - o_obj) * inv_d
+        t_hi = (1.0 - o_obj) * inv_d
+        t_near_ax = jnp.minimum(t_lo, t_hi)
+        t_far_ax = jnp.maximum(t_lo, t_hi)
+        t_near = jnp.max(t_near_ax, axis=-1)
+        t_far = jnp.min(t_far_ax, axis=-1)
+        return t_near, t_far, t_near_ax
+
+    @staticmethod
+    def intersect(tbl, o, d):
+        o_obj = apply_point(tbl.to_object[:, None], o[None])
+        d_obj = apply_vector(tbl.to_object[:, None], d[None])
+        t_near, t_far, t_near_ax = cube._slab(o_obj, d_obj)
+        hit_outside = (t_near > 1e-5) & (t_near <= t_far)
+        hit_inside = (t_near <= 1e-5) & (t_far > 1e-5) & (t_near <= t_far)
+        t = jnp.where(hit_outside, t_near, jnp.where(hit_inside, t_far, jnp.inf))
+        # face id from the hit point: the dominant |coordinate| axis and its
+        # sign. face = axis*2 + (coord > 0): order [-x,+x,-y,+y,-z,+z].
+        p = o_obj + d_obj * jnp.where(jnp.isfinite(t), t, 0.0)[..., None]
+        axis = jnp.argmax(jnp.abs(p), axis=-1)
+        coord = jnp.take_along_axis(p, axis[..., None], axis=-1)[..., 0]
+        face = axis.astype(jnp.int32) * 2 + (coord > 0).astype(jnp.int32)
+        prim_uv = jnp.zeros(t.shape + (2,), o.dtype)
+        return t, prim_uv, face
+
+    @staticmethod
+    def compute_si(tbl, slot, o, d, t, prim_uv, prim_index):
+        tw = _gather_mats(tbl.to_world, slot)
+        to = _gather_mats(tbl.to_object, slot)
+        o_obj = apply_point(to, o)
+        d_obj = apply_vector(to, d)
+        face = prim_index
+        axis = face // 2
+        sgn = jnp.where(face % 2 == 1, 1.0, -1.0)
+        # attached t: plane x_axis = sgn
+        o_ax = jnp.take_along_axis(o_obj, axis[..., None], -1)[..., 0]
+        d_ax = jnp.take_along_axis(d_obj, axis[..., None], -1)[..., 0]
+        t_att = (sgn - o_ax) / jnp.where(jnp.abs(d_ax) < 1e-12, 1e-12, d_ax)
+        t_att = m.replace_grad(t, t_att)
+        p_obj = o_obj + d_obj * t_att[..., None]
+        p = apply_point(tw, p_obj)
+        n_obj = jax.nn.one_hot(axis, 3, dtype=o.dtype) * sgn[..., None]
+        du_obj = jnp.asarray(_CUBE_DU)[face]
+        dv_obj = jnp.asarray(_CUBE_DV)[face]
+        n = m.normalize(apply_normal(to, n_obj))
+        dp_du = apply_vector(tw, du_obj)
+        dp_dv = apply_vector(tw, dv_obj)
+        uv_u = 0.5 * (m.dot(p_obj, du_obj) + 1)
+        uv_v = 0.5 * (m.dot(p_obj, dv_obj) + 1)
+        uv = jnp.stack([uv_u, uv_v], -1)
+        return dict(t=t_att, p=p, n=n, uv=uv, dp_du=dp_du, dp_dv=dp_dv, sh_n=n)
+
+    @staticmethod
+    def surface_area(tbl):
+        ex = apply_vector(tbl.to_world, jnp.asarray([2.0, 0.0, 0.0]))
+        ey = apply_vector(tbl.to_world, jnp.asarray([0.0, 2.0, 0.0]))
+        ez = apply_vector(tbl.to_world, jnp.asarray([0.0, 0.0, 2.0]))
+        return 2.0 * (m.norm(jnp.cross(ex, ey)) + m.norm(jnp.cross(ey, ez))
+                      + m.norm(jnp.cross(ez, ex)))
+
+    @staticmethod
+    def sample_position(tbl, slot, sample2):
+        # area-weighted face selection via thirds (approx: uniform over 6 faces
+        # weighted by face areas would need a per-slot distr; for axis-aligned
+        # scaled cubes, weight by the three face areas)
+        tw = _gather_mats(tbl.to_world, slot)
+        ex = apply_vector(tw, jnp.asarray([2.0, 0.0, 0.0]))
+        ey = apply_vector(tw, jnp.asarray([0.0, 2.0, 0.0]))
+        ez = apply_vector(tw, jnp.asarray([0.0, 0.0, 2.0]))
+        a_xy = m.norm(jnp.cross(ex, ey))
+        a_yz = m.norm(jnp.cross(ey, ez))
+        a_zx = m.norm(jnp.cross(ez, ex))
+        total = 2 * (a_xy + a_yz + a_zx)
+        u = sample2[..., 0]
+        # pick face: cdf over [a_yz, a_yz, a_zx, a_zx, a_xy, a_xy]/total
+        c1 = 2 * a_yz / total
+        c2 = c1 + 2 * a_zx / total
+        axis = jnp.where(u < c1, 0, jnp.where(u < c2, 1, 2))
+        u_re = jnp.where(u < c1, u / jnp.maximum(c1, 1e-20),
+                         jnp.where(u < c2, (u - c1) / jnp.maximum(c2 - c1, 1e-20),
+                                   (u - c2) / jnp.maximum(1 - c2, 1e-20)))
+        side = jnp.where(u_re < 0.5, -1.0, 1.0)
+        u2 = jnp.where(u_re < 0.5, u_re * 2, u_re * 2 - 1)
+        v2 = sample2[..., 1]
+        face = axis * 2 + (side > 0).astype(jnp.int32)
+        du_obj = jnp.asarray(_CUBE_DU)[face]
+        dv_obj = jnp.asarray(_CUBE_DV)[face]
+        n_axis = jax.nn.one_hot(axis, 3, dtype=sample2.dtype) * side[..., None]
+        p_obj = n_axis + du_obj * (2 * u2 - 1)[..., None] + dv_obj * (2 * v2 - 1)[..., None]
+        p = apply_point(tw, p_obj)
+        to = _gather_mats(tbl.to_object, slot)
+        n = m.normalize(apply_normal(to, n_axis))
+        return dict(p=p, n=n, uv=jnp.stack([u2, v2], -1),
+                    pdf=1.0 / jnp.maximum(total, 1e-20))
+
+
+# ===========================================================================
+# Disk — object space z=0, x^2+y^2 <= 1  (disk.cpp)
+# ===========================================================================
+
+@struct.dataclass
+class DiskTable:
+    to_world: jnp.ndarray
+    to_object: jnp.ndarray
+
+
+class disk:
+    Table = DiskTable
+
+    @staticmethod
+    def build(props_list):
+        tw, to = _stack_transforms(props_list)
+        return DiskTable(to_world=tw, to_object=to)
+
+    @staticmethod
+    def intersect(tbl, o, d):
+        o_obj = apply_point(tbl.to_object[:, None], o[None])
+        d_obj = apply_vector(tbl.to_object[:, None], d[None])
+        dz = d_obj[..., 2]
+        t = -o_obj[..., 2] / jnp.where(jnp.abs(dz) < 1e-12, 1e-12, dz)
+        p = o_obj + d_obj * t[..., None]
+        r2 = p[..., 0] ** 2 + p[..., 1] ** 2
+        hit = (t > 1e-5) & (r2 <= 1.0) & (jnp.abs(dz) > 1e-12)
+        t = jnp.where(hit, t, jnp.inf)
+        return t, jnp.zeros(t.shape + (2,), o.dtype), jnp.zeros(t.shape, jnp.int32)
+
+    @staticmethod
+    def compute_si(tbl, slot, o, d, t, prim_uv, prim_index):
+        tw = _gather_mats(tbl.to_world, slot)
+        to = _gather_mats(tbl.to_object, slot)
+        o_obj = apply_point(to, o)
+        d_obj = apply_vector(to, d)
+        dz = d_obj[..., 2]
+        t_att = -o_obj[..., 2] / jnp.where(jnp.abs(dz) < 1e-12, 1e-12, dz)
+        t_att = m.replace_grad(t, t_att)
+        p_obj = o_obj + d_obj * t_att[..., None]
+        p = apply_point(tw, p_obj)
+        r = m.safe_sqrt(p_obj[..., 0] ** 2 + p_obj[..., 1] ** 2)
+        phi = jnp.arctan2(p_obj[..., 1], p_obj[..., 0])
+        phi = jnp.where(phi < 0, phi + m.TwoPi, phi)
+        uv = jnp.stack([r, phi * m.InvTwoPi], -1)
+        inv_r = 1.0 / jnp.maximum(r, 1e-9)
+        cos_phi = jnp.where(r > 1e-9, p_obj[..., 0] * inv_r, 1.0)
+        sin_phi = jnp.where(r > 1e-9, p_obj[..., 1] * inv_r, 0.0)
+        dp_du = apply_vector(tw, jnp.stack([cos_phi, sin_phi, jnp.zeros_like(r)], -1))
+        dp_dv = apply_vector(tw, jnp.stack([-sin_phi * r, cos_phi * r, jnp.zeros_like(r)], -1) * m.TwoPi)
+        e1 = apply_vector(tw, jnp.asarray([1.0, 0.0, 0.0]))
+        e2 = apply_vector(tw, jnp.asarray([0.0, 1.0, 0.0]))
+        n = m.normalize(jnp.cross(e1, e2))
+        return dict(t=t_att, p=p, n=n, uv=uv, dp_du=dp_du, dp_dv=dp_dv, sh_n=n)
+
+    @staticmethod
+    def surface_area(tbl):
+        e1 = apply_vector(tbl.to_world, jnp.asarray([1.0, 0.0, 0.0]))
+        e2 = apply_vector(tbl.to_world, jnp.asarray([0.0, 1.0, 0.0]))
+        return m.Pi * m.norm(jnp.cross(e1, e2))
+
+    @staticmethod
+    def sample_position(tbl, slot, sample2):
+        from ...core import warp
+        tw = _gather_mats(tbl.to_world, slot)
+        p2 = warp.square_to_uniform_disk_concentric(sample2)
+        p_obj = jnp.concatenate([p2, jnp.zeros_like(p2[..., :1])], -1)
+        p = apply_point(tw, p_obj)
+        e1 = apply_vector(tw, jnp.asarray([1.0, 0.0, 0.0]))
+        e2 = apply_vector(tw, jnp.asarray([0.0, 1.0, 0.0]))
+        cr = jnp.cross(e1, e2)
+        area = m.Pi * m.norm(cr)
+        n = m.normalize(cr)
+        return dict(p=p, n=n, uv=sample2, pdf=1.0 / jnp.maximum(area, 1e-20))
+
+
+# ===========================================================================
+# Cylinder — object space: x^2+y^2 = 1, z in [0,1]  (cylinder.cpp; the
+# notebook ps_cylinder.ipynb's target shape)
+# ===========================================================================
+
+@struct.dataclass
+class CylinderTable:
+    to_world: jnp.ndarray
+    to_object: jnp.ndarray
+
+
+class cylinder:
+    Table = CylinderTable
+
+    @staticmethod
+    def build(props_list):
+        tws = []
+        for p in props_list:
+            tw = p.get('to_world', Transform4())
+            r = float(p.get('radius', 1.0))
+            p0 = np.asarray(p.get('p0', [0., 0., 0.]), np.float64)
+            p1 = np.asarray(p.get('p1', [0., 0., 1.]), np.float64)
+            dvec = p1 - p0
+            length = np.linalg.norm(dvec)
+            if length > 0:
+                z = dvec / length
+                x = np.array([1., 0., 0.]) if abs(z[0]) < 0.9 else np.array([0., 1., 0.])
+                x = x - z * np.dot(x, z)
+                x /= np.linalg.norm(x)
+                y = np.cross(z, x)
+                rot = np.eye(4)
+                rot[:3, 0], rot[:3, 1], rot[:3, 2], rot[:3, 3] = x * r, y * r, z * length, p0
+                tw = tw._chain(rot)
+            tws.append({'to_world': tw})
+        tw, to = _stack_transforms(tws)
+        return CylinderTable(to_world=tw, to_object=to)
+
+    @staticmethod
+    def intersect(tbl, o, d):
+        o_obj = apply_point(tbl.to_object[:, None], o[None])
+        d_obj = apply_vector(tbl.to_object[:, None], d[None])
+        a = d_obj[..., 0] ** 2 + d_obj[..., 1] ** 2
+        b = 2 * (o_obj[..., 0] * d_obj[..., 0] + o_obj[..., 1] * d_obj[..., 1])
+        c = o_obj[..., 0] ** 2 + o_obj[..., 1] ** 2 - 1.0
+        found, t0, t1 = m.solve_quadratic(a, b, c)
+        z0 = o_obj[..., 2] + d_obj[..., 2] * t0
+        z1 = o_obj[..., 2] + d_obj[..., 2] * t1
+        v0 = found & (t0 > 1e-5) & (z0 >= 0) & (z0 <= 1)
+        v1 = found & (t1 > 1e-5) & (z1 >= 0) & (z1 <= 1)
+        t = jnp.where(v0, t0, jnp.where(v1, t1, jnp.inf))
+        return t, jnp.zeros(t.shape + (2,), o.dtype), jnp.zeros(t.shape, jnp.int32)
+
+    @staticmethod
+    def compute_si(tbl, slot, o, d, t, prim_uv, prim_index):
+        tw = _gather_mats(tbl.to_world, slot)
+        to = _gather_mats(tbl.to_object, slot)
+        o_obj = apply_point(to, o)
+        d_obj = apply_vector(to, d)
+        a = d_obj[..., 0] ** 2 + d_obj[..., 1] ** 2
+        b = 2 * (o_obj[..., 0] * d_obj[..., 0] + o_obj[..., 1] * d_obj[..., 1])
+        c = o_obj[..., 0] ** 2 + o_obj[..., 1] ** 2 - 1.0
+        _, t0, t1 = m.solve_quadratic(a, b, c)
+        # pick attached root nearest to the detached traversal t
+        t_att = jnp.where(jnp.abs(t0 - t) < jnp.abs(t1 - t), t0, t1)
+        t_att = m.replace_grad(t, t_att)
+        p_obj = o_obj + d_obj * t_att[..., None]
+        phi = jnp.arctan2(p_obj[..., 1], p_obj[..., 0])
+        phi = jnp.where(phi < 0, phi + m.TwoPi, phi)
+        uv = jnp.stack([phi * m.InvTwoPi, p_obj[..., 2]], -1)
+        p = apply_point(tw, p_obj)
+        dp_du = apply_vector(tw, jnp.stack([-p_obj[..., 1], p_obj[..., 0],
+                                            jnp.zeros_like(phi)], -1) * m.TwoPi)
+        dp_dv = apply_vector(tw, jnp.stack([jnp.zeros_like(phi), jnp.zeros_like(phi),
+                                            jnp.ones_like(phi)], -1))
+        n_obj = jnp.stack([p_obj[..., 0], p_obj[..., 1], jnp.zeros_like(phi)], -1)
+        n = m.normalize(apply_normal(to, n_obj))
+        return dict(t=t_att, p=p, n=n, uv=uv, dp_du=dp_du, dp_dv=dp_dv, sh_n=n)
+
+    @staticmethod
+    def surface_area(tbl):
+        e1 = apply_vector(tbl.to_world, jnp.asarray([1.0, 0.0, 0.0]))
+        ez = apply_vector(tbl.to_world, jnp.asarray([0.0, 0.0, 1.0]))
+        return m.TwoPi * m.norm(e1) * m.norm(ez)
+
+    @staticmethod
+    def sample_position(tbl, slot, sample2):
+        tw = _gather_mats(tbl.to_world, slot)
+        to = _gather_mats(tbl.to_object, slot)
+        phi = m.TwoPi * sample2[..., 0]
+        p_obj = jnp.stack([jnp.cos(phi), jnp.sin(phi), sample2[..., 1]], -1)
+        p = apply_point(tw, p_obj)
+        n_obj = jnp.stack([jnp.cos(phi), jnp.sin(phi), jnp.zeros_like(phi)], -1)
+        n = m.normalize(apply_normal(to, n_obj))
+        e1 = apply_vector(tw, jnp.asarray([1.0, 0.0, 0.0]))
+        ez = apply_vector(tw, jnp.asarray([0.0, 0.0, 1.0]))
+        area = m.TwoPi * m.norm(e1) * m.norm(ez)
+        return dict(p=p, n=n, uv=sample2, pdf=1.0 / jnp.maximum(area, 1e-20))

@@ -1,0 +1,78 @@
+"""Global BSDF dispatch (reference include/mitsuba/render/bsdf.h vcalls).
+
+Evaluates every BSDF type present in the scene for the full wavefront and
+merges lanes by mask — the TPU replacement for Dr.Jit vcall dispatch
+(SURVEY.md §1 "TPU mapping"). Directions are local shading-frame vectors.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import bsdf_flags as bf
+from .records import BSDFSample
+
+
+def _lane_dispatch(scene, si, active):
+    """Returns per-lane (type_idx, slot) for the hit BSDF."""
+    bid = jnp.maximum(si.bsdf_index, 0)
+    return scene.bsdf_type_of[bid], scene.bsdf_slot_of[bid]
+
+
+def eval_pdf(scene, si, wo, active):
+    from ..plugins.bsdfs import REGISTRY
+    ti_lane, slot = _lane_dispatch(scene, si, active)
+    n = wo.shape[0]
+    val = jnp.zeros((n, 3), wo.dtype)
+    pdf = jnp.zeros((n,), wo.dtype)
+    for ti, name in enumerate(scene.bsdf_types):
+        plugin = REGISTRY[name]
+        mask = active & (ti_lane == ti) & (si.bsdf_index >= 0)
+        v = plugin.eval(scene.bsdfs[name], slot, scene.textures, si.wi, wo, si.uv)
+        p = plugin.pdf(scene.bsdfs[name], slot, scene.textures, si.wi, wo, si.uv)
+        val = jnp.where(mask[..., None], v, val)
+        pdf = jnp.where(mask, p, pdf)
+    return val, pdf
+
+
+def eval(scene, si, wo, active):
+    return eval_pdf(scene, si, wo, active)[0]
+
+
+def pdf(scene, si, wo, active):
+    return eval_pdf(scene, si, wo, active)[1]
+
+
+def sample(scene, si, sample1, sample2, active):
+    from ..plugins.bsdfs import REGISTRY
+    ti_lane, slot = _lane_dispatch(scene, si, active)
+    n = sample1.shape[0]
+    dt = sample2.dtype
+    bs = BSDFSample(wo=jnp.zeros((n, 3), dt), pdf=jnp.zeros((n,), dt),
+                    eta=jnp.ones((n,), dt),
+                    sampled_type=jnp.zeros((n,), jnp.uint32),
+                    sampled_component=jnp.full((n,), -1, jnp.int32))
+    weight = jnp.zeros((n, 3), dt)
+    for ti, name in enumerate(scene.bsdf_types):
+        plugin = REGISTRY[name]
+        mask = active & (ti_lane == ti) & (si.bsdf_index >= 0)
+        b, w = plugin.sample(scene.bsdfs[name], slot, scene.textures, si.wi,
+                             si.uv, sample1, sample2)
+        bs = BSDFSample(
+            wo=jnp.where(mask[..., None], b.wo, bs.wo),
+            pdf=jnp.where(mask, b.pdf, bs.pdf),
+            eta=jnp.where(mask, b.eta, bs.eta),
+            sampled_type=jnp.where(mask, b.sampled_type, bs.sampled_type),
+            sampled_component=jnp.where(mask, b.sampled_component,
+                                        bs.sampled_component))
+        weight = jnp.where(mask[..., None], w, weight)
+    return bs, weight
+
+
+def lane_flags(scene, si):
+    """Per-lane BSDFFlags of the hit BSDF (static per type, gathered)."""
+    bid = jnp.maximum(si.bsdf_index, 0)
+    return jnp.where(si.bsdf_index >= 0, scene.bsdf_flags[bid], 0)
+
+
+def has_smooth(scene, si):
+    return (lane_flags(scene, si) & bf.Smooth) != 0

@@ -1,0 +1,23 @@
+"""BSDF lobe flags (reference include/mitsuba/render/bsdf.h:31 BSDFFlags)."""
+
+Empty = 0x0
+Null = 0x1
+DiffuseReflection = 0x2
+DiffuseTransmission = 0x4
+GlossyReflection = 0x8
+GlossyTransmission = 0x10
+DeltaReflection = 0x20
+DeltaTransmission = 0x40
+Anisotropic = 0x1000
+SpatiallyVarying = 0x2000
+NonSymmetric = 0x4000
+FrontSide = 0x8000
+BackSide = 0x10000
+
+Reflection = DiffuseReflection | GlossyReflection | DeltaReflection
+Transmission = DiffuseTransmission | GlossyTransmission | DeltaTransmission | Null
+Diffuse = DiffuseReflection | DiffuseTransmission
+Glossy = GlossyReflection | GlossyTransmission
+Smooth = Diffuse | Glossy
+Delta = DeltaReflection | DeltaTransmission | Null
+All = Reflection | Transmission

@@ -1,0 +1,288 @@
+"""Emitters (reference src/emitters/{area,point,constant,envmap,directional,
+spot}.cpp + include/mitsuba/render/endpoint.h).
+
+SoA tables per emitter type + masked-merge dispatch, mirroring the shape/BSDF
+design. Functions that need scene context (shape sampling for area lights,
+bounding sphere for infinite lights) live in scene.py; this module holds the
+tables and the per-type math.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from ..core import math as m
+from ..core import warp
+from ..core.transform import Transform4, apply_vector
+from .texture import eval_texture
+
+
+# EmitterFlags (emitter.h:23)
+F_NONE = 0x0
+F_DELTA_POSITION = 0x1
+F_DELTA_DIRECTION = 0x2
+F_INFINITE = 0x4
+F_SURFACE = 0x8
+F_SPATIALLY_VARYING = 0x10
+F_DELTA = F_DELTA_POSITION | F_DELTA_DIRECTION
+
+
+@struct.dataclass
+class AreaTable:
+    radiance: jnp.ndarray      # (E,) int32 texture id
+    shape_global: jnp.ndarray  # (E,) int32 global shape id
+
+
+@struct.dataclass
+class PointTable:
+    position: jnp.ndarray   # (E,3)
+    intensity: jnp.ndarray  # (E,3)
+
+
+@struct.dataclass
+class ConstantTable:
+    radiance: jnp.ndarray   # (E,3)
+
+
+@struct.dataclass
+class DirectionalTable:
+    direction: jnp.ndarray   # (E,3) unit, pointing away from the source
+    irradiance: jnp.ndarray  # (E,3)
+
+
+@struct.dataclass
+class SpotTable:
+    position: jnp.ndarray       # (E,3)
+    direction: jnp.ndarray      # (E,3)
+    intensity: jnp.ndarray      # (E,3)
+    cos_cutoff: jnp.ndarray     # (E,)
+    cos_beam_width: jnp.ndarray  # (E,)
+
+
+@struct.dataclass
+class EnvmapTable:
+    """envmap.cpp: equirectangular radiance map + hierarchical luminance warp."""
+    bitmap: jnp.ndarray        # (H, W, 3), differentiable
+    scale: jnp.ndarray         # ()
+    to_world: jnp.ndarray      # (4,4)
+    to_object: jnp.ndarray     # (4,4)
+    # flattened Hierarchical2D (coarse->fine level sums); tuple of 2D arrays
+    levels: tuple
+    pdf_grid: jnp.ndarray      # (H, W) normalized luminance / texel
+
+
+@struct.dataclass
+class EmitterSet:
+    types: tuple = struct.field(pytree_node=False)   # ordered type names
+    emitter_type: jnp.ndarray = None   # (E,) int32 index into `types`
+    emitter_slot: jnp.ndarray = None   # (E,) int32
+    tables: dict = None                # name -> table
+    n: int = struct.field(pytree_node=False, default=0)
+    env_index: int = struct.field(pytree_node=False, default=-1)  # global id of env emitter (-1 none)
+
+
+TYPE_FLAGS = {
+    'area': F_SURFACE | F_SPATIALLY_VARYING,
+    'point': F_DELTA_POSITION,
+    'constant': F_INFINITE,
+    'directional': F_DELTA_DIRECTION | F_INFINITE,
+    'spot': F_DELTA_POSITION,
+    'envmap': F_INFINITE | F_SPATIALLY_VARYING,
+}
+
+
+def build_envmap(props):
+    import numpy as np
+    data = props.get('data')
+    if data is None:
+        import imageio.v3 as iio
+        data = np.asarray(iio.imread(props['filename']), np.float32)
+        if data.ndim == 2:
+            data = np.repeat(data[..., None], 3, -1)
+        data = data[..., :3]
+    data = np.asarray(data, np.float32)
+    H, W = data.shape[:2]
+    # luminance with sin(theta) weight for the equirect solid-angle metric
+    lum = data @ np.asarray([0.212671, 0.715160, 0.072169], np.float32)
+    theta = (np.arange(H) + 0.5) / H * np.pi
+    lum = lum * np.sin(theta)[:, None]
+    lum = np.maximum(lum, 0.0) + 1e-12
+    levels = [lum]
+    while levels[-1].shape[0] > 1 or levels[-1].shape[1] > 1:
+        cur = levels[-1]
+        ph = (cur.shape[0] + 1) // 2 * 2
+        pw = (cur.shape[1] + 1) // 2 * 2
+        pad = np.zeros((ph, pw), np.float32)
+        pad[:cur.shape[0], :cur.shape[1]] = cur
+        levels.append(pad[0::2, 0::2] + pad[0::2, 1::2] + pad[1::2, 0::2] + pad[1::2, 1::2])
+    total = float(levels[-1][0, 0])
+    tw = props.get('to_world', Transform4())
+    return EnvmapTable(
+        bitmap=jnp.asarray(data),
+        scale=jnp.asarray(float(props.get('scale', 1.0)), jnp.float32),
+        to_world=jnp.asarray(tw.matrix, jnp.float32),
+        to_object=jnp.asarray(tw.inverse_matrix, jnp.float32),
+        levels=tuple(jnp.asarray(l) for l in levels[::-1]),
+        pdf_grid=jnp.asarray(lum / total),
+    )
+
+
+def envmap_eval(tbl: EnvmapTable, slot, d_world):
+    """Radiance along direction d (toward the environment)."""
+    d = apply_vector(tbl.to_object, d_world)
+    d = d / jnp.maximum(m.norm(d, keepdims=True), 1e-20)
+    uv = warp.direction_to_spherical_uv(d)
+    from .texture import bilinear_sample
+    return bilinear_sample(tbl.bitmap, uv) * tbl.scale
+
+
+def envmap_sample_direction(tbl: EnvmapTable, sample2):
+    """Hierarchical warp descent (distr_2d.h:Hierarchical2D::sample).
+    Returns (d_world, pdf_solid_angle, radiance)."""
+    ux, uy = sample2[..., 0], sample2[..., 1]
+    row = jnp.zeros(ux.shape, jnp.int32)
+    col = jnp.zeros(ux.shape, jnp.int32)
+    for lvl in tbl.levels[1:]:
+        row = row * 2
+        col = col * 2
+        H, W = lvl.shape
+
+        def tex(r, c):
+            return lvl[jnp.clip(r, 0, H - 1), jnp.clip(c, 0, W - 1)]
+        v00 = tex(row, col)
+        v01 = tex(row, col + 1)
+        v10 = tex(row + 1, col)
+        v11 = tex(row + 1, col + 1)
+        top = v00 + v01
+        bot = v10 + v11
+        p_bot = bot / jnp.maximum(top + bot, 1e-20)
+        go_down = uy < p_bot
+        uy = jnp.where(go_down, uy / jnp.maximum(p_bot, 1e-20),
+                       (uy - p_bot) / jnp.maximum(1 - p_bot, 1e-20))
+        left = jnp.where(go_down, v10, v00)
+        right = jnp.where(go_down, v11, v01)
+        p_left = left / jnp.maximum(left + right, 1e-20)
+        go_left = ux < p_left
+        ux = jnp.where(go_left, ux / jnp.maximum(p_left, 1e-20),
+                       (ux - p_left) / jnp.maximum(1 - p_left, 1e-20))
+        row = jnp.where(go_down, row + 1, row)
+        col = jnp.where(go_left, col, col + 1)
+    Hf, Wf = tbl.pdf_grid.shape
+    row = jnp.clip(row, 0, Hf - 1)
+    col = jnp.clip(col, 0, Wf - 1)
+    u = (col + jnp.clip(ux, 0.0, 1.0 - 1e-6)) / Wf
+    v = (row + jnp.clip(uy, 0.0, 1.0 - 1e-6)) / Hf
+    uv = jnp.stack([u, v], -1)
+    d_local = warp.square_to_uniform_spherical(uv)
+    d_world = apply_vector(tbl.to_world, d_local)
+    d_world = d_world / jnp.maximum(m.norm(d_world, keepdims=True), 1e-20)
+    pdf_uv = tbl.pdf_grid[row, col] * (Hf * Wf)
+    sin_theta = jnp.maximum(jnp.sin(v * m.Pi), 1e-8)
+    pdf_sa = pdf_uv / (2.0 * m.Pi * m.Pi * sin_theta)
+    from .texture import bilinear_sample
+    rad = bilinear_sample(tbl.bitmap, uv) * tbl.scale
+    return d_world, pdf_sa, rad
+
+
+def envmap_pdf_direction(tbl: EnvmapTable, d_world):
+    d = apply_vector(tbl.to_object, d_world)
+    d = d / jnp.maximum(m.norm(d, keepdims=True), 1e-20)
+    uv = warp.direction_to_spherical_uv(d)
+    Hf, Wf = tbl.pdf_grid.shape
+    col = jnp.clip((uv[..., 0] * Wf).astype(jnp.int32), 0, Wf - 1)
+    row = jnp.clip((uv[..., 1] * Hf).astype(jnp.int32), 0, Hf - 1)
+    pdf_uv = tbl.pdf_grid[row, col] * (Hf * Wf)
+    sin_theta = jnp.maximum(jnp.sin(uv[..., 1] * m.Pi), 1e-8)
+    return pdf_uv / (2.0 * m.Pi * m.Pi * sin_theta)
+
+
+class EmitterBuilder:
+    def __init__(self):
+        self.entries = []  # (type_name, props, shape_global or -1)
+
+    def add(self, type_name, props, shape_global=-1):
+        self.entries.append((type_name, props, shape_global))
+        return len(self.entries) - 1
+
+    def build(self, texb) -> EmitterSet:
+        by_type = {}
+        etype, eslot = [], []
+        env_index = -1
+        order = []
+        for gi, (tn, props, sg) in enumerate(self.entries):
+            if tn not in by_type:
+                by_type[tn] = []
+                order.append(tn)
+            ti = order.index(tn)
+            etype.append(ti)
+            eslot.append(len(by_type[tn]))
+            by_type[tn].append((props, sg))
+            if tn in ('envmap', 'constant'):
+                env_index = gi
+        tables = {}
+        for tn in order:
+            plist = by_type[tn]
+            if tn == 'area':
+                from ..plugins.bsdfs.core_bsdfs import _resolve_texture
+                tables[tn] = AreaTable(
+                    radiance=jnp.asarray(
+                        [_resolve_texture(p, 'radiance', 1.0, texb) for p, _ in plist],
+                        jnp.int32),
+                    shape_global=jnp.asarray([sg for _, sg in plist], jnp.int32))
+            elif tn == 'point':
+                tables[tn] = PointTable(
+                    position=jnp.asarray([_rgbval(p.get('position', [0, 0, 0]))
+                                          for p, _ in plist], jnp.float32),
+                    intensity=jnp.asarray([_rgbval(p.get('intensity', 1.0))
+                                           for p, _ in plist], jnp.float32))
+            elif tn == 'constant':
+                tables[tn] = ConstantTable(
+                    radiance=jnp.asarray([_rgbval(p.get('radiance', 1.0))
+                                          for p, _ in plist], jnp.float32))
+            elif tn == 'directional':
+                dirs = []
+                for p, _ in plist:
+                    d = np.asarray(_rgbval(p.get('direction', [0, 0, 1])), np.float64)
+                    if 'to_world' in p:
+                        d = p['to_world'].transform_vector([0, 0, 1])
+                    dirs.append(d / np.linalg.norm(d))
+                tables[tn] = DirectionalTable(
+                    direction=jnp.asarray(np.stack(dirs), jnp.float32),
+                    irradiance=jnp.asarray([_rgbval(p.get('irradiance', 1.0))
+                                            for p, _ in plist], jnp.float32))
+            elif tn == 'spot':
+                pos, dirs, inten, cc, cb = [], [], [], [], []
+                for p, _ in plist:
+                    tw = p.get('to_world', Transform4())
+                    pos.append(tw.transform_point([0, 0, 0]))
+                    d = tw.transform_vector([0, 0, 1])
+                    dirs.append(d / np.linalg.norm(d))
+                    inten.append(_rgbval(p.get('intensity', 1.0)))
+                    cut = float(p.get('cutoff_angle', 20.0))
+                    beam = float(p.get('beam_width', cut * 0.75))
+                    cc.append(np.cos(np.deg2rad(cut)))
+                    cb.append(np.cos(np.deg2rad(beam)))
+                tables[tn] = SpotTable(
+                    position=jnp.asarray(np.stack(pos), jnp.float32),
+                    direction=jnp.asarray(np.stack(dirs), jnp.float32),
+                    intensity=jnp.asarray(inten, jnp.float32),
+                    cos_cutoff=jnp.asarray(cc, jnp.float32),
+                    cos_beam_width=jnp.asarray(cb, jnp.float32))
+            elif tn == 'envmap':
+                assert len(plist) == 1, 'one envmap per scene'
+                tables[tn] = build_envmap(plist[0][0])
+            else:
+                raise ValueError(f'unknown emitter type {tn}')
+        return EmitterSet(types=tuple(order),
+                          emitter_type=jnp.asarray(etype, jnp.int32),
+                          emitter_slot=jnp.asarray(eslot, jnp.int32),
+                          tables=tables, n=len(self.entries),
+                          env_index=env_index)
+
+
+def _rgbval(v):
+    if isinstance(v, dict):
+        v = v.get('value', 1.0)
+    a = np.asarray(v, np.float32).reshape(-1)
+    return np.broadcast_to(a, (3,)) if a.size in (1, 3) else a

@@ -1,0 +1,99 @@
+"""Film & image block accumulation (reference src/render/imageblock.cpp,
+src/films/hdrfilm.cpp).
+
+TPU-native: the image block is a dense (H+2b, W+2b, C+1) array; `put()`
+computes the reconstruction-filter footprint of every sample analytically and
+scatter-adds with `.at[].add` (XLA lowers this to an efficient sorted
+segment-sum; the Pallas splat kernel in ops/ is an optional fast path).
+Channel C is the filter-weight channel; `develop()` divides it out
+(hdrfilm.cpp:291-392).
+"""
+from __future__ import annotations
+
+import dataclasses
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.rfilter import make_filter, ReconstructionFilter
+
+
+@dataclasses.dataclass(frozen=True)
+class FilmConfig:
+    width: int
+    height: int
+    rfilter: ReconstructionFilter
+    channels: int = 3
+
+    @property
+    def border(self):
+        return self.rfilter.border_size
+
+    def new_block(self, dtype=jnp.float32):
+        b = self.border
+        return jnp.zeros((self.height + 2 * b, self.width + 2 * b,
+                          self.channels + 1), dtype)
+
+
+def build(props) -> FilmConfig:
+    rf = props.get('rfilter', {'type': 'gaussian'})
+    if isinstance(rf, dict):
+        rf = make_filter(rf)
+    return FilmConfig(width=int(props.get('width', 768)),
+                      height=int(props.get('height', 576)),
+                      rfilter=rf)
+
+
+def put(block, film: FilmConfig, pos, values, active=None):
+    """Splat samples into the block.
+
+    pos: (N,2) continuous pixel coordinates (x, y) in [0,W)x[0,H)
+    values: (N,C)
+    """
+    f = film.rfilter
+    r = f.radius
+    b = film.border
+    n = pos.shape[0]
+    W = film.width + 2 * b
+    H = film.height + 2 * b
+    if active is None:
+        active = jnp.ones((n,), bool)
+    values = jnp.where(active[..., None], values, 0.0)
+    wch = jnp.where(active, 1.0, 0.0)
+    vals = jnp.concatenate([values, wch[..., None]], -1)
+
+    x = pos[..., 0] + b
+    y = pos[..., 1] + b
+    if r <= 0.5 + 1e-6:
+        # box fast-path: single-pixel splat
+        px = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, W - 1)
+        py = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, H - 1)
+        return block.at[py, px].add(vals)
+
+    # general path: K x K footprint, K = floor(2r)+1
+    K = int(np.floor(2.0 * r)) + 1
+    x0 = jnp.ceil(x - 0.5 - r).astype(jnp.int32)
+    y0 = jnp.ceil(y - 0.5 - r).astype(jnp.int32)
+    offs = jnp.arange(K)
+    px = x0[:, None] + offs[None, :]               # (N,K)
+    py = y0[:, None] + offs[None, :]
+    wx = f.eval(px.astype(x.dtype) + 0.5 - x[:, None])   # (N,K)
+    wy = f.eval(py.astype(y.dtype) + 0.5 - y[:, None])
+    inx = (px >= 0) & (px < W)
+    iny = (py >= 0) & (py < H)
+    pxc = jnp.clip(px, 0, W - 1)
+    pyc = jnp.clip(py, 0, H - 1)
+    w2 = (wx * inx)[:, None, :] * (wy * iny)[:, :, None]   # (N,K,K): [y][x]
+    contrib = w2[..., None] * vals[:, None, None, :]       # (N,K,K,C+1)
+    flat_idx = (pyc[:, :, None] * W + pxc[:, None, :]).reshape(-1)
+    flat_contrib = contrib.reshape(-1, vals.shape[-1])
+    out = block.reshape(-1, vals.shape[-1]).at[flat_idx].add(flat_contrib)
+    return out.reshape(block.shape)
+
+
+def develop(block, film: FilmConfig, eps=1e-8):
+    """weight division + border crop (hdrfilm.cpp:develop)."""
+    b = film.border
+    if b > 0:
+        block = block[b:-b, b:-b]
+    w = block[..., -1:]
+    return block[..., :-1] / jnp.where(w < eps, 1.0, w)

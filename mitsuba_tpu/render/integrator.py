@@ -1,0 +1,117 @@
+"""Render orchestration (reference src/render/integrator.cpp render():78-325).
+
+JIT wavefront path (integrator.cpp:204-318) recast for TPU: the whole
+sample→trace→splat pipeline is one jitted function over a wavefront of
+W*H*spp_pass samples; spp is split into passes (samples_per_pass,
+integrator.cpp:205-223) to bound memory; the film block is the scan carry.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import film as film_mod
+from . import sampler as sa
+from . import sensor as sensor_mod
+from . import scene as sc
+from .records import Ray
+from ..core import rng
+
+
+def integrator_config(scene) -> dict:
+    return dict(scene.integrator)
+
+
+def _sample_radiance(scene, cfg, sampler, ray):
+    """Dispatch to the integrator plugin (SamplingIntegrator::sample)."""
+    kind = cfg.get('type', 'path')
+    if kind in ('path', 'prb', 'prb_basic'):
+        from ..plugins.integrators import path as path_mod
+        return path_mod.sample(scene, sampler, ray,
+                               max_depth=int(cfg.get('max_depth', 8)),
+                               rr_depth=int(cfg.get('rr_depth', 5)),
+                               hide_emitters=bool(cfg.get('hide_emitters', False)))
+    if kind == 'direct':
+        from ..plugins.integrators import path as path_mod
+        return path_mod.sample(scene, sampler, ray, max_depth=2,
+                               rr_depth=100,
+                               hide_emitters=bool(cfg.get('hide_emitters', False)))
+    if kind == 'depth':
+        si = sc.ray_intersect(scene, ray)
+        d = jnp.where(si.is_valid, si.t, 0.0)
+        return jnp.repeat(d[..., None], 3, -1), si.is_valid, sampler
+    if kind in ('aov', 'moment'):
+        from ..plugins.integrators import aov as aov_mod
+        return aov_mod.sample(scene, cfg, sampler, ray)
+    raise ValueError(f'unknown integrator {kind}')
+
+
+def render_pass(scene, block, pass_seed, spp_pass: int, spp_total: int,
+                sample_offset: int = 0, cfg=None):
+    """One wavefront pass: generates W*H*spp_pass rays, traces, splats."""
+    film = scene.film
+    W, H = film.width, film.height
+    n = W * H * spp_pass
+    cfg = cfg or integrator_config(scene)
+
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    pix = (lane // spp_pass).astype(jnp.int32)
+    sample_index = (lane % spp_pass).astype(jnp.int32) + sample_offset
+    px = (pix % W).astype(jnp.float32)
+    py = (pix // W).astype(jnp.float32)
+
+    # per-lane decorrelated keys: hash (pixel, sample_index, seed) like
+    # independent.cpp:68-95 (sample_tea_32 over the linear sample id)
+    global_id = pix.astype(jnp.uint32) * jnp.uint32(spp_total) + \
+        sample_index.astype(jnp.uint32)
+    k0, _ = rng.sample_tea_32(jnp.asarray(pass_seed, jnp.uint32), global_id)
+    sampler = sa.seed_from_keys(k0)
+
+    jitter, sampler = sa.pixel_jitter(scene.sampler_kind, sampler,
+                                      sample_index, spp_total)
+    pos_f = jnp.stack([px + jitter[..., 0], py + jitter[..., 1]], -1)
+    pos01 = pos_f / jnp.asarray([W, H], jnp.float32)
+    aperture, sampler = sa.next_2d(sampler)
+    ray = sensor_mod.sample_ray(scene.sensor, pos01, aperture)
+
+    L, valid, sampler = _sample_radiance(scene, cfg, sampler, ray)
+    L = jnp.nan_to_num(L, nan=0.0, posinf=0.0, neginf=0.0)
+    block = film_mod.put(block, film, pos_f, L)
+    return block
+
+
+@functools.partial(jax.jit, static_argnames=('spp_pass', 'spp_total',
+                                             'sample_offset'),
+                   donate_argnums=(1,))
+def _render_pass_jit(scene, block, pass_seed, spp_pass, spp_total,
+                     sample_offset):
+    return render_pass(scene, block, pass_seed, spp_pass, spp_total,
+                       sample_offset)
+
+
+def render(scene, spp: int = None, seed: int = 0, spp_per_pass: int = None):
+    """mi.render analogue (util.py:410-523, forward only). Returns (H,W,3)."""
+    film = scene.film
+    spp = spp or scene.spp
+    if spp_per_pass is None:
+        budget = 1 << 20
+        spp_per_pass = max(1, min(spp, budget // max(film.width * film.height, 1)))
+    while spp % spp_per_pass != 0:
+        spp_per_pass -= 1
+    block = film.new_block()
+    n_passes = spp // spp_per_pass
+    for p in range(n_passes):
+        pass_seed = jnp.asarray(seed, jnp.uint32)
+        block = _render_pass_jit(scene, block, pass_seed, spp_per_pass, spp,
+                                 p * spp_per_pass)
+    return film_mod.develop(block, film)
+
+
+def render_wavefront(scene, spp: int, seed=0):
+    """Single-pass render (no chunking) — used by AD integrators and tests."""
+    block = scene.film.new_block()
+    block = render_pass(scene, block, jnp.asarray(seed, jnp.uint32), spp, spp, 0)
+    return film_mod.develop(block, scene.film)

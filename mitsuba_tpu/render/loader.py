@@ -1,0 +1,253 @@
+"""Dict scene loader (reference src/core/xml.cpp dict path +
+mi.load_dict, src/python bindings). Parses the Mitsuba scene-dict schema into
+the Scene pytree of SoA tables.
+
+Grammar parity notes:
+  * top-level keys: 'type': 'scene', integrator/sensor/shape/bsdf/emitter
+    objects keyed by arbitrary names; {'type':'ref', 'id': name} references.
+  * shapes may carry inline 'bsdf' and 'emitter' children.
+  * rgb/spectrum dicts {'type':'rgb','value':[...]}.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.transform import Transform4
+from . import film as film_mod
+from . import sensor as sensor_mod
+from . import bsdf_flags as bf
+from .emitter import EmitterBuilder
+from .texture import TextureBuilder
+from .scene import Scene
+
+_SHAPE_TYPES = ('rectangle', 'cube', 'sphere', 'disk', 'cylinder',
+                'heightfield', 'obj', 'ply', 'mesh')
+_EMITTER_TYPES = ('area', 'point', 'constant', 'envmap', 'directional', 'spot')
+_SENSOR_TYPES = ('perspective', 'thinlens', 'orthographic', 'radiancemeter', 'batch')
+_INTEGRATOR_TYPES = ('path', 'direct', 'depth', 'aov', 'moment', 'prb',
+                     'prb_basic', 'ptracer', 'volpath')
+
+
+def load_dict(d: dict) -> Scene:
+    from ..plugins.shapes import REGISTRY as SHAPES
+    from ..plugins.bsdfs import REGISTRY as BSDFS
+
+    assert d.get('type', 'scene') == 'scene', "top-level dict must be a scene"
+
+    texb = TextureBuilder()
+    emb = EmitterBuilder()
+
+    # --- first pass: classify & collect named objects -----------------------
+    named_bsdfs = {}      # id -> (type_name, props)
+    shapes_raw = []       # (type_name, props, name)
+    sensor_props = None
+    integrator_props = {'type': 'path', 'max_depth': 8}
+    env_emitters = []
+
+    for key, val in d.items():
+        if key == 'type' or not isinstance(val, dict):
+            continue
+        t = val.get('type')
+        if t in _SHAPE_TYPES:
+            shapes_raw.append((t, val, key))
+        elif t in BSDFS or t == 'twosided':
+            named_bsdfs[key] = val
+        elif t in _SENSOR_TYPES:
+            sensor_props = val
+        elif t in _INTEGRATOR_TYPES:
+            integrator_props = val
+        elif t in _EMITTER_TYPES:
+            env_emitters.append(val)   # scene-level (infinite/delta) emitter
+        else:
+            raise ValueError(f"unknown scene object '{key}' of type '{t}'")
+
+    # --- BSDF table assembly -----------------------------------------------
+    bsdf_ids = {}          # name -> global bsdf id
+    bsdf_entries = []      # (type_name, props)
+
+    def _normalize_bsdf(props):
+        """Fold 'twosided' wrappers into a _twosided flag (see core_bsdfs)."""
+        t = props['type']
+        if t == 'twosided':
+            inner = None
+            for k, v in props.items():
+                if isinstance(v, dict) and v.get('type') in BSDFS:
+                    inner = dict(v)
+            if inner is None:
+                inner = {'type': 'diffuse'}
+            inner['_twosided'] = True
+            return inner
+        return dict(props)
+
+    def _add_bsdf(props, name=None):
+        props = _normalize_bsdf(props)
+        bsdf_entries.append((props['type'], props))
+        gid = len(bsdf_entries) - 1
+        if name is not None:
+            bsdf_ids[name] = gid
+        return gid
+
+    for name, props in named_bsdfs.items():
+        _add_bsdf(props, name)
+
+    default_bsdf = None  # lazily-created diffuse 0.5
+
+    # --- shapes -------------------------------------------------------------
+    shape_entries = []   # (type_name, props, bsdf_gid, emitter_gid)
+    for t, props, name in shapes_raw:
+        props = dict(props)
+        if 'to_world' in props and not isinstance(props['to_world'], Transform4):
+            props['to_world'] = Transform4(np.asarray(props['to_world']))
+        props.setdefault('to_world', Transform4())
+        bsdf_gid = -1
+        emitter_props = None
+        for k, v in list(props.items()):
+            if isinstance(v, dict) and v.get('type') == 'ref':
+                ref = bsdf_ids.get(v['id'])
+                if ref is None:
+                    raise ValueError(f"unresolved ref '{v['id']}'")
+                bsdf_gid = ref
+            elif isinstance(v, dict) and v.get('type') in BSDFS or \
+                    (isinstance(v, dict) and v.get('type') == 'twosided'):
+                bsdf_gid = _add_bsdf(v)
+            elif isinstance(v, dict) and v.get('type') == 'area':
+                emitter_props = v
+        if bsdf_gid < 0:
+            if default_bsdf is None:
+                default_bsdf = _add_bsdf({'type': 'diffuse', 'reflectance': 0.5})
+            bsdf_gid = default_bsdf
+        shape_entries.append((t, props, bsdf_gid, emitter_props))
+
+    # --- build typed shape tables, assign global ids ------------------------
+    by_type = {}
+    order = []
+    for t, props, bg, ep in shape_entries:
+        if t not in by_type:
+            by_type[t] = []
+            order.append(t)
+    # global id = position ordered by (type, slot)
+    shape_type_of, shape_slot_of, shape_bsdf, shape_emitter_props = [], [], [], []
+    gid_of_entry = {}
+    gid = 0
+    for ti, t in enumerate(order):
+        for ei, (t2, props, bg, ep) in enumerate(shape_entries):
+            if t2 != t:
+                continue
+            by_type[t].append(props)
+            shape_type_of.append(ti)
+            shape_slot_of.append(len(by_type[t]) - 1)
+            shape_bsdf.append(bg)
+            shape_emitter_props.append(ep)
+            gid_of_entry[ei] = gid
+            gid += 1
+    n_shapes = gid
+
+    tables = {}
+    type_offsets = []
+    off = 0
+    for t in order:
+        type_offsets.append(off)
+        tables[t] = SHAPES[t].build(by_type[t])
+        off += len(by_type[t])
+
+    # --- emitters ------------------------------------------------------------
+    shape_emitter = [-1] * n_shapes
+    for g in range(n_shapes):
+        ep = shape_emitter_props[g]
+        if ep is not None:
+            eid = emb.add('area', ep, shape_global=g)
+            shape_emitter[g] = eid
+    for props in env_emitters:
+        p = dict(props)
+        if 'to_world' in p and not isinstance(p['to_world'], Transform4):
+            p['to_world'] = Transform4(np.asarray(p['to_world']))
+        emb.add(p['type'], p)
+
+    # --- BSDF tables ----------------------------------------------------------
+    bsdf_by_type = {}
+    border = []
+    bsdf_type_of, bsdf_slot_of, bsdf_flags = [], [], []
+    for t, props in bsdf_entries:
+        if t not in bsdf_by_type:
+            bsdf_by_type[t] = []
+            border.append(t)
+    for ti, t in enumerate(border):
+        pass
+    for t, props in bsdf_entries:
+        ti = border.index(t)
+        bsdf_type_of.append(ti)
+        bsdf_slot_of.append(len(bsdf_by_type[t]))
+        bsdf_by_type[t].append(props)
+        bsdf_flags.append(BSDFS[t].flags)
+    bsdf_tables = {t: BSDFS[t].build(plist, texb)
+                   for t, plist in bsdf_by_type.items()}
+
+    emitters = emb.build(texb)
+    textures = texb.build()
+
+    # --- sensor / film / sampler ---------------------------------------------
+    if sensor_props is None:
+        sensor_props = {'type': 'perspective', 'fov': 45.0}
+    sensor_props = dict(sensor_props)
+    if 'to_world' in sensor_props and not isinstance(sensor_props['to_world'], Transform4):
+        sensor_props['to_world'] = Transform4(np.asarray(sensor_props['to_world']))
+    film_props = sensor_props.get('film', {'type': 'hdrfilm'})
+    film = film_mod.build(film_props)
+    sampler_props = sensor_props.get('sampler', {'type': 'independent'})
+    spp = int(sampler_props.get('sample_count', 16))
+    camera = sensor_mod.build(sensor_props, film.width, film.height)
+
+    # --- bounds (for infinite emitters) --------------------------------------
+    centers = []
+    radii = []
+    for t, props, _, _ in shape_entries:
+        mat = props['to_world'].matrix
+        centers.append(mat[:3, 3])
+        radii.append(float(np.linalg.norm(mat[:3, :3], 2)) * 2.5)
+    if centers:
+        c = np.mean(centers, axis=0)
+        r = max(max(np.linalg.norm(np.asarray(p) - c) for p in centers) + max(radii), 1.0)
+    else:
+        c, r = np.zeros(3), 1.0
+
+    # --- per-shape areas ------------------------------------------------------
+    areas = np.zeros(n_shapes, np.float32)
+    for ti, t in enumerate(order):
+        a = np.asarray(SHAPES[t].surface_area(tables[t]))
+        for g in range(n_shapes):
+            if shape_type_of[g] == ti:
+                areas[g] = a[shape_slot_of[g]]
+
+    integ = dict(integrator_props)
+    integ.setdefault('max_depth', 8 if integ.get('type') != 'direct' else 2)
+    integ.setdefault('rr_depth', 5)
+    # freeze nested dicts out (static field must be hashable)
+    integ = {k: (tuple(v) if isinstance(v, list) else v)
+             for k, v in integ.items() if not isinstance(v, dict)}
+
+    return Scene(
+        shapes=tables,
+        shape_types=tuple(order),
+        type_offsets=tuple(type_offsets),
+        n_shapes=n_shapes,
+        shape_type_of=jnp.asarray(shape_type_of, jnp.int32),
+        shape_slot_of=jnp.asarray(shape_slot_of, jnp.int32),
+        shape_bsdf=jnp.asarray(shape_bsdf, jnp.int32),
+        shape_emitter=jnp.asarray(shape_emitter, jnp.int32),
+        shape_area=jnp.asarray(areas),
+        bsdfs=bsdf_tables,
+        bsdf_types=tuple(border),
+        bsdf_type_of=jnp.asarray(bsdf_type_of, jnp.int32),
+        bsdf_slot_of=jnp.asarray(bsdf_slot_of, jnp.int32),
+        bsdf_flags=jnp.asarray(bsdf_flags, jnp.uint32),
+        emitters=emitters,
+        textures=textures,
+        sensor=camera,
+        film=film,
+        integrator=tuple(sorted(integ.items())),
+        spp=spp,
+        sampler_kind=sampler_props.get('type', 'independent'),
+        bbox_center=jnp.asarray(c, jnp.float32),
+        bbox_radius=jnp.asarray(r, jnp.float32),
+    )

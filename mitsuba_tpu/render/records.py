@@ -1,0 +1,159 @@
+"""Interaction & sampling record pytrees
+(reference include/mitsuba/render/interaction.h, records.h).
+
+All records are flax.struct dataclasses: immutable pytrees that flow through
+`lax.scan` loop carries and across `jax.jit` boundaries. Fields are wavefront
+arrays with leading dim N. Invalid lanes hold well-defined dummy values and a
+False entry in the `valid`/`active` mask (the TPU analogue of Dr.Jit's masked
+execution).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..core import math as m
+from ..core import frame as fr
+
+
+@struct.dataclass
+class Ray:
+    """interaction-free ray (include/mitsuba/core/ray.h): o + t*d, t in
+    [0, maxt). `time` kept for API parity (motion blur unsupported)."""
+    o: jnp.ndarray          # (N,3)
+    d: jnp.ndarray          # (N,3)
+    maxt: jnp.ndarray       # (N,)
+    time: jnp.ndarray = None  # (N,)
+
+    @staticmethod
+    def make(o, d, maxt=None, time=None):
+        n = o.shape[:-1]
+        if maxt is None:
+            maxt = jnp.full(n, jnp.inf, o.dtype)
+        else:
+            maxt = jnp.broadcast_to(jnp.asarray(maxt, o.dtype), n)
+        if time is None:
+            time = jnp.zeros(n, o.dtype)
+        return Ray(o=o, d=d, maxt=maxt, time=time)
+
+    def at(self, t):
+        return self.o + self.d * t[..., None]
+
+
+@struct.dataclass
+class PreliminaryIntersection:
+    """interaction.h:PreliminaryIntersection — result of the (detached)
+    traversal; `compute_surface_interaction` turns it into a full SI."""
+    t: jnp.ndarray           # (N,)  inf if no hit
+    prim_uv: jnp.ndarray     # (N,2) per-primitive parametric coords
+    prim_index: jnp.ndarray  # (N,)  int32
+    shape_index: jnp.ndarray  # (N,) int32 global shape id, -1 = miss
+    shape_type: jnp.ndarray  # (N,)  int32 index into scene's type list
+    slot: jnp.ndarray        # (N,)  int32 index within the type's table
+
+    @property
+    def is_valid(self):
+        return jnp.isfinite(self.t)
+
+
+@struct.dataclass
+class SurfaceInteraction:
+    """interaction.h:SurfaceInteraction3f (fields :201-234)."""
+    t: jnp.ndarray          # (N,)
+    p: jnp.ndarray          # (N,3)
+    n: jnp.ndarray          # (N,3) geometric normal
+    uv: jnp.ndarray         # (N,2)
+    sh_s: jnp.ndarray       # (N,3) shading frame tangent
+    sh_t: jnp.ndarray       # (N,3) shading frame bitangent
+    sh_n: jnp.ndarray       # (N,3) shading frame normal
+    dp_du: jnp.ndarray      # (N,3)
+    dp_dv: jnp.ndarray      # (N,3)
+    wi: jnp.ndarray         # (N,3) incident dir, LOCAL shading frame
+    shape_index: jnp.ndarray   # (N,) int32, -1 = environment / miss
+    prim_index: jnp.ndarray    # (N,) int32
+    bsdf_index: jnp.ndarray    # (N,) int32 global bsdf id (-1 none)
+    emitter_index: jnp.ndarray  # (N,) int32 global emitter id (-1 none)
+
+    @property
+    def is_valid(self):
+        return self.shape_index >= 0
+
+    @property
+    def sh_frame(self):
+        return fr.Frame(n=self.sh_n, s=self.sh_s, t=self.sh_t)
+
+    def to_local(self, v):
+        return self.sh_frame.to_local(v)
+
+    def to_world(self, v):
+        return self.sh_frame.to_world(v)
+
+    def spawn_ray(self, d):
+        o = offset_p(self.p, self.n, d)
+        return Ray.make(o, d)
+
+    def spawn_ray_to(self, p2):
+        d = p2 - self.p
+        dist = m.norm(d)
+        d = d / jnp.maximum(dist[..., None], 1e-20)
+        o = offset_p(self.p, self.n, d)
+        # leave an epsilon gap at the far end too (interaction.h:spawn_ray_to)
+        maxt = dist * (1.0 - m.ShadowEpsilon)
+        return Ray.make(o, d, maxt=maxt), dist
+
+    @staticmethod
+    def invalid(n, dtype=jnp.float32):
+        z3 = jnp.zeros((n, 3), dtype)
+        z2 = jnp.zeros((n, 2), dtype)
+        z = jnp.zeros((n,), dtype)
+        mi = jnp.full((n,), -1, jnp.int32)
+        up = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], dtype), (n, 1))
+        sx = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], dtype), (n, 1))
+        sy = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]], dtype), (n, 1))
+        return SurfaceInteraction(
+            t=jnp.full((n,), jnp.inf, dtype), p=z3, n=up, uv=z2,
+            sh_s=sx, sh_t=sy, sh_n=up, dp_du=sx, dp_dv=sy,
+            wi=jnp.concatenate([z2, jnp.ones((n, 1), dtype)], -1),
+            shape_index=mi, prim_index=jnp.zeros((n,), jnp.int32),
+            bsdf_index=mi, emitter_index=mi)
+
+
+def offset_p(p, n, d):
+    """Spawn-origin offset along the geometric normal, sign chosen by the
+    outgoing direction (interaction.h:offset_p)."""
+    mag = (1.0 + jnp.max(jnp.abs(p), axis=-1)) * m.RayEpsilon
+    sgn = m.sign(m.dot(n, d))
+    return p + (mag * sgn)[..., None] * n
+
+
+@struct.dataclass
+class PositionSample:
+    """records.h:PositionSample3f"""
+    p: jnp.ndarray       # (N,3)
+    n: jnp.ndarray       # (N,3)
+    uv: jnp.ndarray      # (N,2)
+    pdf: jnp.ndarray     # (N,) area measure
+    delta: jnp.ndarray   # (N,) bool
+
+
+@struct.dataclass
+class DirectionSample:
+    """records.h:DirectionSample3f — direction toward an emitter sample."""
+    p: jnp.ndarray       # (N,3) point on emitter
+    n: jnp.ndarray       # (N,3) normal at emitter point
+    uv: jnp.ndarray      # (N,2)
+    d: jnp.ndarray       # (N,3) unit direction from reference point
+    dist: jnp.ndarray    # (N,)
+    pdf: jnp.ndarray     # (N,) solid-angle measure at the reference point
+    delta: jnp.ndarray   # (N,) bool
+    emitter_index: jnp.ndarray  # (N,) int32
+
+
+@struct.dataclass
+class BSDFSample:
+    """bsdf.h:BSDFSample3f"""
+    wo: jnp.ndarray          # (N,3) local frame
+    pdf: jnp.ndarray         # (N,)
+    eta: jnp.ndarray         # (N,) relative IOR of the sampled event
+    sampled_type: jnp.ndarray  # (N,) uint32 BSDFFlags of sampled lobe
+    sampled_component: jnp.ndarray  # (N,) int32

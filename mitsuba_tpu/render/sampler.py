@@ -1,0 +1,128 @@
+"""Samplers (reference include/mitsuba/render/sampler.h,
+src/samplers/independent.cpp).
+
+Functional counter-based design (see core/rng.py): `SamplerState` is a pytree
+carried through the integrator's `lax.scan`. Key API parity:
+  seed(seed, n)  <->  Sampler::seed(seed, wavefront_size)
+  clone          <->  same sequence (PRB replay relies on this)
+  fork(seed')    <->  statistically independent stream
+Stratified / multijitter / LD samplers are implemented by warping the FIRST
+2D draw (the pixel-jitter dimension) per sample index; later dims fall back to
+the independent stream (matches the reference's per-dimension behavior closely
+enough for chi2 tests; stratified.cpp strats every dim, noted as a TODO).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..core import rng
+
+U32 = jnp.uint32
+
+
+@struct.dataclass
+class SamplerState:
+    key: jnp.ndarray   # (N,) uint32 per-lane stream key
+    ctr: jnp.ndarray   # (N,) uint32 per-lane dimension counter
+
+
+def seed(seed_value, n: int) -> SamplerState:
+    return SamplerState(key=rng.seed_keys(seed_value, n),
+                        ctr=jnp.zeros((n,), U32))
+
+
+def seed_from_keys(keys) -> SamplerState:
+    return SamplerState(key=keys, ctr=jnp.zeros(keys.shape, U32))
+
+
+def clone(s: SamplerState) -> SamplerState:
+    """Same seed, restarted sequence (sampler.h:clone semantics for replay)."""
+    return SamplerState(key=s.key, ctr=jnp.zeros_like(s.ctr))
+
+
+def fork(s: SamplerState, salt=0x9e3779b9) -> SamplerState:
+    k, _ = rng.sample_tea_32(s.key, jnp.full_like(s.key, U32(salt)))
+    return SamplerState(key=k, ctr=jnp.zeros_like(s.ctr))
+
+
+def next_1d(s: SamplerState):
+    v = rng.uint32_to_float01(rng.hash_combine(s.key, s.ctr))
+    return v, SamplerState(key=s.key, ctr=s.ctr + U32(1))
+
+
+def next_2d(s: SamplerState):
+    v0 = rng.uint32_to_float01(rng.hash_combine(s.key, s.ctr))
+    v1 = rng.uint32_to_float01(rng.hash_combine(s.key, s.ctr + U32(1)))
+    return jnp.stack([v0, v1], axis=-1), SamplerState(key=s.key, ctr=s.ctr + U32(2))
+
+
+# --- sample-count/layout-aware pixel jitter for stratified family ----------
+
+def pixel_jitter(kind: str, s: SamplerState, sample_index, spp: int):
+    """First-dimension 2D sample used for the film-plane jitter.
+
+    kind: 'independent' | 'stratified' | 'multijitter' | 'ldsampler' |
+          'orthogonal'.
+    sample_index: (N,) int32 index of the sample within its pixel [0, spp).
+    """
+    u, s = next_2d(s)
+    if kind == 'independent' or spp <= 1:
+        return u, s
+    if kind in ('stratified', 'orthogonal'):
+        # res x res strata (stratified.cpp); remainder lanes keep iid jitter
+        import math as pymath
+        res = int(pymath.isqrt(spp))
+        if res < 2:
+            return u, s
+        cell = jnp.minimum(sample_index, res * res - 1)
+        cx = (cell % res).astype(u.dtype)
+        cy = ((cell // res) % res).astype(u.dtype)
+        su = jnp.stack([(cx + u[..., 0]) / res, (cy + u[..., 1]) / res], -1)
+        return jnp.where((sample_index < res * res)[..., None], su, u), s
+    if kind == 'multijitter':
+        import math as pymath
+        res = int(pymath.isqrt(spp))
+        if res < 2:
+            return u, s
+        cell = jnp.minimum(sample_index, res * res - 1)
+        sx = (cell % res).astype(u.dtype)
+        sy = ((cell // res) % res).astype(u.dtype)
+        # correlated multi-jitter (multijitter.cpp, Kensler 2013 simplified):
+        # sub-stratify each axis by the opposite index
+        ju = (sx + (sy + u[..., 0]) / res) / res
+        jv = (sy + (sx + u[..., 1]) / res) / res
+        su = jnp.stack([ju, jv], -1)
+        return jnp.where((sample_index < res * res)[..., None], su, u), s
+    if kind == 'ldsampler':
+        # 0,2-sequence: van der Corput + Sobol' 2nd dim, scrambled per pixel
+        i = sample_index.astype(U32)
+        vdc = _radical_inverse_base2(i)
+        sob = _sobol2(i)
+        sc0 = rng.uint32_to_float01(rng.pcg_hash(s.key))
+        sc1 = rng.uint32_to_float01(rng.pcg_hash(s.key ^ U32(0xdeadbeef)))
+        su = jnp.stack([jnp.mod(vdc + sc0, 1.0), jnp.mod(sob + sc1, 1.0)], -1)
+        return su, s
+    return u, s
+
+
+def _radical_inverse_base2(i):
+    i = jnp.asarray(i, U32)
+    i = ((i & U32(0x55555555)) << 1) | ((i & U32(0xAAAAAAAA)) >> 1)
+    i = ((i & U32(0x33333333)) << 2) | ((i & U32(0xCCCCCCCC)) >> 2)
+    i = ((i & U32(0x0F0F0F0F)) << 4) | ((i & U32(0xF0F0F0F0)) >> 4)
+    i = ((i & U32(0x00FF00FF)) << 8) | ((i & U32(0xFF00FF00)) >> 8)
+    i = (i << 16) | (i >> 16)
+    return i.astype(jnp.float32) * (1.0 / 4294967296.0)
+
+
+def _sobol2(i):
+    """Second dimension of the Sobol' sequence (direction numbers for d=2)."""
+    i = jnp.asarray(i, U32)
+    r = jnp.zeros_like(i)
+    v = U32(1 << 31)
+    for bit in range(32):
+        mask = (i >> U32(bit)) & U32(1)
+        r = r ^ (mask * v)
+        v = v ^ (v >> U32(1))
+    return r.astype(jnp.float32) * (1.0 / 4294967296.0)

@@ -1,0 +1,428 @@
+"""Scene: typed plugin tables + ray queries + emitter sampling
+(reference src/render/scene.cpp, include/mitsuba/render/scene.h).
+
+TPU-native architecture (SURVEY.md §7): the scene is ONE pytree of
+struct-of-arrays tables, static type lists, and index arrays. All polymorphic
+dispatch ("vcalls") is a masked merge over the types present — O(#types), not
+O(#objects) — and every query evaluates a full wavefront.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core import math as m
+from ..core.transform import Transform4
+from . import film as film_mod
+from . import sensor as sensor_mod
+from . import emitter as em
+from .records import (Ray, SurfaceInteraction, PreliminaryIntersection,
+                      DirectionSample)
+from .texture import TextureBuilder, TextureSet, eval_texture
+from ..core.frame import Frame, coordinate_system
+
+
+# --- plugin registries ------------------------------------------------------
+
+def _shape_registry():
+    from ..plugins.shapes.analytic import rectangle, sphere, cube, disk, cylinder
+    reg = {'rectangle': rectangle, 'sphere': sphere, 'cube': cube,
+           'disk': disk, 'cylinder': cylinder}
+    try:
+        from ..plugins.shapes.heightfield import heightfield
+        reg['heightfield'] = heightfield
+    except ImportError:
+        pass
+    try:
+        from ..plugins.shapes.mesh import mesh
+        reg['obj'] = mesh
+        reg['ply'] = mesh
+        reg['mesh'] = mesh
+    except ImportError:
+        pass
+    return reg
+
+
+def _bsdf_registry():
+    from ..plugins.bsdfs import registry
+    return registry()
+
+
+@struct.dataclass
+class Scene:
+    # shapes
+    shapes: dict                                       # type name -> table
+    shape_types: tuple = struct.field(pytree_node=False)
+    type_offsets: tuple = struct.field(pytree_node=False)  # global-id base per type
+    n_shapes: int = struct.field(pytree_node=False)
+    shape_type_of: jnp.ndarray = None   # (n,) int32
+    shape_slot_of: jnp.ndarray = None   # (n,) int32
+    shape_bsdf: jnp.ndarray = None      # (n,) int32 global bsdf id
+    shape_emitter: jnp.ndarray = None   # (n,) int32 global emitter id (-1)
+    shape_area: jnp.ndarray = None      # (n,) float32 surface area
+    # bsdfs
+    bsdfs: dict = None
+    bsdf_types: tuple = struct.field(pytree_node=False, default=())
+    bsdf_type_of: jnp.ndarray = None    # (B,) int32
+    bsdf_slot_of: jnp.ndarray = None    # (B,) int32
+    bsdf_flags: jnp.ndarray = None      # (B,) uint32 static lobe flags
+    # emitters / textures / sensor / film
+    emitters: em.EmitterSet = None
+    textures: TextureSet = None
+    sensor: sensor_mod.Camera = None
+    film: film_mod.FilmConfig = struct.field(pytree_node=False, default=None)
+    integrator: dict = struct.field(pytree_node=False, default=None)
+    spp: int = struct.field(pytree_node=False, default=16)
+    sampler_kind: str = struct.field(pytree_node=False, default='independent')
+    # scene bounds (for infinite emitters)
+    bbox_center: jnp.ndarray = None
+    bbox_radius: jnp.ndarray = None
+
+    # convenience
+    def environment(self):
+        return self.emitters.env_index >= 0
+
+
+# ===========================================================================
+# Ray queries
+# ===========================================================================
+
+def ray_intersect_preliminary(scene: Scene, ray: Ray) -> PreliminaryIntersection:
+    from ..plugins.shapes import REGISTRY as SHAPES
+    n = ray.o.shape[0]
+    best_t = jnp.full((n,), jnp.inf, ray.o.dtype)
+    best_uv = jnp.zeros((n, 2), ray.o.dtype)
+    best_prim = jnp.zeros((n,), jnp.int32)
+    best_type = jnp.full((n,), -1, jnp.int32)
+    best_slot = jnp.zeros((n,), jnp.int32)
+    for ti, name in enumerate(scene.shape_types):
+        plugin = SHAPES[name]
+        t, uv, prim = plugin.intersect(scene.shapes[name], ray.o, ray.d)  # (S,N)
+        slot = jnp.argmin(t, axis=0)                                      # (N,)
+        t_min = jnp.min(t, axis=0)
+        idx = (slot, jnp.arange(n))
+        uv_min = uv[idx]
+        prim_min = prim[idx]
+        better = t_min < best_t
+        best_uv = jnp.where(better[..., None], uv_min, best_uv)
+        best_prim = jnp.where(better, prim_min, best_prim)
+        best_type = jnp.where(better, ti, best_type)
+        best_slot = jnp.where(better, slot.astype(jnp.int32), best_slot)
+        best_t = jnp.minimum(best_t, t_min)
+    hit = best_t < ray.maxt
+    offs = jnp.asarray(scene.type_offsets, jnp.int32)
+    gid = jnp.where(hit, offs[jnp.maximum(best_type, 0)] + best_slot, -1)
+    return PreliminaryIntersection(
+        t=jnp.where(hit, best_t, jnp.inf), prim_uv=best_uv,
+        prim_index=best_prim, shape_index=gid,
+        shape_type=jnp.where(hit, best_type, -1), slot=best_slot)
+
+
+def ray_test(scene: Scene, ray: Ray):
+    """Occlusion query (scene.h:ray_test)."""
+    from ..plugins.shapes import REGISTRY as SHAPES
+    n = ray.o.shape[0]
+    occluded = jnp.zeros((n,), bool)
+    for name in scene.shape_types:
+        plugin = SHAPES[name]
+        t, _, _ = plugin.intersect(scene.shapes[name], ray.o, ray.d)
+        occluded |= jnp.any(t < ray.maxt[None, :], axis=0)
+    return occluded
+
+
+def compute_surface_interaction(scene: Scene, ray: Ray,
+                                pi: PreliminaryIntersection) -> SurfaceInteraction:
+    """Attached SI from the detached traversal (shape.h:179 contract)."""
+    from ..plugins.shapes import REGISTRY as SHAPES
+    n = ray.o.shape[0]
+    si = SurfaceInteraction.invalid(n, ray.o.dtype)
+    fields = {k: getattr(si, k) for k in ('t', 'p', 'n', 'uv', 'dp_du', 'dp_dv')}
+    sh_n = si.sh_n
+    for ti, name in enumerate(scene.shape_types):
+        plugin = SHAPES[name]
+        mask = pi.shape_type == ti
+        out = plugin.compute_si(scene.shapes[name], pi.slot, ray.o, ray.d,
+                                jnp.where(mask, pi.t, 1.0), pi.prim_uv,
+                                pi.prim_index)
+        for k in fields:
+            v = out[k]
+            mk = mask if v.ndim == mask.ndim else mask[..., None]
+            fields[k] = jnp.where(mk, v, fields[k])
+        sh_n = jnp.where(mask[..., None], out.get('sh_n', out['n']), sh_n)
+    valid = pi.shape_index >= 0
+    # shading frame: gram-schmidt dp_du against sh_n (mesh.cpp convention)
+    sh_n = m.normalize(sh_n)
+    s = fields['dp_du'] - sh_n * m.dot(sh_n, fields['dp_du'], keepdims=True)
+    degenerate = m.squared_norm(s) < 1e-12
+    s_fallback, t_fallback = coordinate_system(sh_n)
+    s = jnp.where(degenerate[..., None], s_fallback, m.normalize(s))
+    t = jnp.cross(sh_n, s)
+    wi_local = Frame(n=sh_n, s=s, t=t).to_local(-ray.d)
+    gid = jnp.maximum(pi.shape_index, 0)
+    return SurfaceInteraction(
+        t=jnp.where(valid, fields['t'], jnp.inf),
+        p=fields['p'], n=fields['n'], uv=fields['uv'],
+        sh_s=s, sh_t=t, sh_n=sh_n,
+        dp_du=fields['dp_du'], dp_dv=fields['dp_dv'],
+        wi=wi_local,
+        shape_index=pi.shape_index,
+        prim_index=pi.prim_index,
+        bsdf_index=jnp.where(valid, scene.shape_bsdf[gid], -1),
+        emitter_index=jnp.where(valid, scene.shape_emitter[gid], -1))
+
+
+def ray_intersect(scene: Scene, ray: Ray) -> SurfaceInteraction:
+    return compute_surface_interaction(scene, ray, ray_intersect_preliminary(scene, ray))
+
+
+# ===========================================================================
+# Shape position sampling (for area emitters)
+# ===========================================================================
+
+def shape_sample_position(scene: Scene, shape_global, sample2):
+    """Dispatch Shape::sample_position over types (shape.h:56)."""
+    from ..plugins.shapes import REGISTRY as SHAPES
+    gid = jnp.maximum(shape_global, 0)
+    stype = scene.shape_type_of[gid]
+    slot = scene.shape_slot_of[gid]
+    n = sample2.shape[0]
+    p = jnp.zeros((n, 3), sample2.dtype)
+    nrm = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], sample2.dtype), (n, 1))
+    uv = jnp.zeros((n, 2), sample2.dtype)
+    pdf = jnp.zeros((n,), sample2.dtype)
+    for ti, name in enumerate(scene.shape_types):
+        plugin = SHAPES[name]
+        if not hasattr(plugin, 'sample_position'):
+            continue
+        out = plugin.sample_position(scene.shapes[name], slot, sample2)
+        mask = stype == ti
+        p = jnp.where(mask[..., None], out['p'], p)
+        nrm = jnp.where(mask[..., None], out['n'], nrm)
+        uv = jnp.where(mask[..., None], out['uv'], uv)
+        pdf = jnp.where(mask, out['pdf'], pdf)
+    return p, nrm, uv, pdf
+
+
+# ===========================================================================
+# Emitter evaluation / sampling (scene.cpp:259-332)
+# ===========================================================================
+
+def eval_emitter_hit(scene: Scene, si: SurfaceInteraction, active):
+    """Radiance of the emitter at a surface hit (area.cpp:eval: front side
+    only)."""
+    es = scene.emitters
+    n = si.t.shape[0]
+    L = jnp.zeros((n, 3), si.p.dtype)
+    if es.n == 0:
+        return L
+    has_em = active & (si.emitter_index >= 0)
+    eid = jnp.maximum(si.emitter_index, 0)
+    etype = es.emitter_type[eid]
+    eslot = es.emitter_slot[eid]
+    for ti, name in enumerate(es.types):
+        if name != 'area':
+            continue
+        tbl = es.tables[name]
+        rad = eval_texture(scene.textures, tbl.radiance[eslot], si.uv)
+        front = m.dot(si.wi, jnp.asarray([0.0, 0.0, 1.0])) > 0  # local wi z>0
+        sel = has_em & (etype == ti) & (si.wi[..., 2] > 0)
+        L = jnp.where(sel[..., None], rad, L)
+    return L
+
+
+def eval_environment(scene: Scene, ray_d, active):
+    """Radiance for escaped rays (constant.cpp / envmap.cpp eval)."""
+    es = scene.emitters
+    n = ray_d.shape[0]
+    L = jnp.zeros((n, 3), ray_d.dtype)
+    if es.n == 0:
+        return L
+    for name in es.types:
+        tbl = es.tables[name]
+        if name == 'constant':
+            L = L + jnp.sum(tbl.radiance, axis=0)[None] * active[..., None]
+        elif name == 'envmap':
+            L = L + em.envmap_eval(tbl, 0, ray_d) * active[..., None]
+    return L
+
+
+def sample_emitter_direction(scene: Scene, si: SurfaceInteraction, sample2,
+                             test_visibility=True, active=None):
+    """scene.cpp:sample_emitter_direction — pick one emitter uniformly, sample
+    a direction toward it, optionally shadow-test. Returns (ds, value) with
+    value = radiance / pdf (importance-weighted, pick pmf folded in)."""
+    es = scene.emitters
+    n = sample2.shape[0]
+    dtype = sample2.dtype
+    zero3 = jnp.zeros((n, 3), dtype)
+    ds = DirectionSample(p=zero3, n=zero3, uv=jnp.zeros((n, 2), dtype),
+                         d=zero3, dist=jnp.full((n,), jnp.inf, dtype),
+                         pdf=jnp.zeros((n,), dtype),
+                         delta=jnp.zeros((n,), bool),
+                         emitter_index=jnp.full((n,), -1, jnp.int32))
+    value = jnp.zeros((n, 3), dtype)
+    if es.n == 0:
+        return ds, value
+    if active is None:
+        active = jnp.ones((n,), bool)
+    # uniform emitter pick with sample reuse (scene.cpp:447-458)
+    E = es.n
+    u = sample2[..., 0]
+    idx = jnp.clip((u * E).astype(jnp.int32), 0, E - 1)
+    u_re = jnp.clip(u * E - idx, 0.0, 1.0 - 1e-7)
+    s2 = jnp.stack([u_re, sample2[..., 1]], -1)
+    pick_pmf = 1.0 / E
+    etype = es.emitter_type[idx]
+    eslot = es.emitter_slot[idx]
+
+    p_out, n_out, uv_out = zero3, zero3, jnp.zeros((n, 2), dtype)
+    d_out = zero3
+    dist_out = jnp.full((n,), jnp.inf, dtype)
+    pdf_out = jnp.zeros((n,), dtype)
+    delta_out = jnp.zeros((n,), bool)
+    val_out = jnp.zeros((n, 3), dtype)
+
+    for ti, name in enumerate(es.types):
+        tbl = es.tables[name]
+        sel = active & (etype == ti)
+        if name == 'area':
+            sg = tbl.shape_global[eslot]
+            p, nrm, uv, pdf_area = shape_sample_position(scene, sg, s2)
+            dvec = p - si.p
+            dist2 = m.squared_norm(dvec)
+            dist = m.safe_sqrt(dist2)
+            d = dvec / jnp.maximum(dist[..., None], 1e-20)
+            cos_e = m.dot(nrm, -d)
+            pdf_sl = pdf_area * dist2 / jnp.maximum(cos_e, 1e-20)
+            ok = cos_e > 1e-6
+            rad = eval_texture(scene.textures, tbl.radiance[eslot], uv)
+            v = rad / jnp.maximum(pdf_sl, 1e-20)[..., None]
+            p_out = jnp.where(sel[..., None], p, p_out)
+            n_out = jnp.where(sel[..., None], nrm, n_out)
+            uv_out = jnp.where(sel[..., None], uv, uv_out)
+            d_out = jnp.where(sel[..., None], d, d_out)
+            dist_out = jnp.where(sel, dist, dist_out)
+            pdf_out = jnp.where(sel, jnp.where(ok, pdf_sl, 0.0), pdf_out)
+            val_out = jnp.where((sel & ok)[..., None], v, val_out)
+        elif name == 'point':
+            p = tbl.position[eslot]
+            dvec = p - si.p
+            dist2 = m.squared_norm(dvec)
+            dist = m.safe_sqrt(dist2)
+            d = dvec / jnp.maximum(dist[..., None], 1e-20)
+            v = tbl.intensity[eslot] / jnp.maximum(dist2, 1e-20)[..., None]
+            p_out = jnp.where(sel[..., None], p, p_out)
+            n_out = jnp.where(sel[..., None], -d, n_out)
+            d_out = jnp.where(sel[..., None], d, d_out)
+            dist_out = jnp.where(sel, dist, dist_out)
+            pdf_out = jnp.where(sel, 1.0, pdf_out)
+            delta_out = jnp.where(sel, True, delta_out)
+            val_out = jnp.where(sel[..., None], v, val_out)
+        elif name == 'spot':
+            p = tbl.position[eslot]
+            dvec = p - si.p
+            dist2 = m.squared_norm(dvec)
+            dist = m.safe_sqrt(dist2)
+            d = dvec / jnp.maximum(dist[..., None], 1e-20)
+            cos_f = m.dot(-d, tbl.direction[eslot])
+            cc = tbl.cos_cutoff[eslot]
+            cb = tbl.cos_beam_width[eslot]
+            falloff = jnp.clip((cos_f - cc) / jnp.maximum(cb - cc, 1e-6), 0.0, 1.0)
+            v = tbl.intensity[eslot] * (falloff / jnp.maximum(dist2, 1e-20))[..., None]
+            p_out = jnp.where(sel[..., None], p, p_out)
+            n_out = jnp.where(sel[..., None], -d, n_out)
+            d_out = jnp.where(sel[..., None], d, d_out)
+            dist_out = jnp.where(sel, dist, dist_out)
+            pdf_out = jnp.where(sel, 1.0, pdf_out)
+            delta_out = jnp.where(sel, True, delta_out)
+            val_out = jnp.where(sel[..., None], v, val_out)
+        elif name == 'directional':
+            d = -tbl.direction[eslot]
+            far = 2.0 * scene.bbox_radius
+            v = tbl.irradiance[eslot]
+            p_out = jnp.where(sel[..., None], si.p + d * far, p_out)
+            n_out = jnp.where(sel[..., None], -d, n_out)
+            d_out = jnp.where(sel[..., None], d, d_out)
+            dist_out = jnp.where(sel, far, dist_out)
+            pdf_out = jnp.where(sel, 1.0, pdf_out)
+            delta_out = jnp.where(sel, True, delta_out)
+            val_out = jnp.where(sel[..., None], v, val_out)
+        elif name == 'constant':
+            from ..core import warp
+            d = warp.square_to_uniform_sphere(s2)
+            pdf_sl = jnp.full((n,), m.InvFourPi, dtype)
+            far = 2.0 * scene.bbox_radius
+            v = tbl.radiance[eslot] / pdf_sl[..., None]
+            p_out = jnp.where(sel[..., None], si.p + d * far, p_out)
+            n_out = jnp.where(sel[..., None], -d, n_out)
+            d_out = jnp.where(sel[..., None], d, d_out)
+            dist_out = jnp.where(sel, far, dist_out)
+            pdf_out = jnp.where(sel, pdf_sl, pdf_out)
+            val_out = jnp.where(sel[..., None], v, val_out)
+        elif name == 'envmap':
+            d, pdf_sl, rad = em.envmap_sample_direction(tbl, s2)
+            far = 2.0 * scene.bbox_radius
+            v = rad / jnp.maximum(pdf_sl, 1e-20)[..., None]
+            ok = pdf_sl > 0
+            p_out = jnp.where(sel[..., None], si.p + d * far, p_out)
+            n_out = jnp.where(sel[..., None], -d, n_out)
+            d_out = jnp.where(sel[..., None], d, d_out)
+            dist_out = jnp.where(sel, far, dist_out)
+            pdf_out = jnp.where(sel & ok, pdf_sl, pdf_out)
+            val_out = jnp.where((sel & ok)[..., None], v, val_out)
+
+    pdf_out = pdf_out * pick_pmf
+    val_out = val_out / pick_pmf
+    ds = DirectionSample(p=p_out, n=n_out, uv=uv_out, d=d_out, dist=dist_out,
+                         pdf=pdf_out, delta=delta_out, emitter_index=idx)
+    active_s = active & (pdf_out > 0)
+    if test_visibility:
+        shadow_ray, _ = si.spawn_ray_to(ds.p)
+        occluded = ray_test(scene, shadow_ray)
+        active_s = active_s & ~occluded
+    value = jnp.where(active_s[..., None], val_out, 0.0)
+    return ds, value
+
+
+def pdf_emitter_direction(scene: Scene, prev_p, si: SurfaceInteraction, active):
+    """Solid-angle pdf of sampling the direction prev_p -> si.p via
+    sample_emitter_direction (for MIS; scene.cpp:pdf_emitter_direction)."""
+    es = scene.emitters
+    n = si.t.shape[0]
+    pdf = jnp.zeros((n,), si.p.dtype)
+    if es.n == 0:
+        return pdf
+    pick_pmf = 1.0 / es.n
+    eid = jnp.maximum(si.emitter_index, 0)
+    etype = es.emitter_type[eid]
+    has_em = active & (si.emitter_index >= 0)
+    for ti, name in enumerate(es.types):
+        if name != 'area':
+            continue
+        sel = has_em & (etype == ti)
+        gid = jnp.maximum(si.shape_index, 0)
+        area = scene.shape_area[gid]
+        dvec = si.p - prev_p
+        dist2 = m.squared_norm(dvec)
+        cos_e = si.wi[..., 2]  # cos at emitter side (wi is toward prev_p)
+        p_sl = dist2 / jnp.maximum(cos_e * area, 1e-20)
+        pdf = jnp.where(sel & (cos_e > 1e-6), p_sl, pdf)
+    return pdf * pick_pmf
+
+
+def pdf_env_direction(scene: Scene, ray_d, active):
+    """pdf for escaped rays that hit an infinite emitter (MIS)."""
+    es = scene.emitters
+    n = ray_d.shape[0]
+    pdf = jnp.zeros((n,), ray_d.dtype)
+    if es.n == 0:
+        return pdf
+    pick_pmf = 1.0 / es.n
+    for name in es.types:
+        if name == 'constant':
+            pdf = pdf + m.InvFourPi * pick_pmf
+        elif name == 'envmap':
+            pdf = pdf + em.envmap_pdf_direction(es.tables[name], ray_d) * pick_pmf
+    return jnp.where(active, pdf, 0.0)

@@ -1,0 +1,117 @@
+"""Sensors (reference src/sensors/{perspective,thinlens,orthographic,
+radiancemeter}.cpp + include/mitsuba/render/sensor.h).
+
+A sensor is a small pytree struct + a `sample_ray(sensor, pos01, aperture)`
+function. `pos01` is the film-plane position in [0,1]^2 with (0,0) = top-left
+(reference film convention); aperture is a 2D sample for DoF.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from ..core import math as m
+from ..core import warp
+from ..core.transform import Transform4, apply_point, apply_vector
+from .records import Ray
+
+
+@struct.dataclass
+class Camera:
+    kind: str = struct.field(pytree_node=False)  # 'perspective'|'thinlens'|'orthographic'|'radiancemeter'
+    to_world: jnp.ndarray       # (4,4)
+    tan_x: jnp.ndarray          # () tan(fov_x/2)
+    tan_y: jnp.ndarray          # ()
+    near: float = struct.field(pytree_node=False)
+    far: float = struct.field(pytree_node=False)
+    aperture_radius: jnp.ndarray = 0.0   # thinlens only
+    focus_distance: jnp.ndarray = 1.0
+
+
+def _fov_xy(fov, fov_axis, width, height):
+    aspect = width / float(height)
+    tan_half = np.tan(np.deg2rad(float(fov)) / 2.0)
+    if fov_axis == 'x' or (fov_axis == 'smaller' and aspect <= 1) or \
+       (fov_axis == 'larger' and aspect > 1):
+        tan_x = tan_half
+        tan_y = tan_half / aspect
+    elif fov_axis == 'y' or (fov_axis == 'smaller' and aspect > 1) or \
+            (fov_axis == 'larger' and aspect <= 1):
+        tan_y = tan_half
+        tan_x = tan_half * aspect
+    elif fov_axis == 'diagonal':
+        d = np.hypot(aspect, 1.0)
+        tan_x = tan_half * aspect / d
+        tan_y = tan_half / d
+    else:
+        raise ValueError(fov_axis)
+    return tan_x, tan_y
+
+
+def build(props, width, height) -> Camera:
+    kind = props['type']
+    tw = props.get('to_world', Transform4())
+    fov = props.get('fov', None)
+    if fov is None and 'focal_length' in props:
+        # 35mm-equivalent focal length (perspective.cpp:parse_fov)
+        f = float(str(props['focal_length']).replace('mm', ''))
+        fov = 2.0 * np.rad2deg(np.arctan(36.0 / (2.0 * f)))
+    if fov is None:
+        fov = 34.0  # 50mm default
+    fov_axis = props.get('fov_axis', 'x')
+    tan_x, tan_y = _fov_xy(fov, fov_axis, width, height)
+    return Camera(
+        kind=kind,
+        to_world=jnp.asarray(tw.matrix, jnp.float32),
+        tan_x=jnp.asarray(tan_x, jnp.float32),
+        tan_y=jnp.asarray(tan_y, jnp.float32),
+        near=float(props.get('near_clip', 1e-2)),
+        far=float(props.get('far_clip', 1e4)),
+        aperture_radius=jnp.asarray(props.get('aperture_radius', 0.0), jnp.float32),
+        focus_distance=jnp.asarray(props.get('focus_distance', 1.0), jnp.float32),
+    )
+
+
+def sample_ray(cam: Camera, pos01, aperture):
+    """pos01: (N,2) in [0,1]^2, (0,0)=top-left -> world-space Ray.
+
+    Perspective mapping derived from the reference camera_to_sample chain
+    (perspective.cpp:sample_ray_differential): d_cam ∝
+    [(1-2u)·tan_x, (1-2v)·tan_y, 1].
+    """
+    u = pos01[..., 0]
+    v = pos01[..., 1]
+    n = u.shape[0]
+    if cam.kind in ('perspective', 'thinlens'):
+        d_cam = jnp.stack([(1.0 - 2.0 * u) * cam.tan_x,
+                           (1.0 - 2.0 * v) * cam.tan_y,
+                           jnp.ones_like(u)], -1)
+        inv_z = 1.0 / d_cam[..., 2]
+        d_cam = m.normalize(d_cam)
+        o_cam = jnp.zeros_like(d_cam)
+        if cam.kind == 'thinlens':
+            # thinlens.cpp: sample aperture disk, focus at focus_distance
+            p_ap = warp.square_to_uniform_disk_concentric(aperture) * cam.aperture_radius
+            t_focus = cam.focus_distance / jnp.maximum(d_cam[..., 2], 1e-9)
+            p_focus = d_cam * t_focus[..., None]
+            o_cam = jnp.concatenate([p_ap, jnp.zeros_like(u)[..., None]], -1)
+            d_cam = m.normalize(p_focus - o_cam)
+        o = apply_point(cam.to_world, o_cam)
+        d = apply_vector(cam.to_world, d_cam)
+        d = m.normalize(d)
+        # offset origin to the near plane (perspective.cpp: o += d * near/dz)
+        return Ray.make(o, d)
+    elif cam.kind == 'orthographic':
+        # object-space film in [-1,1]^2 scaled by to_world (orthographic.cpp)
+        o_cam = jnp.stack([(1.0 - 2.0 * u), (1.0 - 2.0 * v), jnp.zeros_like(u)], -1)
+        o = apply_point(cam.to_world, o_cam)
+        d = m.normalize(apply_vector(cam.to_world,
+                                     jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), o_cam.shape)))
+        return Ray.make(o, d)
+    elif cam.kind == 'radiancemeter':
+        o = jnp.broadcast_to(cam.to_world[:3, 3], (n, 3))
+        d = m.normalize(apply_vector(cam.to_world,
+                                     jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))))
+        return Ray.make(o, d)
+    raise ValueError(cam.kind)

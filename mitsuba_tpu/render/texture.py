@@ -1,0 +1,149 @@
+"""Texture system (reference include/mitsuba/render/texture.h +
+src/textures/{bitmap,checkerboard}.cpp).
+
+All textures in a scene live in one `TextureSet` pytree. A texture reference
+is a plain int32 id; evaluation is a masked merge over the texture kinds
+present (O(#kinds + #bitmap images), fully vectorized — the TPU analogue of
+Dr.Jit vcall dispatch).
+
+Kinds: 0 = constant rgb, 1 = checkerboard, 2 = bitmap.
+Bitmap data are differentiable leaves (reference bitmap.cpp:267 exposes
+"data" as a differentiable parameter).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+KIND_CONST = 0
+KIND_CHECKER = 1
+KIND_BITMAP = 2
+
+
+@struct.dataclass
+class TextureSet:
+    kind: jnp.ndarray        # (T,) int32
+    color0: jnp.ndarray      # (T,3) const value / checker color0
+    color1: jnp.ndarray      # (T,3) checker color1
+    uv_scale: jnp.ndarray    # (T,2)
+    uv_offset: jnp.ndarray   # (T,2)
+    bitmap_slot: jnp.ndarray  # (T,) int32 index into `bitmaps`, -1 if none
+    bitmaps: tuple           # tuple of (H,W,3) float arrays (pytree leaves)
+    filter_nearest: tuple = struct.field(pytree_node=False, default=())
+
+
+class TextureBuilder:
+    """Host-side accumulator used by the scene loader."""
+
+    def __init__(self):
+        self.kinds, self.c0, self.c1 = [], [], []
+        self.uv_scale, self.uv_offset = [], []
+        self.bitmap_slot, self.bitmaps = [], []
+        self.filter_nearest = []
+
+    def add_constant(self, rgb):
+        rgb = np.broadcast_to(np.asarray(rgb, np.float32).reshape(-1), (3,))
+        self.kinds.append(KIND_CONST)
+        self.c0.append(rgb)
+        self.c1.append(np.zeros(3, np.float32))
+        self.uv_scale.append(np.ones(2, np.float32))
+        self.uv_offset.append(np.zeros(2, np.float32))
+        self.bitmap_slot.append(-1)
+        return len(self.kinds) - 1
+
+    def add_checkerboard(self, color0, color1, uv_scale=(1, 1), uv_offset=(0, 0)):
+        self.kinds.append(KIND_CHECKER)
+        self.c0.append(np.broadcast_to(np.asarray(color0, np.float32).reshape(-1), (3,)))
+        self.c1.append(np.broadcast_to(np.asarray(color1, np.float32).reshape(-1), (3,)))
+        self.uv_scale.append(np.asarray(uv_scale, np.float32))
+        self.uv_offset.append(np.asarray(uv_offset, np.float32))
+        self.bitmap_slot.append(-1)
+        return len(self.kinds) - 1
+
+    def add_bitmap(self, data, uv_scale=(1, 1), uv_offset=(0, 0), nearest=False):
+        data = np.asarray(data, np.float32)
+        if data.ndim == 2:
+            data = np.repeat(data[..., None], 3, axis=-1)
+        self.kinds.append(KIND_BITMAP)
+        self.c0.append(np.asarray(data.mean(axis=(0, 1)), np.float32))  # mean() fallback
+        self.c1.append(np.zeros(3, np.float32))
+        self.uv_scale.append(np.asarray(uv_scale, np.float32))
+        self.uv_offset.append(np.asarray(uv_offset, np.float32))
+        self.bitmap_slot.append(len(self.bitmaps))
+        self.bitmaps.append(jnp.asarray(data))
+        self.filter_nearest.append(bool(nearest))
+        return len(self.kinds) - 1
+
+    def build(self) -> TextureSet:
+        if not self.kinds:  # always keep one dummy slot so tables are non-empty
+            self.add_constant([0.0, 0.0, 0.0])
+        return TextureSet(
+            kind=jnp.asarray(self.kinds, jnp.int32),
+            color0=jnp.asarray(np.stack(self.c0)),
+            color1=jnp.asarray(np.stack(self.c1)),
+            uv_scale=jnp.asarray(np.stack(self.uv_scale)),
+            uv_offset=jnp.asarray(np.stack(self.uv_offset)),
+            bitmap_slot=jnp.asarray(self.bitmap_slot, jnp.int32),
+            bitmaps=tuple(self.bitmaps),
+            filter_nearest=tuple(self.filter_nearest),
+        )
+
+
+def bilinear_sample(img, uv, nearest=False):
+    """Sample (H,W,C) image at uv in [0,1]^2, wrap=repeat, bilinear
+    (bitmap.cpp eval with dr::Texture2f semantics, wrap mode 'repeat')."""
+    H, W = img.shape[0], img.shape[1]
+    u = uv[..., 0] - jnp.floor(uv[..., 0])
+    v = uv[..., 1] - jnp.floor(uv[..., 1])
+    x = u * W - 0.5
+    y = v * H - 0.5
+    if nearest:
+        xi = jnp.mod(jnp.round(x).astype(jnp.int32), W)
+        yi = jnp.mod(jnp.round(y).astype(jnp.int32), H)
+        return img[yi, xi]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), W)
+    x1i = jnp.mod(x0i + 1, W)
+    y0i = jnp.mod(y0.astype(jnp.int32), H)
+    y1i = jnp.mod(y0i + 1, H)
+    v00 = img[y0i, x0i]
+    v01 = img[y0i, x1i]
+    v10 = img[y1i, x0i]
+    v11 = img[y1i, x1i]
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def eval_texture(tex: TextureSet, tex_id, uv):
+    """tex_id: (N,) int32; uv: (N,2) -> (N,3)."""
+    tex_id = jnp.clip(tex_id, 0, tex.kind.shape[0] - 1)
+    kind = tex.kind[tex_id]
+    out = tex.color0[tex_id]
+    # checkerboard (checkerboard.cpp: color selected by parity of uv cell)
+    uv_t = uv * tex.uv_scale[tex_id] + tex.uv_offset[tex_id]
+    fu = uv_t[..., 0] - jnp.floor(uv_t[..., 0])
+    fv = uv_t[..., 1] - jnp.floor(uv_t[..., 1])
+    mask_c = (fu > 0.5) ^ (fv > 0.5)
+    checker = jnp.where(mask_c[..., None], tex.color0[tex_id], tex.color1[tex_id])
+    out = jnp.where((kind == KIND_CHECKER)[..., None], checker, out)
+    slot = tex.bitmap_slot[tex_id]
+    for i, img in enumerate(tex.bitmaps):
+        nearest = tex.filter_nearest[i] if i < len(tex.filter_nearest) else False
+        val = bilinear_sample(img, uv_t, nearest=nearest)
+        sel = (kind == KIND_BITMAP) & (slot == i)
+        out = jnp.where(sel[..., None], val, out)
+    return out
+
+
+def eval_texture_1(tex: TextureSet, tex_id, uv):
+    """Scalar evaluation (texture.h:eval_1): mean of channels."""
+    return jnp.mean(eval_texture(tex, tex_id, uv), axis=-1)
+
+
+def texture_mean(tex: TextureSet, tex_id):
+    return tex.color0[jnp.clip(tex_id, 0, tex.kind.shape[0] - 1)]

@@ -1,0 +1,7 @@
+"""Import first in ad-hoc scripts to force the CPU backend."""
+import os
+
+os.environ.setdefault('XLA_FLAGS', '--xla_force_host_platform_device_count=8')
+import jax
+
+jax.config.update('jax_platforms', 'cpu')

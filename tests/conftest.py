@@ -1,0 +1,25 @@
+"""Test configuration: force an 8-virtual-device CPU mesh (SURVEY.md §7:
+multi-chip sharding validated on a virtual CPU mesh; the real TPU chip is
+reserved for bench.py).
+
+NOTE: the axon TPU plugin overrides JAX_PLATFORMS at import time via
+sitecustomize; the config update below must run after `import jax` and before
+any backend use.
+"""
+import os
+
+os.environ.setdefault('XLA_FLAGS', '--xla_force_host_platform_device_count=8')
+if 'xla_force_host_platform_device_count' not in os.environ.get('XLA_FLAGS', ''):
+    os.environ['XLA_FLAGS'] += ' --xla_force_host_platform_device_count=8'
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def np_rng():
+    return np.random.default_rng(seed=12345)

@@ -1,0 +1,147 @@
+"""Core math/rng/frame/transform/distr tests (reference src/core/tests)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mitsuba_tpu.core import rng, math as m, frame as fr
+from mitsuba_tpu.core.transform import Transform4, ScalarTransform4f as T
+from mitsuba_tpu.core.distr import DiscreteDistribution, ContinuousDistribution
+from mitsuba_tpu.render import sampler as sa
+
+
+# --- rng -------------------------------------------------------------------
+
+def test_tea_deterministic():
+    a1, b1 = rng.sample_tea_32(jnp.uint32(1), jnp.uint32(2))
+    a2, b2 = rng.sample_tea_32(jnp.uint32(1), jnp.uint32(2))
+    assert int(a1) == int(a2) and int(b1) == int(b2)
+    a3, _ = rng.sample_tea_32(jnp.uint32(1), jnp.uint32(3))
+    assert int(a1) != int(a3)
+
+
+def test_sampler_uniformity():
+    s = sa.seed(42, 100_000)
+    u, s = sa.next_1d(s)
+    u = np.asarray(u)
+    assert abs(u.mean() - 0.5) < 0.005
+    assert abs(u.var() - 1.0 / 12.0) < 0.002
+    assert u.min() >= 0.0 and u.max() < 1.0
+
+
+def test_sampler_decorrelated_dims():
+    s = sa.seed(42, 100_000)
+    u1, s = sa.next_1d(s)
+    u2, s = sa.next_1d(s)
+    c = np.corrcoef(np.asarray(u1), np.asarray(u2))[0, 1]
+    assert abs(c) < 0.01
+
+
+def test_sampler_clone_replays():
+    s = sa.seed(7, 64)
+    u1, s1 = sa.next_1d(s)
+    sc = sa.clone(s1)
+    v1, _ = sa.next_1d(sc)
+    u1b, s1b = sa.next_1d(sa.clone(s))
+    assert np.allclose(np.asarray(u1), np.asarray(u1b))
+
+
+def test_sampler_fork_independent():
+    s = sa.seed(7, 100_000)
+    f = sa.fork(s)
+    u, _ = sa.next_1d(s)
+    v, _ = sa.next_1d(f)
+    assert abs(np.corrcoef(np.asarray(u), np.asarray(v))[0, 1]) < 0.01
+
+
+# --- frame -----------------------------------------------------------------
+
+def test_coordinate_system_orthonormal():
+    rngs = np.random.default_rng(0)
+    n = rngs.standard_normal((1000, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    n = jnp.asarray(n)
+    s, t = fr.coordinate_system(n)
+    for a, b in [(s, t), (s, n), (t, n)]:
+        assert np.abs(np.asarray(m.dot(a, b))).max() < 1e-5
+    assert np.abs(np.asarray(m.norm(s)) - 1).max() < 1e-5
+    # right-handed: s x t == n
+    assert np.abs(np.asarray(jnp.cross(s, t) - n)).max() < 1e-5
+
+
+def test_frame_roundtrip():
+    rngs = np.random.default_rng(1)
+    n = rngs.standard_normal((100, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    f = fr.Frame(jnp.asarray(n))
+    v = jnp.asarray(rngs.standard_normal((100, 3)).astype(np.float32))
+    v2 = f.to_world(f.to_local(v))
+    assert np.abs(np.asarray(v2 - v)).max() < 1e-5
+
+
+# --- transforms ------------------------------------------------------------
+
+def test_look_at():
+    tw = T.look_at(origin=[1, 2, 3], target=[1, 2, 0], up=[0, 1, 0])
+    # camera looks down local +Z toward the target
+    d = tw.transform_vector([0, 0, 1])
+    assert np.allclose(d, [0, 0, -1], atol=1e-6)
+    assert np.allclose(tw.transform_point([0, 0, 0]), [1, 2, 3])
+
+
+def test_transform_chain_and_inverse():
+    tw = T.translate([1, 0, 0]).rotate([0, 0, 1], 90).scale(2.0)
+    p = tw.transform_point([1, 0, 0])
+    assert np.allclose(p, [1, 2, 0], atol=1e-6)
+    back = tw.inverse().transform_point(p)
+    assert np.allclose(back, [1, 0, 0], atol=1e-6)
+
+
+def test_transform_normal():
+    tw = T.scale([2.0, 1.0, 1.0])
+    n = tw.transform_normal([1, 0, 0])
+    n = n / np.linalg.norm(n)
+    assert np.allclose(n, [1, 0, 0])
+
+
+# --- distributions ---------------------------------------------------------
+
+def test_discrete_distribution():
+    d = DiscreteDistribution([1.0, 3.0, 0.0, 4.0])
+    u = jnp.asarray(np.random.default_rng(0).random(200_000, np.float32))
+    idx = np.asarray(d.sample(u))
+    freq = np.bincount(idx, minlength=4) / len(idx)
+    assert np.allclose(freq, [1 / 8, 3 / 8, 0, 4 / 8], atol=0.01)
+    assert np.allclose(np.asarray(d.pmf), [1 / 8, 3 / 8, 0, 1 / 2], atol=1e-6)
+
+
+def test_continuous_distribution():
+    # linear pdf on [0,1]: f(x) = 2x
+    d = ContinuousDistribution([0.0, 1.0], jnp.linspace(0, 2, 64))
+    u = jnp.asarray(np.random.default_rng(0).random(200_000, np.float32))
+    x = np.asarray(d.sample(u))
+    # E[x] under 2x pdf = 2/3
+    assert abs(x.mean() - 2 / 3) < 0.01
+    assert abs(float(d.eval_pdf(jnp.asarray(0.5))) - 1.0) < 0.05
+
+
+# --- math ------------------------------------------------------------------
+
+def test_solve_quadratic():
+    found, x0, x1 = m.solve_quadratic(
+        jnp.asarray([1.0, 1.0, 0.0, 1.0]),
+        jnp.asarray([-3.0, 0.0, 2.0, 0.0]),
+        jnp.asarray([2.0, 1.0, -4.0, 1.0]))
+    found = np.asarray(found)
+    assert list(found) == [True, False, True, False]
+    assert np.allclose(np.asarray(x0)[[0, 2]], [1.0, 2.0], atol=1e-6)
+    assert np.allclose(np.asarray(x1)[[0, 2]], [2.0, 2.0], atol=1e-6)
+
+
+def test_replace_grad():
+    f = lambda x: m.replace_grad(jnp.asarray(10.0), x * x)
+    assert float(f(3.0)) == 10.0
+    assert abs(float(jax.grad(f)(3.0)) - 6.0) < 1e-6
+
+
+def test_morton():
+    assert int(m.morton_encode2(jnp.uint32(0b11), jnp.uint32(0b10))) == 0b1101

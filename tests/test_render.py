@@ -1,0 +1,110 @@
+"""End-to-end render tests: Cornell box structure + furnace invariants
+(reference src/render/tests/test_renders.py methodology, self-oracles since
+the reference binary cannot be built in this environment)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import mitsuba_tpu as mt
+from mitsuba_tpu.core.transform import ScalarTransform4f as T
+
+
+@pytest.fixture(scope='module')
+def cornell_img():
+    scene = mt.load_dict(mt.cornell_box(spp=32, res=64))
+    return np.asarray(mt.render(scene, spp=32))
+
+
+def test_cornell_structure(cornell_img):
+    img = cornell_img
+    assert img.shape == (64, 64, 3)
+    assert np.isfinite(img).all()
+    assert img.min() >= 0
+    # light patch (top center) is the brightest region
+    light = img[8:10, 28:36].mean()
+    assert light > 5.0
+    # left wall red-dominant, right wall green-dominant
+    left = img[28:36, 1:5].mean(axis=(0, 1))
+    right = img[28:36, 59:63].mean(axis=(0, 1))
+    assert left[0] > 1.5 * left[1], left
+    assert right[1] > 1.5 * right[0], right
+    # overall energy in a sane band (reference ~0.15 at this view)
+    assert 0.05 < img.mean() < 0.5
+
+
+def test_cornell_deterministic():
+    scene = mt.load_dict(mt.cornell_box(spp=4, res=32))
+    a = np.asarray(mt.render(scene, spp=4, seed=5))
+    b = np.asarray(mt.render(scene, spp=4, seed=5))
+    assert np.array_equal(a, b)
+    c = np.asarray(mt.render(scene, spp=4, seed=6))
+    assert not np.array_equal(a, c)
+
+
+def _furnace_scene(albedo, shape, max_depth=50):
+    return {
+        'type': 'scene',
+        'integrator': {'type': 'path', 'max_depth': max_depth},
+        'sensor': {'type': 'perspective', 'fov': 45.0,
+                   'to_world': T.look_at(origin=[0, 0, 4], target=[0, 0, 0], up=[0, 1, 0]),
+                   'sampler': {'type': 'independent', 'sample_count': 32},
+                   'film': {'type': 'hdrfilm', 'width': 48, 'height': 48,
+                            'rfilter': {'type': 'box'}}},
+        'obj': dict(shape, bsdf={'type': 'diffuse',
+                                 'reflectance': {'type': 'rgb', 'value': [albedo] * 3}}),
+        'env': {'type': 'constant', 'radiance': {'type': 'rgb', 'value': [1.0] * 3}},
+    }
+
+
+@pytest.mark.parametrize('shape', [
+    {'type': 'sphere', 'radius': 1.0},
+    {'type': 'cube', 'to_world': T.rotate([1, 1, 0], 30).scale(0.8)},
+    {'type': 'cylinder', 'p0': [0, -1, 0], 'p1': [0, 1, 0], 'radius': 0.8},
+])
+def test_white_furnace(shape):
+    """albedo-1 object in unit constant env must render to 1 everywhere."""
+    scene = mt.load_dict(_furnace_scene(1.0, shape))
+    img = np.asarray(mt.render(scene, spp=32))
+    assert abs(img.mean() - 1.0) < 0.02, img.mean()
+    assert abs(img[20:28, 20:28].mean() - 1.0) < 0.03
+
+
+def test_gray_furnace_convex_exact():
+    """A CONVEX diffuse object (no self-interreflection) with albedo rho in a
+    unit constant env reflects exactly rho: L = (rho/pi) * integral(L_env cos)
+    = rho. A tight analytic oracle for env sampling + BSDF normalization."""
+    scene = mt.load_dict(_furnace_scene(0.5, {'type': 'sphere', 'radius': 1.0}))
+    img = np.asarray(mt.render(scene, spp=32))
+    center = img[20:28, 20:28].mean()
+    assert abs(center - 0.5) < 0.01, center
+
+
+def test_point_light_inverse_square():
+    """Direct lighting from a point source follows I cos(theta) / r^2."""
+    scene = mt.load_dict({
+        'type': 'scene',
+        'integrator': {'type': 'path', 'max_depth': 2},
+        'sensor': {'type': 'perspective', 'fov': 40.0,
+                   'to_world': T.look_at(origin=[0, 1.0, 2.0], target=[0, 0, 0], up=[0, 1, 0]),
+                   'sampler': {'type': 'independent', 'sample_count': 64},
+                   'film': {'type': 'hdrfilm', 'width': 32, 'height': 32,
+                            'rfilter': {'type': 'box'}}},
+        'floor': {'type': 'rectangle',
+                  'to_world': T.rotate([1, 0, 0], -90).scale(5.0),
+                  'bsdf': {'type': 'diffuse', 'reflectance': {'type': 'rgb', 'value': [1.0] * 3}}},
+        'light': {'type': 'point', 'position': [0, 2.0, 0],
+                  'intensity': {'type': 'rgb', 'value': [4.0] * 3}},
+    })
+    img = np.asarray(mt.render(scene, spp=64))
+    # point under the light: r=2, cos=1 -> L = rho/pi * I/r^2 = (1/pi)*4/4 = 1/pi
+    center = img[img.shape[0] // 2 + 4:, 12:20][:4].mean()
+    assert abs(center - 1.0 / np.pi) < 0.05, center
+
+
+def test_depth_integrator():
+    d = mt.cornell_box(spp=4, res=32)
+    d['integrator'] = {'type': 'depth'}
+    scene = mt.load_dict(d)
+    img = np.asarray(mt.render(scene, spp=4))
+    # camera at z=3.9, back wall at z=-1 -> depth ~4.9-5.0 slightly off-axis
+    assert abs(img[8, 16, 0] - 4.95) < 0.2

@@ -1,0 +1,83 @@
+"""Warp correctness (reference src/core/tests/test_warp.py semantics):
+each square_to_X's pdf must integrate to 1 over its domain, and
+sample/pdf must be consistent (pdf > 0 at sampled points)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mitsuba_tpu.core import warp, math as m
+
+
+def _uniform_sphere(n, seed=0):
+    rng = np.random.default_rng(seed)
+    u = rng.random((n, 2)).astype(np.float32)
+    return warp.square_to_uniform_sphere(jnp.asarray(u))
+
+
+def _uniform_square(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.random((n, 2)).astype(np.float32))
+
+
+N = 200_000
+
+
+@pytest.mark.parametrize('pdf_fn,domain', [
+    (warp.square_to_uniform_sphere_pdf, 'sphere'),
+    (warp.square_to_uniform_hemisphere_pdf, 'sphere'),
+    (warp.square_to_cosine_hemisphere_pdf, 'sphere'),
+    (lambda v: warp.square_to_uniform_cone_pdf(v, 0.5), 'sphere'),
+    (lambda v: warp.square_to_beckmann_pdf(v, 0.3), 'sphere'),
+    (lambda v: warp.square_to_von_mises_fisher_pdf(v, 10.0), 'sphere'),
+])
+def test_pdf_integrates_to_one_sphere(pdf_fn, domain):
+    d = _uniform_sphere(N)
+    vals = np.asarray(pdf_fn(d))
+    integral = vals.mean() * 4.0 * np.pi
+    assert abs(integral - 1.0) < 0.03, integral
+
+
+@pytest.mark.parametrize('pair', [
+    (warp.square_to_uniform_disk, warp.square_to_uniform_disk_pdf),
+    (warp.square_to_uniform_disk_concentric, warp.square_to_uniform_disk_pdf),
+    (warp.square_to_tent, warp.square_to_tent_pdf),
+])
+def test_pdf_integrates_to_one_2d(pair):
+    fn, pdf_fn = pair
+    rng = np.random.default_rng(1)
+    # integrate over [-1.5, 1.5]^2
+    pts = jnp.asarray((rng.random((N, 2)) * 3 - 1.5).astype(np.float32))
+    integral = np.asarray(pdf_fn(pts)).mean() * 9.0
+    assert abs(integral - 1.0) < 0.03, integral
+
+
+@pytest.mark.parametrize('fn,pdf_fn', [
+    (warp.square_to_uniform_sphere, warp.square_to_uniform_sphere_pdf),
+    (warp.square_to_uniform_hemisphere, warp.square_to_uniform_hemisphere_pdf),
+    (warp.square_to_cosine_hemisphere, warp.square_to_cosine_hemisphere_pdf),
+])
+def test_sample_pdf_consistency(fn, pdf_fn):
+    u = _uniform_square(N)
+    d = fn(u)
+    # samples lie on the unit sphere
+    assert np.allclose(np.asarray(m.norm(d)), 1.0, atol=1e-4)
+    assert np.all(np.asarray(pdf_fn(d)) > 0)
+
+
+def test_cosine_hemisphere_moment():
+    """E[cos theta] = 2/3 under the cosine-weighted hemisphere."""
+    u = _uniform_square(N)
+    d = warp.square_to_cosine_hemisphere(u)
+    assert abs(float(d[..., 2].mean()) - 2.0 / 3.0) < 0.01
+
+
+def test_vmf_concentration():
+    u = _uniform_square(N)
+    d = warp.square_to_von_mises_fisher(u, 50.0)
+    # mean resultant length for vMF: coth(k) - 1/k ~ 0.98 at k=50
+    assert float(d[..., 2].mean()) > 0.95
+
+
+def test_interval_to_tent():
+    x = warp.interval_to_tent(jnp.asarray([0.0, 0.5, 1.0]))
+    assert np.allclose(np.asarray(x), [-1.0, 0.0, 1.0], atol=1e-6)

@@ -1,0 +1,84 @@
+"""Benchmark: forward + backward Mrays/s/chip on the heightfield scene
+(BASELINE.json metric). Runs on the default backend (real TPU under the
+driver). Prints ONE JSON line.
+
+Ray accounting: each path-tracer scan iteration traces one closest-hit ray
+and one shadow ray for every wavefront lane (SIMD work actually performed),
+so rays_fwd = W*H*spp * max_depth * 2. The timed region covers the forward
+render AND the backward pass w.r.t. the elevation grid (value_and_grad), i.e.
+the full inverse-rendering iteration.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    import mitsuba_tpu as mt
+
+    res_hf = 512
+    res_img = 256
+    spp = 256
+    max_depth = 4
+    spp_pass = 8
+
+    scene = mt.load_dict(mt.heightfield_scene(
+        res_hf=res_hf, res_img=res_img, spp=spp, max_depth=max_depth))
+    params = mt.traverse(scene)
+    key = [k for k in params.keys() if 'heights' in k][0]
+    h0 = params[key]
+
+    from mitsuba_tpu.render.integrator import render_pass
+    from mitsuba_tpu.render import film as film_mod
+
+    def pass_loss(h, offset):
+        s2 = params.scene_with({key: h})
+        block = s2.film.new_block()
+        block = render_pass(s2, block, jnp.asarray(0, jnp.uint32), spp_pass,
+                            spp, sample_offset=offset)
+        img = film_mod.develop(block, s2.film)
+        return img.mean(), img
+
+    grad_fn = jax.jit(jax.value_and_grad(pass_loss, has_aux=True))
+
+    # warm-up / compile
+    (l0, img0), g0 = grad_fn(h0, jnp.asarray(0, jnp.int32))
+    jax.block_until_ready(g0)
+    grad_ok = bool(np.isfinite(np.asarray(g0)).all()) and \
+        float(jnp.abs(g0).max()) > 0 and bool(np.isfinite(np.asarray(img0)).all())
+
+    n_passes = spp // spp_pass
+    t0 = time.time()
+    acc = jnp.zeros_like(h0)
+    for p in range(n_passes):
+        (_, _), g = grad_fn(h0, jnp.asarray(p * spp_pass, jnp.int32))
+        acc = acc + g
+    jax.block_until_ready(acc)
+    dt = time.time() - t0
+
+    lanes = res_img * res_img * spp
+    rays_fwd = lanes * max_depth * 2
+    mrays = rays_fwd / dt / 1e6
+
+    result = {
+        "metric": "fwd_bwd_mrays_per_s_per_chip_heightfield_256spp",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": 1.0,
+        "detail": {
+            "grad_finite_nonzero": grad_ok,
+            "seconds": round(dt, 3),
+            "backend": jax.default_backend(),
+            "res_hf": res_hf, "res_img": res_img, "spp": spp,
+            "max_depth": max_depth,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

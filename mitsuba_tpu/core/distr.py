@@ -40,7 +40,7 @@ class DiscreteDistribution:
         idx = self.sample(u)
         cdf_lo = jnp.where(idx > 0, self.cdf[jnp.maximum(idx - 1, 0)], 0.0)
         pmf = self.pmf[idx]
-        u_re = (u - cdf_lo) / jnp.maximum(pmf, 1e-20)
+        u_re = (u - cdf_lo) / jnp.maximum(pmf, 1e-12)
         return idx, jnp.clip(u_re, 0.0, 1.0 - 1e-7), pmf
 
 
@@ -74,8 +74,8 @@ class ContinuousDistribution:
         b_ = p0 * w
         t = jnp.where(
             jnp.abs(p1 - p0) < 1e-9 * jnp.maximum(p0, 1e-9),
-            u_cell / jnp.maximum(b_, 1e-20),
-            (-b_ + m.safe_sqrt(b_ * b_ + 4.0 * a_ * u_cell)) / jnp.maximum(2.0 * a_, jnp.where(a_ >= 0, 1e-20, -1e20)))
+            u_cell / jnp.maximum(b_, 1e-12),
+            (-b_ + m.safe_sqrt(b_ * b_ + 4.0 * a_ * u_cell)) / jnp.maximum(2.0 * a_, jnp.where(a_ >= 0, 1e-12, -1e20)))
         t = jnp.clip(t, 0.0, 1.0)
         return self.range[0] + (idx + t) * self.interval_size
 
@@ -114,7 +114,7 @@ class Hierarchical2D:
         self.levels = [jnp.asarray(l) for l in levels[::-1]]  # coarse->fine
         self.shape = (h, w)
         self.total = float(levels[-1][0, 0])
-        self.pdf_grid = jnp.asarray(data / max(self.total, 1e-20))  # integrates to 1 over texels
+        self.pdf_grid = jnp.asarray(data / max(self.total, 1e-12))  # integrates to 1 over texels
 
     def sample(self, u):
         """u: (...,2) uniform -> ((...,2) position in [0,1)^2, pdf w.r.t.
@@ -137,17 +137,17 @@ class Hierarchical2D:
             v11 = tex(row + 1, col + 1)
             top = v00 + v01
             bot = v10 + v11
-            total = jnp.maximum(top + bot, 1e-20)
+            total = jnp.maximum(top + bot, 1e-12)
             p_bot = bot / total
             go_down = uy < p_bot
-            uy = jnp.where(go_down, uy / jnp.maximum(p_bot, 1e-20),
-                           (uy - p_bot) / jnp.maximum(1 - p_bot, 1e-20))
+            uy = jnp.where(go_down, uy / jnp.maximum(p_bot, 1e-12),
+                           (uy - p_bot) / jnp.maximum(1 - p_bot, 1e-12))
             left = jnp.where(go_down, v10, v00)
             right = jnp.where(go_down, v11, v01)
-            p_left = left / jnp.maximum(left + right, 1e-20)
+            p_left = left / jnp.maximum(left + right, 1e-12)
             go_left = ux < p_left
-            ux = jnp.where(go_left, ux / jnp.maximum(p_left, 1e-20),
-                           (ux - p_left) / jnp.maximum(1 - p_left, 1e-20))
+            ux = jnp.where(go_left, ux / jnp.maximum(p_left, 1e-12),
+                           (ux - p_left) / jnp.maximum(1 - p_left, 1e-12))
             row = jnp.where(go_down, row + 1, row)
             col = jnp.where(go_left, col, col + 1)
         h, w = self.shape

@@ -74,27 +74,27 @@ def sin_theta(v):
 
 
 def tan_theta(v):
-    return sin_theta(v) / jnp.where(v[..., 2] == 0, 1e-20, v[..., 2])
+    return sin_theta(v) / jnp.where(v[..., 2] == 0, 1e-12, v[..., 2])
 
 
 def tan_theta_2(v):
     c2 = cos_theta_2(v)
-    return jnp.maximum(1.0 - c2, 0.0) / jnp.maximum(c2, 1e-20)
+    return jnp.maximum(1.0 - c2, 0.0) / jnp.maximum(c2, 1e-12)
 
 
 def sin_phi(v):
     st = sin_theta(v)
-    return jnp.where(st == 0.0, 0.0, jnp.clip(v[..., 1] / jnp.maximum(st, 1e-20), -1.0, 1.0))
+    return jnp.where(st == 0.0, 0.0, jnp.clip(v[..., 1] / jnp.maximum(st, 1e-12), -1.0, 1.0))
 
 
 def cos_phi(v):
     st = sin_theta(v)
-    return jnp.where(st == 0.0, 1.0, jnp.clip(v[..., 0] / jnp.maximum(st, 1e-20), -1.0, 1.0))
+    return jnp.where(st == 0.0, 1.0, jnp.clip(v[..., 0] / jnp.maximum(st, 1e-12), -1.0, 1.0))
 
 
 def sincos_phi_2(v):
     s2 = sin_theta_2(v)
-    inv = 1.0 / jnp.maximum(s2, 1e-20)
+    inv = 1.0 / jnp.maximum(s2, 1e-12)
     sin_phi2 = jnp.where(s2 == 0.0, 0.0, jnp.clip(v[..., 1] ** 2 * inv, 0.0, 1.0))
     cos_phi2 = jnp.where(s2 == 0.0, 1.0, jnp.clip(v[..., 0] ** 2 * inv, 0.0, 1.0))
     return sin_phi2, cos_phi2

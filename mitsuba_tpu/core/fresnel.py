@@ -19,8 +19,8 @@ def fresnel(cos_theta_i, eta):
     cos_theta_t_sqr = 1.0 - eta_ti * eta_ti * (1.0 - cos_theta_i * cos_theta_i)
     abs_cos_i = jnp.abs(cos_theta_i)
     cos_theta_t = m.safe_sqrt(cos_theta_t_sqr)
-    a_s = (abs_cos_i - eta_it * cos_theta_t) / jnp.maximum(abs_cos_i + eta_it * cos_theta_t, 1e-20)
-    a_p = (eta_it * abs_cos_i - cos_theta_t) / jnp.maximum(eta_it * abs_cos_i + cos_theta_t, 1e-20)
+    a_s = (abs_cos_i - eta_it * cos_theta_t) / jnp.maximum(abs_cos_i + eta_it * cos_theta_t, 1e-12)
+    a_p = (eta_it * abs_cos_i - cos_theta_t) / jnp.maximum(eta_it * abs_cos_i + cos_theta_t, 1e-12)
     F = 0.5 * (a_s * a_s + a_p * a_p)
     tir = cos_theta_t_sqr <= 0.0
     F = jnp.where(tir, 1.0, F)
@@ -41,10 +41,10 @@ def fresnel_conductor(cos_theta_i, eta, k):
     t1 = a2pb2 + ct2
     a = m.safe_sqrt(0.5 * (a2pb2 + t0))
     t2 = 2.0 * a * cos_theta_i
-    rs = (t1 - t2) / jnp.maximum(t1 + t2, 1e-20)
+    rs = (t1 - t2) / jnp.maximum(t1 + t2, 1e-12)
     t3 = ct2 * a2pb2 + st2 * st2
     t4 = t2 * st2
-    rp = rs * (t3 - t4) / jnp.maximum(t3 + t4, 1e-20)
+    rp = rs * (t3 - t4) / jnp.maximum(t3 + t4, 1e-12)
     return 0.5 * (rs + rp)
 
 

@@ -28,7 +28,7 @@ def rcp(x):
     return 1.0 / x
 
 
-def safe_rcp(x, eps=1e-20):
+def safe_rcp(x, eps=1e-12):
     """Reciprocal that never divides by exactly zero (returns huge value)."""
     return 1.0 / jnp.where(x == 0.0, eps, x)
 
@@ -46,7 +46,7 @@ def safe_asin(x):
     return jnp.arcsin(jnp.clip(x, -1.0, 1.0))
 
 
-def safe_div(a, b, eps=1e-20):
+def safe_div(a, b, eps=1e-12):
     return a / jnp.where(jnp.abs(b) < eps, jnp.where(b < 0, -eps, eps), b)
 
 

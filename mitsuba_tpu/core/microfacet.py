@@ -24,20 +24,20 @@ def eval_ndf(mtype, m_vec, alpha_u, alpha_v):
     av2 = alpha_v * alpha_v
     if mtype == GGX:
         tmp = x2 / au2 + y2 / av2 + ct2
-        D = 1.0 / (m.Pi * alpha_u * alpha_v * jnp.maximum(tmp * tmp, 1e-20))
+        D = 1.0 / (m.Pi * alpha_u * alpha_v * jnp.maximum(tmp * tmp, 1e-12))
     else:
-        D = jnp.exp(-(x2 / au2 + y2 / av2) / jnp.maximum(ct2, 1e-20)) / \
-            (m.Pi * alpha_u * alpha_v * jnp.maximum(ct2 * ct2, 1e-20))
+        D = jnp.exp(-(x2 / au2 + y2 / av2) / jnp.maximum(ct2, 1e-12)) / \
+            (m.Pi * alpha_u * alpha_v * jnp.maximum(ct2 * ct2, 1e-12))
     return jnp.where(ct > 0, D, 0.0)
 
 
 def smith_g1(mtype, v, m_vec, alpha_u, alpha_v):
     xy_alpha_2 = (alpha_u * v[..., 0]) ** 2 + (alpha_v * v[..., 1]) ** 2
-    tan_theta_alpha_2 = xy_alpha_2 / jnp.maximum(v[..., 2] ** 2, 1e-20)
+    tan_theta_alpha_2 = xy_alpha_2 / jnp.maximum(v[..., 2] ** 2, 1e-12)
     if mtype == GGX:
         g = 2.0 / (1.0 + jnp.sqrt(1.0 + tan_theta_alpha_2))
     else:
-        a = 1.0 / jnp.maximum(jnp.sqrt(tan_theta_alpha_2), 1e-20)
+        a = 1.0 / jnp.maximum(jnp.sqrt(tan_theta_alpha_2), 1e-12)
         a2 = a * a
         g = jnp.where(a >= 1.6, 1.0,
                       (3.535 * a + 2.181 * a2) / (1.0 + 2.276 * a + 2.577 * a2))
@@ -87,10 +87,10 @@ def _sample_visible_11(cos_theta_i, sample2):
     ct = jnp.maximum(cos_theta_i, 1e-6)
     st = m.safe_sqrt(1.0 - ct * ct)
     tan_theta = st / ct
-    a = 1.0 / jnp.maximum(tan_theta, 1e-20)
-    G1 = 2.0 / (1.0 + jnp.sqrt(1.0 + 1.0 / jnp.maximum(a * a, 1e-20)))
+    a = 1.0 / jnp.maximum(tan_theta, 1e-12)
+    G1 = 2.0 / (1.0 + jnp.sqrt(1.0 + 1.0 / jnp.maximum(a * a, 1e-12)))
     # sample slope_x
-    A = 2.0 * u1 / jnp.maximum(G1, 1e-20) - 1.0
+    A = 2.0 * u1 / jnp.maximum(G1, 1e-12) - 1.0
     A = jnp.clip(A, -1.0 + 1e-6, 1.0 - 1e-6)
     tmp = 1.0 / jnp.maximum(A * A - 1.0, -1e20)
     tmp = jnp.where(jnp.abs(A * A - 1.0) < 1e-9, 1e10 * m.sign(A * A - 1.0), tmp)
@@ -98,7 +98,7 @@ def _sample_visible_11(cos_theta_i, sample2):
     D = m.safe_sqrt(B * B * tmp * tmp - (A * A - B * B) * tmp)
     slope_x_1 = B * tmp - D
     slope_x_2 = B * tmp + D
-    slope_x = jnp.where((A < 0) | (slope_x_2 > 1.0 / jnp.maximum(tan_theta, 1e-20)),
+    slope_x = jnp.where((A < 0) | (slope_x_2 > 1.0 / jnp.maximum(tan_theta, 1e-12)),
                         slope_x_1, slope_x_2)
     # sample slope_y
     S = jnp.where(u2 > 0.5, 1.0, -1.0)
@@ -117,4 +117,4 @@ def pdf_visible(mtype, wi, m_vec, alpha_u, alpha_v):
     ct = jnp.abs(fr.cos_theta(wi))
     D = eval_ndf(mtype, m_vec, alpha_u, alpha_v)
     g1 = smith_g1(mtype, wi, m_vec, alpha_u, alpha_v)
-    return g1 * jnp.abs(m.dot(wi, m_vec)) * D / jnp.maximum(ct, 1e-20)
+    return g1 * jnp.abs(m.dot(wi, m_vec)) * D / jnp.maximum(ct, 1e-12)

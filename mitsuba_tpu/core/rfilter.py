@@ -94,7 +94,7 @@ class LanczosFilter(ReconstructionFilter):
     def eval(self, x):
         def sinc(t):
             t = jnp.abs(t) * m.Pi
-            return jnp.where(t < 1e-4, 1.0, jnp.sin(t) / jnp.maximum(t, 1e-20))
+            return jnp.where(t < 1e-4, 1.0, jnp.sin(t) / jnp.maximum(t, 1e-12))
         v = sinc(x) * sinc(x / self.lobes)
         return jnp.where(jnp.abs(x) <= self.radius, v, 0.0)
 

@@ -67,7 +67,7 @@ def square_to_tent_pdf(p):
 
 
 def square_to_std_normal(s):
-    r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(1.0 - s[..., 0], 1e-20)))
+    r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(1.0 - s[..., 0], 1e-12)))
     phi = m.TwoPi * s[..., 1]
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi)], axis=-1)
 
@@ -104,7 +104,7 @@ def square_to_bilinear_pdf(v00, v10, v01, v11, p):
     mean = 0.25 * (v00 + v10 + v01 + v11)
     val = m.lerp(m.lerp(v00, v10, x), m.lerp(v01, v11, x), y)
     inside = (x >= 0) & (x <= 1) & (y >= 0) & (y <= 1)
-    return jnp.where(inside, val / jnp.maximum(mean, 1e-20), 0.0)
+    return jnp.where(inside, val / jnp.maximum(mean, 1e-12), 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -156,13 +156,13 @@ def square_to_uniform_cone(s, cos_cutoff):
 
 def square_to_uniform_cone_pdf(v, cos_cutoff):
     inside = v[..., 2] >= cos_cutoff
-    return jnp.where(inside, m.InvTwoPi / jnp.maximum(1.0 - cos_cutoff, 1e-20), 0.0)
+    return jnp.where(inside, m.InvTwoPi / jnp.maximum(1.0 - cos_cutoff, 1e-12), 0.0)
 
 
 def square_to_beckmann(s, alpha):
     """Beckmann NDF-distributed normal (warp.h:square_to_beckmann)."""
     phi = m.TwoPi * s[..., 0]
-    tan_theta_2 = -(alpha * alpha) * jnp.log(jnp.maximum(1.0 - s[..., 1], 1e-20))
+    tan_theta_2 = -(alpha * alpha) * jnp.log(jnp.maximum(1.0 - s[..., 1], 1e-12))
     cos_theta = 1.0 / jnp.sqrt(1.0 + tan_theta_2)
     sin_theta = m.safe_sqrt(1.0 - cos_theta * cos_theta)
     return jnp.stack([jnp.cos(phi) * sin_theta, jnp.sin(phi) * sin_theta,
@@ -173,8 +173,8 @@ def square_to_beckmann_pdf(v, alpha):
     ct = v[..., 2]
     a2 = alpha * alpha
     ct2 = ct * ct
-    tt2 = (1.0 - ct2) / jnp.maximum(ct2, 1e-20)
-    pdf = jnp.exp(-tt2 / a2) / (m.Pi * a2 * jnp.maximum(ct2 * ct, 1e-20))
+    tt2 = (1.0 - ct2) / jnp.maximum(ct2, 1e-12)
+    pdf = jnp.exp(-tt2 / a2) / (m.Pi * a2 * jnp.maximum(ct2 * ct, 1e-12))
     return jnp.where(ct >= 1e-9, pdf, 0.0)
 
 

@@ -1,0 +1,103 @@
+"""Scale-out layer (SURVEY.md §2.10 item 6 — designed fresh, no reference
+counterpart): sample-axis data parallelism over a jax.sharding.Mesh.
+
+Monte-Carlo samples are embarrassingly parallel, so the natural decomposition
+is:
+  * scene/parameters REPLICATED on every chip,
+  * the wavefront (pixels × spp) SHARDED over the 'dp' mesh axis — each chip
+    renders its own spp slice with decorrelated sample indices,
+  * per-chip partial film blocks reduced with `psum` over ICI,
+  * parameter gradients (heightfield grid, textures, BSDF constants) reduced
+    with `psum` by the same collective — XLA fuses/overlaps it with the
+    backward sweep.
+
+Multi-host: `jax.distributed.initialize()` + the same code path — the mesh
+spans all processes' devices and the psums ride ICI within hosts / DCN across.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..render import film as film_mod
+from ..render.integrator import render_pass, integrator_config
+
+
+def make_mesh(n_devices=None, devices=None):
+    devices = devices if devices is not None else jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), ('dp',))
+
+
+def render_sharded(scene, spp: int, seed: int = 0, mesh: Mesh = None,
+                   spp_per_pass: int = None):
+    """Distributed mi.render: spp sharded over the mesh, film psum-reduced."""
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    assert spp % n_dev == 0, f'spp {spp} must divide over {n_dev} devices'
+    spp_local = spp // n_dev
+    if spp_per_pass is None:
+        spp_per_pass = spp_local
+    assert spp_local % spp_per_pass == 0
+    n_passes = spp_local // spp_per_pass
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(P(),), out_specs=P(),
+                       check_vma=False)
+    def work(scene):
+        di = jax.lax.axis_index('dp')
+        block = scene.film.new_block()
+        for p in range(n_passes):
+            offset = di * spp_local + p * spp_per_pass
+            block = render_pass(scene, block, jnp.asarray(seed, jnp.uint32),
+                                spp_per_pass, spp, sample_offset=offset)
+        return jax.lax.psum(block, 'dp')
+
+    block = jax.jit(work)(scene)
+    return film_mod.develop(block, scene.film)
+
+
+def make_train_step(params_template, key: str, loss_of_image, spp: int,
+                    mesh: Mesh = None, seed: int = 0):
+    """Builds a jitted distributed training step:
+        step(param_leaf) -> (loss, grad)
+    Forward renders the sharded wavefront; backward psums the parameter
+    gradient over the mesh (overlapped with the backward sweep by XLA).
+    `params_template` is a SceneParameters view; `key` the optimized leaf.
+    """
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    assert spp % n_dev == 0
+    spp_local = spp // n_dev
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(P(),), out_specs=(P(), P()),
+                       check_vma=False)
+    def work(leaf):
+        di = jax.lax.axis_index('dp')
+
+        def local_loss(leaf):
+            scene = params_template.scene_with({key: leaf})
+            block = scene.film.new_block()
+            block = render_pass(scene, block, jnp.asarray(seed, jnp.uint32),
+                                spp_local, spp, sample_offset=di * spp_local)
+            block = jax.lax.psum(block, 'dp')
+            img = film_mod.develop(block, scene.film)
+            return loss_of_image(img)
+
+        loss, grad = jax.value_and_grad(local_loss)(leaf)
+        # each device differentiates only its local sample contributions
+        # (the film psum's transpose replicates the image cotangent); the
+        # total parameter gradient is the psum over chips — this is the
+        # collective XLA overlaps with the backward sweep
+        grad = jax.lax.psum(grad, 'dp')
+        return loss, grad
+
+    def step(leaf):
+        return jax.jit(work)(leaf)
+
+    return step

@@ -284,9 +284,9 @@ class roughconductor:
         for mt in (mf.GGX, mf.BECKMANN):
             D = mf.eval_ndf(mt, h, a_u, a_v)
             Gv = mf.G(mt, wi, wo, h, a_u, a_v)
-            v = D * Gv / jnp.maximum(4.0 * cos_i, 1e-20)
+            v = D * Gv / jnp.maximum(4.0 * cos_i, 1e-12)
             # pdf of wo: visible-normal pdf with Jacobian 1/(4 |wo.h|)
-            p = mf.pdf_visible(mt, wi, h, a_u, a_v) / jnp.maximum(4.0 * jnp.abs(m.dot(wo, h)), 1e-20)
+            p = mf.pdf_visible(mt, wi, h, a_u, a_v) / jnp.maximum(4.0 * jnp.abs(m.dot(wo, h)), 1e-12)
             sel = tbl.mtype[slot] == mt
             val = jnp.where(sel, v, val)
             pdf = jnp.where(sel, p, pdf)
@@ -319,7 +319,7 @@ class roughconductor:
             jnp.where(flip[..., None], wi_f * jnp.asarray([1., 1., -1.]), wi_f),
             jnp.where(flip[..., None], wo * jnp.asarray([1., 1., -1.]), wo), uv)
         active = (cos_i > 0) & (fr.cos_theta(wo) > 0) & (pdf > 1e-12)
-        weight = jnp.where(active[..., None], val / jnp.maximum(pdf, 1e-20)[..., None], 0.0)
+        weight = jnp.where(active[..., None], val / jnp.maximum(pdf, 1e-12)[..., None], 0.0)
         wo_out = jnp.where(flip[..., None], wo * jnp.asarray([1., 1., -1.]), wo)
         n = wi.shape[0]
         bs = BSDFSample(

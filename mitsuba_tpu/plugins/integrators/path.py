@@ -111,8 +111,11 @@ def sample(scene: sc.Scene, sampler: sa.SamplerState, ray: Ray,
         prev_delta = (bs.sampled_type & jnp.uint32(bf.Delta)) != 0
 
         # ---- russian roulette (path.cpp:264-280) ----
+        # rr_prob is DETACHED: the gradient of the 1/p compensation cancels
+        # the decision-boundary term in expectation (detached-sampling rule,
+        # path.cpp:243-250 analogue), so attaching it only adds bias+variance.
         beta_max = jnp.max(beta, axis=-1) * eta * eta
-        rr_prob = jnp.minimum(beta_max, 0.95)
+        rr_prob = jax.lax.stop_gradient(jnp.minimum(beta_max, 0.95))
         rr_active = depth >= rr_depth
         u_rr, smpl = sa.next_1d(smpl)
         rr_continue = ~rr_active | (u_rr < rr_prob)

@@ -103,8 +103,8 @@ class rectangle:
         e2 = apply_vector(tw, jnp.asarray([0.0, 2.0, 0.0]))
         cr = jnp.cross(e1, e2)
         area = m.norm(cr)
-        n = cr / jnp.maximum(area[..., None], 1e-20)
-        return dict(p=p, n=n, uv=sample2, pdf=1.0 / jnp.maximum(area, 1e-20))
+        n = cr / jnp.maximum(area[..., None], 1e-12)
+        return dict(p=p, n=n, uv=sample2, pdf=1.0 / jnp.maximum(area, 1e-12))
 
 
 # ===========================================================================
@@ -177,7 +177,7 @@ class sphere:
         # re-project onto the sphere (sphere.cpp:520: improves precision AND
         # routes the derivative through the shape parameters)
         local = p_raw - center
-        local = local * (radius / jnp.maximum(m.norm(local), 1e-20))[..., None]
+        local = local * (radius / jnp.maximum(m.norm(local), 1e-12))[..., None]
         p = center + local
         n = local / radius[..., None] * flip[..., None]
         # spherical uv (sphere.cpp:526-540)
@@ -210,7 +210,7 @@ class sphere:
         p = center + nrm * radius[..., None]
         area = 4.0 * m.Pi * radius ** 2
         return dict(p=p, n=nrm * flip[..., None], uv=sample2,
-                    pdf=1.0 / jnp.maximum(area, 1e-20))
+                    pdf=1.0 / jnp.maximum(area, 1e-12))
 
 
 # ===========================================================================
@@ -320,9 +320,9 @@ class cube:
         c1 = 2 * a_yz / total
         c2 = c1 + 2 * a_zx / total
         axis = jnp.where(u < c1, 0, jnp.where(u < c2, 1, 2))
-        u_re = jnp.where(u < c1, u / jnp.maximum(c1, 1e-20),
-                         jnp.where(u < c2, (u - c1) / jnp.maximum(c2 - c1, 1e-20),
-                                   (u - c2) / jnp.maximum(1 - c2, 1e-20)))
+        u_re = jnp.where(u < c1, u / jnp.maximum(c1, 1e-12),
+                         jnp.where(u < c2, (u - c1) / jnp.maximum(c2 - c1, 1e-12),
+                                   (u - c2) / jnp.maximum(1 - c2, 1e-12)))
         side = jnp.where(u_re < 0.5, -1.0, 1.0)
         u2 = jnp.where(u_re < 0.5, u_re * 2, u_re * 2 - 1)
         v2 = sample2[..., 1]
@@ -335,7 +335,7 @@ class cube:
         to = _gather_mats(tbl.to_object, slot)
         n = m.normalize(apply_normal(to, n_axis))
         return dict(p=p, n=n, uv=jnp.stack([u2, v2], -1),
-                    pdf=1.0 / jnp.maximum(total, 1e-20))
+                    pdf=1.0 / jnp.maximum(total, 1e-12))
 
 
 # ===========================================================================
@@ -411,7 +411,7 @@ class disk:
         cr = jnp.cross(e1, e2)
         area = m.Pi * m.norm(cr)
         n = m.normalize(cr)
-        return dict(p=p, n=n, uv=sample2, pdf=1.0 / jnp.maximum(area, 1e-20))
+        return dict(p=p, n=n, uv=sample2, pdf=1.0 / jnp.maximum(area, 1e-12))
 
 
 # ===========================================================================
@@ -510,4 +510,4 @@ class cylinder:
         e1 = apply_vector(tw, jnp.asarray([1.0, 0.0, 0.0]))
         ez = apply_vector(tw, jnp.asarray([0.0, 0.0, 1.0]))
         area = m.TwoPi * m.norm(e1) * m.norm(ez)
-        return dict(p=p, n=n, uv=sample2, pdf=1.0 / jnp.maximum(area, 1e-20))
+        return dict(p=p, n=n, uv=sample2, pdf=1.0 / jnp.maximum(area, 1e-12))

@@ -1,0 +1,381 @@
+"""Heightfield shape plugin — the repository's capability headline
+(BASELINE.json north star; SURVEY.md §2.4 "Heightfield plugin (to build)").
+
+Geometry: a regular grid of elevations `heights[r, c]` over object-space
+(x, z) in [0,1]^2 with elevation along +y; the surface is the C0 bilinear
+interpolant. `to_world` places it in the scene. The elevation grid is a
+DIFFERENTIABLE pytree leaf (like the bitmap texture's `data`,
+reference src/textures/bitmap.cpp:267).
+
+Intersection: maximum-mipmap DDA (Tevs et al. 2008 "Maximum Mipmaps for Fast,
+Accurate, and Scalable Dynamic Height Field Rendering", cf. PAPERS.md) —
+traverse a max-pyramid of per-cell column maxima, descending on potential
+hits, with an exact bilinear-patch quadratic solve at the finest level.
+Ray_y(t) - h(x(t), z(t)) is QUADRATIC in t because x,z are linear and h is
+bilinear, so the leaf test is closed-form (no iteration).
+
+The traversal is detached (`stop_gradient` on ray inputs — the TPU analogue
+of the detached `ray_intersect_preliminary`, shape.h:137). Differentiability
+comes from `compute_si`: one attached Newton step of the implicit patch
+equation around the detached root (implicit function theorem), giving exact
+d(t)/d(heights) and d(t)/d(ray) — the contract of sphere.cpp:458-573, and the
+derivative the fork's notebook (ps_cylinder.ipynb cell 8) cross-checks by FD.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ...core import math as m
+from ...core.transform import Transform4, apply_point, apply_vector, apply_normal
+
+NEG_INF = -1e30
+
+
+@struct.dataclass
+class HeightfieldTable:
+    """One heightfield instance per slot; instances are stored as parallel
+    tuples because grids may have different resolutions."""
+    heights: tuple          # tuple of (R, C) arrays (differentiable)
+    mips: tuple             # tuple of tuples of 2D max-pyramid levels (fine->coarse), detached at build
+    to_world: jnp.ndarray   # (S,4,4)
+    to_object: jnp.ndarray  # (S,4,4)
+
+
+def build_max_mip(heights):
+    """Level 0: per-cell max of 4 corners ((R-1, C-1)); each higher level is a
+    2x2 max-pool padded with -inf."""
+    h = heights
+    cell = jnp.maximum(jnp.maximum(h[:-1, :-1], h[:-1, 1:]),
+                       jnp.maximum(h[1:, :-1], h[1:, 1:]))
+    levels = [cell]
+    while levels[-1].shape[0] > 1 or levels[-1].shape[1] > 1:
+        cur = levels[-1]
+        ph = (cur.shape[0] + 1) // 2 * 2
+        pw = (cur.shape[1] + 1) // 2 * 2
+        pad = jnp.full((ph, pw), NEG_INF, cur.dtype)
+        pad = pad.at[:cur.shape[0], :cur.shape[1]].set(cur)
+        levels.append(jnp.maximum(jnp.maximum(pad[0::2, 0::2], pad[0::2, 1::2]),
+                                  jnp.maximum(pad[1::2, 0::2], pad[1::2, 1::2])))
+    return tuple(levels)
+
+
+class heightfield:
+    Table = HeightfieldTable
+
+    @staticmethod
+    def build(props_list):
+        hs, mips, tws = [], [], []
+        for p in props_list:
+            h = jnp.asarray(np.asarray(p['heights'], np.float32))
+            hs.append(h)
+            mips.append(tuple(jax.lax.stop_gradient(l)
+                              for l in build_max_mip(h)))
+            tws.append({'to_world': p.get('to_world', Transform4())})
+        tw = np.stack([p['to_world'].matrix for p in tws]).astype(np.float32)
+        to = np.stack([p['to_world'].inverse_matrix for p in tws]).astype(np.float32)
+        return HeightfieldTable(heights=tuple(hs), mips=tuple(mips),
+                                to_world=jnp.asarray(tw), to_object=jnp.asarray(to))
+
+    # ------------------------------------------------------------------
+    # leaf test: bilinear patch vs ray segment, closed form
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _patch_hit(h, ix, iz, o, d, t0, t1, R, C):
+        """Quadratic solve of y(t) = h_bilinear(x(t), z(t)) within cell
+        (ix, iz) over t in [t0, t1]. Returns (hit, t)."""
+        W = C - 1
+        H = R - 1
+        ixc = jnp.clip(ix, 0, W - 1)
+        izc = jnp.clip(iz, 0, H - 1)
+        h00 = h[izc, ixc]
+        h01 = h[izc, ixc + 1]
+        h10 = h[izc + 1, ixc]
+        h11 = h[izc + 1, ixc + 1]
+        # local coords: u = x*W - ix in [0,1], v = z*H - iz
+        u0 = o[..., 0] * W - ixc
+        v0 = o[..., 2] * H - izc
+        du = d[..., 0] * W
+        dv = d[..., 2] * H
+        # h(u,v) = h00 + (h01-h00)u + (h10-h00)v + (h11-h10-h01+h00)uv
+        A = h01 - h00
+        B = h10 - h00
+        Cc = h11 - h10 - h01 + h00
+        # f(t) = oy + t dy - [h00 + A(u0+t du) + B(v0+t dv) + C(u0+t du)(v0+t dv)]
+        a = -Cc * du * dv
+        b = d[..., 1] - A * du - B * dv - Cc * (u0 * dv + v0 * du)
+        c = o[..., 1] - h00 - A * u0 - B * v0 - Cc * u0 * v0
+        found, r0, r1 = m.solve_quadratic(a, b, c)
+        eps = 1e-6
+        ok0 = found & (r0 >= t0 - eps) & (r0 <= t1 + eps)
+        ok1 = found & (r1 >= t0 - eps) & (r1 <= t1 + eps)
+        t = jnp.where(ok0, r0, jnp.where(ok1, r1, jnp.inf))
+        return jnp.isfinite(t), t
+
+    # ------------------------------------------------------------------
+    # traversal for a single instance
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _march(h, mips, o, d, R, C):
+        """Object-space maximum-mipmap DDA. o,d: (N,3) DETACHED.
+        Returns (t_hit (N,), cell_ix, cell_iz)."""
+        n = o.shape[0]
+        W = C - 1
+        H = R - 1
+        n_levels = len(mips)
+        h_max = jnp.max(mips[-1]) + 1.0
+        h_min = -jnp.max(-h) - 1.0
+
+        # entry into the bounding box [0,1] x [hmin,hmax] x [0,1]
+        inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-9,
+                                jnp.where(d < 0, -1e-9, 1e-9), d)
+        lo = jnp.stack([jnp.zeros(n), jnp.full(n, h_min), jnp.zeros(n)], -1)
+        hi = jnp.stack([jnp.ones(n), jnp.full(n, h_max), jnp.ones(n)], -1)
+        t_lo = (lo - o) * inv_d
+        t_hi = (hi - o) * inv_d
+        t_near = jnp.max(jnp.minimum(t_lo, t_hi), -1)
+        t_far = jnp.min(jnp.maximum(t_lo, t_hi), -1)
+        t_enter = jnp.maximum(t_near, 1e-5)
+        valid = (t_enter <= t_far)
+
+        start_lvl = n_levels - 1
+        eps_t = 1e-5
+
+        def cell_of(t, lvl_scale_x, lvl_scale_z):
+            px = o[..., 0] + d[..., 0] * (t + eps_t)
+            pz = o[..., 2] + d[..., 2] * (t + eps_t)
+            cx = jnp.floor(px * lvl_scale_x).astype(jnp.int32)
+            cz = jnp.floor(pz * lvl_scale_z).astype(jnp.int32)
+            return cx, cz
+
+        # per-level cell scale: cells at level l have size 2^l base cells;
+        # scale = W / 2^l in x (i.e. #cells along x at that level, fractional
+        # cells at the border are handled by clipping)
+        scales_x = jnp.asarray([W / (1 << l) for l in range(n_levels)], jnp.float32)
+        scales_z = jnp.asarray([H / (1 << l) for l in range(n_levels)], jnp.float32)
+        mip_shapes = jnp.asarray([[mp.shape[0], mp.shape[1]] for mp in mips],
+                                 jnp.int32)
+        # pad mips to a single 3D array? shapes differ; gather per level via
+        # lax.switch over the static level count.
+        def mip_lookup(lvl, iz, ix):
+            def make(l):
+                mp = mips[l]
+                return lambda args: mp[jnp.clip(args[0], 0, mp.shape[0] - 1),
+                                       jnp.clip(args[1], 0, mp.shape[1] - 1)]
+            return jax.lax.switch(lvl, [make(l) for l in range(n_levels)],
+                                  (iz, ix))
+
+        max_steps = 4 * (W + H) + 16 * n_levels
+
+        def cond(state):
+            t, lvl, ix, iz, t_hit, active, steps = state
+            return jnp.any(active) & (steps < max_steps)
+
+        def body(state):
+            t, lvl, ix, iz, t_hit, active, steps = state
+            sx = scales_x[lvl]
+            sz = scales_z[lvl]
+            # cell bounds in object space
+            x0 = ix / sx
+            x1 = (ix + 1) / sx
+            z0 = iz / sz
+            z1 = (iz + 1) / sz
+            # exit t of this cell (x/z slabs only)
+            tx = jnp.maximum((x0 - o[..., 0]) * inv_d[..., 0],
+                             (x1 - o[..., 0]) * inv_d[..., 0])
+            tz = jnp.maximum((z0 - o[..., 2]) * inv_d[..., 2],
+                             (z1 - o[..., 2]) * inv_d[..., 2])
+            t_exit = jnp.minimum(jnp.minimum(tx, tz), t_far)
+            # column max at this level
+            cmax = jax.vmap(mip_lookup)(lvl, iz, ix)
+            y_a = o[..., 1] + d[..., 1] * t
+            y_b = o[..., 1] + d[..., 1] * t_exit
+            y_min_seg = jnp.minimum(y_a, y_b)
+            overlap = (y_min_seg <= cmax) & (t <= t_exit + eps_t)
+
+            at_leaf = lvl == 0
+            # -- leaf: exact patch test
+            hit_leaf, t_leaf = heightfield._patch_hit(
+                h, ix, iz, o, d, jnp.maximum(t, t_enter) - 2e-5, t_exit, R, C)
+            leaf_hit = at_leaf & overlap & hit_leaf & active
+            t_hit = jnp.where(leaf_hit & (t_leaf < t_hit), t_leaf, t_hit)
+            hit_ix = ix
+            hit_iz = iz
+
+            # -- descend: potential hit at interior level
+            descend = overlap & ~at_leaf & active
+            lvl_d = jnp.maximum(lvl - 1, 0)
+            cx_d, cz_d = cell_of(jnp.maximum(t, t_enter) - eps_t * 0.5,
+                                 scales_x[lvl_d], scales_z[lvl_d])
+            # clamp to the current parent's children range
+            cx_d = jnp.clip(cx_d, ix * 2, ix * 2 + 1)
+            cz_d = jnp.clip(cz_d, iz * 2, iz * 2 + 1)
+
+            # -- advance: skip the cell, ascend one level
+            advance = (~overlap | (at_leaf & ~hit_leaf)) & active
+            t_n = jnp.where(advance, t_exit + eps_t, t)
+            lvl_a = jnp.minimum(lvl + 1, n_levels - 1)
+            cx_a, cz_a = cell_of(t_n, scales_x[lvl_a], scales_z[lvl_a])
+
+            new_lvl = jnp.where(descend, lvl_d, jnp.where(advance, lvl_a, lvl))
+            new_ix = jnp.where(descend, cx_d, jnp.where(advance, cx_a, ix))
+            new_iz = jnp.where(descend, cz_d, jnp.where(advance, cz_a, iz))
+            new_t = jnp.where(descend, jnp.maximum(t, t_enter), t_n)
+
+            # termination
+            px = o[..., 0] + d[..., 0] * (new_t + eps_t)
+            pz = o[..., 2] + d[..., 2] * (new_t + eps_t)
+            inside = (px >= -1e-6) & (px <= 1 + 1e-6) & (pz >= -1e-6) & (pz <= 1 + 1e-6)
+            still = active & ~leaf_hit & (new_t <= t_far + eps_t) & inside
+            return (new_t, new_lvl, new_ix, new_iz, t_hit, still, steps + 1)
+
+        cx0, cz0 = cell_of(t_enter, scales_x[start_lvl], scales_z[start_lvl])
+        lvl0 = jnp.full((n,), start_lvl, jnp.int32)
+        state = (t_enter, lvl0, cx0, cz0, jnp.full((n,), jnp.inf), valid,
+                 jnp.asarray(0, jnp.int32))
+        t, lvl, ix, iz, t_hit, active, steps = jax.lax.while_loop(cond, body, state)
+        # recover the hit cell from the hit point
+        px = o[..., 0] + d[..., 0] * t_hit
+        pz = o[..., 2] + d[..., 2] * t_hit
+        hx = jnp.clip(jnp.floor(px * W).astype(jnp.int32), 0, W - 1)
+        hz = jnp.clip(jnp.floor(pz * H).astype(jnp.int32), 0, H - 1)
+        return t_hit, hx, hz
+
+    # ------------------------------------------------------------------
+    # Shape interface
+    # ------------------------------------------------------------------
+    @staticmethod
+    def intersect(tbl: HeightfieldTable, o, d):
+        """(S,N) brute layout like the analytic shapes; S = #instances."""
+        o = jax.lax.stop_gradient(o)
+        d = jax.lax.stop_gradient(d)
+        ts, uvs, prims = [], [], []
+        for s in range(len(tbl.heights)):
+            h = jax.lax.stop_gradient(tbl.heights[s])
+            R, C = h.shape
+            to = jax.lax.stop_gradient(tbl.to_object[s])
+            o_obj = apply_point(to, o)
+            d_obj = apply_vector(to, d)
+            # note: d_obj NOT normalized -> t is in world-ray units
+            t_hit, hx, hz = heightfield._march(h, tbl.mips[s], o_obj, d_obj, R, C)
+            ts.append(t_hit)
+            px = o_obj[..., 0] + d_obj[..., 0] * jnp.where(jnp.isfinite(t_hit), t_hit, 0.0)
+            pz = o_obj[..., 2] + d_obj[..., 2] * jnp.where(jnp.isfinite(t_hit), t_hit, 0.0)
+            uvs.append(jnp.stack([px, pz], -1))
+            prims.append(hz * (C - 1) + hx)
+        return (jnp.stack(ts), jnp.stack(uvs), jnp.stack(prims).astype(jnp.int32))
+
+    @staticmethod
+    def compute_si(tbl: HeightfieldTable, slot, o, d, t, prim_uv, prim_index):
+        """Attached interaction: one Newton step of the implicit patch
+        equation f(t; heights) = 0 around the detached root (IFT), then
+        analytic bilinear partials for n / dp_du / dp_dv."""
+        out = None
+        for s in range(len(tbl.heights)):
+            h = tbl.heights[s]
+            R, C = h.shape
+            W, H = C - 1, R - 1
+            to = tbl.to_object[s]
+            tw = tbl.to_world[s]
+            o_obj = apply_point(to, o)
+            d_obj = apply_vector(to, d)
+            t_det = jax.lax.stop_gradient(jnp.where(jnp.isfinite(t), t, 1.0))
+            ix = jax.lax.stop_gradient(prim_index) % jnp.int32(max(W, 1))
+            iz = jax.lax.stop_gradient(prim_index) // jnp.int32(max(W, 1))
+            ix = jnp.clip(ix, 0, W - 1)
+            iz = jnp.clip(iz, 0, H - 1)
+            h00 = h[iz, ix]
+            h01 = h[iz, ix + 1]
+            h10 = h[iz + 1, ix]
+            h11 = h[iz + 1, ix + 1]
+            A = h01 - h00
+            B = h10 - h00
+            Cc = h11 - h10 - h01 + h00
+
+            def f_and_grad(tv):
+                u = (o_obj[..., 0] + d_obj[..., 0] * tv) * W - ix
+                v = (o_obj[..., 2] + d_obj[..., 2] * tv) * H - iz
+                hval = h00 + A * u + B * v + Cc * u * v
+                f = o_obj[..., 1] + d_obj[..., 1] * tv - hval
+                dh_du = A + Cc * v
+                dh_dv = B + Cc * u
+                fp = d_obj[..., 1] - dh_du * d_obj[..., 0] * W - dh_dv * d_obj[..., 2] * H
+                return f, fp, u, v, dh_du, dh_dv
+
+            f0, fp0, _, _, _, _ = f_and_grad(t_det)
+            t_att = t_det - f0 / jnp.where(jnp.abs(fp0) < 1e-8,
+                                           jnp.where(fp0 < 0, -1e-8, 1e-8), fp0)
+            t_att = m.replace_grad(t, t_att)
+            _, _, u, v, dh_du, dh_dv = f_and_grad(t_att)
+            x = (u + ix) / W
+            z = (v + iz) / H
+            y = o_obj[..., 1] + d_obj[..., 1] * t_att
+            p_obj = jnp.stack([x, y, z], -1)
+            p = apply_point(tw, p_obj)
+            # object-space tangents of the graph (x, h(x,z), z)
+            dp_dx = jnp.stack([jnp.ones_like(x), dh_du * W, jnp.zeros_like(x)], -1)
+            dp_dz = jnp.stack([jnp.zeros_like(x), dh_dv * H, jnp.ones_like(x)], -1)
+            dp_du_w = apply_vector(tw, dp_dx)
+            dp_dv_w = apply_vector(tw, dp_dz)
+            n_obj = jnp.stack([-dh_du * W, jnp.ones_like(x), -dh_dv * H], -1)
+            nrm = m.normalize(apply_normal(to, n_obj))
+            uv = jnp.stack([x, z], -1)
+            res = dict(t=t_att, p=p, n=nrm, uv=uv, dp_du=dp_du_w,
+                       dp_dv=dp_dv_w, sh_n=nrm)
+            if out is None:
+                out = res
+            else:
+                sel = (slot == s)
+                out = {k: jnp.where(sel[..., None] if res[k].ndim > 1 else sel,
+                                    res[k], out[k]) for k in res}
+        return out
+
+    @staticmethod
+    def surface_area(tbl: HeightfieldTable):
+        areas = []
+        for s in range(len(tbl.heights)):
+            h = jax.lax.stop_gradient(tbl.heights[s])
+            R, C = h.shape
+            dx = 1.0 / (C - 1)
+            dz = 1.0 / (R - 1)
+            gx = (h[:, 1:] - h[:, :-1]) / dx
+            gz = (h[1:, :] - h[:-1, :]) / dz
+            gx = 0.5 * (gx[1:] + gx[:-1])
+            gz = 0.5 * (gz[:, 1:] + gz[:, :-1])
+            cell_area = jnp.sqrt(1.0 + gx ** 2 + gz ** 2) * dx * dz
+            e1 = apply_vector(tbl.to_world[s], jnp.asarray([1.0, 0.0, 0.0]))
+            e2 = apply_vector(tbl.to_world[s], jnp.asarray([0.0, 0.0, 1.0]))
+            scale = m.norm(jnp.cross(e1, e2))
+            areas.append(jnp.sum(cell_area) * scale)
+        return jnp.stack(areas)
+
+    @staticmethod
+    def sample_position(tbl: HeightfieldTable, slot, sample2):
+        """Uniform in (u,v) with the area-measure pdf from the local Jacobian
+        (adequate for heightfields used as emitters — rare)."""
+        s = 0  # single-instance fast path; masked merge for multi-instance
+        h = tbl.heights[s]
+        R, C = h.shape
+        W, H = C - 1, R - 1
+        x = sample2[..., 0]
+        z = sample2[..., 1]
+        ix = jnp.clip((x * W).astype(jnp.int32), 0, W - 1)
+        iz = jnp.clip((z * H).astype(jnp.int32), 0, H - 1)
+        u = x * W - ix
+        v = z * H - iz
+        h00, h01 = h[iz, ix], h[iz, ix + 1]
+        h10, h11 = h[iz + 1, ix], h[iz + 1, ix + 1]
+        y = (1 - u) * (1 - v) * h00 + u * (1 - v) * h01 + (1 - u) * v * h10 + u * v * h11
+        p_obj = jnp.stack([x, y, z], -1)
+        tw = tbl.to_world[jnp.zeros_like(slot)]
+        p = apply_point(tw, p_obj)
+        dh_du = (h01 - h00) * (1 - v) + (h11 - h10) * v
+        dh_dv = (h10 - h00) * (1 - u) + (h11 - h01) * u
+        n_obj = jnp.stack([-dh_du * W, jnp.ones_like(x), -dh_dv * H], -1)
+        to = tbl.to_object[jnp.zeros_like(slot)]
+        nrm = m.normalize(apply_normal(to, n_obj))
+        area = heightfield.surface_area(tbl)[0]
+        pdf = jnp.full(x.shape, 1.0) / jnp.maximum(area, 1e-12)
+        return dict(p=p, n=nrm, uv=sample2, pdf=pdf)

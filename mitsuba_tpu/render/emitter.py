@@ -131,7 +131,7 @@ def build_envmap(props):
 def envmap_eval(tbl: EnvmapTable, slot, d_world):
     """Radiance along direction d (toward the environment)."""
     d = apply_vector(tbl.to_object, d_world)
-    d = d / jnp.maximum(m.norm(d, keepdims=True), 1e-20)
+    d = d / jnp.maximum(m.norm(d, keepdims=True), 1e-12)
     uv = warp.direction_to_spherical_uv(d)
     from .texture import bilinear_sample
     return bilinear_sample(tbl.bitmap, uv) * tbl.scale
@@ -156,16 +156,16 @@ def envmap_sample_direction(tbl: EnvmapTable, sample2):
         v11 = tex(row + 1, col + 1)
         top = v00 + v01
         bot = v10 + v11
-        p_bot = bot / jnp.maximum(top + bot, 1e-20)
+        p_bot = bot / jnp.maximum(top + bot, 1e-12)
         go_down = uy < p_bot
-        uy = jnp.where(go_down, uy / jnp.maximum(p_bot, 1e-20),
-                       (uy - p_bot) / jnp.maximum(1 - p_bot, 1e-20))
+        uy = jnp.where(go_down, uy / jnp.maximum(p_bot, 1e-12),
+                       (uy - p_bot) / jnp.maximum(1 - p_bot, 1e-12))
         left = jnp.where(go_down, v10, v00)
         right = jnp.where(go_down, v11, v01)
-        p_left = left / jnp.maximum(left + right, 1e-20)
+        p_left = left / jnp.maximum(left + right, 1e-12)
         go_left = ux < p_left
-        ux = jnp.where(go_left, ux / jnp.maximum(p_left, 1e-20),
-                       (ux - p_left) / jnp.maximum(1 - p_left, 1e-20))
+        ux = jnp.where(go_left, ux / jnp.maximum(p_left, 1e-12),
+                       (ux - p_left) / jnp.maximum(1 - p_left, 1e-12))
         row = jnp.where(go_down, row + 1, row)
         col = jnp.where(go_left, col, col + 1)
     Hf, Wf = tbl.pdf_grid.shape
@@ -176,7 +176,7 @@ def envmap_sample_direction(tbl: EnvmapTable, sample2):
     uv = jnp.stack([u, v], -1)
     d_local = warp.square_to_uniform_spherical(uv)
     d_world = apply_vector(tbl.to_world, d_local)
-    d_world = d_world / jnp.maximum(m.norm(d_world, keepdims=True), 1e-20)
+    d_world = d_world / jnp.maximum(m.norm(d_world, keepdims=True), 1e-12)
     pdf_uv = tbl.pdf_grid[row, col] * (Hf * Wf)
     sin_theta = jnp.maximum(jnp.sin(v * m.Pi), 1e-8)
     pdf_sa = pdf_uv / (2.0 * m.Pi * m.Pi * sin_theta)
@@ -187,7 +187,7 @@ def envmap_sample_direction(tbl: EnvmapTable, sample2):
 
 def envmap_pdf_direction(tbl: EnvmapTable, d_world):
     d = apply_vector(tbl.to_object, d_world)
-    d = d / jnp.maximum(m.norm(d, keepdims=True), 1e-20)
+    d = d / jnp.maximum(m.norm(d, keepdims=True), 1e-12)
     uv = warp.direction_to_spherical_uv(d)
     Hf, Wf = tbl.pdf_grid.shape
     col = jnp.clip((uv[..., 0] * Wf).astype(jnp.int32), 0, Wf - 1)

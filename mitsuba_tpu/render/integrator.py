@@ -50,8 +50,9 @@ def _sample_radiance(scene, cfg, sampler, ray):
 
 
 def render_pass(scene, block, pass_seed, spp_pass: int, spp_total: int,
-                sample_offset: int = 0, cfg=None):
-    """One wavefront pass: generates W*H*spp_pass rays, traces, splats."""
+                sample_offset=0, cfg=None):
+    """One wavefront pass: generates W*H*spp_pass rays, traces, splats.
+    `sample_offset` may be a traced int32 (device-varying under shard_map)."""
     film = scene.film
     W, H = film.width, film.height
     n = W * H * spp_pass
@@ -59,7 +60,8 @@ def render_pass(scene, block, pass_seed, spp_pass: int, spp_total: int,
 
     lane = jnp.arange(n, dtype=jnp.uint32)
     pix = (lane // spp_pass).astype(jnp.int32)
-    sample_index = (lane % spp_pass).astype(jnp.int32) + sample_offset
+    sample_index = (lane % spp_pass).astype(jnp.int32) + \
+        jnp.asarray(sample_offset, jnp.int32)
     px = (pix % W).astype(jnp.float32)
     py = (pix // W).astype(jnp.float32)
 
@@ -83,8 +85,7 @@ def render_pass(scene, block, pass_seed, spp_pass: int, spp_total: int,
     return block
 
 
-@functools.partial(jax.jit, static_argnames=('spp_pass', 'spp_total',
-                                             'sample_offset'),
+@functools.partial(jax.jit, static_argnames=('spp_pass', 'spp_total'),
                    donate_argnums=(1,))
 def _render_pass_jit(scene, block, pass_seed, spp_pass, spp_total,
                      sample_offset):

@@ -95,7 +95,7 @@ class SurfaceInteraction:
     def spawn_ray_to(self, p2):
         d = p2 - self.p
         dist = m.norm(d)
-        d = d / jnp.maximum(dist[..., None], 1e-20)
+        d = d / jnp.maximum(dist[..., None], 1e-12)
         o = offset_p(self.p, self.n, d)
         # leave an epsilon gap at the far end too (interaction.h:spawn_ray_to)
         maxt = dist * (1.0 - m.ShadowEpsilon)

@@ -293,12 +293,12 @@ def sample_emitter_direction(scene: Scene, si: SurfaceInteraction, sample2,
             dvec = p - si.p
             dist2 = m.squared_norm(dvec)
             dist = m.safe_sqrt(dist2)
-            d = dvec / jnp.maximum(dist[..., None], 1e-20)
+            d = dvec / jnp.maximum(dist[..., None], 1e-12)
             cos_e = m.dot(nrm, -d)
-            pdf_sl = pdf_area * dist2 / jnp.maximum(cos_e, 1e-20)
+            pdf_sl = pdf_area * dist2 / jnp.maximum(cos_e, 1e-12)
             ok = cos_e > 1e-6
             rad = eval_texture(scene.textures, tbl.radiance[eslot], uv)
-            v = rad / jnp.maximum(pdf_sl, 1e-20)[..., None]
+            v = rad / jnp.maximum(pdf_sl, 1e-12)[..., None]
             p_out = jnp.where(sel[..., None], p, p_out)
             n_out = jnp.where(sel[..., None], nrm, n_out)
             uv_out = jnp.where(sel[..., None], uv, uv_out)
@@ -311,8 +311,8 @@ def sample_emitter_direction(scene: Scene, si: SurfaceInteraction, sample2,
             dvec = p - si.p
             dist2 = m.squared_norm(dvec)
             dist = m.safe_sqrt(dist2)
-            d = dvec / jnp.maximum(dist[..., None], 1e-20)
-            v = tbl.intensity[eslot] / jnp.maximum(dist2, 1e-20)[..., None]
+            d = dvec / jnp.maximum(dist[..., None], 1e-12)
+            v = tbl.intensity[eslot] / jnp.maximum(dist2, 1e-12)[..., None]
             p_out = jnp.where(sel[..., None], p, p_out)
             n_out = jnp.where(sel[..., None], -d, n_out)
             d_out = jnp.where(sel[..., None], d, d_out)
@@ -325,12 +325,12 @@ def sample_emitter_direction(scene: Scene, si: SurfaceInteraction, sample2,
             dvec = p - si.p
             dist2 = m.squared_norm(dvec)
             dist = m.safe_sqrt(dist2)
-            d = dvec / jnp.maximum(dist[..., None], 1e-20)
+            d = dvec / jnp.maximum(dist[..., None], 1e-12)
             cos_f = m.dot(-d, tbl.direction[eslot])
             cc = tbl.cos_cutoff[eslot]
             cb = tbl.cos_beam_width[eslot]
             falloff = jnp.clip((cos_f - cc) / jnp.maximum(cb - cc, 1e-6), 0.0, 1.0)
-            v = tbl.intensity[eslot] * (falloff / jnp.maximum(dist2, 1e-20))[..., None]
+            v = tbl.intensity[eslot] * (falloff / jnp.maximum(dist2, 1e-12))[..., None]
             p_out = jnp.where(sel[..., None], p, p_out)
             n_out = jnp.where(sel[..., None], -d, n_out)
             d_out = jnp.where(sel[..., None], d, d_out)
@@ -364,7 +364,7 @@ def sample_emitter_direction(scene: Scene, si: SurfaceInteraction, sample2,
         elif name == 'envmap':
             d, pdf_sl, rad = em.envmap_sample_direction(tbl, s2)
             far = 2.0 * scene.bbox_radius
-            v = rad / jnp.maximum(pdf_sl, 1e-20)[..., None]
+            v = rad / jnp.maximum(pdf_sl, 1e-12)[..., None]
             ok = pdf_sl > 0
             p_out = jnp.where(sel[..., None], si.p + d * far, p_out)
             n_out = jnp.where(sel[..., None], -d, n_out)
@@ -407,7 +407,7 @@ def pdf_emitter_direction(scene: Scene, prev_p, si: SurfaceInteraction, active):
         dvec = si.p - prev_p
         dist2 = m.squared_norm(dvec)
         cos_e = si.wi[..., 2]  # cos at emitter side (wi is toward prev_p)
-        p_sl = dist2 / jnp.maximum(cos_e * area, 1e-20)
+        p_sl = dist2 / jnp.maximum(cos_e * area, 1e-12)
         pdf = jnp.where(sel & (cos_e > 1e-6), p_sl, pdf)
     return pdf * pick_pmf
 

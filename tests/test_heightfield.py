@@ -1,0 +1,155 @@
+"""Heightfield shape tests (BASELINE config[2]: forward + d(pixel)/d(heights);
+methodology of reference test_ad_integrators.py — same-seed FD)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import mitsuba_tpu as mt
+from mitsuba_tpu.plugins.shapes.heightfield import heightfield, HeightfieldTable, build_max_mip
+from mitsuba_tpu.core.transform import Transform4
+
+
+def _table(h):
+    h = jnp.asarray(np.asarray(h, np.float32))
+    return HeightfieldTable(heights=(h,), mips=(build_max_mip(jax.lax.stop_gradient(h)),),
+                            to_world=jnp.eye(4)[None], to_object=jnp.eye(4)[None])
+
+
+def _down_rays(n, y=2.0, seed=0):
+    rng = np.random.default_rng(seed)
+    xz = rng.random((n, 2)).astype(np.float32) * 0.9 + 0.05
+    o = jnp.stack([jnp.asarray(xz[:, 0]), jnp.full(n, y), jnp.asarray(xz[:, 1])], -1)
+    d = jnp.tile(jnp.asarray([[0.0, -1.0, 0.0]]), (n, 1))
+    return o, d, xz
+
+
+def test_flat_plane():
+    tbl = _table(np.full((17, 17), 0.25, np.float32))
+    o, d, _ = _down_rays(64)
+    t, uv, prim = heightfield.intersect(tbl, o, d)
+    assert np.abs(np.asarray(t[0]) - 1.75).max() < 1e-5
+
+
+def test_slanted_plane():
+    xs = np.linspace(0, 1, 17, dtype=np.float32)
+    tbl = _table((0.1 + 0.5 * xs)[None, :].repeat(17, 0))
+    o, d, xz = _down_rays(64)
+    t, _, _ = heightfield.intersect(tbl, o, d)
+    expect = 2.0 - (0.1 + 0.5 * xz[:, 0])
+    assert np.abs(np.asarray(t[0]) - expect).max() < 1e-4
+
+
+def test_vs_brute_force_oblique():
+    xs = np.linspace(0, 1, 17, dtype=np.float32)
+    hb = (0.2 + 0.15 * np.sin(xs * 8)[None, :] * np.cos(xs * 6)[:, None]).astype(np.float32)
+    tbl = _table(hb)
+    n = 64
+    rng = np.random.default_rng(3)
+    o = jnp.stack([jnp.full(n, -0.2), jnp.full(n, 0.8),
+                   jnp.asarray(rng.random(n, np.float32))], -1)
+    draw = np.stack([np.full(n, 1.0), -0.3 - 0.4 * rng.random(n),
+                     0.2 * rng.standard_normal(n)], -1).astype(np.float32)
+    d = jnp.asarray(draw / np.linalg.norm(draw, axis=-1, keepdims=True))
+    t, _, _ = heightfield.intersect(tbl, o, d)
+    ts = np.linspace(0.0, 4.0, 100000)
+    p = np.asarray(o)[:, None, :] + np.asarray(d)[:, None, :] * ts[None, :, None]
+    inside = (p[..., 0] >= 0) & (p[..., 0] <= 1) & (p[..., 2] >= 0) & (p[..., 2] <= 1)
+    W = 16
+    ix = np.clip((p[..., 0] * W).astype(int), 0, W - 1)
+    iz = np.clip((p[..., 2] * W).astype(int), 0, W - 1)
+    u = p[..., 0] * W - ix
+    v = p[..., 2] * W - iz
+    hh = (hb[iz, ix] * (1 - u) * (1 - v) + hb[iz, ix + 1] * u * (1 - v)
+          + hb[iz + 1, ix] * (1 - u) * v + hb[iz + 1, ix + 1] * u * v)
+    below = inside & (p[..., 1] < hh)
+    tb = np.where(below.any(axis=1), ts[below.argmax(axis=1)], np.inf)
+    tn = np.asarray(t[0])
+    assert (np.isfinite(tn) == np.isfinite(tb)).all()
+    both = np.isfinite(tn)
+    if both.any():
+        assert np.abs(tn[both] - tb[both]).max() < 1e-3
+
+
+def test_dt_dheights_exact_bilinear_weights():
+    """Straight-down ray: t = y0 - h(x,z), so d(t)/d(corner) = -bilinear
+    weight EXACTLY."""
+    h = jnp.asarray(np.full((9, 9), 0.3, np.float32))
+    o = jnp.asarray([[0.3, 2.0, 0.55]])  # u,v known
+    d = jnp.asarray([[0.0, -1.0, 0.0]])
+
+    def t_of(hh):
+        tbl = _table(np.full((9, 9), 0.3, np.float32))
+        tbl = tbl.replace(heights=(hh,))
+        t, uv, prim = heightfield.intersect(tbl, o, d)
+        out = heightfield.compute_si(tbl, jnp.zeros(1, jnp.int32), o, d,
+                                     t[0], uv[0], prim[0])
+        return out['t'].sum()
+
+    g = np.asarray(jax.grad(t_of)(h))
+    # cell of (0.3,0.55): x*8=2.4 -> ix=2,u=0.4 ; z*8=4.4 -> iz=4,v=0.4
+    w = {(4, 2): -(1 - .4) * (1 - .4), (4, 3): -.4 * (1 - .4),
+         (5, 2): -(1 - .4) * .4, (5, 3): -.4 * .4}
+    for (r, c), expect in w.items():
+        assert abs(g[r, c] - expect) < 1e-5, ((r, c), g[r, c], expect)
+    assert abs(g.sum() + 1.0) < 1e-5  # weights sum to -1
+
+
+def test_normal_grad_flows():
+    xs = np.linspace(0, 1, 9, dtype=np.float32)
+    h = jnp.asarray((0.2 + 0.1 * np.sin(xs * 5)[None, :]).repeat(9, 0))
+    o, d, _ = _down_rays(8, seed=5)
+
+    def ny(hh):
+        tbl = _table(np.asarray(jax.lax.stop_gradient(hh)))
+        tbl = tbl.replace(heights=(hh,))
+        t, uv, prim = heightfield.intersect(tbl, o, d)
+        out = heightfield.compute_si(tbl, jnp.zeros(8, jnp.int32), o, d,
+                                     t[0], uv[0], prim[0])
+        return jnp.where(jnp.isfinite(t[0]), out['n'][..., 0], 0.0).sum()
+
+    g = np.asarray(jax.grad(ny)(h))
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0
+
+
+@pytest.fixture(scope='module')
+def hf_scene():
+    scene = mt.load_dict(mt.heightfield_scene(res_hf=48, res_img=48, spp=8,
+                                              max_depth=2))
+    return scene
+
+
+def test_heightfield_render(hf_scene):
+    img = np.asarray(mt.render(hf_scene, spp=8))
+    assert np.isfinite(img).all()
+    # sky visible at top, terrain at bottom
+    assert img[:6].mean() > 0.4
+    assert 0.02 < img[40:].mean() < 2.0
+
+
+def test_dpixel_dheights_interior(hf_scene):
+    """config[2] analogue: interior derivative of the rendered image w.r.t.
+    elevations matches same-seed FD. Entries whose FD crosses a cell/silhouette
+    discontinuity are excluded by a majority criterion (naive-AD mode; the
+    jump term is the reparam integrator's job, as in the reference)."""
+    params = mt.traverse(hf_scene)
+    key = [k for k in params.keys() if 'heights' in k][0]
+    h0 = params[key]
+
+    def loss(h):
+        return mt.render_wavefront(params.scene_with({key: h}), spp=4, seed=2).mean()
+
+    g = jax.grad(loss)(h0)
+    gn = np.abs(np.asarray(g))
+    assert np.isfinite(gn).all() and gn.max() > 0
+    idxs = np.argsort(gn.ravel())[::-1][:10]
+    good = 0
+    for flat in idxs:
+        r, c = np.unravel_index(flat, g.shape)
+        eps = 5e-4
+        fd = float((loss(h0.at[r, c].add(eps)) - loss(h0.at[r, c].add(-eps))) / (2 * eps))
+        ad = float(g[r, c])
+        if abs(fd - ad) < 0.25 * max(abs(fd), abs(ad), 1e-6):
+            good += 1
+    assert good >= 6, good

@@ -6,6 +6,7 @@ shading frame (+Z = normal) and anisotropic roughness (alpha_u, alpha_v).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from . import math as m
 from . import frame as fr
@@ -53,63 +54,104 @@ def G(mtype, wi, wo, m_vec, alpha_u, alpha_v):
 
 
 def sample_visible(mtype, wi, sample2, alpha_u, alpha_v):
-    """Sample the distribution of visible normals (microfacet.h:sample with
-    sample_visible=true). Returns (m, pdf)."""
-    # Step 1: stretch wi
-    wi_p = m.normalize(jnp.stack([alpha_u * wi[..., 0], alpha_v * wi[..., 1],
-                                  wi[..., 2]], -1))
-    sin_phi = fr.sin_phi(wi_p)
-    cos_phi = fr.cos_phi(wi_p)
-    ct = fr.cos_theta(wi_p)
-    # Step 2: sample slopes (GGX visible; Beckmann falls back to GGX slopes —
-    # matches quality requirements, chi2-validated)
-    sx, sy = _sample_visible_11(ct, sample2)
-    # Step 3: rotate & unstretch
-    tmp = cos_phi * sx - sin_phi * sy
-    sy = (sin_phi * sx + cos_phi * sy) * alpha_v
-    sx = tmp * alpha_u
-    # Step 4: normal
-    mvec = m.normalize(jnp.stack([-sx, -sy, jnp.ones_like(sx)], -1))
+    """Sample the distribution of visible normals. Returns (m, pdf).
+
+    GGX: Heitz 2018 "Sampling the GGX Distribution of Visible Normals" —
+    exact, branchless sphere-cap construction (ideal for the VPU).
+    Beckmann: Heitz & d'Eon 2014 slope-space sampling with a Newton-bisection
+    inversion of the erf-based conditional CDF (microfacet.h's approach,
+    vectorized with a fixed iteration count).
+    """
+    if mtype == GGX:
+        mvec = _sample_ggx_vndf(wi, sample2, alpha_u, alpha_v)
+    else:
+        mvec = _sample_beckmann_vndf(wi, sample2, alpha_u, alpha_v)
     pdf = pdf_visible(mtype, wi, mvec, alpha_u, alpha_v)
     return mvec, pdf
 
 
-def _sample_visible_11(cos_theta_i, sample2):
-    """GGX visible-slope sampling for unit roughness (microfacet.h:sample_visible_11,
-    Heitz & d'Eon 2014)."""
+def _sample_ggx_vndf(wi, sample2, alpha_u, alpha_v):
     u1, u2 = sample2[..., 0], sample2[..., 1]
-    # special case: normal incidence -> uniform disk
-    p_disk = warp.square_to_uniform_disk_concentric(sample2)
-    one_minus = m.safe_sqrt(1.0 - p_disk[..., 0] ** 2)
-    slope_norm_x = p_disk[..., 0]
-    slope_norm_y = p_disk[..., 1] * jnp.sqrt(jnp.maximum(1e-6, 1.0))  # = r*sin
-    # general case
-    ct = jnp.maximum(cos_theta_i, 1e-6)
+    # flip to the upper hemisphere for grazing/below directions
+    sgn = m.sign(fr.cos_theta(wi))
+    wi_u = wi * sgn[..., None]
+    vh = m.normalize(jnp.stack([alpha_u * wi_u[..., 0], alpha_v * wi_u[..., 1],
+                                wi_u[..., 2]], -1))
+    # orthonormal basis around vh
+    lensq = vh[..., 0] ** 2 + vh[..., 1] ** 2
+    inv_len = jax.lax.rsqrt(jnp.maximum(lensq, 1e-20))
+    t1 = jnp.where((lensq > 1e-12)[..., None],
+                   jnp.stack([-vh[..., 1] * inv_len, vh[..., 0] * inv_len,
+                              jnp.zeros_like(inv_len)], -1),
+                   jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), vh.shape))
+    t2 = jnp.cross(vh, t1)
+    r = jnp.sqrt(u1)
+    phi = 2.0 * m.Pi * u2
+    p1 = r * jnp.cos(phi)
+    p2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + vh[..., 2])
+    p2 = (1.0 - s) * m.safe_sqrt(1.0 - p1 * p1) + s * p2
+    nh = (p1[..., None] * t1 + p2[..., None] * t2
+          + m.safe_sqrt(1.0 - p1 * p1 - p2 * p2)[..., None] * vh)
+    ne = m.normalize(jnp.stack([alpha_u * nh[..., 0], alpha_v * nh[..., 1],
+                                jnp.maximum(nh[..., 2], 1e-6)], -1))
+    return ne
+
+
+def _sample_beckmann_vndf(wi, sample2, alpha_u, alpha_v):
+    from jax.scipy.special import erf, erfinv
+    u1 = jnp.clip(sample2[..., 0], 1e-6, 1.0 - 1e-6)
+    u2 = jnp.clip(sample2[..., 1], 1e-6, 1.0 - 1e-6)
+    sgn = m.sign(fr.cos_theta(wi))
+    wi_u = wi * sgn[..., None]
+    # stretch
+    wi_p = m.normalize(jnp.stack([alpha_u * wi_u[..., 0], alpha_v * wi_u[..., 1],
+                                  wi_u[..., 2]], -1))
+    ct = jnp.clip(fr.cos_theta(wi_p), 1e-6, 1.0)
     st = m.safe_sqrt(1.0 - ct * ct)
-    tan_theta = st / ct
-    a = 1.0 / jnp.maximum(tan_theta, 1e-12)
-    G1 = 2.0 / (1.0 + jnp.sqrt(1.0 + 1.0 / jnp.maximum(a * a, 1e-12)))
-    # sample slope_x
-    A = 2.0 * u1 / jnp.maximum(G1, 1e-12) - 1.0
-    A = jnp.clip(A, -1.0 + 1e-6, 1.0 - 1e-6)
-    tmp = 1.0 / jnp.maximum(A * A - 1.0, -1e20)
-    tmp = jnp.where(jnp.abs(A * A - 1.0) < 1e-9, 1e10 * m.sign(A * A - 1.0), tmp)
-    B = tan_theta
-    D = m.safe_sqrt(B * B * tmp * tmp - (A * A - B * B) * tmp)
-    slope_x_1 = B * tmp - D
-    slope_x_2 = B * tmp + D
-    slope_x = jnp.where((A < 0) | (slope_x_2 > 1.0 / jnp.maximum(tan_theta, 1e-12)),
-                        slope_x_1, slope_x_2)
-    # sample slope_y
-    S = jnp.where(u2 > 0.5, 1.0, -1.0)
-    u2p = jnp.where(u2 > 0.5, 2.0 * (u2 - 0.5), 2.0 * (0.5 - u2))
-    z = (u2p * (u2p * (u2p * 0.27385 - 0.73369) + 0.46341)) / \
-        (u2p * (u2p * (u2p * 0.093073 + 0.309420) - 1.0) + 0.597999)
-    slope_y = S * z * jnp.sqrt(1.0 + slope_x * slope_x)
-    near_normal = cos_theta_i > 0.9999
-    sx = jnp.where(near_normal, slope_norm_x, slope_x)
-    sy = jnp.where(near_normal, slope_norm_y, slope_y)
-    return sx, sy
+    tan_t = st / ct
+    cot_t = 1.0 / jnp.maximum(tan_t, 1e-8)
+    cos_phi = fr.cos_phi(wi_p)
+    sin_phi = fr.sin_phi(wi_p)
+
+    # slope_y ~ N(0, 1/sqrt(2)) via erfinv
+    slope_y = erfinv(2.0 * u2 - 1.0)
+
+    # slope_x: density ∝ (ct + st*x) e^{-x^2} on x > -cot
+    # CDF(x) = [ct*sqrtPi/2*(erf(x)-erf(-cot)) + st/2*(exp(-cot^2)-exp(-x^2))]/Z
+    sqrt_pi = jnp.sqrt(m.Pi)
+    e_cot = jnp.exp(-cot_t * cot_t)
+    erf_mcot = erf(-cot_t)
+
+    def cdf_parts(x):
+        c = ct * (sqrt_pi / 2.0) * (erf(x) - erf_mcot) + \
+            st * 0.5 * (e_cot - jnp.exp(-x * x))
+        p = (ct + st * x) * jnp.exp(-x * x)
+        return c, p
+
+    Z, _ = cdf_parts(jnp.full_like(ct, 8.0))
+    target = u1 * Z
+    # init: gaussian quantile shifted toward the visible mean
+    x = erfinv(jnp.clip(u1 * (1.0 - erf_mcot) + erf_mcot, -1 + 1e-6, 1 - 1e-6))
+    lo = jnp.full_like(x, 0.0) - cot_t + 1e-5
+    hi = jnp.full_like(x, 8.0)
+    for _ in range(12):  # Newton safeguarded by bisection
+        c, p = cdf_parts(x)
+        f = c - target
+        lo = jnp.where(f < 0, x, lo)
+        hi = jnp.where(f >= 0, x, hi)
+        x_n = x - f / jnp.maximum(p, 1e-10)
+        bad = (x_n <= lo) | (x_n >= hi) | ~jnp.isfinite(x_n)
+        x = jnp.where(bad, 0.5 * (lo + hi), x_n)
+    # the visibility weight w.r.t. the FINAL normal m = (-sx,-sy,1)/|.| is
+    # <m, wi'> ∝ (ct - st*x): mirror the sampled x (e^{-x^2} is symmetric)
+    slope_x = -x
+
+    # rotate & unstretch
+    tmp = cos_phi * slope_x - sin_phi * slope_y
+    sy = (sin_phi * slope_x + cos_phi * slope_y) * alpha_v
+    sx = tmp * alpha_u
+    return m.normalize(jnp.stack([-sx, -sy, jnp.ones_like(sx)], -1))
 
 
 def pdf_visible(mtype, wi, m_vec, alpha_u, alpha_v):

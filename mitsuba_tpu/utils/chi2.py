@@ -1,0 +1,178 @@
+"""Chi-square goodness-of-fit harness (reference src/python/python/chi2.py):
+validates any (sample, pdf) pair by comparing a histogram of samples against
+the numerically integrated pdf per cell, with a chi-square test including
+Sidak significance-level adjustment and low-count cell pooling.
+
+Domains: spherical (directions) and planar [a,b]^2.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import math as m
+
+
+class SphericalDomain:
+    """Directions on S^2 binned in (cos_theta, phi) — equal-area cells."""
+
+    def __init__(self, res_theta=16, res_phi=32):
+        self.res = (res_theta, res_phi)
+
+    def cell_of(self, d):
+        d = np.asarray(d)
+        ct = np.clip(d[..., 2], -1, 1)
+        phi = np.arctan2(d[..., 1], d[..., 0])
+        it = np.clip(((ct + 1) * 0.5 * self.res[0]).astype(int), 0, self.res[0] - 1)
+        ip = np.clip(((phi / (2 * np.pi) + 0.5) * self.res[1]).astype(int), 0,
+                     self.res[1] - 1)
+        return it * self.res[1] + ip
+
+    @property
+    def n_cells(self):
+        return self.res[0] * self.res[1]
+
+    def cell_area(self):
+        # equal-area in cos_theta x phi
+        return 4 * np.pi / self.n_cells
+
+    def integrate_pdf(self, pdf_fn, sub=64, sub_phi=8):
+        """Fine-grid midpoint integration, sum-pooled into cells. `sub` is
+        high in cos_theta (where pdf discontinuities live — cone cutoffs,
+        hemisphere boundaries) so boundary-cell mass bias stays < 1%."""
+        rt, rp = self.res
+        ft, fp = rt * sub, rp * sub_phi
+        ct = -1 + (np.arange(ft) + 0.5) * (2.0 / ft)
+        phi = -np.pi + (np.arange(fp) + 0.5) * (2 * np.pi / fp)
+        CT, PHI = np.meshgrid(ct, phi, indexing='ij')
+        ST = np.sqrt(np.maximum(1 - CT ** 2, 0))
+        d = np.stack([ST * np.cos(PHI), ST * np.sin(PHI), CT], -1)
+        vals = np.asarray(pdf_fn(jnp.asarray(d.reshape(-1, 3), jnp.float32)),
+                          dtype=np.float64).reshape(ft, fp)
+        pooled = vals.reshape(rt, sub, rp, sub_phi).mean(axis=(1, 3))
+        cell_solid_angle = (2.0 / rt) * (2 * np.pi / rp)
+        return (pooled * cell_solid_angle).reshape(-1)
+
+
+class PlanarDomain:
+    def __init__(self, bounds=((-1, 1), (-1, 1)), res=(32, 32)):
+        self.bounds = bounds
+        self.res = res
+
+    @property
+    def n_cells(self):
+        return self.res[0] * self.res[1]
+
+    def cell_of(self, p):
+        p = np.asarray(p)
+        (x0, x1), (y0, y1) = self.bounds
+        ix = np.clip(((p[..., 0] - x0) / (x1 - x0) * self.res[0]).astype(int),
+                     0, self.res[0] - 1)
+        iy = np.clip(((p[..., 1] - y0) / (y1 - y0) * self.res[1]).astype(int),
+                     0, self.res[1] - 1)
+        return iy * self.res[0] + ix
+
+    def integrate_pdf(self, pdf_fn, sub=32):
+        (x0, x1), (y0, y1) = self.bounds
+        rx, ry = self.res
+        fx, fy = rx * sub, ry * sub
+        xs = x0 + (np.arange(fx) + 0.5) * ((x1 - x0) / fx)
+        ys = y0 + (np.arange(fy) + 0.5) * ((y1 - y0) / fy)
+        X, Y = np.meshgrid(xs, ys)
+        p = np.stack([X, Y], -1).reshape(-1, 2)
+        vals = np.asarray(pdf_fn(jnp.asarray(p, jnp.float32)),
+                          dtype=np.float64).reshape(fy, fx)
+        pooled = vals.reshape(ry, sub, rx, sub).mean(axis=(1, 3))
+        return (pooled * ((x1 - x0) / rx) * ((y1 - y0) / ry)).reshape(-1)
+
+
+class ChiSquareTest:
+    """chi2.py:ChiSquareTest — sample_count draws, histogram vs expected,
+    pooled chi-square with Sidak-adjusted significance."""
+
+    def __init__(self, domain, sample_fn, pdf_fn, sample_count=1_000_000,
+                 significance_level=0.01, min_expected=5.0, seed=0):
+        self.domain = domain
+        self.sample_fn = sample_fn
+        self.pdf_fn = pdf_fn
+        self.sample_count = sample_count
+        self.significance_level = significance_level
+        self.min_expected = min_expected
+        self.seed = seed
+        self.messages = ''
+
+    def run(self, test_count=1):
+        rng = np.random.default_rng(self.seed)
+        u = jnp.asarray(rng.random((self.sample_count, 2), np.float32))
+        samples, weights = self.sample_fn(u)
+        samples = np.asarray(samples)
+        weights = None if weights is None else np.asarray(weights)
+        cells = self.domain.cell_of(samples)
+        if weights is None:
+            weights = np.ones(len(cells))
+        # discard zero-weight (invalid) samples
+        valid = weights > 0
+        hist = np.bincount(cells[valid], minlength=self.domain.n_cells).astype(np.float64)
+        n_valid = valid.sum()
+
+        # expected counts = pdf mass * TOTAL draws: when sampling can fail
+        # (e.g. reflected direction below the horizon) the pdf integrates to
+        # the success probability, so failed draws are accounted on both
+        # sides (chi2.py:tabulate_pdf convention)
+        expected = self.domain.integrate_pdf(self.pdf_fn) * self.sample_count
+
+        # pool low-count cells (chi2.py:278-296)
+        order = np.argsort(expected)
+        chi2_stat = 0.0
+        dof = 0
+        pool_h = 0.0
+        pool_e = 0.0
+        for i in order:
+            e = expected[i] + pool_e
+            h = hist[i] + pool_h
+            if e < self.min_expected:
+                pool_e = e
+                pool_h = h
+                continue
+            chi2_stat += (h - e) ** 2 / e
+            dof += 1
+            pool_e = pool_h = 0.0
+        if pool_e > 0 and dof > 0:
+            chi2_stat += (pool_h - pool_e) ** 2 / max(pool_e, 1e-9)
+            dof += 1
+        dof -= 1
+        from scipy.stats import chi2 as chi2_dist
+        p_value = chi2_dist.sf(chi2_stat, max(dof, 1))
+        # Sidak adjustment for running `test_count` tests (chi2.py:306)
+        alpha = 1.0 - (1.0 - self.significance_level) ** (1.0 / max(test_count, 1))
+        self.p_value = p_value
+        self.messages = f'chi2={chi2_stat:.2f} dof={dof} p={p_value:.4g} alpha={alpha:.4g}'
+        return p_value >= alpha
+
+
+def bsdf_chi2(scene_bsdf_builder, wi, sample_count=500_000, seed=0):
+    """Convenience: chi-square test of a single BSDF's sample()/pdf() at a
+    fixed incident direction. `scene_bsdf_builder` returns
+    (plugin, table, textures)."""
+    plugin, tbl, tex = scene_bsdf_builder()
+    wi = jnp.asarray(wi, jnp.float32)
+
+    def sample_fn(u):
+        n = u.shape[0]
+        wi_b = jnp.broadcast_to(wi, (n, 3))
+        slot = jnp.zeros((n,), jnp.int32)
+        uv = jnp.zeros((n, 2))
+        rng = np.random.default_rng(seed + 7)
+        s1 = jnp.asarray(rng.random(n, np.float32))
+        bs, w = plugin.sample(tbl, slot, tex, wi_b, uv, s1, u)
+        return bs.wo, jnp.max(w, -1) * (bs.pdf > 0)
+
+    def pdf_fn(wo):
+        n = wo.shape[0]
+        wi_b = jnp.broadcast_to(wi, (n, 3))
+        slot = jnp.zeros((n,), jnp.int32)
+        uv = jnp.zeros((n, 2))
+        return plugin.pdf(tbl, slot, tex, wi_b, wo, uv)
+
+    return ChiSquareTest(SphericalDomain(), sample_fn, pdf_fn,
+                         sample_count=sample_count, seed=seed)

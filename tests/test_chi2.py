@@ -1,0 +1,70 @@
+"""Chi-square GOF tests for warps and BSDF sampling routines
+(reference src/bsdfs/tests/*, core/tests/test_warp.py chi2 usage)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mitsuba_tpu.core import warp
+from mitsuba_tpu.utils.chi2 import ChiSquareTest, SphericalDomain, PlanarDomain, bsdf_chi2
+from mitsuba_tpu.render.texture import TextureBuilder
+
+
+N = 400_000
+
+
+@pytest.mark.parametrize('sample_fn,pdf_fn', [
+    (warp.square_to_uniform_sphere, warp.square_to_uniform_sphere_pdf),
+    (warp.square_to_cosine_hemisphere, warp.square_to_cosine_hemisphere_pdf),
+    (warp.square_to_uniform_hemisphere, warp.square_to_uniform_hemisphere_pdf),
+    (lambda u: warp.square_to_uniform_cone(u, 0.3),
+     lambda v: warp.square_to_uniform_cone_pdf(v, 0.3)),
+    (lambda u: warp.square_to_beckmann(u, 0.5),
+     lambda v: warp.square_to_beckmann_pdf(v, 0.5)),
+    (lambda u: warp.square_to_von_mises_fisher(u, 5.0),
+     lambda v: warp.square_to_von_mises_fisher_pdf(v, 5.0)),
+])
+def test_warp_chi2_sphere(sample_fn, pdf_fn):
+    t = ChiSquareTest(SphericalDomain(),
+                      lambda u: (sample_fn(u), None), pdf_fn,
+                      sample_count=N, seed=1)
+    assert t.run(), t.messages
+
+
+@pytest.mark.parametrize('sample_fn,pdf_fn', [
+    (warp.square_to_uniform_disk_concentric, warp.square_to_uniform_disk_pdf),
+    (warp.square_to_tent, warp.square_to_tent_pdf),
+])
+def test_warp_chi2_planar(sample_fn, pdf_fn):
+    t = ChiSquareTest(PlanarDomain(),
+                      lambda u: (sample_fn(u), None), pdf_fn,
+                      sample_count=N, seed=2)
+    assert t.run(), t.messages
+
+
+def _mk(bsdf_name, props):
+    def build():
+        from mitsuba_tpu.plugins.bsdfs import REGISTRY
+        texb = TextureBuilder()
+        plugin = REGISTRY[bsdf_name]
+        tbl = plugin.build([props], texb)
+        return plugin, tbl, texb.build()
+    return build
+
+
+@pytest.mark.parametrize('wi', [[0, 0, 1], [0.5, 0.2, 0.8], [0.8, 0, 0.6]])
+def test_diffuse_chi2(wi):
+    wi = np.asarray(wi, np.float32)
+    wi /= np.linalg.norm(wi)
+    t = bsdf_chi2(_mk('diffuse', {'reflectance': 0.8}), wi, sample_count=N)
+    assert t.run(), t.messages
+
+
+@pytest.mark.parametrize('alpha', [0.1, 0.4])
+@pytest.mark.parametrize('dist', ['ggx', 'beckmann'])
+def test_roughconductor_chi2(alpha, dist):
+    wi = np.asarray([0.3, -0.2, 0.9], np.float32)
+    wi /= np.linalg.norm(wi)
+    t = bsdf_chi2(_mk('roughconductor',
+                      {'alpha': alpha, 'distribution': dist, 'material': 'Al'}),
+                  wi, sample_count=N)
+    assert t.run(), t.messages

@@ -1,0 +1,467 @@
+"""Additional BSDF plugins: plastic, roughplastic, roughdielectric, null,
+mask, normalmap-lite, blendbsdf (reference src/bsdfs/*.cpp).
+
+Same SoA-table + masked-merge design as core_bsdfs.py.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ...core import math as m
+from ...core import frame as fr
+from ...core import warp
+from ...core import fresnel as fre
+from ...core import microfacet as mf
+from ...render import bsdf_flags as bf
+from ...render.records import BSDFSample
+from ...render.texture import eval_texture, eval_texture_1
+from .core_bsdfs import _resolve_texture, _ior
+
+
+def _fresnel_diffuse_reflectance(eta, n=64):
+    """Average Fresnel reflectance for diffuse internal scattering
+    (reference uses fresnel_diffuse_reflectance fits; we integrate
+    numerically at build time — host-side)."""
+    mu = (np.arange(n) + 0.5) / n
+    # F(mu) for each cosine
+    from numpy import sqrt, clip
+    eta_ti = 1.0 / eta
+    c2 = 1.0 - eta_ti * eta_ti * (1.0 - mu ** 2)
+    tir = c2 <= 0
+    ct = sqrt(clip(c2, 0, None))
+    a_s = (mu - eta * ct) / np.where(np.abs(mu + eta * ct) < 1e-9, 1e-9, mu + eta * ct)
+    a_p = (eta * mu - ct) / np.where(np.abs(eta * mu + ct) < 1e-9, 1e-9, eta * mu + ct)
+    F = 0.5 * (a_s ** 2 + a_p ** 2)
+    F = np.where(tir, 1.0, F)
+    return float(np.sum(F * mu) * 2.0 / n)
+
+
+# ===========================================================================
+# plastic — smooth dielectric coat over diffuse base (src/bsdfs/plastic.cpp)
+# ===========================================================================
+
+@struct.dataclass
+class PlasticTable:
+    diffuse_reflectance: jnp.ndarray   # (S,) int32 tex
+    specular_reflectance: jnp.ndarray  # (S,) int32 tex
+    eta: jnp.ndarray                   # (S,)
+    fdr_int: jnp.ndarray               # (S,) internal diffuse Fresnel refl
+    spec_weight: jnp.ndarray           # (S,) specular sampling weight scale
+    nonlinear: jnp.ndarray             # (S,) bool
+
+
+class plastic:
+    Table = PlasticTable
+    flags = bf.DeltaReflection | bf.DiffuseReflection | bf.FrontSide
+
+    @staticmethod
+    def build(props_list, texb):
+        dr_, sr, eta, fdr, sw, nl = [], [], [], [], [], []
+        for p in props_list:
+            e = _ior(p.get('int_ior'), 1.49) / _ior(p.get('ext_ior'), 1.000277)
+            eta.append(e)
+            fdr.append(_fresnel_diffuse_reflectance(1.0 / e))
+            dr_.append(_resolve_texture(p, 'diffuse_reflectance', 0.5, texb))
+            sr.append(_resolve_texture(p, 'specular_reflectance', 1.0, texb))
+            sw.append(1.0)
+            nl.append(bool(p.get('nonlinear', False)))
+        return PlasticTable(
+            diffuse_reflectance=jnp.asarray(dr_, jnp.int32),
+            specular_reflectance=jnp.asarray(sr, jnp.int32),
+            eta=jnp.asarray(eta, jnp.float32),
+            fdr_int=jnp.asarray(fdr, jnp.float32),
+            spec_weight=jnp.asarray(sw, jnp.float32),
+            nonlinear=jnp.asarray(nl))
+
+    @staticmethod
+    def _diffuse_term(tbl, slot, tex, wi, wo, uv):
+        eta = tbl.eta[slot]
+        fdr = tbl.fdr_int[slot]
+        f_i, _, _, _ = fre.fresnel(fr.cos_theta(wi), eta)
+        f_o, _, _, _ = fre.fresnel(fr.cos_theta(wo), eta)
+        refl = eval_texture(tex, tbl.diffuse_reflectance[slot], uv)
+        denom_lin = 1.0 - fdr[..., None]
+        denom_nl = 1.0 - refl * fdr[..., None]
+        denom = jnp.where(tbl.nonlinear[slot][..., None], denom_nl, denom_lin)
+        inv_eta2 = 1.0 / (eta * eta)
+        val = refl / jnp.maximum(denom, 1e-6) * (
+            (1.0 - f_i) * (1.0 - f_o) * inv_eta2 * m.InvPi *
+            jnp.maximum(fr.cos_theta(wo), 0.0))[..., None]
+        return val, f_i
+
+    @staticmethod
+    def eval(tbl, slot, tex, wi, wo, uv):
+        cos_i = fr.cos_theta(wi)
+        cos_o = fr.cos_theta(wo)
+        val, _ = plastic._diffuse_term(tbl, slot, tex, wi, wo, uv)
+        return jnp.where(((cos_i > 0) & (cos_o > 0))[..., None], val, 0.0)
+
+    @staticmethod
+    def pdf(tbl, slot, tex, wi, wo, uv):
+        cos_i = fr.cos_theta(wi)
+        cos_o = fr.cos_theta(wo)
+        f_i, _, _, _ = fre.fresnel(cos_i, tbl.eta[slot])
+        prob_spec = f_i
+        pdf_d = warp.square_to_cosine_hemisphere_pdf(wo) * (1.0 - prob_spec)
+        return jnp.where((cos_i > 0) & (cos_o > 0), pdf_d, 0.0)
+
+    @staticmethod
+    def sample(tbl, slot, tex, wi, uv, sample1, sample2):
+        n = wi.shape[0]
+        cos_i = fr.cos_theta(wi)
+        f_i, _, _, _ = fre.fresnel(cos_i, tbl.eta[slot])
+        prob_spec = f_i
+        sel_spec = sample1 < prob_spec
+        wo_spec = fr.reflect(wi)
+        wo_diff = warp.square_to_cosine_hemisphere(sample2)
+        wo = jnp.where(sel_spec[..., None], wo_spec, wo_diff)
+        # weights
+        sr = eval_texture(tex, tbl.specular_reflectance[slot], uv)
+        w_spec = sr  # f_i / prob_spec == 1
+        val_d, _ = plastic._diffuse_term(tbl, slot, tex, wi, wo_diff, uv)
+        pdf_diff = warp.square_to_cosine_hemisphere_pdf(wo_diff) * (1.0 - prob_spec)
+        w_diff = val_d / jnp.maximum(pdf_diff, 1e-9)[..., None]
+        active = cos_i > 0
+        weight = jnp.where(sel_spec[..., None], w_spec, w_diff)
+        weight = jnp.where(active[..., None], weight, 0.0)
+        pdf = jnp.where(sel_spec, prob_spec, pdf_diff)
+        bs = BSDFSample(
+            wo=wo, pdf=jnp.where(active, pdf, 0.0),
+            eta=jnp.ones((n,), wi.dtype),
+            sampled_type=jnp.where(sel_spec, bf.DeltaReflection,
+                                   bf.DiffuseReflection).astype(jnp.uint32),
+            sampled_component=jnp.where(sel_spec, 0, 1).astype(jnp.int32))
+        return bs, weight
+
+
+# ===========================================================================
+# roughplastic (src/bsdfs/roughplastic.cpp) — GGX coat + diffuse base
+# ===========================================================================
+
+@struct.dataclass
+class RoughPlasticTable:
+    diffuse_reflectance: jnp.ndarray
+    specular_reflectance: jnp.ndarray
+    alpha: jnp.ndarray  # (S,) int32 tex
+    eta: jnp.ndarray
+    fdr_int: jnp.ndarray
+    nonlinear: jnp.ndarray
+
+
+class roughplastic:
+    Table = RoughPlasticTable
+    flags = bf.GlossyReflection | bf.DiffuseReflection | bf.FrontSide
+
+    @staticmethod
+    def build(props_list, texb):
+        dr_, sr, al, eta, fdr, nl = [], [], [], [], [], []
+        for p in props_list:
+            e = _ior(p.get('int_ior'), 1.49) / _ior(p.get('ext_ior'), 1.000277)
+            eta.append(e)
+            fdr.append(_fresnel_diffuse_reflectance(1.0 / e))
+            dr_.append(_resolve_texture(p, 'diffuse_reflectance', 0.5, texb))
+            sr.append(_resolve_texture(p, 'specular_reflectance', 1.0, texb))
+            al.append(_resolve_texture(p, 'alpha', 0.1, texb))
+            nl.append(bool(p.get('nonlinear', False)))
+        return RoughPlasticTable(
+            diffuse_reflectance=jnp.asarray(dr_, jnp.int32),
+            specular_reflectance=jnp.asarray(sr, jnp.int32),
+            alpha=jnp.asarray(al, jnp.int32),
+            eta=jnp.asarray(eta, jnp.float32),
+            fdr_int=jnp.asarray(fdr, jnp.float32),
+            nonlinear=jnp.asarray(nl))
+
+    @staticmethod
+    def _spec_prob(tbl, slot, cos_i):
+        f_i, _, _, _ = fre.fresnel(cos_i, tbl.eta[slot])
+        return jnp.clip(f_i, 0.1, 0.9)
+
+    @staticmethod
+    def _eval_pdf(tbl, slot, tex, wi, wo, uv):
+        cos_i = fr.cos_theta(wi)
+        cos_o = fr.cos_theta(wo)
+        active = (cos_i > 0) & (cos_o > 0)
+        a = jnp.maximum(eval_texture_1(tex, tbl.alpha[slot], uv), 1e-4)
+        h = m.normalize(wi + wo)
+        D = mf.eval_ndf(mf.GGX, h, a, a)
+        Gv = mf.G(mf.GGX, wi, wo, h, a, a)
+        F, _, _, _ = fre.fresnel(m.dot(wi, h), tbl.eta[slot])
+        sr = eval_texture(tex, tbl.specular_reflectance[slot], uv)
+        spec = sr * (F * D * Gv / jnp.maximum(4.0 * cos_i, 1e-9))[..., None]
+        # diffuse with Fresnel transmittances (plastic internal scattering)
+        eta = tbl.eta[slot]
+        fdr = tbl.fdr_int[slot]
+        f_i, _, _, _ = fre.fresnel(cos_i, eta)
+        f_o, _, _, _ = fre.fresnel(cos_o, eta)
+        refl = eval_texture(tex, tbl.diffuse_reflectance[slot], uv)
+        denom = jnp.where(tbl.nonlinear[slot][..., None],
+                          1.0 - refl * fdr[..., None], (1.0 - fdr)[..., None])
+        diff = refl / jnp.maximum(denom, 1e-6) * (
+            (1.0 - f_i) * (1.0 - f_o) / (eta * eta) * m.InvPi *
+            jnp.maximum(cos_o, 0.0))[..., None]
+        val = jnp.where(active[..., None], spec + diff, 0.0)
+        prob_s = roughplastic._spec_prob(tbl, slot, cos_i)
+        pdf_s = mf.pdf_visible(mf.GGX, wi, h, a, a) / \
+            jnp.maximum(4.0 * jnp.abs(m.dot(wo, h)), 1e-9)
+        pdf = prob_s * pdf_s + (1.0 - prob_s) * warp.square_to_cosine_hemisphere_pdf(wo)
+        return val, jnp.where(active, pdf, 0.0)
+
+    @staticmethod
+    def eval(tbl, slot, tex, wi, wo, uv):
+        return roughplastic._eval_pdf(tbl, slot, tex, wi, wo, uv)[0]
+
+    @staticmethod
+    def pdf(tbl, slot, tex, wi, wo, uv):
+        return roughplastic._eval_pdf(tbl, slot, tex, wi, wo, uv)[1]
+
+    @staticmethod
+    def sample(tbl, slot, tex, wi, uv, sample1, sample2):
+        n = wi.shape[0]
+        cos_i = fr.cos_theta(wi)
+        a = jnp.maximum(eval_texture_1(tex, tbl.alpha[slot], uv), 1e-4)
+        prob_s = roughplastic._spec_prob(tbl, slot, cos_i)
+        sel_spec = sample1 < prob_s
+        h, _ = mf.sample_visible(mf.GGX, wi, sample2, a, a)
+        wo_spec = fr.reflect(wi, h)
+        wo_diff = warp.square_to_cosine_hemisphere(sample2)
+        wo = jnp.where(sel_spec[..., None], wo_spec, wo_diff)
+        val, pdf = roughplastic._eval_pdf(tbl, slot, tex, wi, wo, uv)
+        active = (cos_i > 0) & (fr.cos_theta(wo) > 0) & (pdf > 1e-10)
+        weight = jnp.where(active[..., None],
+                           val / jnp.maximum(pdf, 1e-10)[..., None], 0.0)
+        bs = BSDFSample(
+            wo=wo, pdf=jnp.where(active, pdf, 0.0),
+            eta=jnp.ones((n,), wi.dtype),
+            sampled_type=jnp.where(sel_spec, bf.GlossyReflection,
+                                   bf.DiffuseReflection).astype(jnp.uint32),
+            sampled_component=jnp.where(sel_spec, 0, 1).astype(jnp.int32))
+        return bs, weight
+
+
+# ===========================================================================
+# roughdielectric (src/bsdfs/roughdielectric.cpp) — GGX glass
+# ===========================================================================
+
+@struct.dataclass
+class RoughDielectricTable:
+    eta: jnp.ndarray
+    alpha: jnp.ndarray  # (S,) int32 tex
+    specular_reflectance: jnp.ndarray
+    specular_transmittance: jnp.ndarray
+
+
+class roughdielectric:
+    Table = RoughDielectricTable
+    flags = bf.GlossyReflection | bf.GlossyTransmission | bf.FrontSide | \
+        bf.BackSide | bf.NonSymmetric
+
+    @staticmethod
+    def build(props_list, texb):
+        eta, al, sr, st = [], [], [], []
+        for p in props_list:
+            eta.append(_ior(p.get('int_ior'), 1.5046) / _ior(p.get('ext_ior'), 1.000277))
+            al.append(_resolve_texture(p, 'alpha', 0.1, texb))
+            sr.append(_resolve_texture(p, 'specular_reflectance', 1.0, texb))
+            st.append(_resolve_texture(p, 'specular_transmittance', 1.0, texb))
+        return RoughDielectricTable(
+            eta=jnp.asarray(eta, jnp.float32),
+            alpha=jnp.asarray(al, jnp.int32),
+            specular_reflectance=jnp.asarray(sr, jnp.int32),
+            specular_transmittance=jnp.asarray(st, jnp.int32))
+
+    @staticmethod
+    def _eval_pdf(tbl, slot, tex, wi, wo, uv):
+        cos_i = fr.cos_theta(wi)
+        cos_o = fr.cos_theta(wo)
+        eta = tbl.eta[slot]
+        a = jnp.maximum(eval_texture_1(tex, tbl.alpha[slot], uv), 1e-4)
+        reflect = cos_i * cos_o > 0
+        # half vector (generalized, roughdielectric.cpp:313)
+        eta_p = jnp.where(cos_i > 0, eta, 1.0 / eta)
+        h = m.normalize(wi + wo * jnp.where(reflect, 1.0, eta_p)[..., None])
+        h = h * m.sign(fr.cos_theta(h))[..., None]
+        wih = m.dot(wi, h)
+        woh = m.dot(wo, h)
+        F, _, _, _ = fre.fresnel(wih, eta)
+        D = mf.eval_ndf(mf.GGX, h, a, a)
+        Gv = mf.G(mf.GGX, wi, wo, h, a, a)
+        # reflection value
+        sr = eval_texture(tex, tbl.specular_reflectance[slot], uv)
+        st = eval_texture(tex, tbl.specular_transmittance[slot], uv)
+        val_r = sr * (F * D * Gv / jnp.maximum(4.0 * jnp.abs(cos_i), 1e-9))[..., None]
+        # transmission value (radiance transport, factor 1/eta_p^2)
+        denom_t = (wih + eta_p * woh)
+        jac_t = (eta_p * eta_p * jnp.abs(woh)) / jnp.maximum(denom_t * denom_t, 1e-9)
+        val_t_sc = jnp.abs(wih) * jac_t * (1.0 - F) * D * Gv / \
+            jnp.maximum(jnp.abs(cos_i), 1e-9) / (eta_p * eta_p)
+        val_t = st * val_t_sc[..., None]
+        val = jnp.where(reflect[..., None], val_r, val_t)
+        ok = (jnp.abs(cos_i) > 1e-6) & (jnp.abs(cos_o) > 1e-6) & \
+            (wih * cos_i > 0) & (woh * cos_o > 0)
+        val = jnp.where(ok[..., None], val, 0.0)
+        # pdf
+        pdf_h = mf.pdf_visible(mf.GGX, wi * m.sign(cos_i)[..., None],
+                               h * m.sign(cos_i)[..., None], a, a)
+        dwh_dwo = jnp.where(
+            reflect,
+            1.0 / jnp.maximum(4.0 * jnp.abs(woh), 1e-9),
+            (eta_p * eta_p * jnp.abs(woh)) / jnp.maximum(denom_t * denom_t, 1e-9))
+        prob_r = jnp.clip(F, 0.0, 1.0)
+        pdf = pdf_h * jnp.where(reflect, prob_r, 1.0 - prob_r) * dwh_dwo
+        return val, jnp.where(ok, pdf, 0.0)
+
+    @staticmethod
+    def eval(tbl, slot, tex, wi, wo, uv):
+        return roughdielectric._eval_pdf(tbl, slot, tex, wi, wo, uv)[0]
+
+    @staticmethod
+    def pdf(tbl, slot, tex, wi, wo, uv):
+        return roughdielectric._eval_pdf(tbl, slot, tex, wi, wo, uv)[1]
+
+    @staticmethod
+    def sample(tbl, slot, tex, wi, uv, sample1, sample2):
+        n = wi.shape[0]
+        cos_i = fr.cos_theta(wi)
+        eta = tbl.eta[slot]
+        a = jnp.maximum(eval_texture_1(tex, tbl.alpha[slot], uv), 1e-4)
+        sgn = m.sign(cos_i)
+        wi_u = wi * sgn[..., None]
+        h_u, _ = mf.sample_visible(mf.GGX, wi_u, sample2, a, a)
+        h = h_u * sgn[..., None]
+        wih = m.dot(wi, h)
+        F, cos_t, eta_it, eta_ti = fre.fresnel(wih, eta)
+        sel_r = sample1 < F
+        wo_r = fr.reflect(wi, h)
+        wo_t = fr.refract(wi, cos_t, eta_ti, h)
+        wo = jnp.where(sel_r[..., None], wo_r, wo_t)
+        val, pdf = roughdielectric._eval_pdf(tbl, slot, tex, wi, wo, uv)
+        # reject lobe/hemisphere mismatches (roughdielectric.cpp: sampled
+        # reflections must stay on the incident side, transmissions cross) —
+        # otherwise a below-horizon reflection would be mis-attributed to the
+        # transmission pdf
+        cos_o = fr.cos_theta(wo)
+        consistent = jnp.where(sel_r, cos_i * cos_o > 0, cos_i * cos_o < 0)
+        active = consistent & (pdf > 1e-10)
+        weight = jnp.where(active[..., None],
+                           val / jnp.maximum(pdf, 1e-10)[..., None], 0.0)
+        bs = BSDFSample(
+            wo=wo, pdf=jnp.where(active, pdf, 0.0),
+            eta=jnp.where(sel_r, 1.0, eta_it),
+            sampled_type=jnp.where(sel_r, bf.GlossyReflection,
+                                   bf.GlossyTransmission).astype(jnp.uint32),
+            sampled_component=jnp.where(sel_r, 0, 1).astype(jnp.int32))
+        return bs, weight
+
+
+# ===========================================================================
+# null (src/bsdfs/null.cpp) — pass-through
+# ===========================================================================
+
+@struct.dataclass
+class NullTable:
+    dummy: jnp.ndarray
+
+
+class null:
+    Table = NullTable
+    flags = bf.Null | bf.FrontSide | bf.BackSide
+
+    @staticmethod
+    def build(props_list, texb):
+        return NullTable(dummy=jnp.zeros(len(props_list)))
+
+    @staticmethod
+    def eval(tbl, slot, tex, wi, wo, uv):
+        return jnp.zeros_like(wi)
+
+    @staticmethod
+    def pdf(tbl, slot, tex, wi, wo, uv):
+        return jnp.zeros(wi.shape[0], wi.dtype)
+
+    @staticmethod
+    def sample(tbl, slot, tex, wi, uv, sample1, sample2):
+        n = wi.shape[0]
+        bs = BSDFSample(
+            wo=-wi, pdf=jnp.ones((n,), wi.dtype),
+            eta=jnp.ones((n,), wi.dtype),
+            sampled_type=jnp.full((n,), bf.Null, jnp.uint32),
+            sampled_component=jnp.zeros((n,), jnp.int32))
+        return bs, jnp.ones((n, 3), wi.dtype)
+
+
+# ===========================================================================
+# mask (src/bsdfs/mask.cpp) — opacity-masked diffuse (flattened wrapper:
+# the nested BSDF is folded to diffuse parameters at load time for now)
+# ===========================================================================
+
+@struct.dataclass
+class MaskTable:
+    opacity: jnp.ndarray      # (S,) int32 tex (eval_1)
+    reflectance: jnp.ndarray  # (S,) int32 tex of the nested diffuse
+
+
+class mask:
+    Table = MaskTable
+    flags = bf.DiffuseReflection | bf.Null | bf.FrontSide | bf.BackSide
+
+    @staticmethod
+    def build(props_list, texb):
+        op, refl = [], []
+        for p in props_list:
+            op.append(_resolve_texture(p, 'opacity', 0.5, texb))
+            inner_refl = 0.5
+            for k, v in p.items():
+                if isinstance(v, dict) and v.get('type') == 'diffuse':
+                    inner_refl = v.get('reflectance', 0.5)
+            refl.append(_resolve_texture({'r': inner_refl}, 'r', 0.5, texb))
+        return MaskTable(opacity=jnp.asarray(op, jnp.int32),
+                         reflectance=jnp.asarray(refl, jnp.int32))
+
+    @staticmethod
+    def eval(tbl, slot, tex, wi, wo, uv):
+        op = eval_texture_1(tex, tbl.opacity[slot], uv)
+        refl = eval_texture(tex, tbl.reflectance[slot], uv)
+        cos_i = fr.cos_theta(wi)
+        cos_o = fr.cos_theta(wo)
+        val = refl * (m.InvPi * jnp.maximum(cos_o, 0.0) * op)[..., None]
+        return jnp.where(((cos_i > 0) & (cos_o > 0))[..., None], val, 0.0)
+
+    @staticmethod
+    def pdf(tbl, slot, tex, wi, wo, uv):
+        op = eval_texture_1(tex, tbl.opacity[slot], uv)
+        cos_i = fr.cos_theta(wi)
+        cos_o = fr.cos_theta(wo)
+        return jnp.where((cos_i > 0) & (cos_o > 0),
+                         warp.square_to_cosine_hemisphere_pdf(wo) * op, 0.0)
+
+    @staticmethod
+    def sample(tbl, slot, tex, wi, uv, sample1, sample2):
+        n = wi.shape[0]
+        op = eval_texture_1(tex, tbl.opacity[slot], uv)
+        passthrough = sample1 >= op
+        wo_d = warp.square_to_cosine_hemisphere(sample2)
+        wo_d = wo_d * m.sign(fr.cos_theta(wi))[..., None]
+        wo = jnp.where(passthrough[..., None], -wi, wo_d)
+        refl = eval_texture(tex, tbl.reflectance[slot], uv)
+        weight = jnp.where(passthrough[..., None], 1.0, refl)
+        pdf = jnp.where(passthrough, 1.0 - op,
+                        op * warp.square_to_cosine_hemisphere_pdf(
+                            wo * m.sign(fr.cos_theta(wi))[..., None]))
+        bs = BSDFSample(
+            wo=wo, pdf=pdf, eta=jnp.ones((n,), wi.dtype),
+            sampled_type=jnp.where(passthrough, bf.Null,
+                                   bf.DiffuseReflection).astype(jnp.uint32),
+            sampled_component=jnp.where(passthrough, 1, 0).astype(jnp.int32))
+        return bs, weight
+
+
+EXTRA = {
+    'plastic': plastic,
+    'roughplastic': roughplastic,
+    'roughdielectric': roughdielectric,
+    'null': null,
+    'mask': mask,
+}

@@ -165,7 +165,11 @@ def bsdf_chi2(scene_bsdf_builder, wi, sample_count=500_000, seed=0):
         rng = np.random.default_rng(seed + 7)
         s1 = jnp.asarray(rng.random(n, np.float32))
         bs, w = plugin.sample(tbl, slot, tex, wi_b, uv, s1, u)
-        return bs.wo, jnp.max(w, -1) * (bs.pdf > 0)
+        # exclude delta/null lobes: their mass is not part of the continuous
+        # pdf() (mitsuba chi2 BSDF tests restrict to smooth components too)
+        from ..render import bsdf_flags as bf
+        smooth = (bs.sampled_type & jnp.uint32(bf.Delta)) == 0
+        return bs.wo, jnp.max(w, -1) * (bs.pdf > 0) * smooth
 
     def pdf_fn(wo):
         n = wo.shape[0]

@@ -68,3 +68,34 @@ def test_roughconductor_chi2(alpha, dist):
                       {'alpha': alpha, 'distribution': dist, 'material': 'Al'}),
                   wi, sample_count=N)
     assert t.run(), t.messages
+
+
+@pytest.mark.parametrize('wi', [[0, 0, 1], [0.6, 0, 0.8]])
+def test_plastic_chi2(wi):
+    wi = np.asarray(wi, np.float32)
+    wi /= np.linalg.norm(wi)
+    t = bsdf_chi2(_mk('plastic', {'diffuse_reflectance': 0.5}), wi,
+                  sample_count=N)
+    assert t.run(), t.messages
+
+
+def test_roughplastic_chi2():
+    wi = np.asarray([0.4, 0.1, 0.9], np.float32)
+    wi /= np.linalg.norm(wi)
+    t = bsdf_chi2(_mk('roughplastic', {'alpha': 0.3}), wi, sample_count=N)
+    assert t.run(), t.messages
+
+
+@pytest.mark.parametrize('wi', [[0.2, 0.1, 0.97], [0.2, -0.3, -0.93]])
+def test_roughdielectric_chi2(wi):
+    wi = np.asarray(wi, np.float32)
+    wi /= np.linalg.norm(wi)
+    t = bsdf_chi2(_mk('roughdielectric', {'alpha': 0.3}), wi, sample_count=N)
+    assert t.run(), t.messages
+
+
+def test_mask_chi2():
+    wi = np.asarray([0.3, 0.0, 0.95], np.float32)
+    wi /= np.linalg.norm(wi)
+    t = bsdf_chi2(_mk('mask', {'opacity': 0.7}), wi, sample_count=N)
+    assert t.run(), t.messages

@@ -16,6 +16,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: the axon remote compile of the full megakernel
+# can take minutes; cache across processes so only the first run pays
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+
 
 def main():
     import mitsuba_tpu as mt

@@ -1,0 +1,1 @@
+from . import prb  # noqa: F401

@@ -1,0 +1,322 @@
+"""Path Replay Backpropagation (Vicini et al. 2021; reference
+src/python/python/ad/integrators/prb.py:106-252 + common.py RBIntegrator).
+
+JAX formulation: `render_prb(scene, spp, seed)` is a custom_vjp whose
+
+  * primal runs the DETACHED path tracer (no AD residuals at all — O(1)
+    memory in path depth, unlike naive jax.grad through the lax.scan which
+    stores per-bounce residuals), and whose
+  * backward (1) differentiates the film splat + weight division exactly to
+    turn the image cotangent into per-sample adjoint radiance δL
+    (the adjoint-image trick, common.py:908-919 — the splat is linear so one
+    jax.vjp gives it), then (2) REPLAYS the identical path (same counter RNG
+    keys ⇒ same path, core property of the sampler design) and at every
+    bounce runs a LOCAL jax.vjp of the attached per-vertex shading
+
+        O_k = β_k^det · (Le_k^att + Ldir_k^att + w_k^att(wo_det) · L_{k+1}^det)
+
+    where L_{k+1} = (L_k - Le_k - Ldir_k) / w_k^det is the peeled remaining
+    radiance (prb.py:169's subtraction) and w^att is the attached re-eval of
+    the detached BSDF sample (detached-sampling rule, prb.py:223).
+
+Scene cotangents accumulate in the scan carry — memory is O(#params), not
+O(depth × wavefront).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+
+from ...core import math as m
+from ...render import scene as sc
+from ...render import bsdf as bsdf_mod
+from ...render import bsdf_flags as bf
+from ...render import sampler as sa
+from ...render import film as film_mod
+from ...render import sensor as sensor_mod
+from ...render.records import Ray
+from ...render.integrator import integrator_config
+from ...plugins.integrators.path import mis_weight
+from ...core import rng
+
+
+# ---------------------------------------------------------------------------
+# scene partition helpers: differentiable (float) leaves <-> the rest
+# ---------------------------------------------------------------------------
+
+def _partition(scene):
+    leaves, treedef = jtu.tree_flatten(scene)
+    idx = [i for i, l in enumerate(leaves)
+           if hasattr(l, 'dtype') and jnp.issubdtype(l.dtype, jnp.floating)]
+
+    def combine(float_list):
+        out = list(leaves)
+        for j, i in enumerate(idx):
+            out[i] = float_list[j]
+        return jtu.tree_unflatten(treedef, out)
+
+    return [leaves[i] for i in idx], combine, (leaves, treedef, idx)
+
+
+def _full_cotangent(meta, float_cots):
+    leaves, treedef, idx = meta
+    out = []
+    fi = {i: j for j, i in enumerate(idx)}
+    for i, l in enumerate(leaves):
+        if i in fi:
+            out.append(float_cots[fi[i]])
+        else:
+            out.append(np.zeros(np.shape(l), jax.dtypes.float0)
+                       if hasattr(l, 'shape') else
+                       np.zeros((), jax.dtypes.float0))
+    return jtu.tree_unflatten(treedef, out)
+
+
+# ---------------------------------------------------------------------------
+# ray/sample generation shared by primal & replay (must consume RNG
+# identically; mirrors render/integrator.py:render_pass)
+# ---------------------------------------------------------------------------
+
+def _gen_rays(scene, spp_pass, spp_total, seed, sample_offset=0):
+    film = scene.film
+    W, H = film.width, film.height
+    n = W * H * spp_pass
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    pix = (lane // spp_pass).astype(jnp.int32)
+    sample_index = (lane % spp_pass).astype(jnp.int32) + sample_offset
+    px = (pix % W).astype(jnp.float32)
+    py = (pix // W).astype(jnp.float32)
+    global_id = pix.astype(jnp.uint32) * jnp.uint32(spp_total) + \
+        sample_index.astype(jnp.uint32)
+    k0, _ = rng.sample_tea_32(jnp.asarray(seed, jnp.uint32), global_id)
+    sampler = sa.seed_from_keys(k0)
+    jitter, sampler = sa.pixel_jitter(scene.sampler_kind, sampler,
+                                      sample_index, spp_total)
+    pos_f = jnp.stack([px + jitter[..., 0], py + jitter[..., 1]], -1)
+    pos01 = pos_f / jnp.asarray([W, H], jnp.float32)
+    aperture, sampler = sa.next_2d(sampler)
+    ray = sensor_mod.sample_ray(scene.sensor, pos01, aperture)
+    return ray, sampler, pos_f
+
+
+# ---------------------------------------------------------------------------
+# one detached path-tracer bounce; returns everything the replay needs.
+# Mirrors plugins/integrators/path.py:sample body EXACTLY (same RNG order).
+# ---------------------------------------------------------------------------
+
+def _bounce_detached(scene, smpl, o, d, prev_p, prev_pdf, prev_delta, active,
+                     depth, rr_depth):
+    ray = Ray.make(o, d)
+    si = sc.ray_intersect(scene, ray)
+    hit_em = active & (si.emitter_index >= 0)
+    Le = sc.eval_emitter_hit(scene, si, hit_em)
+    pdf_light = sc.pdf_emitter_direction(scene, prev_p, si, hit_em)
+    mis_bsdf = jnp.where(prev_delta, 1.0, mis_weight(prev_pdf, pdf_light))
+    Le_w = Le * mis_bsdf[..., None]
+
+    escaped = active & ~si.is_valid
+    Lenv = sc.eval_environment(scene, d, escaped)
+    pdf_env = sc.pdf_env_direction(scene, d, escaped)
+    mis_env = jnp.where(prev_delta, 1.0, mis_weight(prev_pdf, pdf_env))
+    Le_w = Le_w + Lenv * mis_env[..., None]
+
+    active_n = active & si.is_valid
+
+    s_em, smpl = sa.next_2d(smpl)
+    active_em = active_n & bsdf_mod.has_smooth(scene, si)
+    ds, em_weight = sc.sample_emitter_direction(scene, si, s_em,
+                                                test_visibility=True,
+                                                active=active_em)
+    wo_local_em = si.to_local(ds.d)
+    bsdf_val_em, bsdf_pdf_em = bsdf_mod.eval_pdf(scene, si, wo_local_em, active_em)
+    mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf_em))
+    Ldir = jnp.where(active_em[..., None],
+                     bsdf_val_em * em_weight * mis_em[..., None], 0.0)
+
+    s1, smpl = sa.next_1d(smpl)
+    s2, smpl = sa.next_2d(smpl)
+    bs, bsdf_weight = bsdf_mod.sample(scene, si, s1, s2, active_n)
+    wo_world = si.to_world(bs.wo)
+    new_ray = si.spawn_ray(wo_world)
+    prev_delta_n = (bs.sampled_type & jnp.uint32(bf.Delta)) != 0
+
+    u_rr, smpl = sa.next_1d(smpl)
+    beta_gray = jnp.max(jnp.abs(bsdf_weight), axis=-1)
+    rr_active = depth >= rr_depth
+    # NOTE: rr uses running throughput in path.py; the replay needs only the
+    # per-bounce factor, so the rr test must be reproduced with the SAME
+    # running beta — the caller passes it in via closure (see _replay_scan).
+    return dict(si=si, Le_w=Le_w, Ldir=Ldir, ds=ds, s_em=s_em, s1=s1, s2=s2,
+                u_rr=u_rr, bs=bs, bsdf_weight=bsdf_weight, new_o=new_ray.o,
+                new_d=new_ray.d, active_n=active_n, active_em=active_em,
+                prev_delta_n=prev_delta_n, mis_em=mis_em,
+                escaped=escaped, hit_em=hit_em,
+                mis_bsdf=mis_bsdf, mis_env=mis_env), smpl
+
+
+def _primal_scan(scene, sampler, ray, max_depth, rr_depth):
+    """Fully detached primal estimate (stop_gradient on everything)."""
+    scene = jax.lax.stop_gradient(scene)
+    n = ray.o.shape[0]
+
+    def body(carry, depth):
+        (o, d, L, beta, eta, active, prev_pdf, prev_delta, prev_p, smpl) = carry
+        out, smpl = _bounce_detached(scene, smpl, o, d, prev_p, prev_pdf,
+                                     prev_delta, active, depth, rr_depth)
+        L = L + beta * (out['Le_w'] + out['Ldir'])
+        beta_n = beta * out['bsdf_weight']
+        eta_n = eta * out['bs'].eta
+        beta_max = jnp.max(beta_n, -1) * eta_n * eta_n
+        rr_prob = jnp.minimum(beta_max, 0.95)
+        rr_act = depth >= rr_depth
+        rr_cont = ~rr_act | (out['u_rr'] < rr_prob)
+        beta_n = beta_n * jnp.where(rr_act, 1.0 / jnp.maximum(rr_prob, 1e-8),
+                                    1.0)[..., None]
+        active_n = out['active_n'] & rr_cont & (out['bs'].pdf > 0) & (beta_max > 0)
+        carry = (out['new_o'], out['new_d'], L, beta_n, eta_n, active_n,
+                 out['bs'].pdf, out['prev_delta_n'], out['si'].p, smpl)
+        return carry, None
+
+    init = (ray.o, ray.d, jnp.zeros((n, 3)), jnp.ones((n, 3)), jnp.ones((n,)),
+            jnp.ones((n,), bool), jnp.ones((n,)), jnp.ones((n,), bool),
+            ray.o, sampler)
+    carry, _ = jax.lax.scan(body, init, jnp.arange(max_depth))
+    return carry[2]
+
+
+def _replay_backward(scene, sampler, ray, delta_L, L_total, max_depth, rr_depth):
+    """Replay the path; per bounce, vjp the attached local shading and
+    accumulate scene (float-leaf) cotangents."""
+    float_leaves, combine, meta = _partition(scene)
+    scene_det = jax.lax.stop_gradient(scene)
+    n = ray.o.shape[0]
+    cot0 = [jnp.zeros_like(l) for l in float_leaves]
+
+    def body(carry, depth):
+        (o, d, L_rem, beta, eta, active, prev_pdf, prev_delta, prev_p, smpl,
+         cot) = carry
+        out, smpl_next = _bounce_detached(scene_det, smpl, o, d, prev_p,
+                                          prev_pdf, prev_delta, active, depth,
+                                          rr_depth)
+        # detached per-bounce terms
+        Le_w_det = out['Le_w']
+        Ldir_det = out['Ldir']
+        w_det = out['bsdf_weight']
+        # peel remaining radiance (prb.py:169)
+        L_next = (L_rem - Le_w_det - Ldir_det) / \
+            jnp.where(jnp.abs(w_det) < 1e-9, 1.0, w_det)
+        L_next = jnp.where((jnp.abs(w_det) < 1e-9) | ~out['active_n'][..., None],
+                           0.0, L_next)
+
+        # ---- local attached shading (replays THIS bounce attached) ----
+        def local(fl):
+            s_att = combine(fl)
+            ray_b = Ray.make(o, d)
+            pi = sc.ray_intersect_preliminary(jax.lax.stop_gradient(s_att), ray_b)
+            si_a = sc.compute_surface_interaction(s_att, ray_b, pi)
+            hit_em = active & (si_a.emitter_index >= 0)
+            Le_a = sc.eval_emitter_hit(s_att, si_a, hit_em)
+            Le_term = Le_a * jax.lax.stop_gradient(out['mis_bsdf'])[..., None]
+            Lenv_a = sc.eval_environment(s_att, d, out['escaped'])
+            Le_term = Le_term + Lenv_a * jax.lax.stop_gradient(out['mis_env'])[..., None]
+            # emitter sampling, attached values with detached sample
+            ds_a, em_w_a = sc.sample_emitter_direction(
+                s_att, si_a, jax.lax.stop_gradient(out['s_em']),
+                test_visibility=True, active=out['active_em'])
+            wo_l = si_a.to_local(jax.lax.stop_gradient(out['ds'].d))
+            b_val, _ = bsdf_mod.eval_pdf(s_att, si_a, wo_l, out['active_em'])
+            Ldir_a = jnp.where(out['active_em'][..., None],
+                               b_val * em_w_a *
+                               jax.lax.stop_gradient(out['mis_em'])[..., None], 0.0)
+            # attached re-eval of the sampled bsdf direction:
+            # w_att = f_att(wo_det) * cos / pdf_det
+            wo_det = jax.lax.stop_gradient(out['bs'].wo)
+            f_att = bsdf_mod.eval(s_att, si_a, wo_det, out['active_n'])
+            pdf_det = jax.lax.stop_gradient(out['bs'].pdf)
+            w_att = f_att / jnp.maximum(pdf_det, 1e-9)[..., None]
+            delta_lobe = jax.lax.stop_gradient(out['prev_delta_n'])
+            # delta lobes: eval()==0; keep the detached weight (no local grad)
+            w_att = jnp.where(delta_lobe[..., None],
+                              jax.lax.stop_gradient(w_det), w_att)
+            O = Le_term + Ldir_a + w_att * jax.lax.stop_gradient(L_next)
+            return jnp.where(active[..., None], O * beta, 0.0)
+
+        _, vjp_fn = jax.vjp(local, jax.lax.stop_gradient(float_leaves))
+        (g,) = vjp_fn(delta_L)
+        cot = [c + gi for c, gi in zip(cot, g)]
+
+        # advance detached state exactly like the primal
+        beta_n = beta * w_det
+        eta_n = eta * out['bs'].eta
+        beta_max = jnp.max(beta_n, -1) * eta_n * eta_n
+        rr_prob = jnp.minimum(beta_max, 0.95)
+        rr_act = depth >= rr_depth
+        rr_cont = ~rr_act | (out['u_rr'] < rr_prob)
+        beta_n = beta_n * jnp.where(rr_act, 1.0 / jnp.maximum(rr_prob, 1e-8),
+                                    1.0)[..., None]
+        active_n = out['active_n'] & rr_cont & (out['bs'].pdf > 0) & (beta_max > 0)
+        # remaining radiance also absorbs the rr compensation
+        L_next = L_next * jnp.where(rr_act & rr_cont,
+                                    jnp.maximum(rr_prob, 1e-8), 1.0)[..., None]
+        carry = (out['new_o'], out['new_d'], L_next, beta_n, eta_n, active_n,
+                 out['bs'].pdf, out['prev_delta_n'], out['si'].p, smpl_next, cot)
+        return carry, None
+
+    init = (ray.o, ray.d, L_total, jnp.ones((n, 3)), jnp.ones((n,)),
+            jnp.ones((n,), bool), jnp.ones((n,)), jnp.ones((n,), bool),
+            ray.o, sampler, cot0)
+    carry, _ = jax.lax.scan(body, init, jnp.arange(max_depth))
+    return carry[-1], meta
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def _primal_image(scene, spp, seed):
+    cfg = integrator_config(scene)
+    ray, sampler, pos_f = _gen_rays(scene, spp, spp, seed)
+    L = _primal_scan(jax.lax.stop_gradient(scene), sampler, ray,
+                     int(cfg.get('max_depth', 8)), int(cfg.get('rr_depth', 5)))
+    L = jnp.nan_to_num(L)
+    block = scene.film.new_block()
+    block = film_mod.put(block, scene.film, pos_f, L)
+    return film_mod.develop(block, scene.film), L
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def render_prb(scene, spp: int, seed: int):
+    """Differentiable render with O(1)-in-depth backward memory."""
+    return _primal_image(scene, spp, seed)[0]
+
+
+def _fwd(scene, spp, seed):
+    img, L = _primal_image(scene, spp, seed)
+    return img, (scene, L)
+
+
+def _bwd(spp, seed, res, g_img):
+    scene, L_total = res
+    cfg = integrator_config(scene)
+    ray, sampler, pos_f = _gen_rays(scene, spp, spp, seed)
+
+    # adjoint image: per-sample δL by differentiating splat+develop
+    def splat(Ls):
+        block = scene.film.new_block()
+        block = film_mod.put(block, scene.film, pos_f, Ls)
+        return film_mod.develop(block, scene.film)
+
+    _, vjp_splat = jax.vjp(splat, jnp.zeros_like(L_total))
+    (delta_L,) = vjp_splat(g_img)
+
+    cots, meta = _replay_backward(scene, sampler, ray, delta_L, L_total,
+                                  int(cfg.get('max_depth', 8)),
+                                  int(cfg.get('rr_depth', 5)))
+    return (_full_cotangent(meta, cots),)
+
+
+render_prb.defvjp(_fwd, _bwd)

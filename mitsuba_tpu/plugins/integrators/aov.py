@@ -1,0 +1,86 @@
+"""AOV + moment integrators (reference src/integrators/aov.cpp,
+moment.cpp).
+
+`aov`: renders arbitrary-output-variables alongside (optionally) a nested
+radiance integrator: depth, position, uv, geometric/shading normals, albedo.
+`moment`: appends the per-sample SECOND MOMENT of the nested integrator's
+radiance — powers the variance-aware z-test image regression harness
+(reference test_renders.py:160-178).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...render import scene as sc
+from ...render import bsdf as bsdf_mod
+
+
+AOV_SIZES = {'depth': 1, 'position': 3, 'uv': 2, 'geo_normal': 3,
+             'sh_normal': 3, 'albedo': 3, 'shape_index': 1, 'prim_index': 1}
+
+
+def parse_aovs(spec: str):
+    """'name:kind,name2:kind2' -> list of kinds (aov.cpp ctor)."""
+    kinds = []
+    if spec:
+        for tok in spec.split(','):
+            parts = tok.strip().split(':')
+            kinds.append(parts[-1].strip())
+    return kinds
+
+
+def channel_count(cfg) -> int:
+    kind = cfg.get('type', 'path')
+    if kind == 'moment':
+        return 6
+    if kind == 'aov':
+        n = sum(AOV_SIZES[k] for k in parse_aovs(cfg.get('aovs', '')))
+        if cfg.get('nested_type'):
+            n += 3
+        return n if n else 3
+    return 3
+
+
+def sample(scene, cfg, sampler, ray):
+    from ...render.integrator import _sample_radiance
+    kind = cfg.get('type')
+    if kind == 'moment':
+        nested = dict(cfg)
+        nested['type'] = cfg.get('nested_type', 'path')
+        L, valid, sampler = _sample_radiance(scene, nested, sampler, ray)
+        out = jnp.concatenate([L, L * L], -1)
+        return out, valid, sampler
+
+    kinds = parse_aovs(cfg.get('aovs', ''))
+    si = sc.ray_intersect(scene, ray)
+    outs = []
+    if cfg.get('nested_type'):
+        nested = dict(cfg)
+        nested['type'] = cfg['nested_type']
+        if 'nested_max_depth' in cfg:
+            nested['max_depth'] = cfg['nested_max_depth']
+        L, valid, sampler = _sample_radiance(scene, nested, sampler, ray)
+        outs.append(L)
+    else:
+        valid = si.is_valid
+    for k in kinds:
+        if k == 'depth':
+            outs.append(jnp.where(si.is_valid, si.t, 0.0)[..., None])
+        elif k == 'position':
+            outs.append(jnp.where(si.is_valid[..., None], si.p, 0.0))
+        elif k == 'uv':
+            outs.append(jnp.where(si.is_valid[..., None], si.uv, 0.0))
+        elif k == 'geo_normal':
+            outs.append(jnp.where(si.is_valid[..., None], si.n, 0.0))
+        elif k == 'sh_normal':
+            outs.append(jnp.where(si.is_valid[..., None], si.sh_n, 0.0))
+        elif k == 'albedo':
+            outs.append(bsdf_mod.eval_diffuse_reflectance(scene, si, si.is_valid))
+        elif k == 'shape_index':
+            outs.append(si.shape_index.astype(jnp.float32)[..., None])
+        elif k == 'prim_index':
+            outs.append(si.prim_index.astype(jnp.float32)[..., None])
+        else:
+            raise ValueError(f'unknown aov kind {k}')
+    return jnp.concatenate(outs, -1), valid, sampler

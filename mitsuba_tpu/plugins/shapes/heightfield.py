@@ -143,31 +143,32 @@ class heightfield:
         start_lvl = n_levels - 1
         eps_t = 1e-5
 
-        def cell_of(t, lvl_scale_x, lvl_scale_z):
-            px = o[..., 0] + d[..., 0] * (t + eps_t)
-            pz = o[..., 2] + d[..., 2] * (t + eps_t)
-            cx = jnp.floor(px * lvl_scale_x).astype(jnp.int32)
-            cz = jnp.floor(pz * lvl_scale_z).astype(jnp.int32)
-            return cx, cz
-
-        # per-level cell scale: cells at level l have size 2^l base cells;
-        # scale = W / 2^l in x (i.e. #cells along x at that level, fractional
-        # cells at the border are handled by clipping)
+        # per-level cell scale: a level-l cell spans 2^l base cells; scale_l =
+        # W / 2^l = number of (fractional) level-l cells across [0,1]
         scales_x = jnp.asarray([W / (1 << l) for l in range(n_levels)], jnp.float32)
         scales_z = jnp.asarray([H / (1 << l) for l in range(n_levels)], jnp.float32)
-        mip_shapes = jnp.asarray([[mp.shape[0], mp.shape[1]] for mp in mips],
-                                 jnp.int32)
-        # pad mips to a single 3D array? shapes differ; gather per level via
-        # lax.switch over the static level count.
-        def mip_lookup(lvl, iz, ix):
-            def make(l):
-                mp = mips[l]
-                return lambda args: mp[jnp.clip(args[0], 0, mp.shape[0] - 1),
-                                       jnp.clip(args[1], 0, mp.shape[1] - 1)]
-            return jax.lax.switch(lvl, [make(l) for l in range(n_levels)],
-                                  (iz, ix))
+        ncx = jnp.asarray([mp.shape[1] for mp in mips], jnp.int32)
+        ncz = jnp.asarray([mp.shape[0] for mp in mips], jnp.int32)
 
-        max_steps = 4 * (W + H) + 16 * n_levels
+        # level dispatch: all mip levels flattened into ONE buffer so the
+        # column-max lookup is a single (N,) gather per iteration (gathers
+        # are the traversal's dominant cost on TPU)
+        import numpy as _np
+        mip_flat = jnp.concatenate([mp.ravel() for mp in mips])
+        lvl_offset = jnp.asarray(
+            _np.cumsum([0] + [mp.size for mp in mips[:-1]]), jnp.int32)
+
+        def mip_lookup_batch(lvl, iz, ix):
+            w_l = ncx[lvl]
+            h_l = ncz[lvl]
+            izc = jnp.clip(iz, 0, h_l - 1)
+            ixc = jnp.clip(ix, 0, w_l - 1)
+            return mip_flat[lvl_offset[lvl] + izc * w_l + ixc]
+
+        step_ix = jnp.where(d[..., 0] >= 0, 1, -1).astype(jnp.int32)
+        step_iz = jnp.where(d[..., 2] >= 0, 1, -1).astype(jnp.int32)
+
+        max_steps = 3 * (W + H) + 16 * n_levels
 
         def cond(state):
             t, lvl, ix, iz, t_hit, active, steps = state
@@ -177,23 +178,19 @@ class heightfield:
             t, lvl, ix, iz, t_hit, active, steps = state
             sx = scales_x[lvl]
             sz = scales_z[lvl]
-            # cell bounds in object space
-            x0 = ix / sx
-            x1 = (ix + 1) / sx
-            z0 = iz / sz
-            z1 = (iz + 1) / sz
-            # exit t of this cell (x/z slabs only)
-            tx = jnp.maximum((x0 - o[..., 0]) * inv_d[..., 0],
-                             (x1 - o[..., 0]) * inv_d[..., 0])
-            tz = jnp.maximum((z0 - o[..., 2]) * inv_d[..., 2],
-                             (z1 - o[..., 2]) * inv_d[..., 2])
+            # exit crossing per axis in the travel direction (exact DDA —
+            # the cell identity is tracked by INTEGER index stepping, never
+            # by re-flooring the ray point, so no epsilon creep)
+            bx = jnp.where(step_ix > 0, (ix + 1) / sx, ix / sx)
+            bz = jnp.where(step_iz > 0, (iz + 1) / sz, iz / sz)
+            tx = (bx - o[..., 0]) * inv_d[..., 0]
+            tz = (bz - o[..., 2]) * inv_d[..., 2]
             t_exit = jnp.minimum(jnp.minimum(tx, tz), t_far)
             # column max at this level
-            cmax = jax.vmap(mip_lookup)(lvl, iz, ix)
+            cmax = mip_lookup_batch(lvl, iz, ix)
             y_a = o[..., 1] + d[..., 1] * t
             y_b = o[..., 1] + d[..., 1] * t_exit
-            y_min_seg = jnp.minimum(y_a, y_b)
-            overlap = (y_min_seg <= cmax) & (t <= t_exit + eps_t)
+            overlap = (jnp.minimum(y_a, y_b) <= cmax) & (t <= t_exit + eps_t)
 
             at_leaf = lvl == 0
             # -- leaf: exact patch test
@@ -201,37 +198,46 @@ class heightfield:
                 h, ix, iz, o, d, jnp.maximum(t, t_enter) - 2e-5, t_exit, R, C)
             leaf_hit = at_leaf & overlap & hit_leaf & active
             t_hit = jnp.where(leaf_hit & (t_leaf < t_hit), t_leaf, t_hit)
-            hit_ix = ix
-            hit_iz = iz
 
-            # -- descend: potential hit at interior level
+            # -- descend: potential hit at interior level; child located by
+            # the ray point at t, clamped into the parent's 2x2 children
             descend = overlap & ~at_leaf & active
             lvl_d = jnp.maximum(lvl - 1, 0)
-            cx_d, cz_d = cell_of(jnp.maximum(t, t_enter) - eps_t * 0.5,
-                                 scales_x[lvl_d], scales_z[lvl_d])
-            # clamp to the current parent's children range
+            sxd = scales_x[lvl_d]
+            szd = scales_z[lvl_d]
+            tq = jnp.maximum(t, t_enter)
+            cx_d = jnp.floor((o[..., 0] + d[..., 0] * tq) * sxd).astype(jnp.int32)
+            cz_d = jnp.floor((o[..., 2] + d[..., 2] * tq) * szd).astype(jnp.int32)
             cx_d = jnp.clip(cx_d, ix * 2, ix * 2 + 1)
             cz_d = jnp.clip(cz_d, iz * 2, iz * 2 + 1)
 
-            # -- advance: skip the cell, ascend one level
+            # -- advance: integer-step the crossed axis; ascend one level
+            # only when the step leaves the current parent (alignment ascent)
             advance = (~overlap | (at_leaf & ~hit_leaf)) & active
-            t_n = jnp.where(advance, t_exit + eps_t, t)
-            lvl_a = jnp.minimum(lvl + 1, n_levels - 1)
-            cx_a, cz_a = cell_of(t_n, scales_x[lvl_a], scales_z[lvl_a])
+            xfirst = tx <= tz
+            ix_a = ix + jnp.where(xfirst, step_ix, 0)
+            iz_a = iz + jnp.where(xfirst, 0, step_iz)
+            parent_changed = ((ix_a >> 1) != (ix >> 1)) | ((iz_a >> 1) != (iz >> 1))
+            go_up = advance & parent_changed & (lvl < n_levels - 1)
+            lvl_a = jnp.where(go_up, lvl + 1, lvl)
+            ix_a = jnp.where(go_up, ix_a >> 1, ix_a)
+            iz_a = jnp.where(go_up, iz_a >> 1, iz_a)
 
             new_lvl = jnp.where(descend, lvl_d, jnp.where(advance, lvl_a, lvl))
-            new_ix = jnp.where(descend, cx_d, jnp.where(advance, cx_a, ix))
-            new_iz = jnp.where(descend, cz_d, jnp.where(advance, cz_a, iz))
-            new_t = jnp.where(descend, jnp.maximum(t, t_enter), t_n)
+            new_ix = jnp.where(descend, cx_d, jnp.where(advance, ix_a, ix))
+            new_iz = jnp.where(descend, cz_d, jnp.where(advance, iz_a, iz))
+            new_t = jnp.where(advance, t_exit, jnp.maximum(t, t_enter))
 
-            # termination
-            px = o[..., 0] + d[..., 0] * (new_t + eps_t)
-            pz = o[..., 2] + d[..., 2] * (new_t + eps_t)
-            inside = (px >= -1e-6) & (px <= 1 + 1e-6) & (pz >= -1e-6) & (pz <= 1 + 1e-6)
-            still = active & ~leaf_hit & (new_t <= t_far + eps_t) & inside
+            # termination: out of the level's index range or past t_far
+            in_range = (new_ix >= 0) & (new_ix < ncx[new_lvl]) & \
+                (new_iz >= 0) & (new_iz < ncz[new_lvl])
+            still = active & ~leaf_hit & (new_t <= t_far + eps_t) & in_range
             return (new_t, new_lvl, new_ix, new_iz, t_hit, still, steps + 1)
 
-        cx0, cz0 = cell_of(t_enter, scales_x[start_lvl], scales_z[start_lvl])
+        sx0 = scales_x[start_lvl]
+        sz0 = scales_z[start_lvl]
+        cx0 = jnp.floor((o[..., 0] + d[..., 0] * (t_enter + eps_t)) * sx0).astype(jnp.int32)
+        cz0 = jnp.floor((o[..., 2] + d[..., 2] * (t_enter + eps_t)) * sz0).astype(jnp.int32)
         lvl0 = jnp.full((n,), start_lvl, jnp.int32)
         state = (t_enter, lvl0, cx0, cz0, jnp.full((n,), jnp.inf), valid,
                  jnp.asarray(0, jnp.int32))

@@ -1,0 +1,326 @@
+"""Triangle mesh shape (reference src/render/mesh.cpp + src/shapes/{obj,ply}.cpp).
+
+Storage follows the reference's flat-buffer design (mesh.h:53-120): per
+instance `vertices (V,3)`, `faces (F,3)`, optional `normals (V,2)`/`uvs`.
+Instances live in parallel tuples (resolutions differ).
+
+Intersection: Möller-Trumbore over triangle chunks with a `lax.fori_loop`
+running-min — memory-bounded brute force (the uniform-grid / LBVH accel is
+the planned fast path; scenes here are analytic- or heightfield-dominated).
+Differentiability: detached traversal; `compute_si` re-derives the
+interaction attached via the barycentric hit on gathered (differentiable)
+vertex buffers, exactly like mesh.cpp's differentiable path.
+"""
+from __future__ import annotations
+
+import os
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ...core import math as m
+from ...core.transform import Transform4, apply_point, apply_vector, apply_normal
+from ...core import warp
+
+
+@struct.dataclass
+class MeshTable:
+    vertices: tuple     # tuple of (V,3) — WORLD space, differentiable
+    faces: tuple        # tuple of (F,3) int32
+    normals: tuple      # tuple of (V,3) or None (flat shading)
+    uvs: tuple          # tuple of (V,2) or None
+    face_pmf_cdf: tuple  # tuple of (F,) float32 area cdf (detached)
+    total_area: jnp.ndarray  # (S,)
+
+
+CHUNK = 512
+
+
+def load_obj(path):
+    """Minimal OBJ parser (obj.cpp capability: v / vn / vt / f with
+    v, v/vt, v//vn, v/vt/vn forms; polygons fan-triangulated)."""
+    vs, vts, vns = [], [], []
+    faces, face_uv, face_n = [], [], []
+    with open(path) as f:
+        for line in f:
+            if line.startswith('v '):
+                vs.append([float(x) for x in line.split()[1:4]])
+            elif line.startswith('vt '):
+                vts.append([float(x) for x in line.split()[1:3]])
+            elif line.startswith('vn '):
+                vns.append([float(x) for x in line.split()[1:4]])
+            elif line.startswith('f '):
+                idx = []
+                for tok in line.split()[1:]:
+                    parts = tok.split('/')
+                    vi = int(parts[0])
+                    ti = int(parts[1]) if len(parts) > 1 and parts[1] else 0
+                    ni = int(parts[2]) if len(parts) > 2 and parts[2] else 0
+                    idx.append((vi, ti, ni))
+                for k in range(1, len(idx) - 1):  # fan triangulation
+                    tri = [idx[0], idx[k], idx[k + 1]]
+                    faces.append([t[0] - 1 if t[0] > 0 else len(vs) + t[0]
+                                  for t in tri])
+                    face_uv.append([t[1] - 1 for t in tri])
+                    face_n.append([t[2] - 1 for t in tri])
+    v = np.asarray(vs, np.float32)
+    f_arr = np.asarray(faces, np.int32)
+    uv = None
+    nrm = None
+    if vts and all(all(i >= 0 for i in fu) for fu in face_uv):
+        # re-index per-vertex (approximate: last uv wins per vertex)
+        uv = np.zeros((len(vs), 2), np.float32)
+        vt = np.asarray(vts, np.float32)
+        for tri, uvt in zip(faces, face_uv):
+            for vi, ti in zip(tri, uvt):
+                uv[vi] = vt[ti]
+    if vns and all(all(i >= 0 for i in fn) for fn in face_n):
+        nrm = np.zeros((len(vs), 3), np.float32)
+        vn = np.asarray(vns, np.float32)
+        for tri, nt in zip(faces, face_n):
+            for vi, ni in zip(tri, nt):
+                nrm[vi] = vn[ni]
+    return v, f_arr, nrm, uv
+
+
+def load_ply(path):
+    """Minimal PLY parser: ascii and binary_little_endian, vertex props
+    x,y,z[,nx,ny,nz][,u,v / s,t], face lists (ply.cpp capability subset)."""
+    with open(path, 'rb') as f:
+        header = []
+        while True:
+            line = f.readline().decode('ascii').strip()
+            header.append(line)
+            if line == 'end_header':
+                break
+        fmt = [l for l in header if l.startswith('format')][0].split()[1]
+        n_vert = int([l for l in header if l.startswith('element vertex')][0].split()[-1])
+        n_face = int([l for l in header if l.startswith('element face')][0].split()[-1])
+        vprops = []
+        in_vertex = False
+        for l in header:
+            if l.startswith('element vertex'):
+                in_vertex = True
+            elif l.startswith('element'):
+                in_vertex = False
+            elif l.startswith('property') and in_vertex:
+                parts = l.split()
+                vprops.append((parts[1], parts[2]))
+        dt_map = {'float': '<f4', 'float32': '<f4', 'double': '<f8',
+                  'uchar': 'u1', 'uint8': 'u1', 'int': '<i4', 'uint': '<u4'}
+        if fmt == 'ascii':
+            vdata = np.loadtxt([f.readline().decode() for _ in range(n_vert)],
+                               dtype=np.float64).reshape(n_vert, len(vprops))
+            faces = []
+            for _ in range(n_face):
+                vals = [int(x) for x in f.readline().decode().split()]
+                cnt = vals[0]
+                for k in range(1, cnt - 1):
+                    faces.append([vals[1], vals[1 + k], vals[2 + k]])
+            faces = np.asarray(faces, np.int32)
+        else:
+            dt = np.dtype([(name, dt_map[t]) for name, t in vprops])
+            vdata_rec = np.frombuffer(f.read(dt.itemsize * n_vert), dtype=dt)
+            vdata = np.stack([vdata_rec[name].astype(np.float64)
+                              for name, _ in vprops], -1)
+            # faces: uchar count + int indices (common layout)
+            rest = f.read()
+            faces = []
+            off = 0
+            for _ in range(n_face):
+                cnt = rest[off]
+                off += 1
+                idx = np.frombuffer(rest, dtype='<i4', count=cnt, offset=off)
+                off += 4 * cnt
+                for k in range(1, cnt - 1):
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+            faces = np.asarray(faces, np.int32)
+    names = [p[0] for p in vprops]
+    v = vdata[:, [names.index('x'), names.index('y'), names.index('z')]].astype(np.float32)
+    nrm = None
+    if 'nx' in names:
+        nrm = vdata[:, [names.index('nx'), names.index('ny'), names.index('nz')]].astype(np.float32)
+    uvn = None
+    for ua, va in (('u', 'v'), ('s', 't')):
+        if ua in names and va in names:
+            uvn = vdata[:, [names.index(ua), names.index(va)]].astype(np.float32)
+    return v, faces, nrm, uvn
+
+
+class mesh:
+    Table = MeshTable
+
+    @staticmethod
+    def build(props_list):
+        verts, faces, normals, uvs, cdfs, areas = [], [], [], [], [], []
+        for p in props_list:
+            if 'filename' in p:
+                ext = os.path.splitext(p['filename'])[1].lower()
+                if ext == '.obj':
+                    v, f_arr, nrm, uv = load_obj(p['filename'])
+                elif ext == '.ply':
+                    v, f_arr, nrm, uv = load_ply(p['filename'])
+                else:
+                    raise ValueError(f'unsupported mesh format {ext}')
+            else:
+                v = np.asarray(p['vertices'], np.float32)
+                f_arr = np.asarray(p['faces'], np.int32)
+                nrm = np.asarray(p['normals'], np.float32) if 'normals' in p else None
+                uv = np.asarray(p['uvs'], np.float32) if 'uvs' in p else None
+            tw = p.get('to_world', Transform4())
+            v_w = (tw.matrix[:3, :3] @ v.T).T + tw.matrix[:3, 3]
+            if nrm is not None:
+                nrm = (np.linalg.inv(tw.matrix[:3, :3]).T @ nrm.T).T
+                nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+            p0 = v_w[f_arr[:, 0]]
+            e1 = v_w[f_arr[:, 1]] - p0
+            e2 = v_w[f_arr[:, 2]] - p0
+            fa = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+            total = fa.sum()
+            cdf = np.cumsum(fa) / max(total, 1e-20)
+            verts.append(jnp.asarray(v_w.astype(np.float32)))
+            faces.append(jnp.asarray(f_arr))
+            normals.append(None if nrm is None else jnp.asarray(nrm))
+            uvs.append(None if uv is None else jnp.asarray(uv))
+            cdfs.append(jnp.asarray(cdf.astype(np.float32)))
+            areas.append(total)
+        return MeshTable(vertices=tuple(verts), faces=tuple(faces),
+                         normals=tuple(normals), uvs=tuple(uvs),
+                         face_pmf_cdf=tuple(cdfs),
+                         total_area=jnp.asarray(areas, jnp.float32))
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _intersect_one(v, f_arr, o, d):
+        """Chunked Möller-Trumbore. Returns (t (N,), bary (N,2), prim (N,))."""
+        o = jax.lax.stop_gradient(o)
+        d = jax.lax.stop_gradient(d)
+        v = jax.lax.stop_gradient(v)
+        F = f_arr.shape[0]
+        n = o.shape[0]
+        n_chunks = (F + CHUNK - 1) // CHUNK
+        Fp = n_chunks * CHUNK
+        p0 = v[f_arr[:, 0]]
+        e1 = v[f_arr[:, 1]] - p0
+        e2 = v[f_arr[:, 2]] - p0
+        pad = lambda x: jnp.concatenate(
+            [x, jnp.zeros((Fp - F,) + x.shape[1:], x.dtype)], 0)
+        p0p, e1p, e2p = pad(p0), pad(e1), pad(e2)
+
+        def body(c, carry):
+            t_best, uv_best, prim_best = carry
+            sl = jax.lax.dynamic_slice_in_dim
+            P0 = sl(p0p, c * CHUNK, CHUNK)
+            E1 = sl(e1p, c * CHUNK, CHUNK)
+            E2 = sl(e2p, c * CHUNK, CHUNK)
+            # (C,N,3) batched MT
+            pvec = jnp.cross(d[None], E2[:, None])
+            det = jnp.einsum('cj,cnj->cn', E1, pvec)
+            inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+            tvec = o[None] - P0[:, None]
+            u = jnp.einsum('cnj,cnj->cn', tvec, pvec) * inv_det
+            qvec = jnp.cross(tvec, E1[:, None])
+            vv = jnp.einsum('nj,cnj->cn', d, qvec) * inv_det
+            tt = jnp.einsum('cj,cnj->cn', E2, qvec) * inv_det
+            hit = (jnp.abs(det) > 1e-12) & (u >= 0) & (vv >= 0) & \
+                (u + vv <= 1) & (tt > 1e-5)
+            tt = jnp.where(hit, tt, jnp.inf)
+            idx = jnp.argmin(tt, axis=0)
+            t_c = jnp.take_along_axis(tt, idx[None], 0)[0]
+            u_c = jnp.take_along_axis(u, idx[None], 0)[0]
+            v_c = jnp.take_along_axis(vv, idx[None], 0)[0]
+            better = t_c < t_best
+            t_best = jnp.where(better, t_c, t_best)
+            uv_best = jnp.where(better[..., None], jnp.stack([u_c, v_c], -1),
+                                uv_best)
+            prim_best = jnp.where(better, c * CHUNK + idx.astype(jnp.int32),
+                                  prim_best)
+            return (t_best, uv_best, prim_best)
+
+        init = (jnp.full((n,), jnp.inf), jnp.zeros((n, 2)),
+                jnp.zeros((n,), jnp.int32))
+        t, uv, prim = jax.lax.fori_loop(0, n_chunks, body, init)
+        return t, uv, prim
+
+    @staticmethod
+    def intersect(tbl: MeshTable, o, d):
+        ts, uvs_, prims = [], [], []
+        for s in range(len(tbl.vertices)):
+            t, uv, prim = mesh._intersect_one(tbl.vertices[s], tbl.faces[s], o, d)
+            ts.append(t)
+            uvs_.append(uv)
+            prims.append(prim)
+        return jnp.stack(ts), jnp.stack(uvs_), jnp.stack(prims)
+
+    @staticmethod
+    def compute_si(tbl: MeshTable, slot, o, d, t, prim_uv, prim_index):
+        out = None
+        for s in range(len(tbl.vertices)):
+            v = tbl.vertices[s]
+            f_arr = tbl.faces[s]
+            prim = jnp.clip(prim_index, 0, f_arr.shape[0] - 1)
+            i0, i1, i2 = f_arr[prim, 0], f_arr[prim, 1], f_arr[prim, 2]
+            p0, p1, p2 = v[i0], v[i1], v[i2]
+            b1 = jnp.clip(prim_uv[..., 0], 0.0, 1.0)
+            b2 = jnp.clip(prim_uv[..., 1], 0.0, 1.0)
+            b0 = 1.0 - b1 - b2
+            # attached t: ray/plane intersection of the (differentiable) tri
+            ng = jnp.cross(p1 - p0, p2 - p0)
+            denom = m.dot(d, ng)
+            t_att = m.dot(p0 - o, ng) / jnp.where(jnp.abs(denom) < 1e-12,
+                                                  1e-12, denom)
+            t_att = m.replace_grad(t, t_att)
+            p = o + d * t_att[..., None]
+            n_geo = m.normalize(ng)
+            if tbl.normals[s] is not None:
+                ns = tbl.normals[s]
+                sh_n = m.normalize(b0[..., None] * ns[i0] + b1[..., None] * ns[i1]
+                                   + b2[..., None] * ns[i2])
+            else:
+                sh_n = n_geo
+            if tbl.uvs[s] is not None:
+                uvt = tbl.uvs[s]
+                uv = b0[..., None] * uvt[i0] + b1[..., None] * uvt[i1] + \
+                    b2[..., None] * uvt[i2]
+                dp_du = p1 - p0
+                dp_dv = p2 - p0
+            else:
+                uv = jnp.stack([b1, b2], -1)
+                dp_du = p1 - p0
+                dp_dv = p2 - p0
+            # orient geometric normal towards the shading normal side
+            n_geo = m.mulsign(n_geo, m.dot(n_geo, sh_n)[..., None])
+            res = dict(t=t_att, p=p, n=n_geo, uv=uv, dp_du=dp_du,
+                       dp_dv=dp_dv, sh_n=sh_n)
+            if out is None:
+                out = res
+            else:
+                sel = slot == s
+                out = {k: jnp.where(sel[..., None] if res[k].ndim > 1 else sel,
+                                    res[k], out[k]) for k in res}
+        return out
+
+    @staticmethod
+    def surface_area(tbl: MeshTable):
+        return tbl.total_area
+
+    @staticmethod
+    def sample_position(tbl: MeshTable, slot, sample2):
+        s = 0  # single-instance fast path
+        v = tbl.vertices[s]
+        f_arr = tbl.faces[s]
+        cdf = tbl.face_pmf_cdf[s]
+        prim = jnp.clip(jnp.searchsorted(cdf, sample2[..., 0], side='right'),
+                        0, f_arr.shape[0] - 1)
+        uv = warp.square_to_uniform_triangle(
+            jnp.stack([sample2[..., 1],
+                       (sample2[..., 0] * 7919.0) % 1.0], -1))
+        i0, i1, i2 = f_arr[prim, 0], f_arr[prim, 1], f_arr[prim, 2]
+        p0, p1, p2 = v[i0], v[i1], v[i2]
+        b1 = uv[..., 0]
+        b2 = uv[..., 1]
+        p = p0 + (p1 - p0) * b1[..., None] + (p2 - p0) * b2[..., None]
+        n = m.normalize(jnp.cross(p1 - p0, p2 - p0))
+        pdf = 1.0 / jnp.maximum(tbl.total_area[s], 1e-12)
+        return dict(p=p, n=n, uv=uv, pdf=jnp.full(b1.shape, 1.0) * pdf)

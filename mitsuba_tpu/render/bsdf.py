@@ -68,6 +68,28 @@ def sample(scene, si, sample1, sample2, active):
     return bs, weight
 
 
+def eval_diffuse_reflectance(scene, si, active):
+    """bsdf.h:586 eval_diffuse_reflectance — albedo AOV support."""
+    from ..plugins.bsdfs import REGISTRY
+    from .texture import eval_texture
+    ti_lane, slot = _lane_dispatch(scene, si, active)
+    n = si.t.shape[0]
+    out = jnp.zeros((n, 3), si.p.dtype)
+    for ti, name in enumerate(scene.bsdf_types):
+        tbl = scene.bsdfs[name]
+        attr = None
+        for cand in ('reflectance', 'diffuse_reflectance'):
+            if hasattr(tbl, cand):
+                attr = getattr(tbl, cand)
+                break
+        if attr is None:
+            continue
+        mask = active & (ti_lane == ti) & (si.bsdf_index >= 0)
+        val = eval_texture(scene.textures, attr[slot], si.uv)
+        out = jnp.where(mask[..., None], val, out)
+    return out
+
+
 def lane_flags(scene, si):
     """Per-lane BSDFFlags of the hit BSDF (static per type, gathered)."""
     bid = jnp.maximum(si.bsdf_index, 0)

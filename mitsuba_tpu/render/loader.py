@@ -222,9 +222,23 @@ def load_dict(d: dict) -> Scene:
     integ = dict(integrator_props)
     integ.setdefault('max_depth', 8 if integ.get('type') != 'direct' else 2)
     integ.setdefault('rr_depth', 5)
+    # flatten a nested integrator (aov/moment wrappers)
+    for k, v in list(integ.items()):
+        if isinstance(v, dict) and v.get('type') in _INTEGRATOR_TYPES:
+            integ['nested_type'] = v['type']
+            if 'max_depth' in v:
+                integ['nested_max_depth'] = v['max_depth']
+    if integ.get('type') == 'moment' and 'nested_type' not in integ:
+        integ['nested_type'] = 'path'
     # freeze nested dicts out (static field must be hashable)
     integ = {k: (tuple(v) if isinstance(v, list) else v)
              for k, v in integ.items() if not isinstance(v, dict)}
+    # multi-channel film for aov/moment integrators
+    from ..plugins.integrators.aov import channel_count
+    n_ch = channel_count(integ)
+    if n_ch != film.channels:
+        import dataclasses as _dc
+        film = _dc.replace(film, channels=n_ch)
 
     return Scene(
         shapes=tables,

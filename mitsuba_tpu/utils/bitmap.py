@@ -1,0 +1,105 @@
+"""Image I/O (reference src/core/bitmap.cpp capability subset).
+
+Formats: EXR (via OpenCV), PNG/JPG (via imageio), PFM + PPM (native
+writers/readers). Conversion helpers mirror Bitmap::convert's gamma path.
+"""
+from __future__ import annotations
+
+import os
+import struct as pystruct
+
+import numpy as np
+
+os.environ.setdefault('OPENCV_IO_ENABLE_OPENEXR', '1')
+
+
+def _srgb_encode(x):
+    x = np.clip(x, 0.0, 1.0)
+    return np.where(x <= 0.0031308, x * 12.92,
+                    1.055 * np.power(np.maximum(x, 1e-8), 1 / 2.4) - 0.055)
+
+
+def _srgb_decode(x):
+    return np.where(x <= 0.04045, x / 12.92,
+                    np.power((np.maximum(x, 0.0) + 0.055) / 1.055, 2.4))
+
+
+def write(path, img, gamma=None):
+    """Write an image; format from extension. float HDR for .exr/.pfm,
+    sRGB-encoded 8-bit for .png/.jpg (bitmap.cpp convert semantics)."""
+    img = np.asarray(img, np.float32)
+    ext = os.path.splitext(path)[1].lower()
+    if ext == '.exr':
+        from .exr import write_exr
+        write_exr(path, img)
+    elif ext == '.pfm':
+        write_pfm(path, img)
+    elif ext in ('.png', '.jpg', '.jpeg', '.bmp', '.tga'):
+        import imageio.v3 as iio
+        enc = (_srgb_encode(img) * 255 + 0.5).astype(np.uint8) \
+            if gamma is not False else (np.clip(img, 0, 1) * 255 + 0.5).astype(np.uint8)
+        iio.imwrite(path, enc)
+    elif ext == '.ppm':
+        write_ppm(path, img)
+    elif ext == '.npy':
+        np.save(path, img)
+    else:
+        raise ValueError(f'unsupported format {ext}')
+
+
+def read(path, gamma=None):
+    ext = os.path.splitext(path)[1].lower()
+    if ext == '.exr':
+        from .exr import read_exr
+        img = read_exr(path)
+        return img[..., 0] if img.ndim == 3 and img.shape[-1] == 1 else img
+    if ext == '.pfm':
+        return read_pfm(path)
+    if ext == '.npy':
+        return np.load(path)
+    import imageio.v3 as iio
+    img = np.asarray(iio.imread(path), np.float32)
+    if img.max() > 1.5:
+        img = img / 255.0
+    if gamma is not False:
+        img = _srgb_decode(img).astype(np.float32)
+    return img
+
+
+def write_pfm(path, img):
+    img = np.asarray(img, np.float32)
+    color = img.ndim == 3 and img.shape[-1] == 3
+    with open(path, 'wb') as f:
+        f.write(b'PF\n' if color else b'Pf\n')
+        f.write(f'{img.shape[1]} {img.shape[0]}\n'.encode())
+        f.write(b'-1.0\n')  # little endian
+        f.write(np.flipud(img).astype('<f4').tobytes())
+
+
+def read_pfm(path):
+    with open(path, 'rb') as f:
+        hdr = f.readline().strip()
+        color = hdr == b'PF'
+        w, h = [int(x) for x in f.readline().split()]
+        scale = float(f.readline())
+        data = np.frombuffer(f.read(), dtype='<f4' if scale < 0 else '>f4')
+        img = data.reshape(h, w, 3) if color else data.reshape(h, w)
+        return np.flipud(img).astype(np.float32)
+
+
+def write_ppm(path, img):
+    enc = (_srgb_encode(np.asarray(img)) * 255 + 0.5).astype(np.uint8)
+    with open(path, 'wb') as f:
+        f.write(f'P6\n{enc.shape[1]} {enc.shape[0]}\n255\n'.encode())
+        f.write(enc.tobytes())
+
+
+def convert_to_bitmap(img, uint8=True):
+    """util.py:527 convert_to_bitmap: linear -> sRGB uint8."""
+    out = _srgb_encode(np.asarray(img, np.float32))
+    return (out * 255 + 0.5).astype(np.uint8) if uint8 else out
+
+
+def write_bitmap(path, img):
+    """util.py:552 write_bitmap."""
+    write(path, img)

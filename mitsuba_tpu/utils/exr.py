@@ -1,0 +1,121 @@
+"""Minimal OpenEXR 2.0 codec: single-part scanline images, NO_COMPRESSION,
+FLOAT (and HALF on read) channels — the subset the framework writes/reads
+(reference uses the full openexr lib; this covers hdrfilm EXR output,
+bitmap.h:388 write_async equivalent)."""
+from __future__ import annotations
+
+import struct
+import numpy as np
+
+MAGIC = 20000630
+PIXELTYPE_HALF = 1
+PIXELTYPE_FLOAT = 2
+
+
+def _attr(name, type_, data):
+    return name.encode() + b'\0' + type_.encode() + b'\0' + \
+        struct.pack('<i', len(data)) + data
+
+
+def _chlist(names, ptype=PIXELTYPE_FLOAT):
+    out = b''
+    for n in names:
+        out += n.encode() + b'\0'
+        out += struct.pack('<iiii', ptype, 0, 1, 1)
+    return out + b'\0'
+
+
+def write_exr(path, img):
+    """img: (H,W) or (H,W,C<=4) float32."""
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    H, W, C = img.shape
+    names = {1: ['Y'], 2: ['X', 'Y'], 3: ['R', 'G', 'B'],
+             4: ['R', 'G', 'B', 'A']}[C]
+    # channels stored alphabetically in the file
+    order = sorted(range(C), key=lambda i: names[i])
+    sorted_names = [names[i] for i in order]
+    with open(path, 'wb') as f:
+        f.write(struct.pack('<ii', MAGIC, 2))
+        f.write(_attr('channels', 'chlist', _chlist(sorted_names)))
+        f.write(_attr('compression', 'compression', b'\0'))
+        box = struct.pack('<iiii', 0, 0, W - 1, H - 1)
+        f.write(_attr('dataWindow', 'box2i', box))
+        f.write(_attr('displayWindow', 'box2i', box))
+        f.write(_attr('lineOrder', 'lineOrder', b'\0'))
+        f.write(_attr('pixelAspectRatio', 'float', struct.pack('<f', 1.0)))
+        f.write(_attr('screenWindowCenter', 'v2f', struct.pack('<ff', 0, 0)))
+        f.write(_attr('screenWindowWidth', 'float', struct.pack('<f', 1.0)))
+        f.write(b'\0')  # end of header
+        # scanline offset table
+        table_pos = f.tell()
+        line_size = 8 + W * C * 4
+        first = table_pos + 8 * H
+        offsets = [first + y * line_size for y in range(H)]
+        f.write(struct.pack(f'<{H}Q', *offsets))
+        for y in range(H):
+            f.write(struct.pack('<ii', y, W * C * 4))
+            for i in order:
+                f.write(img[y, :, i].astype('<f4').tobytes())
+
+
+def _read_attrs(f):
+    attrs = {}
+    while True:
+        name = b''
+        while True:
+            c = f.read(1)
+            if c == b'\0':
+                break
+            name += c
+        if name == b'':
+            break
+        type_ = b''
+        while True:
+            c = f.read(1)
+            if c == b'\0':
+                break
+            type_ += c
+        size = struct.unpack('<i', f.read(4))[0]
+        attrs[name.decode()] = (type_.decode(), f.read(size))
+    return attrs
+
+
+def read_exr(path):
+    with open(path, 'rb') as f:
+        magic, version = struct.unpack('<ii', f.read(8))
+        assert magic == MAGIC, 'not an EXR file'
+        attrs = _read_attrs(f)
+        assert attrs['compression'][1][0] == 0, \
+            'only NO_COMPRESSION exr supported by the native reader'
+        x0, y0, x1, y1 = struct.unpack('<iiii', attrs['dataWindow'][1])
+        W, H = x1 - x0 + 1, y1 - y0 + 1
+        # parse chlist
+        ch = []
+        data = attrs['channels'][1]
+        off = 0
+        while data[off] != 0:
+            end = data.index(0, off)
+            nm = data[off:end].decode()
+            ptype = struct.unpack('<i', data[end + 1:end + 5])[0]
+            ch.append((nm, ptype))
+            off = end + 17
+        C = len(ch)
+        f.read(8 * H)  # offset table
+        out = np.zeros((H, W, C), np.float32)
+        for y in range(H):
+            _, size = struct.unpack('<ii', f.read(8))
+            for ci, (nm, pt) in enumerate(ch):
+                if pt == PIXELTYPE_FLOAT:
+                    out[y, :, ci] = np.frombuffer(f.read(W * 4), '<f4')
+                elif pt == PIXELTYPE_HALF:
+                    out[y, :, ci] = np.frombuffer(f.read(W * 2), '<f2').astype(np.float32)
+                else:
+                    out[y, :, ci] = np.frombuffer(f.read(W * 4), '<u4').astype(np.float32)
+        names = [c[0] for c in ch]
+        if names == ['B', 'G', 'R']:
+            out = out[..., ::-1].copy()
+        elif names == ['A', 'B', 'G', 'R']:
+            out = out[..., [3, 2, 1, 0]].copy()
+        return out

@@ -1,0 +1,39 @@
+"""Variance-aware image comparison (reference
+src/render/tests/test_renders.py:160-178 z_test): compares a test image
+against a reference mean + variance image with a Z-test on pixel means
+instead of brittle allclose."""
+from __future__ import annotations
+
+import numpy as np
+from scipy.stats import norm
+
+
+def z_test(mean, sample_count, reference, reference_var, significance=0.01):
+    """Returns (passed, p_value_min). All images (H,W,C) float."""
+    mean = np.asarray(mean, np.float64)
+    reference = np.asarray(reference, np.float64)
+    reference_var = np.maximum(np.asarray(reference_var, np.float64), 1e-4)
+    z = np.abs(mean - reference) * np.sqrt(sample_count / reference_var)
+    # two-sided p-value per pixel
+    p = 2.0 * norm.sf(z)
+    # Sidak over #pixels
+    alpha = 1.0 - (1.0 - significance) ** (1.0 / p.size)
+    return bool((p > alpha).all() or np.mean(p < alpha) < 1e-4), float(p.min())
+
+
+def render_mean_and_variance(scene_dict, spp, loader, renderer):
+    """Render a scene with the `moment` integrator: returns (mean, variance
+    of the mean) — the z-test reference pipeline (test_renders.py:131-137)."""
+    import copy
+    d = copy.deepcopy(scene_dict)
+    integ = dict(d.get('integrator', {'type': 'path'}))
+    nested_type = integ.get('type', 'path')
+    d['integrator'] = dict(integ)
+    d['integrator']['type'] = 'moment'
+    d['integrator']['nested_type'] = nested_type
+    scene = loader(d)
+    img = np.asarray(renderer(scene, spp=spp))
+    mean = img[..., :3]
+    m2 = img[..., 3:]
+    var = np.maximum(m2 - mean * mean, 0.0) / max(spp - 1, 1)
+    return mean, var

@@ -1,0 +1,106 @@
+"""AOV/moment integrators, z-test harness, mesh shape, image I/O."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import mitsuba_tpu as mt
+from mitsuba_tpu.utils.ztest import z_test, render_mean_and_variance
+from mitsuba_tpu.utils import bitmap as bmp
+
+
+def test_aov_channels():
+    d = mt.cornell_box(spp=4, res=32)
+    d['integrator'] = {'type': 'aov',
+                       'aovs': 'dd:depth,nn:sh_normal,uv:uv,alb:albedo',
+                       'nested': {'type': 'path', 'max_depth': 3}}
+    scene = mt.load_dict(d)
+    img = np.asarray(mt.render(scene, spp=4))
+    assert img.shape[-1] == 3 + 1 + 3 + 2 + 3
+    rgb = img[..., :3]
+    depth = img[..., 3]
+    normal = img[..., 4:7]
+    assert rgb.mean() > 0.01
+    assert abs(depth[8, 16] - 4.95) < 0.3
+    # back wall normal points towards camera (+z)
+    assert normal[8, 16, 2] > 0.9
+    # albedo of the red wall region is red-dominant
+    alb = img[..., 9:12]
+    assert alb[16, 2, 0] > 2 * alb[16, 2, 1]
+
+
+def test_moment_variance_and_ztest():
+    d = mt.cornell_box(spp=8, res=32, max_depth=3)
+    mean, var = render_mean_and_variance(d, 64, mt.load_dict, mt.render)
+    assert mean.shape == (32, 32, 3) and var.shape == (32, 32, 3)
+    assert (var >= 0).all() and var.mean() > 0
+    # independent render should pass the z-test against (mean, var)
+    scene = mt.load_dict(d)
+    img = np.asarray(mt.render(scene, spp=64, seed=9))
+    ok, pmin = z_test(img, 64, mean, var * 64)  # var of samples = var_mean*spp
+    assert ok, pmin
+    # corrupted image must fail
+    bad = mean.copy()
+    bad[10:20, 10:20] += 2.0
+    ok2, _ = z_test(bad, 64, mean, var * 64)
+    assert not ok2
+
+
+def _tri_mesh_scene():
+    # two triangles forming a floor quad + area light above
+    verts = [[-2, 0, -2], [2, 0, -2], [2, 0, 2], [-2, 0, 2]]
+    faces = [[0, 2, 1], [0, 3, 2]]
+    from mitsuba_tpu.core.transform import ScalarTransform4f as T
+    return {
+        'type': 'scene',
+        'integrator': {'type': 'path', 'max_depth': 2},
+        'sensor': {'type': 'perspective', 'fov': 50.0,
+                   'to_world': T.look_at(origin=[0, 2.5, 3], target=[0, 0, 0], up=[0, 1, 0]),
+                   'sampler': {'type': 'independent', 'sample_count': 16},
+                   'film': {'type': 'hdrfilm', 'width': 32, 'height': 32,
+                            'rfilter': {'type': 'box'}}},
+        'floor': {'type': 'mesh', 'vertices': verts, 'faces': faces,
+                  'bsdf': {'type': 'diffuse', 'reflectance': {'type': 'rgb', 'value': [0.8, 0.8, 0.8]}}},
+        'env': {'type': 'constant', 'radiance': {'type': 'rgb', 'value': [1.0] * 3}},
+    }
+
+
+def test_mesh_render():
+    scene = mt.load_dict(_tri_mesh_scene())
+    img = np.asarray(mt.render(scene, spp=16))
+    assert np.isfinite(img).all()
+    # floor visible in lower half; env in upper half
+    assert img[:8].mean() > 0.9
+    assert 0.3 < img[24:].mean() < 1.0
+
+
+def test_mesh_depth_vs_analytic():
+    d = _tri_mesh_scene()
+    d['integrator'] = {'type': 'depth'}
+    scene = mt.load_dict(d)
+    img = np.asarray(mt.render(scene, spp=4))
+    # center ray from (0,2.5,3) toward origin hits y=0 plane at t=|o|
+    expect = np.linalg.norm([0, 2.5, 3])
+    assert abs(img[16, 16, 0] - expect) < 0.2
+
+
+def test_obj_roundtrip(tmp_path):
+    p = tmp_path / 'quad.obj'
+    p.write_text("v -1 0 -1\nv 1 0 -1\nv 1 0 1\nv -1 0 1\n"
+                 "f 1 3 2\nf 1 4 3\n")
+    from mitsuba_tpu.plugins.shapes.mesh import load_obj
+    v, f, n, uv = load_obj(str(p))
+    assert v.shape == (4, 3) and f.shape == (2, 3)
+
+
+def test_image_io_roundtrip(tmp_path):
+    img = np.random.default_rng(0).random((16, 24, 3)).astype(np.float32)
+    for ext in ('.exr', '.pfm', '.npy'):
+        path = str(tmp_path / f'im{ext}')
+        bmp.write(path, img)
+        back = bmp.read(path)
+        assert np.allclose(back, img, atol=1e-3), ext
+    # png roundtrip through sRGB 8-bit
+    path = str(tmp_path / 'im.png')
+    bmp.write(path, img)
+    back = bmp.read(path)
+    assert np.abs(back - img).max() < 0.02

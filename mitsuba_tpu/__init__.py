@@ -40,3 +40,6 @@ def variant():
 
 def variants():
     return ['tpu_ad_rgb', 'tpu_rgb', 'cpu_ad_rgb']
+
+from .render.xml import load_file, load_string, dict_to_xml  # noqa: F401,E402
+from .utils.bitmap import write_bitmap, convert_to_bitmap  # noqa: F401,E402

@@ -1,0 +1,257 @@
+"""XML scene loader + dict→XML writer (reference src/core/xml.cpp:431-1444
+and src/python/python/xml.py).
+
+Parses the Mitsuba scene XML schema into the load_dict dict schema:
+tags <integrator|sensor|shape|bsdf|emitter|film|sampler|rfilter|texture>,
+property tags <float|integer|boolean|string|point|vector|rgb|spectrum>,
+the <transform> DSL (<translate|rotate|scale|matrix|lookat>), $var parameter
+substitution with <default>, and <ref id>.
+"""
+from __future__ import annotations
+
+import os
+import re
+import xml.etree.ElementTree as ET
+
+import numpy as np
+
+from ..core.transform import Transform4
+
+
+_OBJECT_TAGS = {'integrator', 'sensor', 'shape', 'bsdf', 'emitter', 'film',
+                'sampler', 'rfilter', 'texture', 'phase', 'medium', 'volume'}
+
+_CHILD_KEY = {'film': 'film', 'sampler': 'sampler', 'rfilter': 'rfilter',
+              'bsdf': 'bsdf', 'emitter': 'emitter', 'phase': 'phase',
+              'medium': 'medium'}
+
+
+def _subst(value, params):
+    def repl(mtc):
+        key = mtc.group(1)
+        if key not in params:
+            raise ValueError(f'undefined parameter ${key}')
+        return str(params[key])
+    return re.sub(r'\$(\w+)', repl, value)
+
+
+def _parse_vec(s):
+    parts = [float(x) for x in re.split(r'[ ,]+', s.strip()) if x]
+    return parts[0] if len(parts) == 1 else parts
+
+
+def _parse_transform(node, params):
+    t = Transform4()
+    for child in node:
+        tag = child.tag
+        get = lambda k, d=None: (_subst(child.get(k), params)
+                                 if child.get(k) is not None else d)
+        if tag == 'translate':
+            if get('value') is not None:
+                v = _parse_vec(get('value'))
+            else:
+                v = [float(get('x', 0)), float(get('y', 0)), float(get('z', 0))]
+            t = t.translate(v)
+        elif tag == 'scale':
+            if get('value') is not None:
+                v = _parse_vec(get('value'))
+            else:
+                v = [float(get('x', 1)), float(get('y', 1)), float(get('z', 1))]
+            t = t.scale(v)
+        elif tag == 'rotate':
+            angle = float(get('angle', 0))
+            if get('value') is not None:
+                axis = _parse_vec(get('value'))
+            else:
+                axis = [float(get('x', 0)), float(get('y', 0)), float(get('z', 0))]
+            t = t.rotate(axis, angle)
+        elif tag == 'matrix':
+            vals = [float(x) for x in get('value').split()]
+            mat = np.asarray(vals, np.float64)
+            mat = mat.reshape(4, 4) if mat.size == 16 else \
+                np.block([[mat.reshape(3, 3), np.zeros((3, 1))],
+                          [np.zeros((1, 3)), np.ones((1, 1))]])
+            t = Transform4(t.matrix @ mat)
+        elif tag in ('lookat', 'look_at'):
+            t = t.look_at(origin=_parse_vec(get('origin')),
+                          target=_parse_vec(get('target')),
+                          up=_parse_vec(get('up', '0, 1, 0')))
+    return t
+
+
+def _parse_props(node, params, base_dir):
+    """Children of an object tag -> dict entries."""
+    out = {}
+    anon = 0
+    for child in node:
+        tag = child.tag
+        name = child.get('name')
+        get_val = lambda: _subst(child.get('value', ''), params)
+        if tag == 'float':
+            out[name] = float(get_val())
+        elif tag == 'integer':
+            out[name] = int(get_val())
+        elif tag == 'boolean':
+            out[name] = get_val().lower() == 'true'
+        elif tag == 'string':
+            v = get_val()
+            if name == 'filename':
+                v = os.path.join(base_dir, v)
+            out[name] = v
+        elif tag in ('point', 'vector'):
+            if child.get('value') is not None:
+                out[name] = _parse_vec(get_val())
+            else:
+                out[name] = [float(_subst(child.get(a, '0'), params))
+                             for a in 'xyz']
+        elif tag == 'rgb':
+            out[name] = {'type': 'rgb', 'value': _parse_vec(get_val())}
+        elif tag == 'spectrum':
+            v = get_val()
+            if ':' in v:  # wavelength:value pairs -> rgb-mode average
+                pairs = [p.split(':') for p in re.split(r'[ ,]+', v) if ':' in p]
+                vals = [float(p[1]) for p in pairs]
+                out[name] = {'type': 'rgb', 'value': [float(np.mean(vals))] * 3}
+            else:
+                out[name] = {'type': 'rgb', 'value': [float(v)] * 3}
+        elif tag == 'transform':
+            out[name or 'to_world'] = _parse_transform(child, params)
+        elif tag == 'ref':
+            out[name or f'_ref{anon}'] = {'type': 'ref', 'id': child.get('id')}
+            anon += 1
+        elif tag in _OBJECT_TAGS:
+            obj = _parse_object(child, params, base_dir)
+            key = name or _CHILD_KEY.get(tag, f'_{tag}{anon}')
+            out[key] = obj
+            anon += 1
+    return out
+
+
+def _parse_object(node, params, base_dir):
+    obj = {'type': node.get('type')}
+    obj.update(_parse_props(node, params, base_dir))
+    return obj
+
+
+def load_file(path, parallel=True, **kwargs):
+    """mi.load_file analogue: scene.xml -> Scene."""
+    from .loader import load_dict
+    return load_dict(xml_to_dict(path, defaults=kwargs))
+
+
+def load_string(text, **kwargs):
+    from .loader import load_dict
+    root = ET.fromstring(text)
+    return load_dict(_root_to_dict(root, '.', kwargs))
+
+
+def xml_to_dict(path, defaults=None):
+    tree = ET.parse(path)
+    return _root_to_dict(tree.getroot(), os.path.dirname(os.path.abspath(path)),
+                         defaults or {})
+
+
+def _root_to_dict(root, base_dir, overrides):
+    assert root.tag == 'scene', 'top-level tag must be <scene>'
+    params = {}
+    for child in root:
+        if child.tag == 'default':
+            params.setdefault(child.get('name'), child.get('value'))
+    params.update({k: str(v) for k, v in overrides.items()})
+    d = {'type': 'scene'}
+    idx = 0
+    for child in root:
+        if child.tag in ('default',):
+            continue
+        if child.tag not in _OBJECT_TAGS:
+            continue
+        obj = _parse_object(child, params, base_dir)
+        name = child.get('id') or child.get('name') or f'{child.tag}_{idx}'
+        d[name] = obj
+        idx += 1
+    return d
+
+
+# ---------------------------------------------------------------------------
+# dict -> XML writer (reference src/python/python/xml.py dict_to_xml)
+# ---------------------------------------------------------------------------
+
+def dict_to_xml(scene_dict, path):
+    root = ET.Element('scene', version='3.0.0')
+
+    def emit(parent, name, value):
+        if isinstance(value, dict) and 'type' in value:
+            t = value['type']
+            if t == 'rgb':
+                ET.SubElement(parent, 'rgb', name=name,
+                              value=', '.join(str(float(x)) for x in
+                                              np.atleast_1d(value['value'])))
+                return
+            if t == 'ref':
+                ET.SubElement(parent, 'ref', id=value['id'],
+                              **({'name': name} if name else {}))
+                return
+            tag = _tag_of(t)
+            el = ET.SubElement(parent, tag, type=t)
+            if name and tag not in _CHILD_KEY.values():
+                el.set('name', name)
+            for k, v in value.items():
+                if k != 'type':
+                    emit(el, k, v)
+            return
+        if isinstance(value, Transform4):
+            el = ET.SubElement(parent, 'transform', name=name)
+            ET.SubElement(el, 'matrix',
+                          value=' '.join(str(float(x))
+                                         for x in value.matrix.reshape(-1)))
+            return
+        if isinstance(value, bool):
+            ET.SubElement(parent, 'boolean', name=name, value=str(value).lower())
+        elif isinstance(value, int):
+            ET.SubElement(parent, 'integer', name=name, value=str(value))
+        elif isinstance(value, float):
+            ET.SubElement(parent, 'float', name=name, value=str(value))
+        elif isinstance(value, str):
+            ET.SubElement(parent, 'string', name=name, value=value)
+        elif isinstance(value, (list, tuple)) or hasattr(value, 'shape'):
+            arr = np.atleast_1d(np.asarray(value))
+            if arr.ndim == 1 and arr.size == 3:
+                ET.SubElement(parent, 'point' if 'position' in (name or '')
+                              else 'vector', name=name,
+                              value=', '.join(str(float(x)) for x in arr))
+
+    for key, val in scene_dict.items():
+        if key == 'type':
+            continue
+        if isinstance(val, dict) and 'type' in val:
+            t = val['type']
+            el = ET.SubElement(root, _tag_of(t), type=t, id=key)
+            for k, v in val.items():
+                if k != 'type':
+                    emit(el, k, v)
+    ET.indent(root)
+    ET.ElementTree(root).write(path, xml_declaration=True, encoding='utf-8')
+
+
+def _tag_of(type_name):
+    from .loader import (_SHAPE_TYPES, _EMITTER_TYPES, _SENSOR_TYPES,
+                        _INTEGRATOR_TYPES)
+    if type_name in _SHAPE_TYPES:
+        return 'shape'
+    if type_name in _EMITTER_TYPES:
+        return 'emitter'
+    if type_name in _SENSOR_TYPES:
+        return 'sensor'
+    if type_name in _INTEGRATOR_TYPES:
+        return 'integrator'
+    if type_name in ('hdrfilm', 'specfilm'):
+        return 'film'
+    if type_name in ('independent', 'stratified', 'multijitter', 'ldsampler',
+                     'orthogonal'):
+        return 'sampler'
+    if type_name in ('box', 'tent', 'gaussian', 'mitchell', 'catmullrom',
+                     'lanczos'):
+        return 'rfilter'
+    if type_name in ('bitmap', 'checkerboard', 'mesh_attribute'):
+        return 'texture'
+    return 'bsdf'

@@ -1,0 +1,59 @@
+"""XML scene loader/writer (reference src/core/xml.cpp, xml.py writer)."""
+import numpy as np
+import mitsuba_tpu as mt
+
+XML = """<scene version="3.0.0">
+  <default name="spp" value="8"/>
+  <integrator type="path">
+    <integer name="max_depth" value="4"/>
+  </integrator>
+  <sensor type="perspective">
+    <float name="fov" value="45"/>
+    <transform name="to_world">
+      <lookat origin="0, 0, 4" target="0, 0, 0" up="0, 1, 0"/>
+    </transform>
+    <sampler type="independent">
+      <integer name="sample_count" value="$spp"/>
+    </sampler>
+    <film type="hdrfilm">
+      <integer name="width" value="32"/>
+      <integer name="height" value="32"/>
+      <rfilter type="box"/>
+    </film>
+  </sensor>
+  <bsdf type="diffuse" id="gray">
+    <rgb name="reflectance" value="0.5, 0.6, 0.7"/>
+  </bsdf>
+  <shape type="sphere">
+    <float name="radius" value="1.0"/>
+    <ref id="gray"/>
+  </shape>
+  <emitter type="constant">
+    <rgb name="radiance" value="1.0, 1.0, 1.0"/>
+  </emitter>
+</scene>"""
+
+
+def test_load_string():
+    scene = mt.load_string(XML)
+    assert scene.spp == 8
+    img = np.asarray(mt.render(scene, spp=8))
+    assert img.shape == (32, 32, 3)
+    center = img[12:20, 12:20]
+    # sphere albedo [0.5,0.6,0.7] under unit env: convex => L = albedo
+    assert np.allclose(center.mean(axis=(0, 1)), [0.5, 0.6, 0.7], atol=0.05)
+
+
+def test_load_string_param_override():
+    scene = mt.load_string(XML, spp=16)
+    assert scene.spp == 16
+
+
+def test_dict_to_xml_roundtrip(tmp_path):
+    d = mt.cornell_box(spp=4, res=32)
+    path = str(tmp_path / 'scene.xml')
+    mt.dict_to_xml(d, path)
+    scene = mt.load_file(path)
+    img = np.asarray(mt.render(scene, spp=4))
+    ref = np.asarray(mt.render(mt.load_dict(d), spp=4))
+    assert np.allclose(img, ref, atol=1e-5)

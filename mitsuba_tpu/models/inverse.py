@@ -1,0 +1,102 @@
+"""Inverse heightfield recovery (BASELINE config[3]: optimize an elevation
+grid from multiple reference views with Adam; reference methodology =
+mi.render + ad.optimizers loop, util.py:410-523 + optimizers.py:204).
+
+Multi-view: one scene per view (shared heightfield leaf), loss = sum of MSEs;
+gradients accumulate across views; optional multi-chip sharding of the
+per-view wavefronts (parallel/shard.py).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.transform import ScalarTransform4f as T
+from .scenes import heightfield_scene, make_test_heights
+from ..ad.optimizers import Adam
+
+
+def make_views(n_views=8, radius=2.6, height=1.7, res_img=128, spp=32,
+               res_hf=64, heights=None, max_depth=2):
+    """n_views cameras on a circle looking at the terrain center."""
+    scenes = []
+    for i in range(n_views):
+        ang = 2 * np.pi * i / n_views
+        origin = [radius * np.cos(ang), height, radius * np.sin(ang)]
+        d = heightfield_scene(res_hf=res_hf, res_img=res_img, spp=spp,
+                              heights=heights, max_depth=max_depth)
+        d['sensor']['to_world'] = T.look_at(origin=origin, target=[0, 0.15, 0],
+                                            up=[0, 1, 0])
+        # a sun gives strong normal- and shadow-dependent signal (a sky dome
+        # alone makes the inverse problem nearly shading-free)
+        d['sun'] = {'type': 'directional', 'direction': [0.4, -1.0, 0.25],
+                    'irradiance': {'type': 'rgb', 'value': [2.5, 2.4, 2.2]}}
+        scenes.append(d)
+    return scenes
+
+
+def laplacian(h):
+    """5-point combinatorial Laplacian (largesteps.py:6's matrix, applied
+    directly as a smoothness energy for grid heightfields)."""
+    pad = jnp.pad(h, 1, mode='edge')
+    return (pad[:-2, 1:-1] + pad[2:, 1:-1] + pad[1:-1, :-2] + pad[1:-1, 2:]
+            - 4.0 * h)
+
+
+def recover_heights(target_heights, init_heights, n_views=4, iterations=64,
+                    lr=0.02, spp=8, res_img=64, seed=0, use_prb=False,
+                    smooth_weight=2e-3, callback=None):
+    """Returns (optimized heights, loss history)."""
+    import mitsuba_tpu as mt
+
+    res_hf = np.asarray(target_heights).shape[0]
+    view_dicts = make_views(n_views=n_views, res_img=res_img, spp=spp,
+                            res_hf=res_hf, heights=np.asarray(target_heights))
+    scenes = [mt.load_dict(d) for d in view_dicts]
+    params_per_view = [mt.traverse(s) for s in scenes]
+    key = [k for k in params_per_view[0].keys() if 'heights' in k][0]
+
+    # render reference views (detached) at higher quality than the
+    # optimization renders (test_ad.py methodology)
+    targets = [jax.lax.stop_gradient(
+        mt.render_wavefront(s, spp=min(4 * spp, 64), seed=100 + i))
+        for i, s in enumerate(scenes)]
+
+    if use_prb:
+        from ..ad.integrators.prb import render_prb
+
+    def make_loss(i):
+        pv = params_per_view[i]
+        tgt = targets[i]
+
+        def loss(h, it):
+            s2 = pv.scene_with({key: h})
+            if use_prb:
+                img = render_prb(s2, spp, 0)
+            else:
+                # per-iteration seed: decorrelated gradient noise instead of
+                # overfitting one realization (util.py:515-520 decorrelation)
+                img = mt.render_wavefront(s2, spp=spp, seed=it)
+            reg = smooth_weight * (laplacian(h) ** 2).mean()
+            return ((img - tgt) ** 2).mean() + reg
+        return jax.jit(jax.value_and_grad(loss))
+
+    loss_fns = [make_loss(i) for i in range(n_views)]
+
+    opt = Adam(lr=lr, params={'h': jnp.asarray(init_heights)})
+    history = []
+    for it in range(iterations):
+        total = 0.0
+        g_acc = jnp.zeros_like(opt['h'])
+        for i in range(n_views):
+            l, g = loss_fns[i](opt['h'], it)
+            total += float(l)
+            g_acc = g_acc + g
+        opt.step({'h': g_acc / n_views})
+        # keep elevations in a sane band (terrain prior)
+        opt.params['h'] = jnp.clip(opt.params['h'], 0.0, 1.0)
+        history.append(total / n_views)
+        if callback:
+            callback(it, history[-1], opt['h'])
+    return opt['h'], history

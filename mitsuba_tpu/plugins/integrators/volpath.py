@@ -1,0 +1,120 @@
+"""Volumetric path tracer (reference src/integrators/volpath.cpp) for a
+global homogeneous medium: free-flight sampling with spectral-channel MIS,
+phase-function scattering, transmittance-attenuated emitter sampling with MIS
+against phase/BSDF sampling.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ...core import math as m
+from ...render import scene as sc
+from ...render import bsdf as bsdf_mod
+from ...render import bsdf_flags as bf
+from ...render import sampler as sa
+from ...render import medium as med_mod
+from ...render.records import Ray
+from .path import mis_weight
+
+
+def sample(scene, sampler, ray, max_depth, rr_depth=5, hide_emitters=False):
+    med = scene.medium
+    n = ray.o.shape[0]
+    dt = ray.o.dtype
+
+    state = dict(
+        o=ray.o, d=ray.d,
+        L=jnp.zeros((n, 3), dt), beta=jnp.ones((n, 3), dt),
+        active=jnp.ones((n,), bool),
+        prev_pdf=jnp.ones((n,), dt), prev_delta=jnp.ones((n,), bool),
+        prev_p=ray.o, valid=jnp.zeros((n,), bool), sampler=sampler)
+
+    def body(st, depth):
+        smpl = st['sampler']
+        cur_ray = Ray.make(st['o'], st['d'])
+        si = sc.ray_intersect(scene, cur_ray)
+        maxt = jnp.where(si.is_valid, si.t, 4.0 * scene.bbox_radius)
+
+        u_t, smpl = sa.next_1d(smpl)
+        u_c, smpl = sa.next_1d(smpl)
+        t_med, is_medium, w_tr = med_mod.sample_interaction(med, u_t, u_c, maxt)
+        is_medium = is_medium & st['active']
+        beta = st['beta'] * w_tr
+
+        p_evt = st['o'] + st['d'] * t_med[..., None]
+
+        # ---- emission on surface path (attenuated, MIS vs prev bounce) ----
+        hit_em = st['active'] & ~is_medium & (si.emitter_index >= 0)
+        Le = sc.eval_emitter_hit(scene, si, hit_em)
+        pdf_light = sc.pdf_emitter_direction(scene, st['prev_p'], si, hit_em)
+        mis_b = jnp.where(st['prev_delta'], 1.0, mis_weight(st['prev_pdf'], pdf_light))
+        show = jnp.where(depth == 0, not hide_emitters, True)
+        L = st['L'] + beta * Le * (mis_b * show)[..., None]
+        escaped = st['active'] & ~is_medium & ~si.is_valid
+        Lenv = sc.eval_environment(scene, st['d'], escaped)
+        pdf_env = sc.pdf_env_direction(scene, st['d'], escaped)
+        mis_e = jnp.where(st['prev_delta'], 1.0, mis_weight(st['prev_pdf'], pdf_env))
+        L = L + beta * Lenv * (mis_e * show)[..., None]
+
+        valid = st['valid'] | (st['active'] & (si.is_valid | is_medium))
+        active = st['active'] & (si.is_valid | is_medium)
+
+        # ---- emitter sampling from the event point ----
+        s_em, smpl = sa.next_2d(smpl)
+        si_evt = si.replace(p=jnp.where(is_medium[..., None], p_evt, si.p))
+        active_em = active & (is_medium | bsdf_mod.has_smooth(scene, si))
+        ds, em_w = sc.sample_emitter_direction(scene, si_evt,
+                                               jax.lax.stop_gradient(s_em),
+                                               test_visibility=True,
+                                               active=active_em)
+        # attenuate by medium transmittance along the shadow segment
+        tr_sh = med_mod.transmittance(med, ds.dist)
+        em_w = em_w * tr_sh
+        # scattering value toward the light: phase (medium) or bsdf (surface)
+        wo_local = si.to_local(ds.d)
+        b_val, b_pdf = bsdf_mod.eval_pdf(scene, si, wo_local, active_em & ~is_medium)
+        ph_val = med_mod.phase_eval(med, -st['d'], ds.d) * med.albedo[None, :].mean(-1)
+        ph_val3 = med.albedo[None, :] * med_mod.phase_eval(med, -st['d'], ds.d)[..., None]
+        scat_val = jnp.where(is_medium[..., None], ph_val3, b_val)
+        scat_pdf = jnp.where(is_medium,
+                             med_mod.phase_eval(med, -st['d'], ds.d), b_pdf)
+        mis_em = jnp.where(ds.delta, 1.0,
+                           mis_weight(jax.lax.stop_gradient(ds.pdf),
+                                      jax.lax.stop_gradient(scat_pdf)))
+        L = L + jnp.where(active_em[..., None],
+                          beta * scat_val * em_w * mis_em[..., None], 0.0)
+
+        # ---- scattering event: phase or bsdf sampling ----
+        s1, smpl = sa.next_1d(smpl)
+        s2, smpl = sa.next_2d(smpl)
+        bs, b_weight = bsdf_mod.sample(scene, si, jax.lax.stop_gradient(s1),
+                                       jax.lax.stop_gradient(s2),
+                                       active & ~is_medium)
+        wo_ph, pdf_ph = med_mod.phase_sample(med, -st['d'], jax.lax.stop_gradient(s2))
+        d_new = jnp.where(is_medium[..., None], wo_ph, si.to_world(bs.wo))
+        o_surf = si.spawn_ray(si.to_world(bs.wo)).o
+        o_new = jnp.where(is_medium[..., None], p_evt, o_surf)
+        w_new = jnp.where(is_medium[..., None], med.albedo[None, :], b_weight)
+        beta = beta * w_new
+        pdf_new = jnp.where(is_medium, pdf_ph, bs.pdf)
+        delta_new = jnp.where(is_medium, False,
+                              (bs.sampled_type & jnp.uint32(bf.Delta)) != 0)
+
+        # ---- russian roulette ----
+        u_rr, smpl = sa.next_1d(smpl)
+        beta_max = jnp.max(beta, -1)
+        rr_prob = jax.lax.stop_gradient(jnp.minimum(beta_max, 0.95))
+        rr_act = depth >= rr_depth
+        rr_cont = ~rr_act | (u_rr < rr_prob)
+        beta = beta * jnp.where(rr_act, 1.0 / jnp.maximum(rr_prob, 1e-8), 1.0)[..., None]
+        active = active & rr_cont & (pdf_new > 0) & (beta_max > 0)
+
+        new_st = dict(o=o_new, d=d_new, L=L, beta=beta, active=active,
+                      prev_pdf=pdf_new, prev_delta=delta_new,
+                      prev_p=si_evt.p, valid=valid, sampler=smpl)
+        return new_st, None
+
+    state, _ = jax.lax.scan(body, state, jnp.arange(max_depth))
+    return state['L'], state['valid'], state['sampler']

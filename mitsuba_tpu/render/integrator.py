@@ -46,6 +46,12 @@ def _sample_radiance(scene, cfg, sampler, ray):
     if kind in ('aov', 'moment'):
         from ..plugins.integrators import aov as aov_mod
         return aov_mod.sample(scene, cfg, sampler, ray)
+    if kind in ('volpath', 'volpathmis', 'prbvolpath'):
+        from ..plugins.integrators import volpath as vol_mod
+        return vol_mod.sample(scene, sampler, ray,
+                              max_depth=int(cfg.get('max_depth', 8)),
+                              rr_depth=int(cfg.get('rr_depth', 5)),
+                              hide_emitters=bool(cfg.get('hide_emitters', False)))
     raise ValueError(f'unknown integrator {kind}')
 
 

@@ -20,6 +20,11 @@ from . import bsdf_flags as bf
 from .emitter import EmitterBuilder
 from .texture import TextureBuilder
 from .scene import Scene
+from . import medium as _medium_mod
+
+
+def _build_medium(props):
+    return _medium_mod.build(props)
 
 _SHAPE_TYPES = ('rectangle', 'cube', 'sphere', 'disk', 'cylinder',
                 'heightfield', 'obj', 'ply', 'mesh')
@@ -44,6 +49,7 @@ def load_dict(d: dict) -> Scene:
     sensor_props = None
     integrator_props = {'type': 'path', 'max_depth': 8}
     env_emitters = []
+    medium_props = None
 
     for key, val in d.items():
         if key == 'type' or not isinstance(val, dict):
@@ -59,6 +65,8 @@ def load_dict(d: dict) -> Scene:
             integrator_props = val
         elif t in _EMITTER_TYPES:
             env_emitters.append(val)   # scene-level (infinite/delta) emitter
+        elif t in ('homogeneous', 'heterogeneous'):
+            medium_props = val
         else:
             raise ValueError(f"unknown scene object '{key}' of type '{t}'")
 
@@ -264,4 +272,5 @@ def load_dict(d: dict) -> Scene:
         sampler_kind=sampler_props.get('type', 'independent'),
         bbox_center=jnp.asarray(c, jnp.float32),
         bbox_radius=jnp.asarray(r, jnp.float32),
+        medium=(None if medium_props is None else _build_medium(medium_props)),
     )

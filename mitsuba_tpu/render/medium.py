@@ -1,0 +1,119 @@
+"""Participating media (reference include/mitsuba/render/medium.h,
+src/media/{homogeneous,heterogeneous}.cpp, src/phase/*).
+
+Round-1 scope: one global homogeneous medium (sigma_t, albedo) with an
+isotropic or Henyey-Greenstein phase function, consumed by the `volpath`
+integrator. Heterogeneous grid media (supervoxel majorants) are the planned
+extension — the free-flight API below already matches that contract
+(medium.h:50 sample_interaction / :27 transmittance_eval_pdf).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core import math as m
+from ..core import warp
+from ..core.frame import Frame
+
+
+# phase function kinds
+PHASE_ISOTROPIC = 0
+PHASE_HG = 1
+
+
+@struct.dataclass
+class Medium:
+    sigma_t: jnp.ndarray    # (3,) extinction
+    albedo: jnp.ndarray     # (3,) single-scattering albedo
+    phase_kind: int = struct.field(pytree_node=False, default=PHASE_ISOTROPIC)
+    g: jnp.ndarray = 0.0    # HG asymmetry
+
+
+def build(props) -> Medium:
+    sigma_t = props.get('sigma_t', 1.0)
+    albedo = props.get('albedo', 0.75)
+    if isinstance(sigma_t, dict):
+        sigma_t = sigma_t['value']
+    if isinstance(albedo, dict):
+        albedo = albedo['value']
+    phase = props.get('phase', {'type': 'isotropic'})
+    kind = PHASE_HG if phase.get('type') == 'hg' else PHASE_ISOTROPIC
+    g = float(phase.get('g', 0.0))
+    return Medium(
+        sigma_t=jnp.broadcast_to(jnp.asarray(sigma_t, jnp.float32).reshape(-1), (3,)),
+        albedo=jnp.broadcast_to(jnp.asarray(albedo, jnp.float32).reshape(-1), (3,)),
+        phase_kind=kind, g=jnp.asarray(g, jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# free flight + transmittance (homogeneous closed forms)
+# ---------------------------------------------------------------------------
+
+def sample_interaction(med: Medium, u, channel_u, maxt):
+    """Sample a free-flight distance with spectral channel MIS
+    (volpath.cpp:133-191's channel sampling, homogeneous closed form).
+
+    Returns (t (N,), is_medium (N,), tr_pdf_weight (N,3)) where
+    tr_pdf_weight = Tr(t)*sigma_or_1 / pdf — the combined throughput factor:
+      medium event:   sigma_t*Tr(t) / pdf_medium
+      surface event:  Tr(maxt) / P[t >= maxt]
+    """
+    # pick a channel uniformly, sample exp(sigma_t[c])
+    c = jnp.clip((channel_u * 3).astype(jnp.int32), 0, 2)
+    sig_c = med.sigma_t[c]
+    t = -jnp.log(jnp.maximum(1.0 - u, 1e-12)) / jnp.maximum(sig_c, 1e-12)
+    is_medium = t < maxt
+    t_clamped = jnp.minimum(t, maxt)
+    tr = jnp.exp(-med.sigma_t[None, :] * t_clamped[..., None])   # (N,3)
+    # pdf averaged over channel choice (spectral MIS, "balance" over channels)
+    pdf_medium = jnp.mean(med.sigma_t[None, :] *
+                          jnp.exp(-med.sigma_t[None, :] * t_clamped[..., None]),
+                          axis=-1)
+    pdf_surface = jnp.mean(jnp.exp(-med.sigma_t[None, :] * maxt[..., None]),
+                           axis=-1)
+    w_medium = med.sigma_t[None, :] * tr / jnp.maximum(pdf_medium, 1e-20)[..., None]
+    w_surface = tr / jnp.maximum(pdf_surface, 1e-20)[..., None]
+    weight = jnp.where(is_medium[..., None], w_medium, w_surface)
+    return t_clamped, is_medium, weight
+
+
+def transmittance(med: Medium, dist):
+    """Tr along an unoccluded segment (homogeneous Beer-Lambert)."""
+    return jnp.exp(-med.sigma_t[None, :] * dist[..., None])
+
+
+# ---------------------------------------------------------------------------
+# phase functions (src/phase/{isotropic,hg}.cpp)
+# ---------------------------------------------------------------------------
+
+def phase_eval(med: Medium, wi, wo):
+    """Phase value == pdf (both normalized over solid angle)."""
+    if med.phase_kind == PHASE_ISOTROPIC:
+        return jnp.full(wi.shape[:-1], m.InvFourPi)
+    cos_t = m.dot(wi, wo)
+    g = med.g
+    denom = 1.0 + g * g + 2.0 * g * cos_t
+    return m.InvFourPi * (1.0 - g * g) / jnp.maximum(denom * m.safe_sqrt(denom), 1e-8)
+
+
+def phase_sample(med: Medium, wi, sample2):
+    """Returns (wo, pdf)."""
+    if med.phase_kind == PHASE_ISOTROPIC:
+        wo = warp.square_to_uniform_sphere(sample2)
+        return wo, jnp.full(wi.shape[:-1], m.InvFourPi)
+    g = med.g
+    sqr_term = (1.0 - g * g) / (1.0 - g + 2.0 * g * sample2[..., 0])
+    cos_theta = (1.0 + g * g - sqr_term * sqr_term) / (2.0 * jnp.maximum(jnp.abs(g), 1e-4))
+    cos_theta = jnp.where(jnp.abs(g) < 1e-3,
+                          1.0 - 2.0 * sample2[..., 0], cos_theta)
+    sin_theta = m.safe_sqrt(1.0 - cos_theta * cos_theta)
+    phi = m.TwoPi * sample2[..., 1]
+    # direction around -wi (forward scattering for g>0 continues forward)
+    frame = Frame(-wi)
+    wo_local = jnp.stack([sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi),
+                          cos_theta], -1)
+    wo = frame.to_world(wo_local)
+    return wo, phase_eval(med, wi, wo)

@@ -79,6 +79,8 @@ class Scene:
     # scene bounds (for infinite emitters)
     bbox_center: jnp.ndarray = None
     bbox_radius: jnp.ndarray = None
+    # optional global participating medium (render/medium.py)
+    medium: object = None
 
     # convenience
     def environment(self):

@@ -87,6 +87,8 @@ def recover_heights(target_heights, init_heights, n_views=4, iterations=64,
     opt = Adam(lr=lr, params={'h': jnp.asarray(init_heights)})
     history = []
     for it in range(iterations):
+        # exponential lr decay damps gradient-noise drift once converged
+        opt.set_learning_rate(lr * (0.985 ** it))
         total = 0.0
         g_acc = jnp.zeros_like(opt['h'])
         for i in range(n_views):

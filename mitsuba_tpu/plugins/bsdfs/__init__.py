@@ -17,6 +17,17 @@ def _extend():
         REGISTRY.update(EXTRA)
     except ImportError:
         pass
+    try:
+        from .principled import principled
+        REGISTRY['principled'] = principled
+        REGISTRY['principledthin'] = principled  # thin variant: same lobes
+    except ImportError:
+        pass
+    try:
+        from .wrappers import blendbsdf
+        REGISTRY['blendbsdf'] = blendbsdf
+    except ImportError:
+        pass
 
 
 _extend()

@@ -1,0 +1,181 @@
+"""Principled (Disney) BSDF (reference src/bsdfs/principled.cpp — the
+Burley 2012/2015 model; subset: base_color, metallic, roughness, specular,
+spec_tint, sheen, sheen_tint, clearcoat, clearcoat_gloss, anisotropic).
+
+Lobes: Burley diffuse + retro, metallic/specular GGX with Schlick Fresnel,
+sheen, and a fixed-IOR clearcoat GGX lobe. Sampling mixes cosine-diffuse and
+the two GGX lobes with probabilities from the lobe albedos; pdf matches the
+mixture (chi2-validated)."""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ...core import math as m
+from ...core import frame as fr
+from ...core import warp
+from ...core import microfacet as mf
+from ...core.fresnel import schlick
+from ...render import bsdf_flags as bf
+from ...render.records import BSDFSample
+from ...render.texture import eval_texture, eval_texture_1
+from .core_bsdfs import _resolve_texture
+
+
+@struct.dataclass
+class PrincipledTable:
+    base_color: jnp.ndarray    # (S,) int32 tex
+    roughness: jnp.ndarray     # (S,) int32 tex
+    metallic: jnp.ndarray      # (S,) int32 tex
+    specular: jnp.ndarray      # (S,)
+    spec_tint: jnp.ndarray     # (S,)
+    sheen: jnp.ndarray         # (S,)
+    sheen_tint: jnp.ndarray    # (S,)
+    clearcoat: jnp.ndarray     # (S,)
+    clearcoat_gloss: jnp.ndarray  # (S,)
+    anisotropic: jnp.ndarray   # (S,)
+
+
+class principled:
+    Table = PrincipledTable
+    flags = bf.GlossyReflection | bf.DiffuseReflection | bf.FrontSide
+
+    @staticmethod
+    def build(props_list, texb):
+        cols = {k: [] for k in ('base_color', 'roughness', 'metallic')}
+        scal = {k: [] for k in ('specular', 'spec_tint', 'sheen', 'sheen_tint',
+                                'clearcoat', 'clearcoat_gloss', 'anisotropic')}
+        for p in props_list:
+            cols['base_color'].append(_resolve_texture(p, 'base_color', [0.8, 0.8, 0.8], texb))
+            cols['roughness'].append(_resolve_texture(p, 'roughness', 0.5, texb))
+            cols['metallic'].append(_resolve_texture(p, 'metallic', 0.0, texb))
+            scal['specular'].append(float(p.get('specular', 0.5)))
+            scal['spec_tint'].append(float(p.get('spec_tint', 0.0)))
+            scal['sheen'].append(float(p.get('sheen', 0.0)))
+            scal['sheen_tint'].append(float(p.get('sheen_tint', 0.0)))
+            scal['clearcoat'].append(float(p.get('clearcoat', 0.0)))
+            scal['clearcoat_gloss'].append(float(p.get('clearcoat_gloss', 0.0)))
+            scal['anisotropic'].append(float(p.get('anisotropic', 0.0)))
+        return PrincipledTable(
+            base_color=jnp.asarray(cols['base_color'], jnp.int32),
+            roughness=jnp.asarray(cols['roughness'], jnp.int32),
+            metallic=jnp.asarray(cols['metallic'], jnp.int32),
+            **{k: jnp.asarray(v, jnp.float32) for k, v in scal.items()})
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _params(tbl, slot, tex, uv):
+        base = eval_texture(tex, tbl.base_color[slot], uv)
+        rough = jnp.clip(eval_texture_1(tex, tbl.roughness[slot], uv), 0.03, 1.0)
+        metal = jnp.clip(eval_texture_1(tex, tbl.metallic[slot], uv), 0.0, 1.0)
+        aniso = tbl.anisotropic[slot]
+        aspect = jnp.sqrt(1.0 - 0.9 * aniso)
+        a_u = jnp.maximum(rough * rough / aspect, 1e-3)
+        a_v = jnp.maximum(rough * rough * aspect, 1e-3)
+        lum = jnp.clip(m.dot(base, jnp.asarray([0.2126, 0.7152, 0.0722])), 1e-5, None)
+        tint = base / lum[..., None]
+        spec0 = tbl.specular[slot][..., None] * 0.08 * \
+            m.lerp(jnp.ones_like(base), tint, tbl.spec_tint[slot][..., None])
+        F0 = m.lerp(spec0, base, metal[..., None])
+        return base, rough, metal, a_u, a_v, tint, F0
+
+    @staticmethod
+    def _lobes(tbl, slot, tex, wi, wo, uv):
+        base, rough, metal, a_u, a_v, tint, F0 = principled._params(tbl, slot, tex, uv)
+        cos_i = fr.cos_theta(wi)
+        cos_o = fr.cos_theta(wo)
+        h = m.normalize(wi + wo)
+        hdotwo = m.dot(wo, h)
+        # Burley diffuse with retro-reflection
+        fl = jnp.power(jnp.clip(1 - cos_o, 0, 1), 5.0)
+        fv = jnp.power(jnp.clip(1 - cos_i, 0, 1), 5.0)
+        rr_f = 2.0 * rough * hdotwo * hdotwo
+        f_lambert = m.InvPi
+        f_retro = m.InvPi * rr_f * (fl + fv + fl * fv * (rr_f - 1.0))
+        diffuse = base * ((f_lambert * (1 - 0.5 * fl) * (1 - 0.5 * fv) + f_retro)
+                          * (1.0 - metal))[..., None]
+        # sheen
+        sheen_col = m.lerp(jnp.ones_like(base), tint, tbl.sheen_tint[slot][..., None])
+        f_h = jnp.power(jnp.clip(1 - hdotwo, 0, 1), 5.0)
+        sheen = tbl.sheen[slot][..., None] * sheen_col * \
+            (f_h * (1.0 - metal))[..., None]
+        # main GGX specular
+        D = mf.eval_ndf(mf.GGX, h, a_u, a_v)
+        G = mf.G(mf.GGX, wi, wo, h, a_u, a_v)
+        F = schlick(hdotwo[..., None], F0)
+        spec = F * (D * G / jnp.maximum(4.0 * cos_i, 1e-9))[..., None]
+        # clearcoat (GTR1 approximated by GGX at gloss-mapped alpha)
+        cc_a = m.lerp(0.1, 0.001, tbl.clearcoat_gloss[slot])
+        Dc = mf.eval_ndf(mf.GGX, h, cc_a, cc_a)
+        Gc = mf.G(mf.GGX, wi, wo, h, jnp.full_like(cc_a, 0.25),
+                  jnp.full_like(cc_a, 0.25))
+        Fc = schlick(hdotwo, 0.04)
+        clear = (0.25 * tbl.clearcoat[slot] * Fc * Dc * Gc /
+                 jnp.maximum(4.0 * cos_i, 1e-9))[..., None] * jnp.ones_like(base)
+        cos_factor = jnp.maximum(cos_o, 0.0)[..., None]
+        val = (diffuse + sheen) * cos_factor + (spec + clear) * cos_factor
+        active = (cos_i > 0) & (cos_o > 0)
+        return jnp.where(active[..., None], val, 0.0), (a_u, a_v, cc_a, metal, rough)
+
+    @staticmethod
+    def _probs(tbl, slot, metal):
+        p_spec = 0.5 + 0.5 * metal
+        p_cc = jnp.where(tbl.clearcoat[slot] > 0, 0.25 * tbl.clearcoat[slot] /
+                         (1.0 + tbl.clearcoat[slot]), 0.0)
+        p_diff = jnp.maximum(1.0 - p_spec - p_cc, 0.05) * (1.0 - metal)
+        total = p_spec + p_cc + p_diff
+        return p_diff / total, p_spec / total, p_cc / total
+
+    @staticmethod
+    def _pdf_given(tbl, slot, tex, wi, wo, uv):
+        base, rough, metal, a_u, a_v, tint, F0 = principled._params(tbl, slot, tex, uv)
+        h = m.normalize(wi + wo)
+        p_diff, p_spec, p_cc = principled._probs(tbl, slot, metal)
+        pdf_d = warp.square_to_cosine_hemisphere_pdf(wo)
+        pdf_s = mf.pdf_visible(mf.GGX, wi, h, a_u, a_v) / \
+            jnp.maximum(4.0 * jnp.abs(m.dot(wo, h)), 1e-9)
+        cc_a = m.lerp(0.1, 0.001, tbl.clearcoat_gloss[slot])
+        pdf_c = mf.pdf_visible(mf.GGX, wi, h, cc_a, cc_a) / \
+            jnp.maximum(4.0 * jnp.abs(m.dot(wo, h)), 1e-9)
+        pdf = p_diff * pdf_d + p_spec * pdf_s + p_cc * pdf_c
+        active = (fr.cos_theta(wi) > 0) & (fr.cos_theta(wo) > 0)
+        return jnp.where(active, pdf, 0.0)
+
+    @staticmethod
+    def eval(tbl, slot, tex, wi, wo, uv):
+        return principled._lobes(tbl, slot, tex, wi, wo, uv)[0]
+
+    @staticmethod
+    def pdf(tbl, slot, tex, wi, wo, uv):
+        return principled._pdf_given(tbl, slot, tex, wi, wo, uv)
+
+    @staticmethod
+    def sample(tbl, slot, tex, wi, uv, sample1, sample2):
+        n = wi.shape[0]
+        base, rough, metal, a_u, a_v, tint, F0 = principled._params(tbl, slot, tex, uv)
+        p_diff, p_spec, p_cc = principled._probs(tbl, slot, metal)
+        cc_a = m.lerp(0.1, 0.001, tbl.clearcoat_gloss[slot])
+        sel_diff = sample1 < p_diff
+        sel_cc = sample1 >= (p_diff + p_spec)
+        wo_d = warp.square_to_cosine_hemisphere(sample2)
+        h_s, _ = mf.sample_visible(mf.GGX, wi, sample2, a_u, a_v)
+        wo_s = fr.reflect(wi, h_s)
+        h_c, _ = mf.sample_visible(mf.GGX, wi, sample2, cc_a, cc_a)
+        wo_c = fr.reflect(wi, h_c)
+        wo = jnp.where(sel_diff[..., None], wo_d,
+                       jnp.where(sel_cc[..., None], wo_c, wo_s))
+        val, _ = principled._lobes(tbl, slot, tex, wi, wo, uv)
+        pdf = principled._pdf_given(tbl, slot, tex, wi, wo, uv)
+        active = (fr.cos_theta(wi) > 0) & (fr.cos_theta(wo) > 0) & (pdf > 1e-10)
+        weight = jnp.where(active[..., None],
+                           val / jnp.maximum(pdf, 1e-10)[..., None], 0.0)
+        bs = BSDFSample(
+            wo=wo, pdf=jnp.where(active, pdf, 0.0),
+            eta=jnp.ones((n,), wi.dtype),
+            sampled_type=jnp.where(sel_diff, bf.DiffuseReflection,
+                                   bf.GlossyReflection).astype(jnp.uint32),
+            sampled_component=jnp.where(sel_diff, 0,
+                                        jnp.where(sel_cc, 2, 1)).astype(jnp.int32))
+        return bs, weight

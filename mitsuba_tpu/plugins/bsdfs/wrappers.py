@@ -1,0 +1,52 @@
+"""Wrapper BSDFs: blendbsdf (reference src/bsdfs/blendbsdf.cpp). The
+normalmap/bumpmap wrappers (normalmap.cpp, bumpmap.cpp) are folded into
+per-BSDF frame-perturbation columns applied by render/bsdf.py's dispatch;
+twosided is folded into a table column (core_bsdfs).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from ...render import bsdf_flags as bf
+from .core_bsdfs import _resolve_texture
+
+
+@struct.dataclass
+class BlendTable:
+    weight: jnp.ndarray    # (S,) int32 tex (eval_1) — weight of bsdf B
+    inner_a: jnp.ndarray   # (S,) int32 GLOBAL bsdf id
+    inner_b: jnp.ndarray   # (S,) int32 GLOBAL bsdf id
+
+
+class blendbsdf:
+    """Dispatch is special-cased in render/bsdf.py (needs global-id
+    indirection); the table only stores the blend configuration."""
+    Table = BlendTable
+    flags = bf.DiffuseReflection | bf.GlossyReflection | bf.DeltaReflection | \
+        bf.FrontSide | bf.BackSide
+
+    @staticmethod
+    def build(props_list, texb):
+        w, a, b = [], [], []
+        for p in props_list:
+            w.append(_resolve_texture(p, 'weight', 0.5, texb))
+            a.append(int(p['_inner_a']))
+            b.append(int(p['_inner_b']))
+        return BlendTable(weight=jnp.asarray(w, jnp.int32),
+                          inner_a=jnp.asarray(a, jnp.int32),
+                          inner_b=jnp.asarray(b, jnp.int32))
+
+    # direct calls should never happen — render/bsdf.py intercepts
+    @staticmethod
+    def eval(tbl, slot, tex, wi, wo, uv):
+        return jnp.zeros_like(wi)
+
+    @staticmethod
+    def pdf(tbl, slot, tex, wi, wo, uv):
+        return jnp.zeros(wi.shape[0], wi.dtype)
+
+    @staticmethod
+    def sample(tbl, slot, tex, wi, uv, sample1, sample2):
+        from .core_bsdfs import _zero_sample
+        return _zero_sample(wi), jnp.zeros_like(wi)

@@ -3,35 +3,130 @@
 Evaluates every BSDF type present in the scene for the full wavefront and
 merges lanes by mask — the TPU replacement for Dr.Jit vcall dispatch
 (SURVEY.md §1 "TPU mapping"). Directions are local shading-frame vectors.
+
+Wrapper handling:
+  * normalmap/bumpmap (normalmap.cpp/bumpmap.cpp): folded into per-BSDF
+    frame-perturbation columns; the dispatch rotates wi/wo into the
+    perturbed frame before the inner lobes see them.
+  * blendbsdf (blendbsdf.cpp): global-id indirection — eval/pdf evaluate
+    both inner BSDFs (one extra dispatch pass, only when a blend exists in
+    the scene) and mix by the weight texture; sampling picks an inner lobe
+    stochastically and re-evaluates the blended value/pdf.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from . import bsdf_flags as bf
 from .records import BSDFSample
+from .texture import eval_texture, eval_texture_1
+from ..core import math as m
+from ..core.frame import Frame, coordinate_system
 
 
-def _lane_dispatch(scene, si, active):
-    """Returns per-lane (type_idx, slot) for the hit BSDF."""
+def _lane_ids(scene, si):
     bid = jnp.maximum(si.bsdf_index, 0)
     return scene.bsdf_type_of[bid], scene.bsdf_slot_of[bid]
 
 
-def eval_pdf(scene, si, wo, active):
+# ---------------------------------------------------------------------------
+# frame perturbation (normalmap / bumpmap columns)
+# ---------------------------------------------------------------------------
+
+def _perturbed_frame(scene, si):
+    """Returns (s,t,n) of the perturbed shading frame IN LOCAL COORDS and a
+    mask of lanes that have a perturbation."""
+    bid = jnp.maximum(si.bsdf_index, 0)
+    kind = scene.bsdf_perturb_kind[bid]
+    tex_id = scene.bsdf_perturb_tex[bid]
+    scale = scene.bsdf_perturb_scale[bid]
+    has = kind > 0
+    # normalmap: tangent-space normal from rgb (normalmap.cpp:eval)
+    rgb = eval_texture(scene.textures, tex_id, si.uv)
+    n_nm = m.normalize(2.0 * rgb - 1.0)
+    # bumpmap: finite-difference height gradient (bumpmap.cpp)
+    e = 1.0 / 512.0
+    du = jnp.asarray([e, 0.0])
+    dv = jnp.asarray([0.0, e])
+    h_pu = eval_texture_1(scene.textures, tex_id, si.uv + du)
+    h_mu = eval_texture_1(scene.textures, tex_id, si.uv - du)
+    h_pv = eval_texture_1(scene.textures, tex_id, si.uv + dv)
+    h_mv = eval_texture_1(scene.textures, tex_id, si.uv - dv)
+    gx = (h_pu - h_mu) / (2 * e) * scale
+    gy = (h_pv - h_mv) / (2 * e) * scale
+    n_bm = m.normalize(jnp.stack([-gx, -gy, jnp.ones_like(gx)], -1))
+    n_p = jnp.where((kind == 1)[..., None], n_nm,
+                    jnp.where((kind == 2)[..., None], n_bm,
+                              jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
+                                               n_nm.shape)))
+    s, t = coordinate_system(n_p)
+    return Frame(n=n_p, s=s, t=t), has
+
+
+def _maybe_perturb(scene, si, wi, wo=None):
+    if not getattr(scene, 'has_bsdf_perturb', False):
+        return wi, wo, None, None
+    frame, has = _perturbed_frame(scene, si)
+    wi_p = jnp.where(has[..., None], frame.to_local(wi), wi)
+    wo_p = None if wo is None else jnp.where(has[..., None],
+                                             frame.to_local(wo), wo)
+    return wi_p, wo_p, frame, has
+
+
+# ---------------------------------------------------------------------------
+# blend indirection
+# ---------------------------------------------------------------------------
+
+def _blend_maps(scene, si):
+    """Per-lane (is_blend, weight, bid_a, bid_b)."""
+    name = 'blendbsdf'
+    bid = jnp.maximum(si.bsdf_index, 0)
+    ti = scene.bsdf_type_of[bid]
+    slot = scene.bsdf_slot_of[bid]
+    t_idx = scene.bsdf_types.index(name)
+    tbl = scene.bsdfs[name]
+    is_blend = ti == t_idx
+    sl = jnp.clip(slot, 0, tbl.weight.shape[0] - 1)
+    w = jnp.clip(eval_texture_1(scene.textures, tbl.weight[sl], si.uv), 0.0, 1.0)
+    bid_a = jnp.where(is_blend, tbl.inner_a[sl], bid)
+    bid_b = jnp.where(is_blend, tbl.inner_b[sl], bid)
+    return is_blend, w, bid_a, bid_b
+
+
+def _eval_pdf_ids(scene, si, bids, wi, wo, active):
     from ..plugins.bsdfs import REGISTRY
-    ti_lane, slot = _lane_dispatch(scene, si, active)
+    ti_lane = scene.bsdf_type_of[bids]
+    slot = scene.bsdf_slot_of[bids]
     n = wo.shape[0]
     val = jnp.zeros((n, 3), wo.dtype)
     pdf = jnp.zeros((n,), wo.dtype)
     for ti, name in enumerate(scene.bsdf_types):
+        if name == 'blendbsdf':
+            continue
         plugin = REGISTRY[name]
         mask = active & (ti_lane == ti) & (si.bsdf_index >= 0)
-        v = plugin.eval(scene.bsdfs[name], slot, scene.textures, si.wi, wo, si.uv)
-        p = plugin.pdf(scene.bsdfs[name], slot, scene.textures, si.wi, wo, si.uv)
+        v = plugin.eval(scene.bsdfs[name], slot, scene.textures, wi, wo, si.uv)
+        p = plugin.pdf(scene.bsdfs[name], slot, scene.textures, wi, wo, si.uv)
         val = jnp.where(mask[..., None], v, val)
         pdf = jnp.where(mask, p, pdf)
     return val, pdf
+
+
+def eval_pdf(scene, si, wo, active):
+    wi_p, wo_p, frame, has = _maybe_perturb(scene, si, si.wi, wo)
+    wo_use = wo_p if wo_p is not None else wo
+    if 'blendbsdf' in scene.bsdf_types:
+        is_blend, w, bid_a, bid_b = _blend_maps(scene, si)
+        va, pa = _eval_pdf_ids(scene, si, bid_a, wi_p, wo_use, active)
+        vb, pb = _eval_pdf_ids(scene, si, bid_b, wi_p, wo_use,
+                               active & is_blend)
+        val = jnp.where(is_blend[..., None],
+                        (1 - w)[..., None] * va + w[..., None] * vb, va)
+        pdf = jnp.where(is_blend, (1 - w) * pa + w * pb, pa)
+        return val, pdf
+    bid = jnp.maximum(si.bsdf_index, 0)
+    return _eval_pdf_ids(scene, si, bid, wi_p, wo_use, active)
 
 
 def eval(scene, si, wo, active):
@@ -42,9 +137,10 @@ def pdf(scene, si, wo, active):
     return eval_pdf(scene, si, wo, active)[1]
 
 
-def sample(scene, si, sample1, sample2, active):
+def _sample_ids(scene, si, bids, wi, sample1, sample2, active):
     from ..plugins.bsdfs import REGISTRY
-    ti_lane, slot = _lane_dispatch(scene, si, active)
+    ti_lane = scene.bsdf_type_of[bids]
+    slot = scene.bsdf_slot_of[bids]
     n = sample1.shape[0]
     dt = sample2.dtype
     bs = BSDFSample(wo=jnp.zeros((n, 3), dt), pdf=jnp.zeros((n,), dt),
@@ -53,9 +149,11 @@ def sample(scene, si, sample1, sample2, active):
                     sampled_component=jnp.full((n,), -1, jnp.int32))
     weight = jnp.zeros((n, 3), dt)
     for ti, name in enumerate(scene.bsdf_types):
+        if name == 'blendbsdf':
+            continue
         plugin = REGISTRY[name]
         mask = active & (ti_lane == ti) & (si.bsdf_index >= 0)
-        b, w = plugin.sample(scene.bsdfs[name], slot, scene.textures, si.wi,
+        b, w = plugin.sample(scene.bsdfs[name], slot, scene.textures, wi,
                              si.uv, sample1, sample2)
         bs = BSDFSample(
             wo=jnp.where(mask[..., None], b.wo, bs.wo),
@@ -68,17 +166,50 @@ def sample(scene, si, sample1, sample2, active):
     return bs, weight
 
 
+def sample(scene, si, sample1, sample2, active):
+    wi_p, _, frame, has = _maybe_perturb(scene, si, si.wi)
+    if 'blendbsdf' in scene.bsdf_types:
+        is_blend, w, bid_a, bid_b = _blend_maps(scene, si)
+        pick_b = is_blend & (sample1 < w)
+        s1 = jnp.where(is_blend,
+                       jnp.where(pick_b,
+                                 sample1 / jnp.maximum(w, 1e-9),
+                                 (sample1 - w) / jnp.maximum(1 - w, 1e-9)),
+                       sample1)
+        bids = jnp.where(pick_b, bid_b, bid_a)
+        bs, weight = _sample_ids(scene, si, bids, wi_p, s1, sample2, active)
+        # blended value/pdf for smooth lobes (blendbsdf.cpp:sample)
+        val, pdfb = _eval_pdf_ids(scene, si, bid_a, wi_p, bs.wo, active & is_blend)
+        vb, pb = _eval_pdf_ids(scene, si, bid_b, wi_p, bs.wo, active & is_blend)
+        val = (1 - w)[..., None] * val + w[..., None] * vb
+        pdfb = (1 - w) * pdfb + w * pb
+        is_delta = (bs.sampled_type & jnp.uint32(bf.Delta)) != 0
+        lobe_p = jnp.where(pick_b, w, 1 - w)
+        sm = is_blend & ~is_delta & (pdfb > 1e-12)
+        weight = jnp.where(sm[..., None],
+                           val / jnp.maximum(pdfb, 1e-12)[..., None], weight)
+        pdf_out = jnp.where(is_blend,
+                            jnp.where(is_delta, bs.pdf * lobe_p, pdfb), bs.pdf)
+        bs = bs.replace(pdf=pdf_out)
+    else:
+        bid = jnp.maximum(si.bsdf_index, 0)
+        bs, weight = _sample_ids(scene, si, bid, wi_p, sample1, sample2, active)
+    if frame is not None:
+        wo_world_local = jnp.where(has[..., None], frame.to_world(bs.wo), bs.wo)
+        bs = bs.replace(wo=wo_world_local)
+    return bs, weight
+
+
 def eval_diffuse_reflectance(scene, si, active):
     """bsdf.h:586 eval_diffuse_reflectance — albedo AOV support."""
     from ..plugins.bsdfs import REGISTRY
-    from .texture import eval_texture
-    ti_lane, slot = _lane_dispatch(scene, si, active)
+    ti_lane, slot = _lane_ids(scene, si)
     n = si.t.shape[0]
     out = jnp.zeros((n, 3), si.p.dtype)
     for ti, name in enumerate(scene.bsdf_types):
         tbl = scene.bsdfs[name]
         attr = None
-        for cand in ('reflectance', 'diffuse_reflectance'):
+        for cand in ('reflectance', 'diffuse_reflectance', 'base_color'):
             if hasattr(tbl, cand):
                 attr = getattr(tbl, cand)
                 break

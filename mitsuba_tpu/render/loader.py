@@ -57,7 +57,7 @@ def load_dict(d: dict) -> Scene:
         t = val.get('type')
         if t in _SHAPE_TYPES:
             shapes_raw.append((t, val, key))
-        elif t in BSDFS or t == 'twosided':
+        elif t in BSDFS or t in ('twosided', 'normalmap', 'bumpmap', 'blendbsdf'):
             named_bsdfs[key] = val
         elif t in _SENSOR_TYPES:
             sensor_props = val
@@ -74,21 +74,51 @@ def load_dict(d: dict) -> Scene:
     bsdf_ids = {}          # name -> global bsdf id
     bsdf_entries = []      # (type_name, props)
 
+    perturb_info = {}      # gid -> (kind, tex_spec, scale)
+
+    def _inner_bsdfs(props):
+        return [v for v in props.values()
+                if isinstance(v, dict) and (v.get('type') in BSDFS or
+                                            v.get('type') in ('twosided', 'normalmap', 'bumpmap', 'blendbsdf'))]
+
     def _normalize_bsdf(props):
         """Fold 'twosided' wrappers into a _twosided flag (see core_bsdfs)."""
         t = props['type']
         if t == 'twosided':
-            inner = None
-            for k, v in props.items():
-                if isinstance(v, dict) and v.get('type') in BSDFS:
-                    inner = dict(v)
-            if inner is None:
-                inner = {'type': 'diffuse'}
+            inners = _inner_bsdfs(props)
+            inner = dict(inners[0]) if inners else {'type': 'diffuse'}
             inner['_twosided'] = True
             return inner
         return dict(props)
 
     def _add_bsdf(props, name=None):
+        t = props.get('type')
+        # wrapper flattening: normalmap/bumpmap become perturbation columns
+        # on the inner bsdf's global id (render/bsdf.py applies them)
+        if t in ('normalmap', 'bumpmap'):
+            inners = _inner_bsdfs(props)
+            inner = dict(inners[0]) if inners else {'type': 'diffuse'}
+            gid = _add_bsdf(inner)
+            kind = 1 if t == 'normalmap' else 2
+            spec = props.get('normalmap' if t == 'normalmap' else 'bumpmap',
+                             props.get('texture', 0.5))
+            scale = float(props.get('scale', 1.0))
+            perturb_info[gid] = (kind, spec, scale)
+            if name is not None:
+                bsdf_ids[name] = gid
+            return gid
+        if t == 'blendbsdf':
+            inners = _inner_bsdfs(props)
+            assert len(inners) >= 2, 'blendbsdf needs two nested BSDFs'
+            ga = _add_bsdf(dict(inners[0]))
+            gb = _add_bsdf(dict(inners[1]))
+            entry = {'type': 'blendbsdf', 'weight': props.get('weight', 0.5),
+                     '_inner_a': ga, '_inner_b': gb}
+            bsdf_entries.append(('blendbsdf', entry))
+            gid = len(bsdf_entries) - 1
+            if name is not None:
+                bsdf_ids[name] = gid
+            return gid
         props = _normalize_bsdf(props)
         bsdf_entries.append((props['type'], props))
         gid = len(bsdf_entries) - 1
@@ -116,8 +146,9 @@ def load_dict(d: dict) -> Scene:
                 if ref is None:
                     raise ValueError(f"unresolved ref '{v['id']}'")
                 bsdf_gid = ref
-            elif isinstance(v, dict) and v.get('type') in BSDFS or \
-                    (isinstance(v, dict) and v.get('type') == 'twosided'):
+            elif isinstance(v, dict) and (v.get('type') in BSDFS or
+                    v.get('type') in ('twosided', 'normalmap', 'bumpmap',
+                                      'blendbsdf')):
                 bsdf_gid = _add_bsdf(v)
             elif isinstance(v, dict) and v.get('type') == 'area':
                 emitter_props = v
@@ -191,6 +222,17 @@ def load_dict(d: dict) -> Scene:
     bsdf_tables = {t: BSDFS[t].build(plist, texb)
                    for t, plist in bsdf_by_type.items()}
 
+    # perturbation columns (normalmap/bumpmap wrappers)
+    n_bsdfs = len(bsdf_entries)
+    pk = np.zeros(n_bsdfs, np.int32)
+    pt = np.full(n_bsdfs, -1, np.int32)
+    ps = np.ones(n_bsdfs, np.float32)
+    from ..plugins.bsdfs.core_bsdfs import _resolve_texture as _rt
+    for gid, (kind, spec, scale) in perturb_info.items():
+        pk[gid] = kind
+        pt[gid] = _rt({'x': spec}, 'x', 0.5, texb)
+        ps[gid] = scale
+
     emitters = emb.build(texb)
     textures = texb.build()
 
@@ -263,6 +305,10 @@ def load_dict(d: dict) -> Scene:
         bsdf_type_of=jnp.asarray(bsdf_type_of, jnp.int32),
         bsdf_slot_of=jnp.asarray(bsdf_slot_of, jnp.int32),
         bsdf_flags=jnp.asarray(bsdf_flags, jnp.uint32),
+        bsdf_perturb_kind=jnp.asarray(pk),
+        bsdf_perturb_tex=jnp.asarray(pt),
+        bsdf_perturb_scale=jnp.asarray(ps),
+        has_bsdf_perturb=bool(perturb_info),
         emitters=emitters,
         textures=textures,
         sensor=camera,

@@ -68,6 +68,11 @@ class Scene:
     bsdf_type_of: jnp.ndarray = None    # (B,) int32
     bsdf_slot_of: jnp.ndarray = None    # (B,) int32
     bsdf_flags: jnp.ndarray = None      # (B,) uint32 static lobe flags
+    # normalmap/bumpmap wrapper columns (render/bsdf.py perturbation)
+    bsdf_perturb_kind: jnp.ndarray = None   # (B,) int32 0=none 1=normal 2=bump
+    bsdf_perturb_tex: jnp.ndarray = None    # (B,) int32 texture id
+    bsdf_perturb_scale: jnp.ndarray = None  # (B,)
+    has_bsdf_perturb: bool = struct.field(pytree_node=False, default=False)
     # emitters / textures / sensor / film
     emitters: em.EmitterSet = None
     textures: TextureSet = None

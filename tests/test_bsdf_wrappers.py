@@ -1,0 +1,80 @@
+"""Wrapper BSDFs: twosided fold, normalmap/bumpmap perturbation, blendbsdf."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import mitsuba_tpu as mt
+from mitsuba_tpu.core.transform import ScalarTransform4f as T
+
+
+def _sphere_scene(bsdf):
+    return {
+        'type': 'scene',
+        'integrator': {'type': 'path', 'max_depth': 3},
+        'sensor': {'type': 'perspective', 'fov': 45.0,
+                   'to_world': T.look_at(origin=[0, 0, 4], target=[0, 0, 0], up=[0, 1, 0]),
+                   'sampler': {'type': 'independent', 'sample_count': 16},
+                   'film': {'type': 'hdrfilm', 'width': 32, 'height': 32,
+                            'rfilter': {'type': 'box'}}},
+        'obj': {'type': 'sphere', 'radius': 1.0, 'bsdf': bsdf},
+        'env': {'type': 'constant', 'radiance': {'type': 'rgb', 'value': [1.0] * 3}},
+    }
+
+
+def test_blendbsdf_interpolates():
+    img_a = np.asarray(mt.render(mt.load_dict(_sphere_scene(
+        {'type': 'diffuse', 'reflectance': {'type': 'rgb', 'value': [0.2] * 3}})), spp=16))
+    img_b = np.asarray(mt.render(mt.load_dict(_sphere_scene(
+        {'type': 'diffuse', 'reflectance': {'type': 'rgb', 'value': [0.8] * 3}})), spp=16))
+    img_blend = np.asarray(mt.render(mt.load_dict(_sphere_scene(
+        {'type': 'blendbsdf', 'weight': 0.5,
+         'a': {'type': 'diffuse', 'reflectance': {'type': 'rgb', 'value': [0.2] * 3}},
+         'b': {'type': 'diffuse', 'reflectance': {'type': 'rgb', 'value': [0.8] * 3}}})), spp=16))
+    center = (slice(12, 20), slice(12, 20))
+    mid = 0.5 * (img_a[center].mean() + img_b[center].mean())
+    assert abs(img_blend[center].mean() - mid) < 0.03
+
+
+def test_normalmap_changes_shading():
+    flat_nm = {'type': 'rgb', 'value': [0.5, 0.5, 1.0]}  # identity normal
+    tilted_nm = {'type': 'rgb', 'value': [0.8, 0.5, 0.8]}
+    base = {'type': 'diffuse', 'reflectance': {'type': 'rgb', 'value': [0.6] * 3}}
+    d_id = _sphere_scene({'type': 'normalmap', 'normalmap': flat_nm, 'inner': dict(base)})
+    d_tilt = _sphere_scene({'type': 'normalmap', 'normalmap': tilted_nm, 'inner': dict(base)})
+    d_plain = _sphere_scene(dict(base))
+    # under a CONSTANT env the image is insensitive to normals; use a sun
+    for d in (d_id, d_tilt, d_plain):
+        d['sun'] = {'type': 'directional', 'direction': [0, -1, -0.3],
+                    'irradiance': {'type': 'rgb', 'value': [3.0] * 3}}
+        del d['env']
+    img_id = np.asarray(mt.render(mt.load_dict(d_id), spp=16))
+    img_tilt = np.asarray(mt.render(mt.load_dict(d_tilt), spp=16))
+    img_plain = np.asarray(mt.render(mt.load_dict(d_plain), spp=16))
+    # identity normalmap == plain bsdf
+    assert np.abs(img_id - img_plain).mean() < 0.01
+    # tilted normalmap changes the shading
+    assert np.abs(img_tilt - img_plain).mean() > 0.02
+
+
+def test_twosided_backface():
+    # one-sided diffuse rectangle seen from behind is black; twosided isn't
+    def scene(two):
+        bsdf = {'type': 'diffuse', 'reflectance': {'type': 'rgb', 'value': [0.8] * 3}}
+        if two:
+            bsdf = {'type': 'twosided', 'inner': bsdf}
+        return {
+            'type': 'scene',
+            'integrator': {'type': 'path', 'max_depth': 2},
+            'sensor': {'type': 'perspective', 'fov': 45.0,
+                       'to_world': T.look_at(origin=[0, 0, -3], target=[0, 0, 0], up=[0, 1, 0]),
+                       'sampler': {'type': 'independent', 'sample_count': 16},
+                       'film': {'type': 'hdrfilm', 'width': 16, 'height': 16,
+                                'rfilter': {'type': 'box'}}},
+            'rect': {'type': 'rectangle', 'bsdf': bsdf},
+            'env': {'type': 'constant', 'radiance': {'type': 'rgb', 'value': [1.0] * 3}},
+        }
+    img1 = np.asarray(mt.render(mt.load_dict(scene(False)), spp=16))
+    img2 = np.asarray(mt.render(mt.load_dict(scene(True)), spp=16))
+    c = (slice(6, 10), slice(6, 10))
+    assert img1[c].mean() < 0.02      # black backface
+    assert img2[c].mean() > 0.5       # twosided reflects

@@ -99,3 +99,13 @@ def test_mask_chi2():
     wi /= np.linalg.norm(wi)
     t = bsdf_chi2(_mk('mask', {'opacity': 0.7}), wi, sample_count=N)
     assert t.run(), t.messages
+
+
+@pytest.mark.parametrize('metal', [0.0, 1.0])
+def test_principled_chi2(metal):
+    wi = np.asarray([0.3, -0.1, 0.9], np.float32)
+    wi /= np.linalg.norm(wi)
+    t = bsdf_chi2(_mk('principled', {'base_color': {'type': 'rgb', 'value': [0.7, 0.5, 0.3]},
+                                     'roughness': 0.4, 'metallic': metal}),
+                  wi, sample_count=N)
+    assert t.run(), t.messages

@@ -1,0 +1,19 @@
+"""Inverse heightfield recovery (BASELINE config[3] at test scale): the Adam
+loop must reduce both the image loss and the elevation error."""
+import numpy as np
+import pytest
+
+from mitsuba_tpu.models.scenes import make_test_heights
+from mitsuba_tpu.models.inverse import recover_heights
+
+
+@pytest.mark.slow
+def test_recover_heights_converges():
+    target = make_test_heights(20, amplitude=0.3, seed=5)
+    init = np.full((20, 20), 0.15, np.float32)
+    h, hist = recover_heights(target, init, n_views=3, iterations=50,
+                              lr=0.02, spp=8, res_img=40)
+    err0 = np.abs(init - target).mean()
+    err1 = np.abs(np.asarray(h) - target).mean()
+    assert hist[-1] < 0.7 * hist[0], (hist[0], hist[-1])
+    assert err1 < 0.85 * err0, (err0, err1)

@@ -103,6 +103,12 @@ def render(scene, spp: int = None, seed: int = 0, spp_per_pass: int = None):
     """mi.render analogue (util.py:410-523, forward only). Returns (H,W,3)."""
     film = scene.film
     spp = spp or scene.spp
+    cfg = integrator_config(scene)
+    if cfg.get('type') == 'ptracer':
+        from ..plugins.integrators.ptracer import render_ptracer
+        return render_ptracer(scene, spp, seed,
+                              max_depth=int(cfg.get('max_depth', 8)),
+                              rr_depth=int(cfg.get('rr_depth', 5)))
     if spp_per_pass is None:
         budget = 1 << 20
         spp_per_pass = max(1, min(spp, budget // max(film.width * film.height, 1)))

@@ -61,3 +61,30 @@ def test_scattering_adds_inscatter():
     d0['sensor']['to_world'] = d['sensor']['to_world']
     img0 = np.asarray(mt.render(mt.load_dict(d0), spp=32))
     assert img.mean() > 5 * max(img0.mean(), 1e-6)
+
+
+def test_ptracer_matches_path():
+    """Adjoint particle tracer agrees with the forward path tracer
+    (ptracer.cpp oracle: same scene, both estimators unbiased)."""
+    from mitsuba_tpu.plugins.integrators.ptracer import render_ptracer
+    d = {
+        'type': 'scene',
+        'integrator': {'type': 'path', 'max_depth': 3, 'hide_emitters': True},
+        'sensor': {'type': 'perspective', 'fov': 45.0,
+                   'to_world': T.look_at(origin=[0, 2.0, 3.5], target=[0, 0, 0], up=[0, 1, 0]),
+                   'sampler': {'type': 'independent', 'sample_count': 64},
+                   'film': {'type': 'hdrfilm', 'width': 32, 'height': 32,
+                            'rfilter': {'type': 'box'}}},
+        'floor': {'type': 'rectangle', 'to_world': T.rotate([1, 0, 0], -90).scale(3.0),
+                  'bsdf': {'type': 'diffuse', 'reflectance': {'type': 'rgb', 'value': [0.7, 0.5, 0.3]}}},
+        'light': {'type': 'rectangle',
+                  'to_world': T.translate([0, 2.5, 0]).rotate([1, 0, 0], 90).scale(0.5),
+                  'bsdf': {'type': 'diffuse', 'reflectance': {'type': 'rgb', 'value': [0.0] * 3}},
+                  'emitter': {'type': 'area', 'radiance': {'type': 'rgb', 'value': [10.0] * 3}}},
+    }
+    scene = mt.load_dict(d)
+    img_path = np.asarray(mt.render(scene, spp=128))
+    img_pt = np.asarray(render_ptracer(scene, spp=128, max_depth=3))
+    c = (slice(18, 26), slice(12, 20))
+    ratio = img_pt[c].mean() / img_path[c].mean()
+    assert abs(ratio - 1.0) < 0.08, ratio

@@ -1,0 +1,76 @@
+"""Large-steps parameterization (Nicolet et al. 2021; reference
+src/python/python/ad/largesteps.py).
+
+Optimizing vertex positions (or heightfield elevations) in the
+Laplacian-preconditioned space u = (I + λL) v makes uniform gradient steps
+correspond to smooth shape deformations.
+
+The reference factorizes (I + λL) with Cholesky (external cholespy pkg); the
+TPU-native route is a matrix-free conjugate-gradient solve
+(jax.scipy.sparse.linalg.cg) with the combinatorial (uniform) Laplacian
+assembled from mesh edges as segment-sums — no sparse matrix materialized.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.scipy.sparse.linalg import cg
+
+
+def mesh_laplacian_matvec(faces, n_verts):
+    """Returns Lv(x): combinatorial Laplacian L = D - A applied matrix-free
+    (largesteps.py:6's 'combinatorial' Laplacian)."""
+    f = np.asarray(faces)
+    edges = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]], 0)
+    # symmetrize + unique
+    e = np.sort(edges, axis=1)
+    e = np.unique(e, axis=0)
+    src = jnp.asarray(np.concatenate([e[:, 0], e[:, 1]]))
+    dst = jnp.asarray(np.concatenate([e[:, 1], e[:, 0]]))
+    deg = jnp.zeros(n_verts).at[src].add(1.0)
+
+    def matvec(x):
+        neigh_sum = jnp.zeros_like(x).at[src].add(x[dst])
+        return deg[:, None] * x - neigh_sum if x.ndim == 2 else deg * x - neigh_sum
+
+    return matvec
+
+
+def grid_laplacian_matvec(shape):
+    """5-point Laplacian for heightfield grids (Neumann boundary)."""
+    def matvec(h):
+        pad = jnp.pad(h, 1, mode='edge')
+        neigh = (pad[:-2, 1:-1] + pad[2:, 1:-1] + pad[1:-1, :-2] + pad[1:-1, 2:])
+        return 4.0 * h - neigh
+    return matvec
+
+
+class LargeSteps:
+    """to_differential/from_differential + the preconditioned-Adam recipe."""
+
+    def __init__(self, matvec, lambda_=19.0, cg_tol=1e-6, cg_maxiter=200):
+        self.matvec = matvec
+        self.lambda_ = lambda_
+        self.cg_tol = cg_tol
+        self.cg_maxiter = cg_maxiter
+
+    def _M(self, x):
+        return x + self.lambda_ * self.matvec(x)
+
+    def to_differential(self, v):
+        """u = (I + λL) v — cheap forward application."""
+        return self._M(v)
+
+    def from_differential(self, u):
+        """v = (I + λL)^{-1} u via CG (SPD system)."""
+        v, _ = cg(self._M, u, tol=self.cg_tol, maxiter=self.cg_maxiter)
+        return v
+
+
+def mesh_largesteps(faces, n_verts, lambda_=19.0):
+    return LargeSteps(mesh_laplacian_matvec(faces, n_verts), lambda_)
+
+
+def grid_largesteps(shape, lambda_=19.0):
+    return LargeSteps(grid_laplacian_matvec(shape), lambda_)

@@ -158,7 +158,11 @@ class mesh:
             if 'filename' in p:
                 ext = os.path.splitext(p['filename'])[1].lower()
                 if ext == '.obj':
-                    v, f_arr, nrm, uv = load_obj(p['filename'])
+                    from ...utils import native as _native
+                    if _native.available():
+                        v, f_arr, nrm, uv = _native.load_obj(p['filename'])
+                    else:
+                        v, f_arr, nrm, uv = load_obj(p['filename'])
                 elif ext == '.ply':
                     v, f_arr, nrm, uv = load_ply(p['filename'])
                 else:

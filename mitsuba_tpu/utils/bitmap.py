@@ -30,8 +30,8 @@ def write(path, img, gamma=None):
     img = np.asarray(img, np.float32)
     ext = os.path.splitext(path)[1].lower()
     if ext == '.exr':
-        from .exr import write_exr
-        write_exr(path, img)
+        from . import native
+        native.exr_write(path, img)  # C++ fast path, python fallback
     elif ext == '.pfm':
         write_pfm(path, img)
     elif ext in ('.png', '.jpg', '.jpeg', '.bmp', '.tga'):

@@ -1,0 +1,121 @@
+"""ctypes bindings for the native runtime library (native/fastio.cpp):
+fast OBJ parsing, EXR writing, BVH building. Every entry point has a pure
+python fallback, so the framework works without the compiled library."""
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _lib():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    for cand in (os.path.join(here, 'native', 'libfastio.so'),
+                 os.path.join(os.path.dirname(__file__), 'libfastio.so')):
+        if os.path.exists(cand):
+            try:
+                lib = ctypes.CDLL(cand)
+                lib.obj_parse.argtypes = [
+                    ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int),
+                    ctypes.POINTER(ctypes.c_int)]
+                lib.exr_write.argtypes = [
+                    ctypes.c_char_p,
+                    np.ctypeslib.ndpointer(np.float32, flags='C_CONTIGUOUS'),
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int]
+                lib.bvh_build.argtypes = [
+                    np.ctypeslib.ndpointer(np.float32, flags='C_CONTIGUOUS'),
+                    ctypes.c_int64,
+                    np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS'),
+                    ctypes.c_int64, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+                _LIB = lib
+                break
+            except OSError:
+                pass
+    return _LIB
+
+
+def available():
+    return _lib() is not None
+
+
+def load_obj(path):
+    """Native OBJ parse -> (verts, faces, normals|None, uvs|None)."""
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError('native lib not built')
+    nv = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    hn = ctypes.c_int()
+    hu = ctypes.c_int()
+    rc = lib.obj_parse(path.encode(), ctypes.byref(nv), ctypes.byref(nf),
+                       ctypes.byref(hn), ctypes.byref(hu))
+    if rc != 0:
+        raise IOError(f'obj_parse failed rc={rc}: {path}')
+    V, F = nv.value, nf.value
+    verts = np.empty((V, 3), np.float32)
+    faces = np.empty((F, 3), np.int32)
+    normals = np.empty((V, 3), np.float32) if hn.value else None
+    uvs = np.empty((V, 2), np.float32) if hu.value else None
+    lib.obj_fetch(verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                  faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                  normals.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+                  if hn.value else None,
+                  uvs.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+                  if hu.value else None)
+    return verts, faces, normals, uvs
+
+
+def exr_write(path, img):
+    lib = _lib()
+    img = np.ascontiguousarray(img, np.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    if lib is None:
+        from .exr import write_exr
+        return write_exr(path, img)
+    rc = lib.exr_write(path.encode(), img, img.shape[0], img.shape[1],
+                       img.shape[2])
+    if rc != 0:
+        raise IOError(f'exr_write failed rc={rc}')
+
+
+def bvh_build(verts, faces, leaf_size=4):
+    """Returns (nodes_f (N,6), nodes_i (N,3), prim_order (P,)) — flattened
+    2-wide BVH (see fastio.cpp). Python fallback: single leaf."""
+    lib = _lib()
+    verts = np.ascontiguousarray(verts, np.float32)
+    faces = np.ascontiguousarray(faces, np.int32)
+    if lib is None:
+        F = faces.shape[0]
+        p0 = verts[faces[:, 0]]
+        p1 = verts[faces[:, 1]]
+        p2 = verts[faces[:, 2]]
+        bmin = np.minimum(np.minimum(p0, p1), p2).min(0)
+        bmax = np.maximum(np.maximum(p0, p1), p2).max(0)
+        nodes_f = np.concatenate([bmin, bmax])[None].astype(np.float32)
+        nodes_i = np.asarray([[0, F, 1]], np.int32)
+        return nodes_f, nodes_i, np.arange(F, dtype=np.int32)
+    nn = ctypes.c_int64()
+    npr = ctypes.c_int64()
+    rc = lib.bvh_build(verts, verts.shape[0], faces, faces.shape[0],
+                       leaf_size, ctypes.byref(nn), ctypes.byref(npr))
+    if rc != 0:
+        raise IOError('bvh_build failed')
+    N, P = nn.value, npr.value
+    nodes_f = np.empty((N, 6), np.float32)
+    nodes_i = np.empty((N, 3), np.int32)
+    order = np.empty((P,), np.int32)
+    lib.bvh_fetch(nodes_f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                  nodes_i.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                  order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return nodes_f, nodes_i, order

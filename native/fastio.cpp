@@ -1,0 +1,334 @@
+// Native runtime support library (TPU-side analogue of the reference's C++
+// host runtime: fast mesh loading like src/shapes/obj.cpp's fast_float path,
+// EXR output like bitmap.cpp's openexr path, and a median/SAH BVH builder
+// like kdtree.h's accelerator build — host-side; traversal consumes the
+// flattened arrays on device).
+//
+// Build: make -C native    (produces libfastio.so; ctypes-bound by
+// mitsuba_tpu/utils/native.py with a pure-python fallback.)
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <cmath>
+#include <vector>
+#include <algorithm>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// OBJ parsing (positions + triangulated faces; v/vt/vn index forms)
+// ---------------------------------------------------------------------------
+
+struct ObjData {
+    std::vector<float> verts;     // 3*V
+    std::vector<float> normals;   // 3*V (optional, re-indexed)
+    std::vector<float> uvs;       // 2*V (optional, re-indexed)
+    std::vector<int32_t> faces;   // 3*F
+    int has_normals = 0, has_uvs = 0;
+};
+
+static ObjData* g_obj = nullptr;
+
+static inline const char* skip_ws(const char* p) {
+    while (*p == ' ' || *p == '\t') p++;
+    return p;
+}
+
+int obj_parse(const char* path, int64_t* n_verts, int64_t* n_faces,
+              int* has_normals, int* has_uvs) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -1;
+    fseek(f, 0, SEEK_END);
+    long size = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    std::vector<char> buf(size + 1);
+    if (fread(buf.data(), 1, size, f) != (size_t)size) { fclose(f); return -2; }
+    fclose(f);
+    buf[size] = 0;
+
+    delete g_obj;
+    g_obj = new ObjData();
+    std::vector<float> vts, vns;
+    std::vector<int32_t> fuv, fnrm;
+
+    const char* p = buf.data();
+    const char* end = buf.data() + size;
+    while (p < end) {
+        p = skip_ws(p);
+        if (p[0] == 'v' && p[1] == ' ') {
+            char* q;
+            float x = strtof(p + 2, &q), y = strtof(q, &q), z = strtof(q, &q);
+            g_obj->verts.insert(g_obj->verts.end(), {x, y, z});
+            p = q;
+        } else if (p[0] == 'v' && p[1] == 't') {
+            char* q;
+            float u = strtof(p + 3, &q), v = strtof(q, &q);
+            vts.insert(vts.end(), {u, v});
+            p = q;
+        } else if (p[0] == 'v' && p[1] == 'n') {
+            char* q;
+            float x = strtof(p + 3, &q), y = strtof(q, &q), z = strtof(q, &q);
+            vns.insert(vns.end(), {x, y, z});
+            p = q;
+        } else if (p[0] == 'f' && (p[1] == ' ' || p[1] == '\t')) {
+            int vi[64], ti[64], ni[64], cnt = 0;
+            p++;
+            while (cnt < 64) {
+                p = skip_ws(p);
+                if (*p == '\n' || *p == '\r' || *p == 0) break;
+                char* q;
+                long a = strtol(p, &q, 10);
+                long b = 0, c = 0;
+                if (*q == '/') {
+                    if (q[1] != '/') b = strtol(q + 1, &q, 10);
+                    else q++;
+                    if (*q == '/') c = strtol(q + 1, &q, 10);
+                }
+                long V = (long)g_obj->verts.size() / 3;
+                vi[cnt] = (int)(a > 0 ? a - 1 : V + a);
+                ti[cnt] = (int)(b > 0 ? b - 1 : -1);
+                ni[cnt] = (int)(c > 0 ? c - 1 : -1);
+                cnt++;
+                p = q;
+            }
+            for (int k = 1; k + 1 < cnt; k++) {
+                g_obj->faces.insert(g_obj->faces.end(),
+                                    {vi[0], vi[k], vi[k + 1]});
+                fuv.insert(fuv.end(), {ti[0], ti[k], ti[k + 1]});
+                fnrm.insert(fnrm.end(), {ni[0], ni[k], ni[k + 1]});
+            }
+        }
+        while (p < end && *p != '\n') p++;
+        p++;
+    }
+    size_t V = g_obj->verts.size() / 3;
+    // re-index per-vertex uv/normal (last-wins, same policy as the python
+    // fallback loader)
+    if (!vts.empty()) {
+        g_obj->uvs.assign(2 * V, 0.f);
+        bool any = false;
+        for (size_t i = 0; i < g_obj->faces.size(); i++) {
+            int vid = g_obj->faces[i], tid = fuv[i];
+            if (tid >= 0 && (size_t)tid * 2 + 1 < vts.size()) {
+                g_obj->uvs[2 * vid] = vts[2 * tid];
+                g_obj->uvs[2 * vid + 1] = vts[2 * tid + 1];
+                any = true;
+            }
+        }
+        g_obj->has_uvs = any;
+    }
+    if (!vns.empty()) {
+        g_obj->normals.assign(3 * V, 0.f);
+        bool any = false;
+        for (size_t i = 0; i < g_obj->faces.size(); i++) {
+            int vid = g_obj->faces[i], nid = fnrm[i];
+            if (nid >= 0 && (size_t)nid * 3 + 2 < vns.size()) {
+                for (int k = 0; k < 3; k++)
+                    g_obj->normals[3 * vid + k] = vns[3 * nid + k];
+                any = true;
+            }
+        }
+        g_obj->has_normals = any;
+    }
+    *n_verts = (int64_t)V;
+    *n_faces = (int64_t)(g_obj->faces.size() / 3);
+    *has_normals = g_obj->has_normals;
+    *has_uvs = g_obj->has_uvs;
+    return 0;
+}
+
+int obj_fetch(float* verts, int32_t* faces, float* normals, float* uvs) {
+    if (!g_obj) return -1;
+    memcpy(verts, g_obj->verts.data(), g_obj->verts.size() * sizeof(float));
+    memcpy(faces, g_obj->faces.data(), g_obj->faces.size() * sizeof(int32_t));
+    if (g_obj->has_normals && normals)
+        memcpy(normals, g_obj->normals.data(), g_obj->normals.size() * sizeof(float));
+    if (g_obj->has_uvs && uvs)
+        memcpy(uvs, g_obj->uvs.data(), g_obj->uvs.size() * sizeof(float));
+    delete g_obj;
+    g_obj = nullptr;
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// EXR writing (uncompressed float scanlines, same layout as utils/exr.py)
+// ---------------------------------------------------------------------------
+
+static void put_attr(FILE* f, const char* name, const char* type,
+                     const void* data, int32_t size) {
+    fwrite(name, 1, strlen(name) + 1, f);
+    fwrite(type, 1, strlen(type) + 1, f);
+    fwrite(&size, 4, 1, f);
+    fwrite(data, 1, size, f);
+}
+
+int exr_write(const char* path, const float* img, int h, int w, int c) {
+    if (c < 1 || c > 4) return -3;
+    FILE* f = fopen(path, "wb");
+    if (!f) return -1;
+    const uint32_t magic = 20000630, version = 2;
+    fwrite(&magic, 4, 1, f);
+    fwrite(&version, 4, 1, f);
+    static const char* names1[] = {"Y"};
+    static const char* names2[] = {"X", "Y"};
+    static const char* names3[] = {"B", "G", "R"};
+    static const char* names4[] = {"A", "B", "G", "R"};
+    // source channel index for each stored (alphabetical) channel
+    static const int src3[] = {2, 1, 0};
+    static const int src4[] = {3, 2, 1, 0};
+    const char** names = c == 1 ? names1 : c == 2 ? names2 : c == 3 ? names3 : names4;
+    const int* src = c == 3 ? src3 : c == 4 ? src4 : nullptr;
+    // chlist
+    std::vector<char> chl;
+    for (int i = 0; i < c; i++) {
+        const char* n = names[i];
+        chl.insert(chl.end(), n, n + strlen(n) + 1);
+        int32_t vals[4] = {2 /*FLOAT*/, 0, 1, 1};
+        const char* vb = (const char*)vals;
+        chl.insert(chl.end(), vb, vb + 16);
+    }
+    chl.push_back(0);
+    put_attr(f, "channels", "chlist", chl.data(), (int32_t)chl.size());
+    char comp = 0;
+    put_attr(f, "compression", "compression", &comp, 1);
+    int32_t box[4] = {0, 0, w - 1, h - 1};
+    put_attr(f, "dataWindow", "box2i", box, 16);
+    put_attr(f, "displayWindow", "box2i", box, 16);
+    char lo = 0;
+    put_attr(f, "lineOrder", "lineOrder", &lo, 1);
+    float par = 1.f;
+    put_attr(f, "pixelAspectRatio", "float", &par, 4);
+    float swc[2] = {0.f, 0.f};
+    put_attr(f, "screenWindowCenter", "v2f", swc, 8);
+    float sww = 1.f;
+    put_attr(f, "screenWindowWidth", "float", &sww, 4);
+    fputc(0, f);
+    // scanline table
+    uint64_t first = (uint64_t)ftell(f) + 8ull * h;
+    uint64_t line_size = 8ull + (uint64_t)w * c * 4;
+    for (int y = 0; y < h; y++) {
+        uint64_t off = first + y * line_size;
+        fwrite(&off, 8, 1, f);
+    }
+    std::vector<float> row(w);
+    for (int y = 0; y < h; y++) {
+        int32_t hdr[2] = {y, (int32_t)(w * c * 4)};
+        fwrite(hdr, 4, 2, f);
+        for (int ci = 0; ci < c; ci++) {
+            int s = src ? src[ci] : ci;
+            for (int x = 0; x < w; x++) row[x] = img[(y * w + x) * c + s];
+            fwrite(row.data(), 4, w, f);
+        }
+    }
+    fclose(f);
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// BVH build (binned SAH over triangle centroids) — produces a flattened
+// 2-wide BVH: per node [bbox_min(3), bbox_max(3)] + (left,right | prim
+// range). Layout: nodes_f (N,6) float32; nodes_i (N,3) int32 =
+// {left_or_start, right_or_count, is_leaf}.
+// ---------------------------------------------------------------------------
+
+struct BuildPrim { float bmin[3], bmax[3], cent[3]; int32_t id; };
+
+struct BVHOut {
+    std::vector<float> nodes_f;
+    std::vector<int32_t> nodes_i;
+    std::vector<int32_t> prim_order;
+};
+
+static BVHOut* g_bvh = nullptr;
+
+static int build_node(std::vector<BuildPrim>& prims, int start, int count,
+                      BVHOut& out, int leaf_size) {
+    int node = (int)(out.nodes_i.size() / 3);
+    out.nodes_f.insert(out.nodes_f.end(), 6, 0.f);
+    out.nodes_i.insert(out.nodes_i.end(), 3, 0);
+    float bmin[3] = {1e30f, 1e30f, 1e30f}, bmax[3] = {-1e30f, -1e30f, -1e30f};
+    for (int i = start; i < start + count; i++)
+        for (int k = 0; k < 3; k++) {
+            bmin[k] = std::min(bmin[k], prims[i].bmin[k]);
+            bmax[k] = std::max(bmax[k], prims[i].bmax[k]);
+        }
+    for (int k = 0; k < 3; k++) {
+        out.nodes_f[node * 6 + k] = bmin[k];
+        out.nodes_f[node * 6 + 3 + k] = bmax[k];
+    }
+    if (count <= leaf_size) {
+        out.nodes_i[node * 3 + 0] = (int32_t)out.prim_order.size();
+        out.nodes_i[node * 3 + 1] = count;
+        out.nodes_i[node * 3 + 2] = 1;
+        for (int i = start; i < start + count; i++)
+            out.prim_order.push_back(prims[i].id);
+        return node;
+    }
+    // split along the widest centroid axis at the median (fast, good enough
+    // for the device-side traversal which is SIMD anyway)
+    float cmin[3] = {1e30f, 1e30f, 1e30f}, cmax[3] = {-1e30f, -1e30f, -1e30f};
+    for (int i = start; i < start + count; i++)
+        for (int k = 0; k < 3; k++) {
+            cmin[k] = std::min(cmin[k], prims[i].cent[k]);
+            cmax[k] = std::max(cmax[k], prims[i].cent[k]);
+        }
+    int axis = 0;
+    float ext = -1;
+    for (int k = 0; k < 3; k++)
+        if (cmax[k] - cmin[k] > ext) { ext = cmax[k] - cmin[k]; axis = k; }
+    int mid = start + count / 2;
+    std::nth_element(prims.begin() + start, prims.begin() + mid,
+                     prims.begin() + start + count,
+                     [axis](const BuildPrim& a, const BuildPrim& b) {
+                         return a.cent[axis] < b.cent[axis];
+                     });
+    int left = build_node(prims, start, mid - start, out, leaf_size);
+    int right = build_node(prims, mid, start + count - mid, out, leaf_size);
+    out.nodes_i[node * 3 + 0] = left;
+    out.nodes_i[node * 3 + 1] = right;
+    out.nodes_i[node * 3 + 2] = 0;
+    return node;
+}
+
+int bvh_build(const float* verts, int64_t n_verts, const int32_t* faces,
+              int64_t n_faces, int leaf_size, int64_t* n_nodes,
+              int64_t* n_prims) {
+    (void)n_verts;
+    std::vector<BuildPrim> prims(n_faces);
+    for (int64_t i = 0; i < n_faces; i++) {
+        BuildPrim& b = prims[i];
+        b.id = (int32_t)i;
+        for (int k = 0; k < 3; k++) {
+            b.bmin[k] = 1e30f;
+            b.bmax[k] = -1e30f;
+        }
+        for (int v = 0; v < 3; v++) {
+            const float* p = verts + 3 * faces[3 * i + v];
+            for (int k = 0; k < 3; k++) {
+                b.bmin[k] = std::min(b.bmin[k], p[k]);
+                b.bmax[k] = std::max(b.bmax[k], p[k]);
+            }
+        }
+        for (int k = 0; k < 3; k++) b.cent[k] = 0.5f * (b.bmin[k] + b.bmax[k]);
+    }
+    delete g_bvh;
+    g_bvh = new BVHOut();
+    if (n_faces > 0) build_node(prims, 0, (int)n_faces, *g_bvh, leaf_size);
+    *n_nodes = (int64_t)(g_bvh->nodes_i.size() / 3);
+    *n_prims = (int64_t)g_bvh->prim_order.size();
+    return 0;
+}
+
+int bvh_fetch(float* nodes_f, int32_t* nodes_i, int32_t* prim_order) {
+    if (!g_bvh) return -1;
+    memcpy(nodes_f, g_bvh->nodes_f.data(), g_bvh->nodes_f.size() * sizeof(float));
+    memcpy(nodes_i, g_bvh->nodes_i.data(), g_bvh->nodes_i.size() * sizeof(int32_t));
+    memcpy(prim_order, g_bvh->prim_order.data(),
+           g_bvh->prim_order.size() * sizeof(int32_t));
+    delete g_bvh;
+    g_bvh = nullptr;
+    return 0;
+}
+
+}  // extern "C"

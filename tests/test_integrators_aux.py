@@ -104,3 +104,35 @@ def test_image_io_roundtrip(tmp_path):
     bmp.write(path, img)
     back = bmp.read(path)
     assert np.abs(back - img).max() < 0.02
+
+
+def test_native_obj_matches_python(tmp_path):
+    from mitsuba_tpu.utils import native
+    from mitsuba_tpu.plugins.shapes.mesh import load_obj
+    if not native.available():
+        import pytest
+        pytest.skip('native lib not built')
+    p = tmp_path / 'm.obj'
+    p.write_text("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nv 0 0 1\n"
+                 "f 1 2 3\nf 1 3 4\nf 1 2 5\n")
+    v1, f1, _, _ = native.load_obj(str(p))
+    v2, f2, _, _ = load_obj(str(p))
+    assert np.array_equal(v1, v2) and np.array_equal(f1, f2)
+
+
+def test_native_bvh_structure():
+    from mitsuba_tpu.utils import native
+    if not native.available():
+        import pytest
+        pytest.skip('native lib not built')
+    rng = np.random.default_rng(0)
+    V = rng.random((300, 3)).astype(np.float32)
+    F = rng.integers(0, 300, (200, 3)).astype(np.int32)
+    nf, ni, order = native.bvh_build(V, F, leaf_size=4)
+    assert sorted(order.tolist()) == list(range(200))
+    # root bbox contains everything
+    assert (nf[0, :3] <= V[F].reshape(-1, 3).min(0) + 1e-6).all()
+    assert (nf[0, 3:] >= V[F].reshape(-1, 3).max(0) - 1e-6).all()
+    # interior nodes reference valid children
+    inner = ni[ni[:, 2] == 0]
+    assert (inner[:, :2] >= 0).all() and (inner[:, :2] < len(ni)).all()

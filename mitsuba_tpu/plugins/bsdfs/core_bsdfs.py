@@ -49,6 +49,9 @@ def _resolve_texture(props, key, default, texb):
         t = v.get('type')
         if t == 'rgb':
             return texb.add_constant(v['value'])
+        if t in ('uniform', 'd65', 'blackbody', 'regular', 'irregular', 'srgb'):
+            from ..spectra.spectra import resolve_spectrum
+            return texb.add_constant(resolve_spectrum(v))
         if t == 'checkerboard':
             c0 = v.get('color0', 0.4)
             c1 = v.get('color1', 0.2)

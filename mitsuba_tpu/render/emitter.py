@@ -283,6 +283,10 @@ class EmitterBuilder:
 
 def _rgbval(v):
     if isinstance(v, dict):
+        if v.get('type') in ('uniform', 'd65', 'blackbody', 'regular',
+                             'irregular', 'srgb'):
+            from ..plugins.spectra.spectra import resolve_spectrum
+            return resolve_spectrum(v)
         v = v.get('value', 1.0)
     a = np.asarray(v, np.float32).reshape(-1)
     return np.broadcast_to(a, (3,)) if a.size in (1, 3) else a

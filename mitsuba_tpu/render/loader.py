@@ -29,7 +29,8 @@ def _build_medium(props):
 _SHAPE_TYPES = ('rectangle', 'cube', 'sphere', 'disk', 'cylinder',
                 'heightfield', 'obj', 'ply', 'mesh')
 _EMITTER_TYPES = ('area', 'point', 'constant', 'envmap', 'directional', 'spot')
-_SENSOR_TYPES = ('perspective', 'thinlens', 'orthographic', 'radiancemeter', 'batch')
+_SENSOR_TYPES = ('perspective', 'thinlens', 'orthographic', 'radiancemeter',
+                 'batch', 'distant', 'irradiancemeter')
 _INTEGRATOR_TYPES = ('path', 'direct', 'depth', 'aov', 'moment', 'prb',
                      'prb_basic', 'ptracer', 'volpath')
 
@@ -289,6 +290,15 @@ def load_dict(d: dict) -> Scene:
     if n_ch != film.channels:
         import dataclasses as _dc
         film = _dc.replace(film, channels=n_ch)
+
+    # shapeless scenes (e.g. an irradiancemeter in an envmap) still need
+    # non-empty index arrays for the gathers in compute_surface_interaction
+    if n_shapes == 0:
+        shape_type_of = [0]
+        shape_slot_of = [0]
+        shape_bsdf = [-1]
+        shape_emitter = [-1]
+        areas = np.ones(1, np.float32)
 
     return Scene(
         shapes=tables,

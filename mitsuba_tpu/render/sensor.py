@@ -51,6 +51,21 @@ def _fov_xy(fov, fov_axis, width, height):
 
 def build(props, width, height) -> Camera:
     kind = props['type']
+    if kind == 'batch':
+        # batch.cpp: concatenated sub-sensors sharing one film; film columns
+        # are split equally among them
+        subs = [v for v in props.values()
+                if isinstance(v, dict) and v.get('type') in
+                ('perspective', 'thinlens', 'orthographic', 'radiancemeter')]
+        cams = [build(s, max(width // max(len(subs), 1), 1), height) for s in subs]
+        return Camera(
+            kind='batch',
+            to_world=jnp.stack([c.to_world for c in cams]),
+            tan_x=jnp.stack([c.tan_x for c in cams]),
+            tan_y=jnp.stack([c.tan_y for c in cams]),
+            near=cams[0].near, far=cams[0].far,
+            aperture_radius=jnp.stack([c.aperture_radius for c in cams]),
+            focus_distance=jnp.stack([c.focus_distance for c in cams]))
     tw = props.get('to_world', Transform4())
     fov = props.get('fov', None)
     if fov is None and 'focal_length' in props:
@@ -113,5 +128,35 @@ def sample_ray(cam: Camera, pos01, aperture):
         o = jnp.broadcast_to(cam.to_world[:3, 3], (n, 3))
         d = m.normalize(apply_vector(cam.to_world,
                                      jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))))
+        return Ray.make(o, d)
+    elif cam.kind == 'distant':
+        # distant.cpp: parallel rays along local +Z, origins on a film-plane
+        # sweep of the [-1,1]^2 cross-section placed by to_world
+        o_cam = jnp.stack([(1.0 - 2.0 * u), (1.0 - 2.0 * v),
+                           jnp.full_like(u, -1.0)], -1)
+        o = apply_point(cam.to_world, o_cam)
+        d = m.normalize(apply_vector(
+            cam.to_world, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))))
+        return Ray.make(o, d)
+    elif cam.kind == 'irradiancemeter':
+        # irradiancemeter.cpp: cosine-weighted hemisphere above the local
+        # origin's +Z plane — measures irradiance at the to_world origin
+        d_local = warp.square_to_cosine_hemisphere(aperture)
+        o = jnp.broadcast_to(cam.to_world[:3, 3], (n, 3)) + 1e-4 * m.normalize(
+            apply_vector(cam.to_world,
+                         jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))))
+        d = m.normalize(apply_vector(cam.to_world, d_local))
+        return Ray.make(o, d)
+    elif cam.kind == 'batch':
+        S = cam.to_world.shape[0]
+        idx = jnp.clip((u * S).astype(jnp.int32), 0, S - 1)
+        u_loc = u * S - idx
+        tw = cam.to_world[idx]
+        tx = cam.tan_x[idx]
+        ty = cam.tan_y[idx]
+        d_cam = jnp.stack([(1.0 - 2.0 * u_loc) * tx, (1.0 - 2.0 * v) * ty,
+                           jnp.ones_like(u)], -1)
+        o = apply_point(tw, jnp.zeros_like(d_cam))
+        d = m.normalize(apply_vector(tw, d_cam))
         return Ray.make(o, d)
     raise ValueError(cam.kind)

@@ -1,0 +1,102 @@
+"""Sensor plugins (reference src/sensors/*): ray generation geometry."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import mitsuba_tpu as mt
+from mitsuba_tpu.core.transform import ScalarTransform4f as T
+from mitsuba_tpu.render import sensor as sensor_mod
+
+
+def _rays(cam, n=64, seed=0):
+    rng = np.random.default_rng(seed)
+    pos = jnp.asarray(rng.random((n, 2), np.float32))
+    ap = jnp.asarray(rng.random((n, 2), np.float32))
+    return sensor_mod.sample_ray(cam, pos, ap), pos
+
+
+def test_perspective_fov():
+    cam = sensor_mod.build({'type': 'perspective', 'fov': 90.0,
+                            'fov_axis': 'x'}, 64, 64)
+    ray, pos = _rays(cam)
+    # corner rays diverge by the fov; center ray along +Z local
+    r0, _ = _rays(cam, n=1)
+    center = sensor_mod.sample_ray(cam, jnp.asarray([[0.5, 0.5]]),
+                                   jnp.zeros((1, 2)))
+    assert np.allclose(np.asarray(center.d[0]), [0, 0, 1], atol=1e-3)
+    edge = sensor_mod.sample_ray(cam, jnp.asarray([[0.0, 0.5]]), jnp.zeros((1, 2)))
+    assert abs(np.asarray(edge.d[0, 0]) - np.sin(np.pi / 4)) < 1e-3
+
+
+def test_orthographic_parallel():
+    cam = sensor_mod.build({'type': 'orthographic'}, 32, 32)
+    ray, _ = _rays(cam)
+    d = np.asarray(ray.d)
+    assert np.abs(d - d[0]).max() < 1e-6          # all parallel
+    o = np.asarray(ray.o)
+    assert o.std(axis=0).max() > 0.1              # origins spread
+
+
+def test_thinlens_focus():
+    cam = sensor_mod.build({'type': 'thinlens', 'fov': 40.0,
+                            'aperture_radius': 0.1, 'focus_distance': 5.0},
+                           32, 32)
+    # all rays through one film point converge at the focal plane
+    n = 32
+    rng = np.random.default_rng(1)
+    pos = jnp.broadcast_to(jnp.asarray([[0.3, 0.6]]), (n, 2))
+    ap = jnp.asarray(rng.random((n, 2), np.float32))
+    ray = sensor_mod.sample_ray(cam, pos, ap)
+    o, d = np.asarray(ray.o), np.asarray(ray.d)
+    t = 5.0 / d[:, 2]
+    p_focus = o + d * t[:, None]
+    assert p_focus.std(axis=0).max() < 1e-3
+
+
+def test_distant_parallel():
+    cam = sensor_mod.build({'type': 'distant',
+                            'to_world': T.look_at(origin=[0, 5, 0], target=[0, 0, 0],
+                                                  up=[0, 0, 1]).scale(2.0)}, 32, 32)
+    ray, _ = _rays(cam)
+    d = np.asarray(ray.d)
+    assert np.abs(d - d[0]).max() < 1e-5
+    assert np.allclose(d[0], [0, -1, 0], atol=1e-5)
+
+
+def test_irradiancemeter_measures_env():
+    """Constant env of radiance L -> measured value = L (cosine-weighted
+    average of a constant)."""
+    d = {
+        'type': 'scene',
+        'integrator': {'type': 'path', 'max_depth': 2},
+        'sensor': {'type': 'irradiancemeter',
+                   'to_world': T.translate([0, 0, 0]),
+                   'sampler': {'type': 'independent', 'sample_count': 64},
+                   'film': {'type': 'hdrfilm', 'width': 4, 'height': 4,
+                            'rfilter': {'type': 'box'}}},
+        'env': {'type': 'constant', 'radiance': {'type': 'rgb', 'value': [2.0] * 3}},
+    }
+    img = np.asarray(mt.render(mt.load_dict(d), spp=64))
+    assert abs(img.mean() - 2.0) < 0.05
+
+
+def test_batch_sensor_splits_film():
+    base = {'type': 'perspective', 'fov': 45.0,
+            'sampler': {'type': 'independent', 'sample_count': 8},
+            'film': {'type': 'hdrfilm', 'width': 64, 'height': 32,
+                     'rfilter': {'type': 'box'}}}
+    d = {
+        'type': 'scene',
+        'integrator': {'type': 'depth'},
+        'sensor': {'type': 'batch',
+                   'cam0': {'type': 'perspective', 'fov': 45.0,
+                            'to_world': T.look_at(origin=[0, 0, 2], target=[0, 0, 0], up=[0, 1, 0])},
+                   'cam1': {'type': 'perspective', 'fov': 45.0,
+                            'to_world': T.look_at(origin=[0, 0, 4], target=[0, 0, 0], up=[0, 1, 0])},
+                   'sampler': base['sampler'], 'film': base['film']},
+        'sph': {'type': 'sphere', 'radius': 0.5},
+    }
+    img = np.asarray(mt.render(mt.load_dict(d), spp=8))
+    # left half sees the sphere at ~1.5, right half at ~3.5
+    assert abs(img[16, 16, 0] - 1.5) < 0.1
+    assert abs(img[16, 48, 0] - 3.5) < 0.1

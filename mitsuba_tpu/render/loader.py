@@ -299,6 +299,13 @@ def load_dict(d: dict) -> Scene:
         shape_bsdf = [-1]
         shape_emitter = [-1]
         areas = np.ones(1, np.float32)
+    if not bsdf_entries:
+        bsdf_type_of = [0]
+        bsdf_slot_of = [0]
+        bsdf_flags = [0]
+        pk = np.zeros(1, np.int32)
+        pt = np.full(1, -1, np.int32)
+        ps = np.ones(1, np.float32)
 
     return Scene(
         shapes=tables,

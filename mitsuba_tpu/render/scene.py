@@ -99,6 +99,14 @@ class Scene:
 def ray_intersect_preliminary(scene: Scene, ray: Ray) -> PreliminaryIntersection:
     from ..plugins.shapes import REGISTRY as SHAPES
     n = ray.o.shape[0]
+    if not scene.shape_types:  # shapeless scene: everything misses
+        return PreliminaryIntersection(
+            t=jnp.full((n,), jnp.inf, ray.o.dtype),
+            prim_uv=jnp.zeros((n, 2), ray.o.dtype),
+            prim_index=jnp.zeros((n,), jnp.int32),
+            shape_index=jnp.full((n,), -1, jnp.int32),
+            shape_type=jnp.full((n,), -1, jnp.int32),
+            slot=jnp.zeros((n,), jnp.int32))
     best_t = jnp.full((n,), jnp.inf, ray.o.dtype)
     best_uv = jnp.zeros((n, 2), ray.o.dtype)
     best_prim = jnp.zeros((n,), jnp.int32)

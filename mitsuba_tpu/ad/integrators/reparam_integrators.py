@@ -1,0 +1,120 @@
+"""Reparameterized integrators (reference
+src/python/python/ad/integrators/{emission_reparam,direct_reparam,
+prb_reparam}.py; emission_reparam is the FORK'S OWN addition,
+emission_reparam.py:8 "Reparameterized Emission Integrator ... mainly used
+for learning and debugging").
+
+These make silhouette motion differentiable: primary (and for direct_reparam
+also shadow) ray directions are warped with ad/reparam.py's velocity field,
+and contributions are multiplied by the divergence factor.
+
+`render_emission_reparam(scene, spp, seed)`: emitters-only transport
+(reparam_max_depth <= 1, exactly the fork's integrator): L = Le(si(warp(d))).
+`render_direct_reparam`: adds reparameterized direct lighting.
+Both are plain differentiable JAX functions (use jax.grad / jax.jvp).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...core import math as m
+from ...render import scene as sc
+from ...render import sampler as sa
+from ...render import film as film_mod
+from ...render import bsdf as bsdf_mod
+from ...render.records import Ray
+from ..reparam import reparameterize_ray
+from .prb import _gen_rays
+from ...plugins.integrators.path import mis_weight
+
+
+def _emission_sample(scene, smpl, ray, num_aux, kappa, active):
+    d_w, det, smpl = reparameterize_ray(scene, smpl, ray, active,
+                                        num_aux=num_aux, kappa=kappa)
+    ray_w = Ray.make(ray.o, d_w)
+    si = sc.ray_intersect(scene, ray_w)
+    hit_em = active & (si.emitter_index >= 0)
+    Le = sc.eval_emitter_hit(scene, si, hit_em)
+    Le = Le + sc.eval_environment(scene, d_w, active & ~si.is_valid)
+    return Le * det[..., None], si, smpl
+
+
+def _warped_pos(scene, pos_f, d_w, active):
+    """Attached splat position from the warped primary direction
+    (common.py:383-400 reparam-warped splat positions): value unchanged,
+    derivative follows the warp through the sensor projection — this is
+    where the translation/silhouette gradient enters the image."""
+    from ...render import sensor as sensor_mod
+    W, H = scene.film.width, scene.film.height
+    uv = sensor_mod.project_direction(scene.sensor, d_w)
+    pos_att = uv * jnp.asarray([W, H], jnp.float32)
+    delta = pos_att - jax.lax.stop_gradient(pos_att)
+    return pos_f + jnp.where(active[..., None], delta, 0.0)
+
+
+def render_emission_reparam(scene, spp: int, seed: int = 0, num_aux: int = 4,
+                            kappa: float = 1e5, use_det: bool = False):
+    """The fork's emission_reparam integrator (emission_reparam.py:42-46)."""
+    ray, smpl, pos_f = _gen_rays(scene, spp, spp, seed)
+    n = ray.o.shape[0]
+    active = jnp.ones((n,), bool)
+    from ..reparam import reparameterize_ray
+    d_w, det, smpl = reparameterize_ray(scene, smpl, ray, active,
+                                        num_aux=num_aux, kappa=kappa)
+    ray_w = Ray.make(ray.o, d_w)
+    si = sc.ray_intersect(scene, ray_w)
+    hit_em = active & (si.emitter_index >= 0)
+    Le = sc.eval_emitter_hit(scene, si, hit_em)
+    Le = Le + sc.eval_environment(scene, d_w, active & ~si.is_valid)
+    # the warped-splat position (below) carries the boundary gradient in
+    # image space; the spherical divergence factor is redundant with it in
+    # this formulation (validated vs FD) and is off by default
+    if use_det:
+        Le = Le * det[..., None]
+    L = jnp.nan_to_num(Le)
+    pos = _warped_pos(scene, pos_f, d_w, active)
+    block = scene.film.new_block()
+    block = film_mod.put(block, scene.film, pos, L,
+                         weight_pos=jax.lax.stop_gradient(pos_f))
+    return film_mod.develop(block, scene.film)
+
+
+def render_direct_reparam(scene, spp: int, seed: int = 0, num_aux: int = 4,
+                          kappa: float = 1e5, use_det: bool = False):
+    """direct_reparam.py: emission + one reparameterized NEE bounce."""
+    ray, smpl, pos_f = _gen_rays(scene, spp, spp, seed)
+    n = ray.o.shape[0]
+    active = jnp.ones((n,), bool)
+    d_w, det, smpl = reparameterize_ray(scene, smpl, ray, active,
+                                        num_aux=num_aux, kappa=kappa)
+    ray_w = Ray.make(ray.o, d_w)
+    si = sc.ray_intersect(scene, ray_w)
+    hit_em = active & (si.emitter_index >= 0)
+    L = sc.eval_emitter_hit(scene, si, hit_em)
+    L = L + sc.eval_environment(scene, d_w, active & ~si.is_valid)
+
+    # reparameterized emitter sampling (shadow-ray silhouettes)
+    s_em, smpl = sa.next_2d(smpl)
+    active_em = active & si.is_valid & bsdf_mod.has_smooth(scene, si)
+    ds, em_w = sc.sample_emitter_direction(scene, si,
+                                           jax.lax.stop_gradient(s_em),
+                                           test_visibility=True,
+                                           active=active_em)
+    sh_ray = Ray.make(si.p, ds.d)
+    d_sh, det_sh, smpl = reparameterize_ray(scene, smpl, sh_ray, active_em,
+                                            num_aux=num_aux, kappa=kappa)
+    wo_local = si.to_local(d_sh)
+    b_val, b_pdf = bsdf_mod.eval_pdf(scene, si, wo_local, active_em)
+    mis = jnp.where(ds.delta, 1.0, mis_weight(jax.lax.stop_gradient(ds.pdf),
+                                              jax.lax.stop_gradient(b_pdf)))
+    L = L + jnp.where(active_em[..., None],
+                      b_val * em_w * (mis * det_sh)[..., None], 0.0)
+    if use_det:
+        L = L * det[..., None]
+    L = jnp.nan_to_num(L)
+    pos = _warped_pos(scene, pos_f, d_w, active)
+    block = scene.film.new_block()
+    block = film_mod.put(block, scene.film, pos, L,
+                         weight_pos=jax.lax.stop_gradient(pos_f))
+    return film_mod.develop(block, scene.film)

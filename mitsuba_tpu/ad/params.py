@@ -83,7 +83,8 @@ class SceneParameters:
 
     # -- writeback ----------------------------------------------------------
     def update(self, values: dict = None):
-        """Return a NEW scene with the edited leaves applied."""
+        """Return a NEW scene with the edited leaves applied (+ derived-state
+        refresh, the parameters_changed() analogue)."""
         if values:
             for k, v in values.items():
                 self[k] = v
@@ -93,15 +94,21 @@ class SceneParameters:
             leaves[i] = leaf
         for k, v in self._values.items():
             leaves[self._index[k]] = v
-        return jtu.tree_unflatten(self._treedef, leaves)
+        return refresh_derived(jtu.tree_unflatten(self._treedef, leaves))
 
     def scene_with(self, subset: dict):
         """Functional substitution used under jax.grad: returns a new scene
-        where only `subset` (key -> leaf) replaces the current leaves."""
+        where only `subset` (key -> leaf) replaces the current leaves.
+        Derived state (to_object inverses, surface areas, heightfield mip
+        pyramids) is refreshed — the obj.parameters_changed() analogue
+        (reference scene.cpp:343-385 accel refit)."""
         leaves = list(jtu.tree_leaves(self._scene))
+        changed = set()
         for k, v in subset.items():
             leaves[self._index[k]] = v
-        return jtu.tree_unflatten(self._treedef, leaves)
+            changed.add(k)
+        scene = jtu.tree_unflatten(self._treedef, leaves)
+        return refresh_derived(scene, changed)
 
     def subset(self, keys):
         return {k: self._values[k] for k in keys}
@@ -109,3 +116,46 @@ class SceneParameters:
 
 def traverse(scene) -> SceneParameters:
     return SceneParameters(scene)
+
+
+def refresh_derived(scene, changed=None):
+    """parameters_changed() analogue: rebuild quantities derived from edited
+    parameters so the scene stays consistent (reference: Scene
+    parameters_changed -> accel rebuild, scene.cpp:343-385).
+
+      * shape tables' to_object = inv(to_world)   (differentiable)
+      * per-shape surface areas (emitter pdfs)
+      * heightfield maximum-mip pyramid (detached accel, like a BVH refit)
+
+    `changed` (set of edited key paths) lets callers skip work; None = all.
+    """
+    def touched(substr):
+        return changed is None or any(substr in k for k in changed)
+
+    new_shapes = dict(scene.shapes)
+    dirty_area = False
+    for name, tbl in scene.shapes.items():
+        if hasattr(tbl, 'to_world') and touched(f'{name}.to_world'):
+            new_shapes[name] = tbl.replace(
+                to_object=jnp.linalg.inv(tbl.to_world))
+            dirty_area = True
+        if name == 'heightfield' and touched('heights'):
+            from ..plugins.shapes.heightfield import build_max_mip
+            tbl2 = new_shapes[name]
+            mips = tuple(
+                tuple(jax.lax.stop_gradient(l) for l in build_max_mip(h))
+                for h in tbl2.heights)
+            new_shapes[name] = tbl2.replace(mips=mips)
+            dirty_area = True
+    scene = scene.replace(shapes=new_shapes)
+    if dirty_area:
+        from ..plugins.shapes import REGISTRY as SHAPES
+        areas = []
+        for ti, name in enumerate(scene.shape_types):
+            areas.append(jax.lax.stop_gradient(
+                SHAPES[name].surface_area(scene.shapes[name])))
+        if areas:
+            flat = jnp.concatenate([jnp.atleast_1d(a) for a in areas])
+            if flat.shape[0] == scene.shape_area.shape[0]:
+                scene = scene.replace(shape_area=flat)
+    return scene

@@ -1,0 +1,154 @@
+"""Warped-area ray reparameterization (Bangaru et al. 2020; reference
+src/python/python/ad/reparam.py:126-463).
+
+Visibility discontinuities (silhouettes) make the rendering integrand
+non-differentiable; naive AD drops the boundary term. The fix: reparameterize
+ray directions with a warp field V that follows the geometry's motion, so the
+discontinuity location becomes parameter-independent and the boundary term
+reappears as a continuous divergence ("det") factor.
+
+Discrete estimator (reparam.py semantics, vectorized over a static aux-ray
+count instead of a dr.Loop):
+  * sample `num_aux` auxiliary directions from a vMF lobe around the ray,
+  * intersect ATTACHED (hit points follow the scene parameters),
+  * per-aux velocity V_i = attached direction to the aux hit,
+  * harmonic weights w_i = (B_i + eps)^-exponent from a silhouette proximity
+    ("boundary test") estimate — low weight near silhouettes,
+  * V = Σ w_i V_i / Σ w_i,  warped dir = d + (V - detach(V)),
+  * det = Σ w_i^att / Σ w_i^det — the first-order divergence factor splatted
+    with the contribution (reparam.py's divergence dual).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as m
+from ..core import warp as warp_mod
+from ..core.frame import Frame
+from ..render import scene as sc
+from ..render import sampler as sa
+from ..render.records import Ray
+
+
+def boundary_test(scene, si, d):
+    """Per-shape silhouette proximity (RayFlags::BoundaryTest): ~0 near a
+    silhouette, ~1 away from it.
+
+      * curved shapes (sphere/cylinder/mesh/heightfield): grazing-incidence
+        cos^2(n, d) (sphere.cpp:569's squared-cosine test);
+      * flat bounded shapes (rectangle/disk/cube): the silhouette is the
+        PERIMETER — distance of the hit uv to the parameter-domain border
+        (rectangle.cpp's uv boundary test).
+    """
+    cos_g = m.dot(si.n, -d)
+    b_graze = cos_g * cos_g
+    u = si.uv[..., 0]
+    v = si.uv[..., 1]
+    b_uv = 2.0 * jnp.minimum(jnp.minimum(u, 1.0 - u), jnp.minimum(v, 1.0 - v))
+    b_uv = jnp.clip(b_uv, 0.0, 1.0)
+    # select per shape type
+    flat_types = {'rectangle', 'disk', 'cube'}
+    stype = si.shape_index  # global id -> type via scene tables
+    gid = jnp.maximum(si.shape_index, 0)
+    t_of = scene.shape_type_of[gid]
+    is_flat = jnp.zeros(u.shape, bool)
+    for ti, name in enumerate(scene.shape_types):
+        if name in flat_types:
+            is_flat = is_flat | (t_of == ti)
+    B = jnp.where(is_flat, b_uv, b_graze)
+    return jnp.where(si.is_valid, B, 1.0)
+
+
+from ..core.frame import coordinate_system
+
+
+def follow_p(scene, si):
+    """RayFlags::FollowShape attachment (sphere.cpp:492-505): the hit point
+    expressed so its derivative RIGIDLY FOLLOWS the shape's parameters —
+    p = to_world(θ) · detach(to_object · p) for transform shapes, and
+    p = (u, h(u,v; θ), v) at detached (u,v) for the heightfield. This is the
+    velocity the warp field needs (default attachment keeps p on the ray, so
+    its lateral derivative vanishes)."""
+    from ..core.transform import apply_point
+    p_det = jax.lax.stop_gradient(si.p)
+    slot = jax.lax.stop_gradient(
+        scene.shape_slot_of[jnp.maximum(si.shape_index, 0)])
+    t_of = scene.shape_type_of[jnp.maximum(si.shape_index, 0)]
+    out = p_det
+    for ti, name in enumerate(scene.shape_types):
+        tbl = scene.shapes[name]
+        mask = (t_of == ti) & si.is_valid
+        if name == 'heightfield':
+            h = tbl.heights[0]
+            R, C = h.shape
+            W, H = C - 1, R - 1
+            uv = jax.lax.stop_gradient(si.uv)
+            x = jnp.clip(uv[..., 0], 0.0, 1.0)
+            z = jnp.clip(uv[..., 1], 0.0, 1.0)
+            ix = jnp.clip((x * W).astype(jnp.int32), 0, W - 1)
+            iz = jnp.clip((z * H).astype(jnp.int32), 0, H - 1)
+            fu = x * W - ix
+            fv = z * H - iz
+            y = ((1 - fu) * (1 - fv) * h[iz, ix] + fu * (1 - fv) * h[iz, ix + 1]
+                 + (1 - fu) * fv * h[iz + 1, ix] + fu * fv * h[iz + 1, ix + 1])
+            p_obj = jnp.stack([x, y, z], -1)
+            tw = tbl.to_world[jnp.zeros_like(slot)]
+            p_f = apply_point(tw, p_obj)
+        elif hasattr(tbl, 'to_world'):
+            tw = tbl.to_world[jnp.clip(slot, 0, tbl.to_world.shape[0] - 1)]
+            to = jax.lax.stop_gradient(
+                tbl.to_object[jnp.clip(slot, 0, tbl.to_object.shape[0] - 1)])
+            p_obj = jax.lax.stop_gradient(apply_point(to, p_det))
+            p_f = apply_point(tw, p_obj)
+        else:
+            continue
+        out = jnp.where(mask[..., None], p_f, out)
+    return out
+
+
+def reparameterize_ray(scene, smpl: sa.SamplerState, ray: Ray, active,
+                       num_aux: int = 4, kappa: float = 1e5,
+                       exponent: float = 3.0):
+    """Returns (d_warped, det, sampler).
+
+    d_warped equals ray.d in VALUE but carries the warp-field derivative
+    (d + V - detach(V)); det equals 1 in value and carries the divergence
+    derivative 1 + (divV - detach(divV)). The spherical divergence is
+    computed with two forward-mode tangent probes of the warp field —
+    the JAX equivalent of reparam.py's dual-number div tracking (:173-204).
+    """
+    n = ray.o.shape[0]
+    us = []
+    for _ in range(num_aux):
+        u, smpl = sa.next_2d(smpl)
+        us.append(jax.lax.stop_gradient(u))
+    o_det = jax.lax.stop_gradient(ray.o)
+
+    def warp_V(d):
+        frame = Frame(d / jnp.maximum(m.norm(d, keepdims=True), 1e-12))
+        V = jnp.zeros((n, 3))
+        Z = jnp.zeros((n,))
+        for u in us:
+            d_local = warp_mod.square_to_von_mises_fisher(u, kappa)
+            d_aux = frame.to_world(d_local)
+            si = sc.ray_intersect(scene, Ray.make(o_det, d_aux))
+            B = boundary_test(scene, si, d_aux)
+            w = 1.0 / jnp.power(B + 5e-2, exponent)
+            v_att = m.normalize(follow_p(scene, si) - o_det)
+            v_i = jnp.where(si.is_valid[..., None], v_att, d_aux)
+            V = V + w[..., None] * v_i
+            Z = Z + w
+        return V / jnp.maximum(Z, 1e-8)[..., None]
+
+    d0 = jax.lax.stop_gradient(ray.d)
+    t1, t2 = coordinate_system(d0)
+    V0, dV1 = jax.jvp(warp_V, (d0,), (t1,))
+    _, dV2 = jax.jvp(warp_V, (d0,), (t2,))
+    div = m.dot(t1, dV1) + m.dot(t2, dV2)
+    d_warp = ray.d + jnp.where(active[..., None],
+                               V0 - jax.lax.stop_gradient(V0), 0.0)
+    d_warp = d_warp / jnp.maximum(m.norm(d_warp, keepdims=True), 1e-12)
+    det = jnp.where(active,
+                    1.0 + (div - jax.lax.stop_gradient(div)), 1.0)
+    return d_warp, det, smpl

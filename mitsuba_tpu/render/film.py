@@ -43,12 +43,29 @@ def build(props) -> FilmConfig:
                       rfilter=rf)
 
 
-def put(block, film: FilmConfig, pos, values, active=None):
+def put(block, film: FilmConfig, pos, values, active=None,
+        weight_pos=None):
     """Splat samples into the block.
 
     pos: (N,2) continuous pixel coordinates (x, y) in [0,W)x[0,H)
     values: (N,C)
+    weight_pos: optional separate position for the WEIGHT channel. Reparam
+    integrators pass the DETACHED position here: the weight normalization
+    must not carry the warp derivative or it cancels half the sample-motion
+    gradient (common.py:718-741's special handling of the reparameterized
+    position film derivative).
     """
+    if weight_pos is not None:
+        block = _put_channels(block, film, pos, values, active,
+                              with_weight=False)
+        zeros = jnp.zeros_like(values)
+        return _put_channels(block, film, weight_pos, zeros, active,
+                             with_weight=True)
+    return _put_channels(block, film, pos, values, active, with_weight=True)
+
+
+def _put_channels(block, film: FilmConfig, pos, values, active=None,
+                  with_weight=True):
     f = film.rfilter
     r = f.radius
     b = film.border
@@ -58,7 +75,7 @@ def put(block, film: FilmConfig, pos, values, active=None):
     if active is None:
         active = jnp.ones((n,), bool)
     values = jnp.where(active[..., None], values, 0.0)
-    wch = jnp.where(active, 1.0, 0.0)
+    wch = jnp.where(active, 1.0, 0.0) if with_weight else jnp.zeros((n,))
     vals = jnp.concatenate([values, wch[..., None]], -1)
 
     x = pos[..., 0] + b

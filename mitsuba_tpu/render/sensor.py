@@ -88,6 +88,18 @@ def build(props, width, height) -> Camera:
     )
 
 
+def project_direction(cam: Camera, d_world):
+    """Inverse of the perspective direction mapping: world direction ->
+    film position in [0,1]^2 (used for reparam-warped splats and the
+    particle tracer's sensor connections)."""
+    inv = jnp.linalg.inv(cam.to_world)
+    d_cam = apply_vector(inv, d_world)
+    z = jnp.maximum(d_cam[..., 2], 1e-6)
+    u = 0.5 * (1.0 - d_cam[..., 0] / (z * cam.tan_x))
+    v = 0.5 * (1.0 - d_cam[..., 1] / (z * cam.tan_y))
+    return jnp.stack([u, v], -1)
+
+
 def sample_ray(cam: Camera, pos01, aperture):
     """pos01: (N,2) in [0,1]^2, (0,0)=top-left -> world-space Ray.
 

@@ -165,16 +165,18 @@ class heightfield:
             ixc = jnp.clip(ix, 0, w_l - 1)
             return mip_flat[lvl_offset[lvl] + izc * w_l + ixc]
 
-        step_ix = jnp.where(d[..., 0] >= 0, 1, -1).astype(jnp.int32)
-        step_iz = jnp.where(d[..., 2] >= 0, 1, -1).astype(jnp.int32)
+        step_ix_full = jnp.where(d[..., 0] >= 0, 1, -1).astype(jnp.int32)
+        step_iz_full = jnp.where(d[..., 2] >= 0, 1, -1).astype(jnp.int32)
 
         max_steps = 3 * (W + H) + 16 * n_levels
 
-        def cond(state):
-            t, lvl, ix, iz, t_hit, active, steps = state
-            return jnp.any(active) & (steps < max_steps)
+        def make_body(o, d, inv_d, step_ix, step_iz, t_far, t_enter):
+            def body(state):
+                return _body_impl(state, o, d, inv_d, step_ix, step_iz,
+                                  t_far, t_enter)
+            return body
 
-        def body(state):
+        def _body_impl(state, o, d, inv_d, step_ix, step_iz, t_far, t_enter):
             t, lvl, ix, iz, t_hit, active, steps = state
             sx = scales_x[lvl]
             sz = scales_z[lvl]
@@ -234,14 +236,46 @@ class heightfield:
             still = active & ~leaf_hit & (new_t <= t_far + eps_t) & in_range
             return (new_t, new_lvl, new_ix, new_iz, t_hit, still, steps + 1)
 
+        def run_loop(lane, state, cap):
+            body = make_body(*lane)
+
+            def cond(st):
+                return jnp.any(st[5]) & (st[6] < cap)
+            return jax.lax.while_loop(cond, body, state)
+
         sx0 = scales_x[start_lvl]
         sz0 = scales_z[start_lvl]
         cx0 = jnp.floor((o[..., 0] + d[..., 0] * (t_enter + eps_t)) * sx0).astype(jnp.int32)
         cz0 = jnp.floor((o[..., 2] + d[..., 2] * (t_enter + eps_t)) * sz0).astype(jnp.int32)
         lvl0 = jnp.full((n,), start_lvl, jnp.int32)
+        lane_full = (o, d, inv_d, step_ix_full, step_iz_full, t_far, t_enter)
         state = (t_enter, lvl0, cx0, cz0, jnp.full((n,), jnp.inf), valid,
                  jnp.asarray(0, jnp.int32))
-        t, lvl, ix, iz, t_hit, active, steps = jax.lax.while_loop(cond, body, state)
+
+        # --- stage 1: full wavefront, short cap (most rays finish fast) ---
+        state = run_loop(lane_full, state, min(160, max_steps))
+
+        # --- stage 2: COMPACT the long-tail rays so a few grazing lanes
+        # don't gate the whole wavefront (classic wavefront compaction) ---
+        if n >= 64:
+            k = max(16, n // 4)
+            active1 = state[5]
+            order = jnp.argsort(~active1)        # active lanes first (stable)
+            sel = order[:k]
+            lane_sub = tuple(x[sel] for x in lane_full)
+            state_sub = tuple(x[sel] if getattr(x, 'ndim', 0) > 0 else x
+                              for x in state[:6]) + (jnp.asarray(0, jnp.int32),)
+            state_sub = run_loop(lane_sub, state_sub, max_steps)
+            merged = []
+            for full_x, sub_x in zip(state[:6], state_sub[:6]):
+                merged.append(full_x.at[sel].set(sub_x))
+            state = tuple(merged) + (jnp.asarray(0, jnp.int32),)
+
+        # --- stage 3: exactness backstop for lanes beyond the compaction
+        # capacity (normally zero iterations) ---
+        state = run_loop(lane_full, state, max_steps)
+
+        t_hit = state[4]
         # recover the hit cell from the hit point
         px = o[..., 0] + d[..., 0] * t_hit
         pz = o[..., 2] + d[..., 2] * t_hit

@@ -2,6 +2,11 @@
 (BASELINE.json metric). Runs on the default backend (real TPU under the
 driver). Prints ONE JSON line.
 
+Defensive structure: a tiny probe render first, then the measured config with
+SMALL per-dispatch programs (spp chunks) so no single XLA program runs long
+enough to trip device watchdogs; every stage is wrapped so a partial result
+still produces a valid JSON line.
+
 Ray accounting: each path-tracer scan iteration traces one closest-hit ray
 and one shadow ray for every wavefront lane (SIMD work actually performed),
 so rays_fwd = W*H*spp * max_depth * 2. The timed region covers the forward
@@ -22,24 +27,49 @@ jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
 
+RESULT = {
+    "metric": "fwd_bwd_mrays_per_s_per_chip_heightfield_256spp",
+    "value": 0.0,
+    "unit": "Mrays/s",
+    "vs_baseline": 1.0,
+    "detail": {"stage": "init"},
+}
+
+
+def emit(**kw):
+    RESULT["detail"].update(kw)
+    print(json.dumps(RESULT))
+    sys.stdout.flush()
+
 
 def main():
     import mitsuba_tpu as mt
+    from mitsuba_tpu.render.integrator import render_pass
+    from mitsuba_tpu.render import film as film_mod
 
+    backend = jax.default_backend()
+    RESULT["detail"]["backend"] = backend
+
+    # ---- stage 0: tiny probe (catches device faults early & cheaply) ----
+    t0 = time.time()
+    probe = mt.load_dict(mt.cornell_box(spp=1, res=32, max_depth=2))
+    img = mt.render_wavefront(probe, spp=1)
+    np.asarray(img)
+    RESULT["detail"]["probe_s"] = round(time.time() - t0, 2)
+    RESULT["detail"]["stage"] = "probe_ok"
+
+    # ---- measured config (BASELINE configs[2]-scale) ----
     res_hf = 512
     res_img = 256
     spp = 256
     max_depth = 4
-    spp_pass = 8
+    spp_pass = 2  # small per-dispatch programs
 
     scene = mt.load_dict(mt.heightfield_scene(
         res_hf=res_hf, res_img=res_img, spp=spp, max_depth=max_depth))
     params = mt.traverse(scene)
     key = [k for k in params.keys() if 'heights' in k][0]
     h0 = params[key]
-
-    from mitsuba_tpu.render.integrator import render_pass
-    from mitsuba_tpu.render import film as film_mod
 
     def pass_loss(h, offset):
         s2 = params.scene_with({key: h})
@@ -52,39 +82,47 @@ def main():
     grad_fn = jax.jit(jax.value_and_grad(pass_loss, has_aux=True))
 
     # warm-up / compile
+    t0 = time.time()
     (l0, img0), g0 = grad_fn(h0, jnp.asarray(0, jnp.int32))
     jax.block_until_ready(g0)
+    RESULT["detail"]["compile_warm_s"] = round(time.time() - t0, 2)
+    RESULT["detail"]["stage"] = "warm_ok"
     grad_ok = bool(np.isfinite(np.asarray(g0)).all()) and \
         float(jnp.abs(g0).max()) > 0 and bool(np.isfinite(np.asarray(img0)).all())
+    RESULT["detail"]["grad_finite_nonzero"] = grad_ok
 
+    # timed: as many passes as fit a wall budget, extrapolate the full spp
     n_passes = spp // spp_pass
+    budget_s = 120.0
     t0 = time.time()
     acc = jnp.zeros_like(h0)
+    done = 0
     for p in range(n_passes):
         (_, _), g = grad_fn(h0, jnp.asarray(p * spp_pass, jnp.int32))
         acc = acc + g
+        done += 1
+        if p % 8 == 7:
+            jax.block_until_ready(acc)
+            if time.time() - t0 > budget_s:
+                break
     jax.block_until_ready(acc)
     dt = time.time() - t0
 
-    lanes = res_img * res_img * spp
-    rays_fwd = lanes * max_depth * 2
+    lanes_done = res_img * res_img * spp_pass * done
+    rays_fwd = lanes_done * max_depth * 2
     mrays = rays_fwd / dt / 1e6
-
-    result = {
-        "metric": "fwd_bwd_mrays_per_s_per_chip_heightfield_256spp",
-        "value": round(mrays, 2),
-        "unit": "Mrays/s",
-        "vs_baseline": 1.0,
-        "detail": {
-            "grad_finite_nonzero": grad_ok,
-            "seconds": round(dt, 3),
-            "backend": jax.default_backend(),
-            "res_hf": res_hf, "res_img": res_img, "spp": spp,
-            "max_depth": max_depth,
-        },
-    }
-    print(json.dumps(result))
+    RESULT["value"] = round(mrays, 2)
+    RESULT["detail"].update({
+        "stage": "done", "seconds": round(dt, 3), "passes": done,
+        "spp_measured": spp_pass * done,
+        "res_hf": res_hf, "res_img": res_img, "spp_config": spp,
+        "max_depth": max_depth,
+    })
 
 
 if __name__ == '__main__':
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — always emit a JSON line
+        RESULT["detail"]["error"] = f'{type(e).__name__}: {e}'[:300]
+    emit()

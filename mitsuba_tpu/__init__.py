@@ -43,3 +43,31 @@ def variants():
 
 from .render.xml import load_file, load_string, dict_to_xml  # noqa: F401,E402
 from .utils.bitmap import write_bitmap, convert_to_bitmap  # noqa: F401,E402
+from .utils.observability import Log, Info, Warn, Debug, set_log_level, sys_info  # noqa: F401,E402
+
+
+def register_bsdf(name, plugin):
+    """mi.register_bsdf analogue (src/render/python/bsdf_v.cpp:202): register
+    a user-defined BSDF plugin class (SoA-table namespace with
+    build/eval/pdf/sample/flags) under a scene-dict type name."""
+    from .plugins.bsdfs import REGISTRY
+    REGISTRY[name] = plugin
+
+
+def register_shape(name, plugin):
+    """mi.register_mesh/shape analogue (shape_v.cpp:206)."""
+    from .plugins.shapes import REGISTRY
+    from .render import loader
+    REGISTRY[name] = plugin
+    if name not in loader._SHAPE_TYPES:
+        loader._SHAPE_TYPES = loader._SHAPE_TYPES + (name,)
+
+
+def register_integrator(name, sample_fn):
+    """mi.register_integrator analogue (integrator_v.cpp:303): sample_fn has
+    the signature sample(scene, cfg, sampler, ray) -> (L, valid, sampler)."""
+    from .render import integrator as _integ
+    from .render import loader
+    _integ.CUSTOM_INTEGRATORS[name] = sample_fn
+    if name not in loader._INTEGRATOR_TYPES:
+        loader._INTEGRATOR_TYPES = loader._INTEGRATOR_TYPES + (name,)

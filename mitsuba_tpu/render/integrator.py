@@ -21,6 +21,9 @@ from .records import Ray
 from ..core import rng
 
 
+CUSTOM_INTEGRATORS = {}  # name -> sample(scene, cfg, sampler, ray)
+
+
 def integrator_config(scene) -> dict:
     return dict(scene.integrator)
 
@@ -46,6 +49,8 @@ def _sample_radiance(scene, cfg, sampler, ray):
     if kind in ('aov', 'moment'):
         from ..plugins.integrators import aov as aov_mod
         return aov_mod.sample(scene, cfg, sampler, ray)
+    if kind in CUSTOM_INTEGRATORS:
+        return CUSTOM_INTEGRATORS[kind](scene, cfg, sampler, ray)
     if kind in ('volpath', 'volpathmis', 'prbvolpath'):
         from ..plugins.integrators import volpath as vol_mod
         return vol_mod.sample(scene, sampler, ray,

@@ -1,0 +1,113 @@
+"""Observability (reference §5 aux subsystems: Logger/ProgressReporter +
+Dr.Jit kernel_history + ITT profiler phases).
+
+TPU equivalents:
+  * Logger / Log(level, ...): thin wrapper over python logging with the
+    reference's level names.
+  * ProgressReporter: render-loop progress with ETA (integrator.cpp:145-148).
+  * compile_count(fn): jit-cache size — the kernel_history/launch-count
+    invariant used by test_megakernel.py.
+  * profile_scope(name): jax.named_scope + wall timing (ScopedPhase
+    analogue; shows up in jax.profiler traces / XLA HLO metadata).
+"""
+from __future__ import annotations
+
+import contextlib
+import logging
+import sys
+import time
+
+import jax
+
+_logger = logging.getLogger('mitsuba_tpu')
+if not _logger.handlers:
+    h = logging.StreamHandler(sys.stderr)
+    h.setFormatter(logging.Formatter('%(asctime)s %(levelname)s [%(name)s] %(message)s'))
+    _logger.addHandler(h)
+    _logger.setLevel(logging.INFO)
+
+Trace, Debug, Info, Warn, Error = (logging.DEBUG - 5, logging.DEBUG,
+                                   logging.INFO, logging.WARNING,
+                                   logging.ERROR)
+
+
+def Log(level, msg, *args):
+    _logger.log(level, msg, *args)
+
+
+def set_log_level(level):
+    _logger.setLevel(level)
+
+
+class ProgressReporter:
+    """ProgressReporter (include/mitsuba/core/progress.h): terminal progress
+    with ETA, update-throttled."""
+
+    def __init__(self, label='Rendering', total=1.0, stream=sys.stderr):
+        self.label = label
+        self.total = total
+        self.start = time.time()
+        self.last = 0.0
+        self.stream = stream
+
+    def update(self, value):
+        now = time.time()
+        if now - self.last < 0.25 and value < self.total:
+            return
+        self.last = now
+        frac = min(value / max(self.total, 1e-9), 1.0)
+        elapsed = now - self.start
+        eta = elapsed / max(frac, 1e-6) * (1 - frac)
+        bar = '=' * int(40 * frac) + ' ' * (40 - int(40 * frac))
+        self.stream.write(f'\r{self.label} [{bar}] {100*frac:5.1f}% '
+                          f'(ETA {eta:5.1f}s)')
+        if frac >= 1.0:
+            self.stream.write('\n')
+        self.stream.flush()
+
+
+def compile_count(jitted_fn):
+    """Number of compiled executables in a jitted function's cache — the
+    dr.kernel_history launch/codegen-count analogue for recompile guards."""
+    try:
+        return jitted_fn._cache_size()
+    except AttributeError:
+        return -1
+
+
+@contextlib.contextmanager
+def profile_scope(name):
+    """ScopedPhase analogue: names the region in XLA metadata (visible in
+    jax.profiler traces) and reports wall time at Debug level."""
+    t0 = time.time()
+    with jax.named_scope(name):
+        yield
+    Log(Debug, '%s: %.3fs', name, time.time() - t0)
+
+
+def start_trace(log_dir='/tmp/jax-trace'):
+    jax.profiler.start_trace(log_dir)
+
+
+def stop_trace():
+    jax.profiler.stop_trace()
+
+
+def sys_info():
+    """sys_info.py analogue: bug-report environment dump."""
+    import platform
+    import numpy as np
+    info = {
+        'python': sys.version.split()[0],
+        'platform': platform.platform(),
+        'jax': jax.__version__,
+        'numpy': np.__version__,
+        'backend': jax.default_backend(),
+        'devices': [str(d) for d in jax.devices()],
+    }
+    try:
+        import mitsuba_tpu
+        info['mitsuba_tpu'] = mitsuba_tpu.__version__
+    except Exception:
+        pass
+    return info

@@ -1,0 +1,56 @@
+"""JIT-compilation invariants (reference src/render/tests/test_megakernel.py:
+kernel launch counts + codegen-hash stability via dr.kernel_history).
+
+TPU analogue: the jit cache of the render-pass executable must not grow
+across repeated renders (silent recompiles = the bug class this guards), and
+parameter-value changes must NOT retrace (opaque-to-tracer leaves)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import mitsuba_tpu as mt
+from mitsuba_tpu.render import integrator as integ
+from mitsuba_tpu.utils.observability import compile_count
+
+
+def test_no_recompile_across_renders():
+    scene = mt.load_dict(mt.cornell_box(spp=2, res=32, max_depth=2))
+    integ._render_pass_jit.clear_cache()
+    mt.render(scene, spp=2, seed=0)
+    c1 = compile_count(integ._render_pass_jit)
+    mt.render(scene, spp=2, seed=1)
+    mt.render(scene, spp=2, seed=2)
+    c3 = compile_count(integ._render_pass_jit)
+    assert c1 == c3 == 1, (c1, c3)
+
+
+def test_no_recompile_on_param_change():
+    """Editing scene parameters (same shapes) must reuse the executable —
+    the reference's kernel-hash stability check (test_megakernel.py:150-230)."""
+    scene = mt.load_dict(mt.cornell_box(spp=2, res=32, max_depth=2))
+    params = mt.traverse(scene)
+    key = [k for k in params.keys() if 'color0' in k][0]
+    integ._render_pass_jit.clear_cache()
+    mt.render(scene, spp=2)
+    c1 = compile_count(integ._render_pass_jit)
+    s2 = params.scene_with({key: params[key] * 0.5})
+    mt.render(s2, spp=2)
+    c2 = compile_count(integ._render_pass_jit)
+    assert c1 == c2 == 1, (c1, c2)
+
+
+def test_recompile_on_structure_change():
+    """Different wavefront shape -> one new executable, exactly."""
+    scene = mt.load_dict(mt.cornell_box(spp=2, res=32, max_depth=2))
+    integ._render_pass_jit.clear_cache()
+    mt.render(scene, spp=2)
+    mt.render(scene, spp=4)
+    assert compile_count(integ._render_pass_jit) == 2
+
+
+def test_deterministic_across_cache():
+    scene = mt.load_dict(mt.cornell_box(spp=2, res=32, max_depth=2))
+    a = np.asarray(mt.render(scene, spp=2, seed=7))
+    integ._render_pass_jit.clear_cache()
+    b = np.asarray(mt.render(scene, spp=2, seed=7))
+    assert np.array_equal(a, b)

@@ -57,3 +57,20 @@ def test_dict_to_xml_roundtrip(tmp_path):
     img = np.asarray(mt.render(scene, spp=4))
     ref = np.asarray(mt.render(mt.load_dict(d), spp=4))
     assert np.allclose(img, ref, atol=1e-5)
+
+
+def test_register_integrator_plugin():
+    """Python plugin registration (mi.register_integrator parity)."""
+    import jax.numpy as jnp
+    from mitsuba_tpu.render import scene as sc
+
+    def normals_integrator(scene, cfg, sampler, ray):
+        si = sc.ray_intersect(scene, ray)
+        return jnp.abs(si.sh_n), si.is_valid, sampler
+
+    mt.register_integrator('my_normals', normals_integrator)
+    d = mt.cornell_box(spp=4, res=16)
+    d['integrator'] = {'type': 'my_normals'}
+    img = np.asarray(mt.render(mt.load_dict(d), spp=4))
+    assert img.shape == (16, 16, 3)
+    assert img.max() > 0.9  # |normal| components

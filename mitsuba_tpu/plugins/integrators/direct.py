@@ -1,0 +1,73 @@
+"""Direct-illumination integrator with configurable strategy sample counts
+(reference src/integrators/direct.cpp: emitter_samples + bsdf_samples with
+balance-heuristic MIS over the combined estimator)."""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...core import math as m
+from ...render import scene as sc
+from ...render import bsdf as bsdf_mod
+from ...render import sampler as sa
+from ...render.records import Ray
+
+
+def sample(scene, sampler, ray, emitter_samples=1, bsdf_samples=1,
+           hide_emitters=False):
+    n = ray.o.shape[0]
+    si = sc.ray_intersect(scene, ray)
+    active = si.is_valid
+    L = jnp.zeros((n, 3))
+    # visible emitters
+    hit_em = (si.emitter_index >= 0) & active
+    if not hide_emitters:
+        L = L + sc.eval_emitter_hit(scene, si, hit_em)
+        L = L + sc.eval_environment(scene, ray.d, ~si.is_valid)
+
+    frac_lum = emitter_samples / max(emitter_samples + bsdf_samples, 1)
+    frac_bsdf = 1.0 - frac_lum
+    weight_lum = 1.0 / max(emitter_samples, 1)
+    weight_bsdf = 1.0 / max(bsdf_samples, 1)
+
+    smpl = sampler
+    active_e = active & bsdf_mod.has_smooth(scene, si)
+    for _ in range(emitter_samples):
+        s2, smpl = sa.next_2d(smpl)
+        ds, em_val = sc.sample_emitter_direction(
+            scene, si, jax.lax.stop_gradient(s2), test_visibility=True,
+            active=active_e)
+        wo = si.to_local(ds.d)
+        b_val, b_pdf = bsdf_mod.eval_pdf(scene, si, wo, active_e)
+        # balance heuristic over the sample-count-weighted mixture
+        # (direct.cpp:mis_weight with sample fractions)
+        mis = jnp.where(ds.delta, 1.0,
+                        ds.pdf * frac_lum /
+                        jnp.maximum(ds.pdf * frac_lum + b_pdf * frac_bsdf, 1e-12))
+        L = L + jnp.where(active_e[..., None],
+                          b_val * em_val * (mis * weight_lum)[..., None], 0.0)
+
+    for _ in range(bsdf_samples):
+        s1, smpl = sa.next_1d(smpl)
+        s2, smpl = sa.next_2d(smpl)
+        bs, b_weight = bsdf_mod.sample(scene, si, jax.lax.stop_gradient(s1),
+                                       jax.lax.stop_gradient(s2), active)
+        wo_world = si.to_world(bs.wo)
+        ray2 = si.spawn_ray(wo_world)
+        si2 = sc.ray_intersect(scene, ray2)
+        hit_em2 = active & (si2.emitter_index >= 0)
+        Le2 = sc.eval_emitter_hit(scene, si2, hit_em2)
+        pdf_l = sc.pdf_emitter_direction(scene, si.p, si2, hit_em2)
+        Lenv2 = sc.eval_environment(scene, wo_world, active & ~si2.is_valid)
+        pdf_env = sc.pdf_env_direction(scene, wo_world, active & ~si2.is_valid)
+        Le_tot = Le2 + Lenv2
+        pdf_light = pdf_l + pdf_env
+        delta = (bs.sampled_type & jnp.uint32(0x60)) != 0  # Delta lobes
+        mis = jnp.where(delta, 1.0,
+                        bs.pdf * frac_bsdf /
+                        jnp.maximum(bs.pdf * frac_bsdf + pdf_light * frac_lum,
+                                    1e-12))
+        L = L + jnp.where(active[..., None],
+                          b_weight * Le_tot * (mis * weight_bsdf)[..., None], 0.0)
+
+    return L, si.is_valid, smpl

@@ -38,10 +38,12 @@ def _sample_radiance(scene, cfg, sampler, ray):
                                rr_depth=int(cfg.get('rr_depth', 5)),
                                hide_emitters=bool(cfg.get('hide_emitters', False)))
     if kind == 'direct':
-        from ..plugins.integrators import path as path_mod
-        return path_mod.sample(scene, sampler, ray, max_depth=2,
-                               rr_depth=100,
-                               hide_emitters=bool(cfg.get('hide_emitters', False)))
+        from ..plugins.integrators import direct as direct_mod
+        return direct_mod.sample(
+            scene, sampler, ray,
+            emitter_samples=int(cfg.get('emitter_samples', 1)),
+            bsdf_samples=int(cfg.get('bsdf_samples', 1)),
+            hide_emitters=bool(cfg.get('hide_emitters', False)))
     if kind == 'depth':
         si = sc.ray_intersect(scene, ray)
         d = jnp.where(si.is_valid, si.t, 0.0)

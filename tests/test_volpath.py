@@ -88,3 +88,16 @@ def test_ptracer_matches_path():
     c = (slice(18, 26), slice(12, 20))
     ratio = img_pt[c].mean() / img_path[c].mean()
     assert abs(ratio - 1.0) < 0.08, ratio
+
+
+def test_direct_integrator_matches_path_depth2():
+    """direct (m emitter + n bsdf samples, MIS) equals a depth-2 path trace
+    in expectation (direct.cpp semantics)."""
+    d = mt.cornell_box(spp=64, res=32, max_depth=2)
+    img_path = np.asarray(mt.render(mt.load_dict(d), spp=64))
+    d['integrator'] = {'type': 'direct', 'emitter_samples': 2, 'bsdf_samples': 2}
+    img_dir = np.asarray(mt.render(mt.load_dict(d), spp=64))
+    # compare away from the light patch (delta-free region)
+    a = img_path[16:, :, :]
+    b = img_dir[16:, :, :]
+    assert np.abs(a - b).mean() < 0.02, np.abs(a - b).mean()

@@ -86,25 +86,29 @@ def _put_channels(block, film: FilmConfig, pos, values, active=None,
         py = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, H - 1)
         return block.at[py, px].add(vals)
 
-    # general path: K x K footprint, K = floor(2r)+1
+    # general path: K x K footprint, K = floor(2r)+1. TPU layout note: a
+    # materialized (N, K, K, C) tensor pads its two minor dims to (8, 128) —
+    # a 41x HBM blowup at K=5 (observed OOM) — so the footprint is unrolled
+    # into K*K per-tap FLAT scatters of (N,)-shaped updates per channel.
     K = int(np.floor(2.0 * r)) + 1
     x0 = jnp.ceil(x - 0.5 - r).astype(jnp.int32)
     y0 = jnp.ceil(y - 0.5 - r).astype(jnp.int32)
-    offs = jnp.arange(K)
-    px = x0[:, None] + offs[None, :]               # (N,K)
-    py = y0[:, None] + offs[None, :]
-    wx = f.eval(px.astype(x.dtype) + 0.5 - x[:, None])   # (N,K)
-    wy = f.eval(py.astype(y.dtype) + 0.5 - y[:, None])
-    inx = (px >= 0) & (px < W)
-    iny = (py >= 0) & (py < H)
-    pxc = jnp.clip(px, 0, W - 1)
-    pyc = jnp.clip(py, 0, H - 1)
-    w2 = (wx * inx)[:, None, :] * (wy * iny)[:, :, None]   # (N,K,K): [y][x]
-    contrib = w2[..., None] * vals[:, None, None, :]       # (N,K,K,C+1)
-    flat_idx = (pyc[:, :, None] * W + pxc[:, None, :]).reshape(-1)
-    flat_contrib = contrib.reshape(-1, vals.shape[-1])
-    out = block.reshape(-1, vals.shape[-1]).at[flat_idx].add(flat_contrib)
-    return out.reshape(block.shape)
+    C1 = vals.shape[-1]
+    blockT = block.reshape(-1, C1).T               # (C1, H*W)
+    for ky in range(K):
+        py = y0 + ky
+        wy = f.eval(py.astype(y.dtype) + 0.5 - y)
+        iny = (py >= 0) & (py < H)
+        pyc = jnp.clip(py, 0, H - 1)
+        for kx in range(K):
+            px = x0 + kx
+            wx = f.eval(px.astype(x.dtype) + 0.5 - x)
+            inx = (px >= 0) & (px < W)
+            w = wx * wy * (inx & iny)
+            idx = pyc * W + jnp.clip(px, 0, W - 1)
+            upd = w[None, :] * vals.T               # (C1, N)
+            blockT = blockT.at[:, idx].add(upd)
+    return blockT.T.reshape(block.shape)
 
 
 def develop(block, film: FilmConfig, eps=1e-8):

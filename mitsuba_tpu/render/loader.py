@@ -35,6 +35,41 @@ _INTEGRATOR_TYPES = ('path', 'direct', 'depth', 'aov', 'moment', 'prb',
                      'prb_basic', 'ptracer', 'volpath')
 
 
+def _flatten_instances(d):
+    groups = {k: v for k, v in d.items()
+              if isinstance(v, dict) and v.get('type') == 'shapegroup'}
+    if not groups:
+        return d
+    out = {}
+    idx = 0
+    for k, v in d.items():
+        if isinstance(v, dict) and v.get('type') == 'shapegroup':
+            continue
+        if isinstance(v, dict) and v.get('type') == 'instance':
+            ref = None
+            for kk, vv in v.items():
+                if isinstance(vv, dict) and vv.get('type') == 'ref':
+                    ref = vv['id']
+            grp = groups.get(ref)
+            if grp is None:
+                raise ValueError(f"instance '{k}' references unknown shapegroup")
+            tw = v.get('to_world', Transform4())
+            if not isinstance(tw, Transform4):
+                tw = Transform4(np.asarray(tw))
+            for sk, sv in grp.items():
+                if isinstance(sv, dict) and sv.get('type') in _SHAPE_TYPES:
+                    inner = dict(sv)
+                    child_tw = inner.get('to_world', Transform4())
+                    if not isinstance(child_tw, Transform4):
+                        child_tw = Transform4(np.asarray(child_tw))
+                    inner['to_world'] = Transform4(tw.matrix @ child_tw.matrix)
+                    out[f'{k}_{sk}_{idx}'] = inner
+                    idx += 1
+        else:
+            out[k] = v
+    return out
+
+
 def load_dict(d: dict) -> Scene:
     from ..plugins.shapes import REGISTRY as SHAPES
     from ..plugins.bsdfs import REGISTRY as BSDFS
@@ -51,6 +86,11 @@ def load_dict(d: dict) -> Scene:
     integrator_props = {'type': 'path', 'max_depth': 8}
     env_emitters = []
     medium_props = None
+
+    # flatten instancing (instance/shapegroup, src/shapes/instance.cpp):
+    # each <instance> of a <shapegroup> becomes concrete shapes with the
+    # composed to_world — TPU tables are SoA so instancing is free duplication
+    d = _flatten_instances(d)
 
     for key, val in d.items():
         if key == 'type' or not isinstance(val, dict):

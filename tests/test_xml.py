@@ -74,3 +74,28 @@ def test_register_integrator_plugin():
     img = np.asarray(mt.render(mt.load_dict(d), spp=4))
     assert img.shape == (16, 16, 3)
     assert img.max() > 0.9  # |normal| components
+
+
+def test_instance_shapegroup():
+    from mitsuba_tpu.core.transform import ScalarTransform4f as T
+    d = {
+        'type': 'scene',
+        'integrator': {'type': 'depth'},
+        'sensor': {'type': 'perspective', 'fov': 45.0,
+                   'to_world': T.look_at(origin=[0, 0, 6], target=[0, 0, 0], up=[0, 1, 0]),
+                   'sampler': {'type': 'independent', 'sample_count': 4},
+                   'film': {'type': 'hdrfilm', 'width': 32, 'height': 32,
+                            'rfilter': {'type': 'box'}}},
+        'grp': {'type': 'shapegroup',
+                's1': {'type': 'sphere', 'radius': 0.5}},
+        'i1': {'type': 'instance', 'to_world': T.translate([-1.2, 0, 0]),
+               'ref': {'type': 'ref', 'id': 'grp'}},
+        'i2': {'type': 'instance', 'to_world': T.translate([1.2, 0, 0]),
+               'ref': {'type': 'ref', 'id': 'grp'}},
+    }
+    scene = mt.load_dict(d)
+    assert scene.n_shapes == 2
+    img = np.asarray(mt.render(scene, spp=4))
+    # two spheres visible left and right of center
+    assert img[16, 10, 0] > 0 and img[16, 22, 0] > 0
+    assert img[16, 16, 0] == 0  # gap between them

@@ -118,7 +118,7 @@ class heightfield:
     # traversal for a single instance
     # ------------------------------------------------------------------
     @staticmethod
-    def _march(h, mips, o, d, R, C):
+    def _march(h, mips, o, d, R, C, compact=True):
         """Object-space maximum-mipmap DDA. o,d: (N,3) DETACHED.
         Returns (t_hit (N,), cell_ix, cell_iz)."""
         n = o.shape[0]
@@ -253,11 +253,12 @@ class heightfield:
                  jnp.asarray(0, jnp.int32))
 
         # --- stage 1: full wavefront, short cap (most rays finish fast) ---
-        state = run_loop(lane_full, state, min(160, max_steps))
+        state = run_loop(lane_full, state,
+                         min(160, max_steps) if compact else max_steps)
 
         # --- stage 2: COMPACT the long-tail rays so a few grazing lanes
         # don't gate the whole wavefront (classic wavefront compaction) ---
-        if n >= 64:
+        if compact and n >= 64:
             k = max(16, n // 4)
             active1 = state[5]
             order = jnp.argsort(~active1)        # active lanes first (stable)
@@ -287,8 +288,10 @@ class heightfield:
     # Shape interface
     # ------------------------------------------------------------------
     @staticmethod
-    def intersect(tbl: HeightfieldTable, o, d):
-        """(S,N) brute layout like the analytic shapes; S = #instances."""
+    def intersect(tbl: HeightfieldTable, o, d, anyhit=False):
+        """(S,N) brute layout like the analytic shapes; S = #instances.
+        anyhit=True (shadow rays): single-stage march, no compaction — a
+        smaller program (ray_test doesn't need the nearest hit)."""
         o = jax.lax.stop_gradient(o)
         d = jax.lax.stop_gradient(d)
         ts, uvs, prims = [], [], []
@@ -299,7 +302,8 @@ class heightfield:
             o_obj = apply_point(to, o)
             d_obj = apply_vector(to, d)
             # note: d_obj NOT normalized -> t is in world-ray units
-            t_hit, hx, hz = heightfield._march(h, tbl.mips[s], o_obj, d_obj, R, C)
+            t_hit, hx, hz = heightfield._march(h, tbl.mips[s], o_obj, d_obj,
+                                               R, C, compact=not anyhit)
             ts.append(t_hit)
             px = o_obj[..., 0] + d_obj[..., 0] * jnp.where(jnp.isfinite(t_hit), t_hit, 0.0)
             pz = o_obj[..., 2] + d_obj[..., 2] * jnp.where(jnp.isfinite(t_hit), t_hit, 0.0)

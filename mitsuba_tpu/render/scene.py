@@ -136,13 +136,19 @@ def ray_intersect_preliminary(scene: Scene, ray: Ray) -> PreliminaryIntersection
 
 
 def ray_test(scene: Scene, ray: Ray):
-    """Occlusion query (scene.h:ray_test)."""
+    """Occlusion query (scene.h:ray_test) — any-hit fast path where the
+    plugin supports it."""
     from ..plugins.shapes import REGISTRY as SHAPES
+    import inspect
     n = ray.o.shape[0]
     occluded = jnp.zeros((n,), bool)
     for name in scene.shape_types:
         plugin = SHAPES[name]
-        t, _, _ = plugin.intersect(scene.shapes[name], ray.o, ray.d)
+        if 'anyhit' in inspect.signature(plugin.intersect).parameters:
+            t, _, _ = plugin.intersect(scene.shapes[name], ray.o, ray.d,
+                                       anyhit=True)
+        else:
+            t, _, _ = plugin.intersect(scene.shapes[name], ray.o, ray.d)
         occluded |= jnp.any(t < ray.maxt[None, :], axis=0)
     return occluded
 

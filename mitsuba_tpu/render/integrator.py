@@ -106,8 +106,14 @@ def _render_pass_jit(scene, block, pass_seed, spp_pass, spp_total,
                        sample_offset)
 
 
-def render(scene, spp: int = None, seed: int = 0, spp_per_pass: int = None):
-    """mi.render analogue (util.py:410-523, forward only). Returns (H,W,3)."""
+def render(scene, spp: int = None, seed: int = 0, spp_per_pass: int = None,
+           accum_dtype=None):
+    """mi.render analogue (util.py:410-523, forward only). Returns (H,W,3).
+
+    accum_dtype=jnp.float64 accumulates the multi-pass film in double on the
+    host — the compensated-summation option for very high spp (the
+    reference's Kahan-compensated ImageBlock accumulation,
+    imageblock.h:107-110, recast for the functional film)."""
     film = scene.film
     spp = spp or scene.spp
     cfg = integrator_config(scene)
@@ -121,8 +127,20 @@ def render(scene, spp: int = None, seed: int = 0, spp_per_pass: int = None):
         spp_per_pass = max(1, min(spp, budget // max(film.width * film.height, 1)))
     while spp % spp_per_pass != 0:
         spp_per_pass -= 1
-    block = film.new_block()
     n_passes = spp // spp_per_pass
+    if accum_dtype is not None:
+        import numpy as _np
+        acc = _np.zeros(film.new_block().shape, _np.float64)
+        for p in range(n_passes):
+            blk = _render_pass_jit(scene, film.new_block(),
+                                   jnp.asarray(seed, jnp.uint32),
+                                   spp_per_pass, spp, p * spp_per_pass)
+            acc += _np.asarray(blk, _np.float64)
+        w = acc[..., -1:]
+        img = acc[..., :-1] / _np.where(w < 1e-12, 1.0, w)
+        b = film.border
+        return jnp.asarray(img[b:-b, b:-b] if b else img, jnp.float32)
+    block = film.new_block()
     for p in range(n_passes):
         pass_seed = jnp.asarray(seed, jnp.uint32)
         block = _render_pass_jit(scene, block, pass_seed, spp_per_pass, spp,

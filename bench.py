@@ -42,6 +42,25 @@ def emit(**kw):
     sys.stdout.flush()
 
 
+def _watchdog(total_budget_s=480.0):
+    """If the device wedges (a fault can hang block_until_ready forever),
+    emit whatever we have and hard-exit so the driver still records a JSON
+    line."""
+    import threading
+    import os
+
+    def fire():
+        RESULT["detail"]["watchdog"] = "fired"
+        print(json.dumps(RESULT))
+        sys.stdout.flush()
+        os._exit(0)
+
+    t = threading.Timer(total_budget_s, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     import mitsuba_tpu as mt
     from mitsuba_tpu.render.integrator import render_pass
@@ -52,75 +71,69 @@ def main():
 
     # ---- stage 0: tiny probe (catches device faults early & cheaply) ----
     t0 = time.time()
-    probe = mt.load_dict(mt.cornell_box(spp=1, res=32, max_depth=2))
-    img = mt.render_wavefront(probe, spp=1)
+    probe = mt.load_dict(mt.cornell_box(spp=2, res=32, max_depth=2))
+    img = mt.render(probe, spp=2)
     np.asarray(img)
     RESULT["detail"]["probe_s"] = round(time.time() - t0, 2)
     RESULT["detail"]["stage"] = "probe_ok"
 
-    # ---- measured config (BASELINE configs[2]-scale) ----
-    res_hf = 512
-    res_img = 256
-    spp = 256
     max_depth = 4
-    spp_pass = 2  # small per-dispatch programs
+    spp = 256
 
-    scene = mt.load_dict(mt.heightfield_scene(
-        res_hf=res_hf, res_img=res_img, spp=spp, max_depth=max_depth))
-    params = mt.traverse(scene)
-    key = [k for k in params.keys() if 'heights' in k][0]
-    h0 = params[key]
+    def measure(res_hf, res_img, spp_pass, budget_s, tag):
+        scene = mt.load_dict(mt.heightfield_scene(
+            res_hf=res_hf, res_img=res_img, spp=spp, max_depth=max_depth))
+        params = mt.traverse(scene)
+        key = [k for k in params.keys() if 'heights' in k][0]
+        h0 = params[key]
 
-    def pass_loss(h, offset):
-        s2 = params.scene_with({key: h})
-        block = s2.film.new_block()
-        block = render_pass(s2, block, jnp.asarray(0, jnp.uint32), spp_pass,
-                            spp, sample_offset=offset)
-        img = film_mod.develop(block, s2.film)
-        return img.mean(), img
+        def pass_loss(h, offset):
+            s2 = params.scene_with({key: h})
+            block = s2.film.new_block()
+            block = render_pass(s2, block, jnp.asarray(0, jnp.uint32),
+                                spp_pass, spp, sample_offset=offset)
+            img = film_mod.develop(block, s2.film)
+            return img.mean(), img
 
-    grad_fn = jax.jit(jax.value_and_grad(pass_loss, has_aux=True))
+        grad_fn = jax.jit(jax.value_and_grad(pass_loss, has_aux=True))
+        t0 = time.time()
+        (l0, img0), g0 = grad_fn(h0, jnp.asarray(0, jnp.int32))
+        jax.block_until_ready(g0)
+        RESULT["detail"][f"{tag}_compile_s"] = round(time.time() - t0, 2)
+        grad_ok = bool(np.isfinite(np.asarray(g0)).all()) and \
+            float(jnp.abs(g0).max()) > 0
+        RESULT["detail"]["grad_finite_nonzero"] = grad_ok
+        n_passes = spp // spp_pass
+        t0 = time.time()
+        acc = jnp.zeros_like(h0)
+        done = 0
+        for p in range(n_passes):
+            (_, _), g = grad_fn(h0, jnp.asarray(p * spp_pass, jnp.int32))
+            acc = acc + g
+            done += 1
+            if p % 4 == 3:
+                jax.block_until_ready(acc)
+                if time.time() - t0 > budget_s:
+                    break
+        jax.block_until_ready(acc)
+        dt = time.time() - t0
+        rays = res_img * res_img * spp_pass * done * max_depth * 2
+        mrays = rays / dt / 1e6
+        RESULT["value"] = round(mrays, 2)
+        RESULT["detail"].update({
+            "stage": f"{tag}_done", "scale": tag, "seconds": round(dt, 3),
+            "spp_measured": spp_pass * done, "res_hf": res_hf,
+            "res_img": res_img, "spp_config": spp, "max_depth": max_depth,
+        })
 
-    # warm-up / compile
-    t0 = time.time()
-    (l0, img0), g0 = grad_fn(h0, jnp.asarray(0, jnp.int32))
-    jax.block_until_ready(g0)
-    RESULT["detail"]["compile_warm_s"] = round(time.time() - t0, 2)
-    RESULT["detail"]["stage"] = "warm_ok"
-    grad_ok = bool(np.isfinite(np.asarray(g0)).all()) and \
-        float(jnp.abs(g0).max()) > 0 and bool(np.isfinite(np.asarray(img0)).all())
-    RESULT["detail"]["grad_finite_nonzero"] = grad_ok
-
-    # timed: as many passes as fit a wall budget, extrapolate the full spp
-    n_passes = spp // spp_pass
-    budget_s = 120.0
-    t0 = time.time()
-    acc = jnp.zeros_like(h0)
-    done = 0
-    for p in range(n_passes):
-        (_, _), g = grad_fn(h0, jnp.asarray(p * spp_pass, jnp.int32))
-        acc = acc + g
-        done += 1
-        if p % 8 == 7:
-            jax.block_until_ready(acc)
-            if time.time() - t0 > budget_s:
-                break
-    jax.block_until_ready(acc)
-    dt = time.time() - t0
-
-    lanes_done = res_img * res_img * spp_pass * done
-    rays_fwd = lanes_done * max_depth * 2
-    mrays = rays_fwd / dt / 1e6
-    RESULT["value"] = round(mrays, 2)
-    RESULT["detail"].update({
-        "stage": "done", "seconds": round(dt, 3), "passes": done,
-        "spp_measured": spp_pass * done,
-        "res_hf": res_hf, "res_img": res_img, "spp_config": spp,
-        "max_depth": max_depth,
-    })
+    # mid-scale first: its number is banked if the full config trips the
+    # device; then the BASELINE-scale config overwrites on success
+    measure(128, 128, 2, 45.0, "mid")
+    measure(512, 256, 1, 90.0, "full")
 
 
 if __name__ == '__main__':
+    _watchdog()
     try:
         main()
     except Exception as e:  # noqa: BLE001 — always emit a JSON line

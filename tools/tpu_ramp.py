@@ -1,0 +1,70 @@
+"""Stepwise TPU capability ramp: runs progressively larger render/grad
+programs, flushing a line after each, so a device fault identifies the exact
+failing scale. Usage: python tools/tpu_ramp.py [max_stage]"""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+sys.path.insert(0, '/root/repo')
+import mitsuba_tpu as mt  # noqa: E402
+from mitsuba_tpu.render.integrator import render_pass  # noqa: E402
+from mitsuba_tpu.render import film as film_mod  # noqa: E402
+
+
+def step(label, fn):
+    t0 = time.time()
+    out = fn()
+    jax.block_until_ready(out)
+    t1 = time.time()
+    out2 = fn()
+    jax.block_until_ready(out2)
+    t2 = time.time()
+    print(f'{label}: compile+run {t1-t0:.1f}s run {t2-t1:.2f}s', flush=True)
+    return t2 - t1
+
+
+def fwd(res_hf, res_img, spp_pass, depth):
+    scene = mt.load_dict(mt.heightfield_scene(res_hf=res_hf, res_img=res_img,
+                                              spp=spp_pass, max_depth=depth))
+    f = jax.jit(lambda s, b: render_pass(s, b, jnp.asarray(0, jnp.uint32),
+                                         spp_pass, spp_pass, 0))
+    return lambda: f(scene, scene.film.new_block())
+
+
+def grad(res_hf, res_img, spp_pass, depth):
+    scene = mt.load_dict(mt.heightfield_scene(res_hf=res_hf, res_img=res_img,
+                                              spp=spp_pass, max_depth=depth))
+    params = mt.traverse(scene)
+    key = [k for k in params.keys() if 'heights' in k][0]
+    h0 = params[key]
+
+    def loss(h):
+        s2 = params.scene_with({key: h})
+        block = s2.film.new_block()
+        block = render_pass(s2, block, jnp.asarray(0, jnp.uint32), spp_pass,
+                            spp_pass, 0)
+        return film_mod.develop(block, s2.film).mean()
+    g = jax.jit(jax.grad(loss))
+    return lambda: g(h0)
+
+
+STAGES = [
+    ('fwd hf128 img64 spp1 d2', lambda: fwd(128, 64, 1, 2)),
+    ('grad hf128 img64 spp1 d2', lambda: grad(128, 64, 1, 2)),
+    ('fwd hf256 img128 spp1 d4', lambda: fwd(256, 128, 1, 4)),
+    ('grad hf256 img128 spp1 d4', lambda: grad(256, 128, 1, 4)),
+    ('fwd hf512 img256 spp1 d4', lambda: fwd(512, 256, 1, 4)),
+    ('grad hf512 img256 spp1 d4', lambda: grad(512, 256, 1, 4)),
+]
+
+if __name__ == '__main__':
+    max_stage = int(sys.argv[1]) if len(sys.argv) > 1 else len(STAGES)
+    for label, maker in STAGES[:max_stage]:
+        step(label, maker())
+    print('ramp complete', flush=True)

@@ -37,9 +37,14 @@ def sample(scene, sampler, ray, max_depth, rr_depth=5, hide_emitters=False):
         si = sc.ray_intersect(scene, cur_ray)
         maxt = jnp.where(si.is_valid, si.t, 4.0 * scene.bbox_radius)
 
-        u_t, smpl = sa.next_1d(smpl)
-        u_c, smpl = sa.next_1d(smpl)
-        t_med, is_medium, w_tr = med_mod.sample_interaction(med, u_t, u_c, maxt)
+        if med.density is not None:
+            # heterogeneous: delta tracking against the global majorant
+            t_med, is_medium, w_tr, smpl = med_mod.sample_interaction_het(
+                med, smpl, st['o'], st['d'], maxt)
+        else:
+            u_t, smpl = sa.next_1d(smpl)
+            u_c, smpl = sa.next_1d(smpl)
+            t_med, is_medium, w_tr = med_mod.sample_interaction(med, u_t, u_c, maxt)
         is_medium = is_medium & st['active']
         beta = st['beta'] * w_tr
 
@@ -70,7 +75,11 @@ def sample(scene, sampler, ray, max_depth, rr_depth=5, hide_emitters=False):
                                                test_visibility=True,
                                                active=active_em)
         # attenuate by medium transmittance along the shadow segment
-        tr_sh = med_mod.transmittance(med, ds.dist)
+        if med.density is not None:
+            tr_sh, smpl = med_mod.transmittance_het(med, smpl, si_evt.p, ds.d,
+                                                    ds.dist)
+        else:
+            tr_sh = med_mod.transmittance(med, ds.dist)
         em_w = em_w * tr_sh
         # scattering value toward the light: phase (medium) or bsdf (surface)
         wo_local = si.to_local(ds.d)

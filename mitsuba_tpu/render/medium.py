@@ -26,10 +26,17 @@ PHASE_HG = 1
 
 @struct.dataclass
 class Medium:
-    sigma_t: jnp.ndarray    # (3,) extinction
+    sigma_t: jnp.ndarray    # (3,) extinction (scale for heterogeneous)
     albedo: jnp.ndarray     # (3,) single-scattering albedo
     phase_kind: int = struct.field(pytree_node=False, default=PHASE_ISOTROPIC)
     g: jnp.ndarray = 0.0    # HG asymmetry
+    # heterogeneous extension (src/media/heterogeneous.cpp +
+    # src/volumes/gridvolume.cpp): density grid over [0,1]^3 in medium-local
+    # coords; majorant = global max (the supervoxel-majorant refinement is a
+    # planned optimization, medium.h:22 get_majorant contract)
+    density: jnp.ndarray = None        # (D,H,W) or None
+    majorant: jnp.ndarray = 1.0        # () max density
+    to_object: jnp.ndarray = None      # (4,4) world -> medium local
 
 
 def build(props) -> Medium:
@@ -42,10 +49,117 @@ def build(props) -> Medium:
     phase = props.get('phase', {'type': 'isotropic'})
     kind = PHASE_HG if phase.get('type') == 'hg' else PHASE_ISOTROPIC
     g = float(phase.get('g', 0.0))
+    density = None
+    majorant = 1.0
+    to_object = None
+    if props.get('type') == 'heterogeneous' or 'density' in props:
+        dprops = props.get('density', {})
+        if isinstance(dprops, dict):
+            data = dprops.get('data')
+            if data is None and 'filename' in dprops:
+                data = np.load(dprops['filename'])
+            tw = dprops.get('to_world')
+        else:
+            data = dprops
+            tw = None
+        data = np.asarray(data, np.float32)
+        density = jnp.asarray(data)
+        majorant = float(data.max())
+        from ..core.transform import Transform4
+        tw = tw if tw is not None else props.get('to_world', Transform4())
+        to_object = jnp.asarray(tw.inverse_matrix, jnp.float32)
     return Medium(
         sigma_t=jnp.broadcast_to(jnp.asarray(sigma_t, jnp.float32).reshape(-1), (3,)),
         albedo=jnp.broadcast_to(jnp.asarray(albedo, jnp.float32).reshape(-1), (3,)),
-        phase_kind=kind, g=jnp.asarray(g, jnp.float32))
+        phase_kind=kind, g=jnp.asarray(g, jnp.float32),
+        density=density, majorant=jnp.asarray(majorant, jnp.float32),
+        to_object=to_object)
+
+
+def eval_density(med: Medium, p_world):
+    """Trilinear density lookup (gridvolume.cpp); 0 outside [0,1]^3."""
+    from ..core.transform import apply_point
+    p = apply_point(med.to_object, p_world) if med.to_object is not None else p_world
+    D, H, W = med.density.shape
+    x = p[..., 0] * (W - 1)
+    y = p[..., 1] * (H - 1)
+    z = p[..., 2] * (D - 1)
+    inside = ((p[..., 0] >= 0) & (p[..., 0] <= 1) & (p[..., 1] >= 0) &
+              (p[..., 1] <= 1) & (p[..., 2] >= 0) & (p[..., 2] <= 1))
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, W - 2)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, H - 2)
+    z0 = jnp.clip(jnp.floor(z).astype(jnp.int32), 0, D - 2)
+    fx = jnp.clip(x - x0, 0, 1)
+    fy = jnp.clip(y - y0, 0, 1)
+    fz = jnp.clip(z - z0, 0, 1)
+    g = med.density
+
+    def at(dz, dy, dx):
+        return g[z0 + dz, y0 + dy, x0 + dx]
+    c00 = at(0, 0, 0) * (1 - fx) + at(0, 0, 1) * fx
+    c01 = at(0, 1, 0) * (1 - fx) + at(0, 1, 1) * fx
+    c10 = at(1, 0, 0) * (1 - fx) + at(1, 0, 1) * fx
+    c11 = at(1, 1, 0) * (1 - fx) + at(1, 1, 1) * fx
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    return jnp.where(inside, c0 * (1 - fz) + c1 * fz, 0.0)
+
+
+DELTA_STEPS = 32  # fixed-trip null-collision loop (reverse-differentiable)
+
+
+def sample_interaction_het(med: Medium, smpl_next_1d, o, d, maxt):
+    """Delta (Woodcock) tracking against the global majorant
+    (heterogeneous.cpp free-flight). Fixed DELTA_STEPS trip count with masks
+    so the loop stays a lax-scan (differentiable, static shapes).
+    Returns (t (N,), is_medium, weight (N,3), smpl)."""
+    import jax
+    n = o.shape[0]
+    sig_m = jnp.mean(med.sigma_t) * med.majorant  # scalar majorant extinction
+    t = jnp.zeros((n,))
+    done = jnp.zeros((n,), bool)
+    is_med = jnp.zeros((n,), bool)
+    smpl = smpl_next_1d
+    for _ in range(DELTA_STEPS):
+        from . import sampler as sa
+        u, smpl = sa.next_1d(smpl)
+        u2, smpl = sa.next_1d(smpl)
+        step = -jnp.log(jnp.maximum(1.0 - u, 1e-12)) / jnp.maximum(sig_m, 1e-9)
+        t_new = t + step
+        escaped = t_new >= maxt
+        p = o + d * jnp.minimum(t_new, maxt)[..., None]
+        dens = eval_density(med, p)
+        real = u2 < dens / jnp.maximum(med.majorant, 1e-9)
+        hit_med = ~done & ~escaped & real
+        newly_done = ~done & (escaped | real)
+        t = jnp.where(~done, jnp.minimum(t_new, maxt), t)
+        is_med = is_med | hit_med
+        done = done | newly_done
+    # weight: delta tracking is unbiased with unit weight (ratio of real to
+    # majorant collisions already folded into the acceptance test)
+    weight = jnp.ones((n, 3))
+    return jnp.where(is_med, t, maxt), is_med, weight, smpl
+
+
+def transmittance_het(med: Medium, smpl, o, d, dist, n_rr=DELTA_STEPS):
+    """Ratio-tracking transmittance estimate along an unoccluded segment."""
+    from . import sampler as sa
+    n = o.shape[0]
+    sig_m = jnp.mean(med.sigma_t) * med.majorant
+    t = jnp.zeros((n,))
+    tr = jnp.ones((n,))
+    done = jnp.zeros((n,), bool)
+    for _ in range(n_rr):
+        u, smpl = sa.next_1d(smpl)
+        step = -jnp.log(jnp.maximum(1.0 - u, 1e-12)) / jnp.maximum(sig_m, 1e-9)
+        t = jnp.where(done, t, t + step)
+        escaped = t >= dist
+        p = o + d * jnp.minimum(t, dist)[..., None]
+        dens = eval_density(med, p)
+        ratio = 1.0 - dens / jnp.maximum(med.majorant, 1e-9)
+        tr = jnp.where(done | escaped, tr, tr * jnp.clip(ratio, 0.0, 1.0))
+        done = done | escaped
+    return tr[..., None] * jnp.ones((n, 3)), smpl
 
 
 # ---------------------------------------------------------------------------

@@ -101,3 +101,21 @@ def test_direct_integrator_matches_path_depth2():
     a = img_path[16:, :, :]
     b = img_dir[16:, :, :]
     assert np.abs(a - b).mean() < 0.02, np.abs(a - b).mean()
+
+
+def test_heterogeneous_constant_matches_homogeneous():
+    """A CONSTANT density grid must reproduce the homogeneous medium
+    (heterogeneous.cpp oracle)."""
+    sigma = 0.4
+    d_hom = _medium_scene(sigma, 0.0, max_depth=4)
+    img_h = np.asarray(mt.render(mt.load_dict(d_hom), spp=256))
+    d_het = _medium_scene(sigma, 0.0, max_depth=4)
+    d_het['fog'] = {'type': 'heterogeneous',
+                    'sigma_t': {'type': 'rgb', 'value': [sigma] * 3},
+                    'albedo': {'type': 'rgb', 'value': [0.0] * 3},
+                    'density': {'data': np.ones((8, 8, 8), np.float32),
+                                'to_world': T.translate([-4, -4, -4]).scale(8.0)}}
+    img_g = np.asarray(mt.render(mt.load_dict(d_het), spp=256))
+    c = (slice(14, 18), slice(14, 18))
+    assert abs(img_g[c].mean() - img_h[c].mean()) / max(img_h[c].mean(), 1e-6) < 0.1, \
+        (img_g[c].mean(), img_h[c].mean())

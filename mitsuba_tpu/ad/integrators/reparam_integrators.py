@@ -18,7 +18,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ...core import math as m
 from ...render import scene as sc
 from ...render import sampler as sa
 from ...render import film as film_mod
@@ -27,17 +26,6 @@ from ...render.records import Ray
 from ..reparam import reparameterize_ray
 from .prb import _gen_rays
 from ...plugins.integrators.path import mis_weight
-
-
-def _emission_sample(scene, smpl, ray, num_aux, kappa, active):
-    d_w, det, smpl = reparameterize_ray(scene, smpl, ray, active,
-                                        num_aux=num_aux, kappa=kappa)
-    ray_w = Ray.make(ray.o, d_w)
-    si = sc.ray_intersect(scene, ray_w)
-    hit_em = active & (si.emitter_index >= 0)
-    Le = sc.eval_emitter_hit(scene, si, hit_em)
-    Le = Le + sc.eval_environment(scene, d_w, active & ~si.is_valid)
-    return Le * det[..., None], si, smpl
 
 
 def _warped_pos(scene, pos_f, d_w, active):

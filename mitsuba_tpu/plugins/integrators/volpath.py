@@ -84,7 +84,6 @@ def sample(scene, sampler, ray, max_depth, rr_depth=5, hide_emitters=False):
         # scattering value toward the light: phase (medium) or bsdf (surface)
         wo_local = si.to_local(ds.d)
         b_val, b_pdf = bsdf_mod.eval_pdf(scene, si, wo_local, active_em & ~is_medium)
-        ph_val = med_mod.phase_eval(med, -st['d'], ds.d) * med.albedo[None, :].mean(-1)
         ph_val3 = med.albedo[None, :] * med_mod.phase_eval(med, -st['d'], ds.d)[..., None]
         scat_val = jnp.where(is_medium[..., None], ph_val3, b_val)
         scat_pdf = jnp.where(is_medium,

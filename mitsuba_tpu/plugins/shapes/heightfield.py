@@ -83,17 +83,28 @@ class heightfield:
     # leaf test: bilinear patch vs ray segment, closed form
     # ------------------------------------------------------------------
     @staticmethod
-    def _patch_hit(h, ix, iz, o, d, t0, t1, R, C):
+    def _pack_pairs(h):
+        """Pack horizontally adjacent height pairs as complex64 so each cell
+        corner-row is ONE gather (TPU gathers are per-element scalar-core
+        work; this halves the leaf test's gather count)."""
+        return jax.lax.complex(h[:, :-1], h[:, 1:])   # (R, C-1)
+
+    @staticmethod
+    def _patch_hit(h_pairs, ix, iz, o, d, t0, t1, R, C):
         """Quadratic solve of y(t) = h_bilinear(x(t), z(t)) within cell
-        (ix, iz) over t in [t0, t1]. Returns (hit, t)."""
+        (ix, iz) over t in [t0, t1]. Returns (hit, t).
+        h_pairs: complex-packed adjacent pairs from _pack_pairs."""
         W = C - 1
         H = R - 1
         ixc = jnp.clip(ix, 0, W - 1)
         izc = jnp.clip(iz, 0, H - 1)
-        h00 = h[izc, ixc]
-        h01 = h[izc, ixc + 1]
-        h10 = h[izc + 1, ixc]
-        h11 = h[izc + 1, ixc + 1]
+        flat = h_pairs.reshape(-1)
+        top = flat[izc * W + ixc]
+        bot = flat[(izc + 1) * W + ixc]
+        h00 = jnp.real(top)
+        h01 = jnp.imag(top)
+        h10 = jnp.real(bot)
+        h11 = jnp.imag(bot)
         # local coords: u = x*W - ix in [0,1], v = z*H - iz
         u0 = o[..., 0] * W - ixc
         v0 = o[..., 2] * H - izc
@@ -128,6 +139,7 @@ class heightfield:
         h_max = jnp.max(mips[-1]) + 1.0
         h_min = -jnp.max(-h) - 1.0
 
+        h_pairs = heightfield._pack_pairs(h)
         # entry into the bounding box [0,1] x [hmin,hmax] x [0,1]
         inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-9,
                                 jnp.where(d < 0, -1e-9, 1e-9), d)
@@ -143,27 +155,35 @@ class heightfield:
         start_lvl = n_levels - 1
         eps_t = 1e-5
 
-        # per-level cell scale: a level-l cell spans 2^l base cells; scale_l =
-        # W / 2^l = number of (fractional) level-l cells across [0,1]
-        scales_x = jnp.asarray([W / (1 << l) for l in range(n_levels)], jnp.float32)
-        scales_z = jnp.asarray([H / (1 << l) for l in range(n_levels)], jnp.float32)
-        ncx = jnp.asarray([mp.shape[1] for mp in mips], jnp.int32)
-        ncz = jnp.asarray([mp.shape[0] for mp in mips], jnp.int32)
-
-        # level dispatch: all mip levels flattened into ONE buffer so the
-        # column-max lookup is a single (N,) gather per iteration (gathers
-        # are the traversal's dominant cost on TPU)
+        # TPU gather economy: per-lane gathers run on the scalar core, so the
+        # hot loop uses COMPUTED level constants instead of small-table
+        # lookups (scale = W*2^-l; cell counts = ceil-shift; level offsets as
+        # a select-chain over the static level list). Only 1 mip gather (+2
+        # packed corner gathers at the leaf) remain per iteration.
         import numpy as _np
         mip_flat = jnp.concatenate([mp.ravel() for mp in mips])
-        lvl_offset = jnp.asarray(
-            _np.cumsum([0] + [mp.size for mp in mips[:-1]]), jnp.int32)
+        sizes = [mp.size for mp in mips]
+        offsets_np = _np.cumsum([0] + sizes[:-1]).astype(_np.int32)
+
+        def scale_of(lvl, base):
+            return base * jnp.exp2(-lvl.astype(jnp.float32))
+
+        def ncells(lvl, base):
+            # iterated ceil-div by 2 == ceil(base / 2^l)
+            return (base + (jnp.left_shift(1, lvl) - 1)) >> lvl
+
+        def offset_of(lvl):
+            off = jnp.zeros_like(lvl)
+            for k in range(1, n_levels):
+                off = jnp.where(lvl >= k, jnp.int32(offsets_np[k]), off)
+            return off
 
         def mip_lookup_batch(lvl, iz, ix):
-            w_l = ncx[lvl]
-            h_l = ncz[lvl]
+            w_l = ncells(lvl, W)
+            h_l = ncells(lvl, H)
             izc = jnp.clip(iz, 0, h_l - 1)
             ixc = jnp.clip(ix, 0, w_l - 1)
-            return mip_flat[lvl_offset[lvl] + izc * w_l + ixc]
+            return mip_flat[offset_of(lvl) + izc * w_l + ixc]
 
         step_ix_full = jnp.where(d[..., 0] >= 0, 1, -1).astype(jnp.int32)
         step_iz_full = jnp.where(d[..., 2] >= 0, 1, -1).astype(jnp.int32)
@@ -178,8 +198,8 @@ class heightfield:
 
         def _body_impl(state, o, d, inv_d, step_ix, step_iz, t_far, t_enter):
             t, lvl, ix, iz, t_hit, active, steps = state
-            sx = scales_x[lvl]
-            sz = scales_z[lvl]
+            sx = scale_of(lvl, W)
+            sz = scale_of(lvl, H)
             # exit crossing per axis in the travel direction (exact DDA —
             # the cell identity is tracked by INTEGER index stepping, never
             # by re-flooring the ray point, so no epsilon creep)
@@ -195,9 +215,20 @@ class heightfield:
             overlap = (jnp.minimum(y_a, y_b) <= cmax) & (t <= t_exit + eps_t)
 
             at_leaf = lvl == 0
-            # -- leaf: exact patch test
-            hit_leaf, t_leaf = heightfield._patch_hit(
-                h, ix, iz, o, d, jnp.maximum(t, t_enter) - 2e-5, t_exit, R, C)
+            # -- leaf: exact patch test (cond-gated: skipped entirely on
+            # iterations where no lane is at a potentially-hit leaf)
+            def do_patch(_):
+                return heightfield._patch_hit(
+                    h_pairs, ix, iz, o, d, jnp.maximum(t, t_enter) - 2e-5,
+                    t_exit, R, C)
+
+            def skip_patch(_):
+                nn = t.shape[0]
+                return (jnp.zeros((nn,), bool), jnp.full((nn,), jnp.inf))
+
+            any_leaf = jnp.any(at_leaf & overlap & active)
+            hit_leaf, t_leaf = jax.lax.cond(any_leaf, do_patch, skip_patch,
+                                            None)
             leaf_hit = at_leaf & overlap & hit_leaf & active
             t_hit = jnp.where(leaf_hit & (t_leaf < t_hit), t_leaf, t_hit)
 
@@ -205,8 +236,8 @@ class heightfield:
             # the ray point at t, clamped into the parent's 2x2 children
             descend = overlap & ~at_leaf & active
             lvl_d = jnp.maximum(lvl - 1, 0)
-            sxd = scales_x[lvl_d]
-            szd = scales_z[lvl_d]
+            sxd = scale_of(lvl_d, W)
+            szd = scale_of(lvl_d, H)
             tq = jnp.maximum(t, t_enter)
             cx_d = jnp.floor((o[..., 0] + d[..., 0] * tq) * sxd).astype(jnp.int32)
             cz_d = jnp.floor((o[..., 2] + d[..., 2] * tq) * szd).astype(jnp.int32)
@@ -231,8 +262,8 @@ class heightfield:
             new_t = jnp.where(advance, t_exit, jnp.maximum(t, t_enter))
 
             # termination: out of the level's index range or past t_far
-            in_range = (new_ix >= 0) & (new_ix < ncx[new_lvl]) & \
-                (new_iz >= 0) & (new_iz < ncz[new_lvl])
+            in_range = (new_ix >= 0) & (new_ix < ncells(new_lvl, W)) & \
+                (new_iz >= 0) & (new_iz < ncells(new_lvl, H))
             still = active & ~leaf_hit & (new_t <= t_far + eps_t) & in_range
             return (new_t, new_lvl, new_ix, new_iz, t_hit, still, steps + 1)
 
@@ -243,8 +274,8 @@ class heightfield:
                 return jnp.any(st[5]) & (st[6] < cap)
             return jax.lax.while_loop(cond, body, state)
 
-        sx0 = scales_x[start_lvl]
-        sz0 = scales_z[start_lvl]
+        sx0 = float(W / (1 << start_lvl))
+        sz0 = float(H / (1 << start_lvl))
         cx0 = jnp.floor((o[..., 0] + d[..., 0] * (t_enter + eps_t)) * sx0).astype(jnp.int32)
         cz0 = jnp.floor((o[..., 2] + d[..., 2] * (t_enter + eps_t)) * sz0).astype(jnp.int32)
         lvl0 = jnp.full((n,), start_lvl, jnp.int32)

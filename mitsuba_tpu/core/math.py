@@ -146,6 +146,25 @@ def srgb_to_linear(x):
                      jnp.power((jnp.maximum(x, 0.0) + 0.055) / 1.055, 2.4))
 
 
+def small_gather(table, idx, limit=32):
+    """Gather rows of a SMALL table by per-lane index.
+
+    TPU gathers execute per-element on the scalar core; for tables with few
+    rows a select-chain over broadcast rows runs entirely on the VPU and is
+    far faster. Falls back to a regular gather for large tables.
+    table: (T, ...) array; idx: (N,) int32 -> (N, ...).
+    """
+    T = table.shape[0]
+    if T > limit:
+        return table[jnp.clip(idx, 0, T - 1)]
+    extra = table.ndim - 1
+    mshape = idx.shape + (1,) * extra
+    out = jnp.zeros(idx.shape + table.shape[1:], table.dtype)
+    for i in range(T):
+        out = jnp.where((idx == i).reshape(mshape), table[i], out)
+    return out
+
+
 def morton_encode2(x, y):
     """Interleave bits of two uint32 (16-bit each) -> morton code."""
     def part(v):

@@ -34,7 +34,7 @@ def _stack_transforms(props_list):
 
 
 def _gather_mats(mats, slot):
-    return mats[jnp.clip(slot, 0, mats.shape[0] - 1)]
+    return m.small_gather(mats, jnp.clip(slot, 0, mats.shape[0] - 1))
 
 
 # ===========================================================================
@@ -161,9 +161,9 @@ class sphere:
 
     @staticmethod
     def compute_si(tbl, slot, o, d, t, prim_uv, prim_index):
-        center = tbl.center[slot]
-        radius = tbl.radius[slot]
-        flip = tbl.flip[slot]
+        center = m.small_gather(tbl.center, slot)
+        radius = m.small_gather(tbl.radius, slot)
+        flip = m.small_gather(tbl.flip, slot)
         oc = o - center
         b = m.dot(oc, d)
         c = m.squared_norm(oc) - radius ** 2
@@ -203,9 +203,9 @@ class sphere:
     @staticmethod
     def sample_position(tbl, slot, sample2):
         from ...core import warp
-        center = tbl.center[slot]
-        radius = tbl.radius[slot]
-        flip = tbl.flip[slot]
+        center = m.small_gather(tbl.center, slot)
+        radius = m.small_gather(tbl.radius, slot)
+        flip = m.small_gather(tbl.flip, slot)
         nrm = warp.square_to_uniform_sphere(sample2)
         p = center + nrm * radius[..., None]
         area = 4.0 * m.Pi * radius ** 2

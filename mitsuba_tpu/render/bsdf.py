@@ -26,8 +26,10 @@ from ..core.frame import Frame, coordinate_system
 
 
 def _lane_ids(scene, si):
+    from ..core.math import small_gather
     bid = jnp.maximum(si.bsdf_index, 0)
-    return scene.bsdf_type_of[bid], scene.bsdf_slot_of[bid]
+    return (small_gather(scene.bsdf_type_of, bid),
+            small_gather(scene.bsdf_slot_of, bid))
 
 
 # ---------------------------------------------------------------------------
@@ -96,8 +98,9 @@ def _blend_maps(scene, si):
 
 def _eval_pdf_ids(scene, si, bids, wi, wo, active):
     from ..plugins.bsdfs import REGISTRY
-    ti_lane = scene.bsdf_type_of[bids]
-    slot = scene.bsdf_slot_of[bids]
+    from ..core.math import small_gather
+    ti_lane = small_gather(scene.bsdf_type_of, bids)
+    slot = small_gather(scene.bsdf_slot_of, bids)
     n = wo.shape[0]
     val = jnp.zeros((n, 3), wo.dtype)
     pdf = jnp.zeros((n,), wo.dtype)
@@ -139,8 +142,9 @@ def pdf(scene, si, wo, active):
 
 def _sample_ids(scene, si, bids, wi, sample1, sample2, active):
     from ..plugins.bsdfs import REGISTRY
-    ti_lane = scene.bsdf_type_of[bids]
-    slot = scene.bsdf_slot_of[bids]
+    from ..core.math import small_gather
+    ti_lane = small_gather(scene.bsdf_type_of, bids)
+    slot = small_gather(scene.bsdf_slot_of, bids)
     n = sample1.shape[0]
     dt = sample2.dtype
     bs = BSDFSample(wo=jnp.zeros((n, 3), dt), pdf=jnp.zeros((n,), dt),
@@ -223,8 +227,10 @@ def eval_diffuse_reflectance(scene, si, active):
 
 def lane_flags(scene, si):
     """Per-lane BSDFFlags of the hit BSDF (static per type, gathered)."""
+    from ..core.math import small_gather
     bid = jnp.maximum(si.bsdf_index, 0)
-    return jnp.where(si.bsdf_index >= 0, scene.bsdf_flags[bid], 0)
+    return jnp.where(si.bsdf_index >= 0,
+                     small_gather(scene.bsdf_flags, bid), 0)
 
 
 def has_smooth(scene, si):

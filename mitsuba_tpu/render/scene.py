@@ -190,8 +190,9 @@ def compute_surface_interaction(scene: Scene, ray: Ray,
         wi=wi_local,
         shape_index=pi.shape_index,
         prim_index=pi.prim_index,
-        bsdf_index=jnp.where(valid, scene.shape_bsdf[gid], -1),
-        emitter_index=jnp.where(valid, scene.shape_emitter[gid], -1))
+        bsdf_index=jnp.where(valid, m.small_gather(scene.shape_bsdf, gid), -1),
+        emitter_index=jnp.where(valid,
+                                m.small_gather(scene.shape_emitter, gid), -1))
 
 
 def ray_intersect(scene: Scene, ray: Ray) -> SurfaceInteraction:
@@ -424,7 +425,7 @@ def pdf_emitter_direction(scene: Scene, prev_p, si: SurfaceInteraction, active):
             continue
         sel = has_em & (etype == ti)
         gid = jnp.maximum(si.shape_index, 0)
-        area = scene.shape_area[gid]
+        area = m.small_gather(scene.shape_area, gid)
         dvec = si.p - prev_p
         dist2 = m.squared_norm(dvec)
         cos_e = si.wi[..., 2]  # cos at emitter side (wi is toward prev_p)

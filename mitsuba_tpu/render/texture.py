@@ -120,18 +120,23 @@ def bilinear_sample(img, uv, nearest=False):
 
 
 def eval_texture(tex: TextureSet, tex_id, uv):
-    """tex_id: (N,) int32; uv: (N,2) -> (N,3)."""
+    """tex_id: (N,) int32; uv: (N,2) -> (N,3). Small-table lookups use
+    VPU select-chains (core.math.small_gather) — per-lane scalar gathers are
+    the TPU hot-path killer."""
+    from ..core.math import small_gather
     tex_id = jnp.clip(tex_id, 0, tex.kind.shape[0] - 1)
-    kind = tex.kind[tex_id]
-    out = tex.color0[tex_id]
+    kind = small_gather(tex.kind, tex_id)
+    color0 = small_gather(tex.color0, tex_id)
+    out = color0
     # checkerboard (checkerboard.cpp: color selected by parity of uv cell)
-    uv_t = uv * tex.uv_scale[tex_id] + tex.uv_offset[tex_id]
+    uv_t = uv * small_gather(tex.uv_scale, tex_id) +         small_gather(tex.uv_offset, tex_id)
     fu = uv_t[..., 0] - jnp.floor(uv_t[..., 0])
     fv = uv_t[..., 1] - jnp.floor(uv_t[..., 1])
     mask_c = (fu > 0.5) ^ (fv > 0.5)
-    checker = jnp.where(mask_c[..., None], tex.color0[tex_id], tex.color1[tex_id])
+    checker = jnp.where(mask_c[..., None], color0,
+                        small_gather(tex.color1, tex_id))
     out = jnp.where((kind == KIND_CHECKER)[..., None], checker, out)
-    slot = tex.bitmap_slot[tex_id]
+    slot = small_gather(tex.bitmap_slot, tex_id)
     for i, img in enumerate(tex.bitmaps):
         nearest = tex.filter_nearest[i] if i < len(tex.filter_nearest) else False
         val = bilinear_sample(img, uv_t, nearest=nearest)

@@ -145,3 +145,18 @@ def test_replace_grad():
 
 def test_morton():
     assert int(m.morton_encode2(jnp.uint32(0b11), jnp.uint32(0b10))) == 0b1101
+
+
+def test_small_gather_matches_gather():
+    rngs = np.random.default_rng(3)
+    for shape in [(7,), (9, 3), (5, 4, 4)]:
+        tbl = jnp.asarray(rngs.standard_normal(shape).astype(np.float32))
+        idx = jnp.asarray(rngs.integers(0, shape[0], 100), jnp.int32)
+        a = np.asarray(m.small_gather(tbl, idx))
+        b = np.asarray(tbl)[np.asarray(idx)]
+        assert np.array_equal(a, b), shape
+    # int table
+    tbl = jnp.asarray(rngs.integers(0, 100, 11), jnp.int32)
+    idx = jnp.asarray(rngs.integers(0, 11, 64), jnp.int32)
+    assert np.array_equal(np.asarray(m.small_gather(tbl, idx)),
+                          np.asarray(tbl)[np.asarray(idx)])

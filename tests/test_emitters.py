@@ -1,0 +1,132 @@
+"""Emitter plugins (reference src/emitters/tests): sampling pdfs, falloffs,
+and envmap importance sampling."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import mitsuba_tpu as mt
+from mitsuba_tpu.core.transform import ScalarTransform4f as T
+from mitsuba_tpu.render import emitter as em
+from mitsuba_tpu.utils.chi2 import ChiSquareTest, SphericalDomain
+
+
+def test_envmap_importance_sampling_chi2():
+    """envmap hierarchical warp: sampled positions must follow the
+    luminance-weighted texel pdf (envmap.cpp:103 Hierarchical2D). Tested in
+    UV space where the pdf is piecewise constant (the equirect 1/sin(theta)
+    pole singularity makes sphere-space binning numerically ill-posed)."""
+    from mitsuba_tpu.utils.chi2 import PlanarDomain
+    from mitsuba_tpu.core import warp
+    rng = np.random.default_rng(0)
+    H, W = 32, 64
+    img = rng.random((H, W, 3)).astype(np.float32) ** 3 * 5  # peaky
+    tbl = em.build_envmap({'data': img})
+
+    def sample_fn(u):
+        d, pdf, rad = em.envmap_sample_direction(tbl, u)
+        return warp.direction_to_spherical_uv(d), None
+
+    def pdf_fn(uv):
+        Hf, Wf = tbl.pdf_grid.shape
+        col = jnp.clip((uv[..., 0] * Wf).astype(jnp.int32), 0, Wf - 1)
+        row = jnp.clip((uv[..., 1] * Hf).astype(jnp.int32), 0, Hf - 1)
+        inside = ((uv[..., 0] >= 0) & (uv[..., 0] <= 1) &
+                  (uv[..., 1] >= 0) & (uv[..., 1] <= 1))
+        return jnp.where(inside, tbl.pdf_grid[row, col] * (Hf * Wf), 0.0)
+
+    t = ChiSquareTest(PlanarDomain(bounds=((0, 1), (0, 1)), res=(32, 16)),
+                      sample_fn, pdf_fn, sample_count=300_000, seed=4)
+    assert t.run(), t.messages
+    # pdf must also integrate to 1 over solid angle
+    ds = warp.square_to_uniform_sphere(
+        jnp.asarray(rng.random((300_000, 2), np.float32)))
+    integral = float(em.envmap_pdf_direction(tbl, ds).mean() * 4 * np.pi)
+    assert abs(integral - 1.0) < 0.02
+
+
+def test_envmap_eval_matches_bitmap():
+    H, W = 16, 32
+    img = np.zeros((H, W, 3), np.float32)
+    img[4, 7] = [3.0, 2.0, 1.0]
+    tbl = em.build_envmap({'data': img})
+    # direction for uv center of texel (7,4)
+    u = (7 + 0.5) / W
+    v = (4 + 0.5) / H
+    from mitsuba_tpu.core import warp
+    d = warp.square_to_uniform_spherical(jnp.asarray([[u, v]]))
+    val = np.asarray(em.envmap_eval(tbl, 0, d))[0]
+    assert np.allclose(val, [3.0, 2.0, 1.0], atol=1e-4)
+
+
+def test_spot_falloff():
+    """Spot: full intensity inside beam, zero outside cutoff
+    (spot.cpp falloff curve)."""
+    def scene_at(x):
+        return {
+            'type': 'scene',
+            'integrator': {'type': 'path', 'max_depth': 2},
+            'sensor': {'type': 'perspective', 'fov': 60.0,
+                       'to_world': T.look_at(origin=[x, 1.0, 2.0], target=[x, 0, 0], up=[0, 1, 0]),
+                       'sampler': {'type': 'independent', 'sample_count': 32},
+                       'film': {'type': 'hdrfilm', 'width': 16, 'height': 16,
+                                'rfilter': {'type': 'box'}}},
+            'floor': {'type': 'rectangle', 'to_world': T.rotate([1, 0, 0], -90).scale(20.0),
+                      'bsdf': {'type': 'diffuse', 'reflectance': {'type': 'rgb', 'value': [1.0] * 3}}},
+            'spot': {'type': 'spot',
+                     'to_world': T.look_at(origin=[0, 3, 0], target=[0, 0, 0], up=[0, 0, 1]),
+                     'cutoff_angle': 20.0, 'beam_width': 15.0,
+                     'intensity': {'type': 'rgb', 'value': [10.0] * 3}},
+        }
+    img_in = np.asarray(mt.render(mt.load_dict(scene_at(0.0)), spp=32))
+    img_out = np.asarray(mt.render(mt.load_dict(scene_at(6.0)), spp=32))
+    assert img_in[8, 8].mean() > 0.2      # lit inside the cone
+    assert img_out[8, 8].mean() < 1e-3    # dark outside the cone
+
+
+def test_point_vs_spot_wide():
+    """A spot with ~180-degree cutoff approaches a point light over the lit
+    hemisphere."""
+    base = {
+        'type': 'scene',
+        'integrator': {'type': 'path', 'max_depth': 2},
+        'sensor': {'type': 'perspective', 'fov': 45.0,
+                   'to_world': T.look_at(origin=[0, 1.5, 2.5], target=[0, 0, 0], up=[0, 1, 0]),
+                   'sampler': {'type': 'independent', 'sample_count': 64},
+                   'film': {'type': 'hdrfilm', 'width': 16, 'height': 16,
+                            'rfilter': {'type': 'box'}}},
+        'floor': {'type': 'rectangle', 'to_world': T.rotate([1, 0, 0], -90).scale(8.0),
+                  'bsdf': {'type': 'diffuse', 'reflectance': {'type': 'rgb', 'value': [0.8] * 3}}},
+    }
+    d1 = dict(base)
+    d1['light'] = {'type': 'point', 'position': [0, 2, 0],
+                   'intensity': {'type': 'rgb', 'value': [5.0] * 3}}
+    d2 = dict(base)
+    d2['light'] = {'type': 'spot',
+                   'to_world': T.look_at(origin=[0, 2, 0], target=[0, 0, 0], up=[1, 0, 0]),
+                   'cutoff_angle': 89.0, 'beam_width': 88.0,
+                   'intensity': {'type': 'rgb', 'value': [5.0] * 3}}
+    a = np.asarray(mt.render(mt.load_dict(d1), spp=64))
+    b = np.asarray(mt.render(mt.load_dict(d2), spp=64))
+    c = (slice(10, 14), slice(6, 10))
+    assert abs(a[c].mean() - b[c].mean()) / a[c].mean() < 0.05
+
+
+def test_directional_shading():
+    """Directional irradiance E on a facing surface: L = rho/pi * E * cos."""
+    d = {
+        'type': 'scene',
+        'integrator': {'type': 'path', 'max_depth': 2},
+        'sensor': {'type': 'perspective', 'fov': 45.0,
+                   'to_world': T.look_at(origin=[0, 2, 3], target=[0, 0, 0], up=[0, 1, 0]),
+                   'sampler': {'type': 'independent', 'sample_count': 16},
+                   'film': {'type': 'hdrfilm', 'width': 16, 'height': 16,
+                            'rfilter': {'type': 'box'}}},
+        'floor': {'type': 'rectangle', 'to_world': T.rotate([1, 0, 0], -90).scale(6.0),
+                  'bsdf': {'type': 'diffuse', 'reflectance': {'type': 'rgb', 'value': [1.0] * 3}}},
+        'sun': {'type': 'directional', 'direction': [0, -1, 0],
+                'irradiance': {'type': 'rgb', 'value': [2.0] * 3}},
+    }
+    img = np.asarray(mt.render(mt.load_dict(d), spp=16))
+    expect = 2.0 / np.pi
+    assert abs(img[10, 8].mean() - expect) / expect < 0.02

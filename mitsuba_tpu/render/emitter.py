@@ -149,7 +149,12 @@ def envmap_sample_direction(tbl: EnvmapTable, sample2):
         H, W = lvl.shape
 
         def tex(r, c):
-            return lvl[jnp.clip(r, 0, H - 1), jnp.clip(c, 0, W - 1)]
+            # out-of-range children are the zero PADDING cells of the
+            # pooled pyramid — clamping would fabricate duplicate mass
+            inb = (r < H) & (c < W)
+            return jnp.where(inb,
+                             lvl[jnp.clip(r, 0, H - 1), jnp.clip(c, 0, W - 1)],
+                             0.0)
         v00 = tex(row, col)
         v01 = tex(row, col + 1)
         v10 = tex(row + 1, col)

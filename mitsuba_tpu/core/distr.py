@@ -128,9 +128,12 @@ class Hierarchical2D:
             H, W = lvl.shape
 
             def tex(r, c):
-                r = jnp.clip(r, 0, H - 1)
-                c = jnp.clip(c, 0, W - 1)
-                return lvl[r, c]
+                # out-of-range children = zero padding cells of the pooled
+                # pyramid (clamping would fabricate duplicate mass)
+                inb = (r < H) & (c < W)
+                return jnp.where(
+                    inb, lvl[jnp.clip(r, 0, H - 1), jnp.clip(c, 0, W - 1)],
+                    0.0)
             v00 = tex(row, col)
             v01 = tex(row, col + 1)
             v10 = tex(row + 1, col)

@@ -1,0 +1,75 @@
+"""Film & reconstruction filters (reference src/render/tests/test_imageblock
+semantics + src/rfilters)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mitsuba_tpu.render import film as film_mod
+from mitsuba_tpu.core import rfilter
+
+
+@pytest.mark.parametrize('fname', ['box', 'tent', 'gaussian', 'mitchell',
+                                   'catmullrom', 'lanczos'])
+def test_filter_mass_conservation(fname):
+    """A splat's total contribution / total weight == the sample value
+    (develop divides them out, so any filter is energy-preserving)."""
+    f = rfilter.make_filter(fname)
+    film = film_mod.FilmConfig(width=16, height=16, rfilter=f)
+    block = film.new_block()
+    pos = jnp.asarray([[7.3, 8.6]])
+    val = jnp.asarray([[2.0, 4.0, 8.0]])
+    block = film_mod.put(block, film, pos, val)
+    b = np.asarray(block)
+    w = b[..., -1].sum()
+    assert w > 0
+    assert np.allclose(b[..., :3].sum((0, 1)) / w, [2.0, 4.0, 8.0], atol=1e-5)
+
+
+def test_develop_weight_division():
+    f = rfilter.make_filter('box')
+    film = film_mod.FilmConfig(width=4, height=4, rfilter=f)
+    block = film.new_block()
+    # three samples in one pixel
+    pos = jnp.asarray([[1.5, 1.5], [1.2, 1.8], [1.9, 1.1]])
+    val = jnp.asarray([[1.0, 0, 0], [2.0, 0, 0], [6.0, 0, 0]])
+    block = film_mod.put(block, film, pos, val)
+    img = np.asarray(film_mod.develop(block, film))
+    assert abs(img[1, 1, 0] - 3.0) < 1e-5  # mean of 1,2,6
+
+
+def test_gaussian_footprint_shape():
+    f = rfilter.make_filter('gaussian')
+    film = film_mod.FilmConfig(width=9, height=9, rfilter=f)
+    block = film.new_block()
+    block = film_mod.put(block, film, jnp.asarray([[4.5, 4.5]]),
+                         jnp.asarray([[1.0, 1.0, 1.0]]))
+    w = np.asarray(block)[..., -1]
+    cy, cx = np.unravel_index(w.argmax(), w.shape)
+    b = film.border
+    assert (cy - b, cx - b) == (4, 4)
+    # radial monotonic decay
+    assert w[cy, cx] > w[cy, cx + 1] > w[cy, cx + 2]
+
+
+def test_inactive_samples_ignored():
+    f = rfilter.make_filter('box')
+    film = film_mod.FilmConfig(width=4, height=4, rfilter=f)
+    block = film.new_block()
+    pos = jnp.asarray([[1.5, 1.5], [1.5, 1.5]])
+    val = jnp.asarray([[1.0, 1, 1], [99.0, 99, 99]])
+    active = jnp.asarray([True, False])
+    block = film_mod.put(block, film, pos, val, active=active)
+    img = np.asarray(film_mod.develop(block, film))
+    assert abs(img[1, 1, 0] - 1.0) < 1e-5
+
+
+def test_multichannel_block():
+    f = rfilter.make_filter('box')
+    film = film_mod.FilmConfig(width=4, height=4, rfilter=f, channels=6)
+    block = film.new_block()
+    b = film.border
+    assert block.shape == (4 + 2 * b, 4 + 2 * b, 7)
+    vals = jnp.arange(6, dtype=jnp.float32)[None]
+    block = film_mod.put(block, film, jnp.asarray([[2.5, 0.5]]), vals)
+    img = np.asarray(film_mod.develop(block, film))
+    assert np.allclose(img[0, 2], np.arange(6))

@@ -215,20 +215,11 @@ class heightfield:
             overlap = (jnp.minimum(y_a, y_b) <= cmax) & (t <= t_exit + eps_t)
 
             at_leaf = lvl == 0
-            # -- leaf: exact patch test (cond-gated: skipped entirely on
-            # iterations where no lane is at a potentially-hit leaf)
-            def do_patch(_):
-                return heightfield._patch_hit(
-                    h_pairs, ix, iz, o, d, jnp.maximum(t, t_enter) - 2e-5,
-                    t_exit, R, C)
-
-            def skip_patch(_):
-                nn = t.shape[0]
-                return (jnp.zeros((nn,), bool), jnp.full((nn,), jnp.inf))
-
-            any_leaf = jnp.any(at_leaf & overlap & active)
-            hit_leaf, t_leaf = jax.lax.cond(any_leaf, do_patch, skip_patch,
-                                            None)
+            # -- leaf: exact patch test (unconditional: a lax.cond inside the
+            # while body explodes XLA compile time)
+            hit_leaf, t_leaf = heightfield._patch_hit(
+                h_pairs, ix, iz, o, d, jnp.maximum(t, t_enter) - 2e-5,
+                t_exit, R, C)
             leaf_hit = at_leaf & overlap & hit_leaf & active
             t_hit = jnp.where(leaf_hit & (t_leaf < t_hit), t_leaf, t_hit)
 

@@ -325,7 +325,7 @@ class heightfield:
             d_obj = apply_vector(to, d)
             # note: d_obj NOT normalized -> t is in world-ray units
             t_hit, hx, hz = heightfield._march(h, tbl.mips[s], o_obj, d_obj,
-                                               R, C, compact=not anyhit)
+                                               R, C, compact=True)
             ts.append(t_hit)
             px = o_obj[..., 0] + d_obj[..., 0] * jnp.where(jnp.isfinite(t_hit), t_hit, 0.0)
             pz = o_obj[..., 2] + d_obj[..., 2] * jnp.where(jnp.isfinite(t_hit), t_hit, 0.0)

@@ -1,0 +1,42 @@
+"""Ablation timing of the heightfield march on TPU."""
+import sys, time
+import numpy as np
+import jax, jax.numpy as jnp
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+sys.path.insert(0, '/root/repo')
+import mitsuba_tpu as mt
+import importlib
+hfmod = importlib.import_module('mitsuba_tpu.plugins.shapes.heightfield')
+from mitsuba_tpu.render import sensor as sensor_mod
+from mitsuba_tpu.core.transform import apply_point, apply_vector
+
+scene = mt.load_dict(mt.heightfield_scene(res_hf=512, res_img=256, spp=1, max_depth=2))
+n = 256*256
+u = (jnp.arange(n) % 256 + 0.5)/256
+v = (jnp.arange(n) // 256 + 0.5)/256
+ray = sensor_mod.sample_ray(scene.sensor, jnp.stack([u,v],-1), jnp.zeros((n,2)))
+tbl = scene.shapes['heightfield']
+o_obj = apply_point(tbl.to_object[0], ray.o)
+d_obj = apply_vector(tbl.to_object[0], ray.d)
+h = tbl.heights[0]
+
+def timeit(label, f, *args):
+    out = f(*args); jax.block_until_ready(out)
+    t0=time.time(); out = f(*args); jax.block_until_ready(out)
+    print(f'{label}: {time.time()-t0:.2f}s', flush=True)
+    return out
+
+march_c = jax.jit(lambda o,d: hfmod.heightfield._march(h, tbl.mips[0], o, d, 512, 512, compact=True))
+march_nc = jax.jit(lambda o,d: hfmod.heightfield._march(h, tbl.mips[0], o, d, 512, 512, compact=False))
+timeit('camera march compact', march_c, o_obj, d_obj)
+timeit('camera march nocompact', march_nc, o_obj, d_obj)
+# bounce rays: cosine hemisphere from surface
+res = march_c(o_obj, d_obj)
+t_hit = res[0]
+hit = jnp.isfinite(t_hit)
+p = o_obj + d_obj * jnp.where(hit, t_hit, 1.0)[:,None]
+rng = np.random.default_rng(0)
+from mitsuba_tpu.core import warp
+dirs = warp.square_to_uniform_sphere(jnp.asarray(rng.random((n,2),np.float32)))
+timeit('bounce march compact', march_c, p + jnp.asarray([0,1e-3,0]), dirs)

@@ -274,28 +274,31 @@ class heightfield:
         state = (t_enter, lvl0, cx0, cz0, jnp.full((n,), jnp.inf), valid,
                  jnp.asarray(0, jnp.int32))
 
-        # --- stage 1: full wavefront, short cap (most rays finish fast) ---
-        state = run_loop(lane_full, state,
-                         min(160, max_steps) if compact else max_steps)
-
-        # --- stage 2: COMPACT the long-tail rays so a few grazing lanes
-        # don't gate the whole wavefront (classic wavefront compaction) ---
-        if compact and n >= 64:
-            k = max(16, n // 4)
+        # --- compaction cascade: the while gates on the WORST lane, and idle
+        # lanes still pay the scalar-core gathers, so width is halved as the
+        # survivor population shrinks (wavefront compaction). A final
+        # full-width backstop keeps the result exact (normally 0 iterations).
+        def compact_stage(state, frac, cap):
+            k = max(16, n // frac)
             active1 = state[5]
             order = jnp.argsort(~active1)        # active lanes first (stable)
             sel = order[:k]
             lane_sub = tuple(x[sel] for x in lane_full)
-            state_sub = tuple(x[sel] if getattr(x, 'ndim', 0) > 0 else x
-                              for x in state[:6]) + (jnp.asarray(0, jnp.int32),)
-            state_sub = run_loop(lane_sub, state_sub, max_steps)
-            merged = []
-            for full_x, sub_x in zip(state[:6], state_sub[:6]):
-                merged.append(full_x.at[sel].set(sub_x))
-            state = tuple(merged) + (jnp.asarray(0, jnp.int32),)
+            state_sub = tuple(x[sel] for x in state[:6]) + \
+                (jnp.asarray(0, jnp.int32),)
+            state_sub = run_loop(lane_sub, state_sub, cap)
+            merged = [full_x.at[sel].set(sub_x)
+                      for full_x, sub_x in zip(state[:6], state_sub[:6])]
+            return tuple(merged) + (jnp.asarray(0, jnp.int32),)
 
-        # --- stage 3: exactness backstop for lanes beyond the compaction
-        # capacity (normally zero iterations) ---
+        if compact and n >= 256:
+            state = run_loop(lane_full, state, min(64, max_steps))
+            state = compact_stage(state, 4, min(320, max_steps))
+            state = compact_stage(state, 16, max_steps)
+        else:
+            state = run_loop(lane_full, state, max_steps)
+
+        # exactness backstop
         state = run_loop(lane_full, state, max_steps)
 
         t_hit = state[4]

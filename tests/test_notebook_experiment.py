@@ -1,0 +1,58 @@
+"""The fork's seed experiment (ps_cylinder.ipynb cells 7-10): differentiate
+F = dot(its.n, normalize(ray.d - its.p)) w.r.t. a ray-construction parameter
+`t` through scene.ray_intersect, and cross-check against finite differences.
+This is the differentiable-intersection property the whole heightfield
+capability builds on."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import mitsuba_tpu as mt
+from mitsuba_tpu.render import scene as sc
+from mitsuba_tpu.render.records import Ray
+from mitsuba_tpu.core import math as m
+
+
+def _F_of_t(scene, t):
+    """Ray origin/direction parameterized by t (like the notebook's
+    parametric ray into the Cornell box)."""
+    n = 8
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, 3.0]]), (n, 1))
+    ang = t * 0.3 + jnp.linspace(-0.2, 0.2, n)
+    d = m.normalize(jnp.stack([jnp.sin(ang), 0.05 + 0.1 * t * jnp.ones_like(ang),
+                               -jnp.cos(ang)], -1))
+    si = sc.ray_intersect(scene, Ray.make(o, d))
+    F = m.dot(si.n, m.normalize(d - si.p))
+    return jnp.where(si.is_valid, F, 0.0).sum()
+
+
+def test_dF_dt_matches_fd():
+    scene = mt.load_dict(mt.cornell_box(spp=1, res=16))
+    f = lambda t: _F_of_t(scene, t)
+    g = float(jax.grad(f)(0.1))
+    eps = 1e-3
+    fd = float((f(0.1 + eps) - f(0.1 - eps)) / (2 * eps))
+    assert abs(g - fd) / max(abs(fd), 1e-6) < 1e-2, (g, fd)
+
+
+def test_dF_dt_cylinder():
+    """Same experiment against the notebook's target shape (cylinder)."""
+    from mitsuba_tpu.core.transform import ScalarTransform4f as T
+    d = {
+        'type': 'scene',
+        'integrator': {'type': 'path', 'max_depth': 2},
+        'sensor': {'type': 'perspective', 'fov': 45.0,
+                   'to_world': T.look_at(origin=[0, 0, 4], target=[0, 0, 0], up=[0, 1, 0]),
+                   'sampler': {'type': 'independent', 'sample_count': 4},
+                   'film': {'type': 'hdrfilm', 'width': 16, 'height': 16,
+                            'rfilter': {'type': 'box'}}},
+        'cyl': {'type': 'cylinder', 'p0': [0, -1, 0], 'p1': [0, 1, 0],
+                'radius': 0.7},
+        'env': {'type': 'constant', 'radiance': {'type': 'rgb', 'value': [1.0] * 3}},
+    }
+    scene = mt.load_dict(d)
+    f = lambda t: _F_of_t(scene, t)
+    g = float(jax.grad(f)(0.05))
+    eps = 1e-3
+    fd = float((f(0.05 + eps) - f(0.05 - eps)) / (2 * eps))
+    assert abs(g - fd) / max(abs(fd), 1e-6) < 2e-2, (g, fd)

@@ -33,9 +33,14 @@ def safe_rcp(x, eps=1e-12):
     return 1.0 / jnp.where(x == 0.0, eps, x)
 
 
-def safe_sqrt(x):
-    """sqrt clamped at 0; gradient is 0 at x<=0 (avoids NaN in grad)."""
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+def safe_sqrt(x, eps=1e-24):
+    """sqrt clamped at 0 with a NaN-safe BACKWARD: the derivative
+    0.5/sqrt(x) overflows fp32 for tiny x and inf*0 (masked cotangent)
+    poisons gradients — the double-where pattern keeps the untaken branch
+    finite."""
+    bad = x < eps
+    x_safe = jnp.where(bad, 1.0, x)
+    return jnp.where(bad, 0.0, jnp.sqrt(x_safe))
 
 
 def safe_acos(x):
@@ -87,9 +92,14 @@ def squared_norm(v, axis=-1, keepdims=False):
     return jnp.sum(v * v, axis=axis, keepdims=keepdims)
 
 
-def normalize(v, axis=-1):
+def normalize(v, axis=-1, eps=1e-18):
+    """Unit vector with a NaN-safe backward: rsqrt'(x) = -0.5 x^-1.5
+    overflows fp32 below ~1e-25, and inf*0 from masked lanes becomes NaN —
+    double-where keeps degenerate lanes on a finite path (returning 0)."""
     n2 = jnp.sum(v * v, axis=axis, keepdims=True)
-    return v * jax.lax.rsqrt(jnp.maximum(n2, 1e-38))
+    bad = n2 < eps
+    n2_safe = jnp.where(bad, 1.0, n2)
+    return jnp.where(bad, 0.0, v * jax.lax.rsqrt(n2_safe))
 
 
 def cross(a, b):

@@ -106,6 +106,19 @@ def cross(a, b):
     return jnp.cross(a, b)
 
 
+def attached_div(num, den, ill_eps):
+    """num/den with the ATTACHMENT DROPPED on ill-conditioned lanes
+    (|den| < ill_eps): grazing-incidence attached-t recomputations otherwise
+    overflow fp32 in the backward (den^-2 terms) and poison gradients."""
+    ill = jnp.abs(den) < ill_eps
+    den_safe = jnp.where(ill, 1.0, den)
+    val = jnp.where(ill, jax.lax.stop_gradient(num) /
+                    jnp.where(jnp.abs(den) < 1e-12,
+                              jnp.where(den < 0, -1e-12, 1e-12),
+                              jax.lax.stop_gradient(den)), num / den_safe)
+    return val
+
+
 def replace_grad(dst, src):
     """Value of `dst`, gradient of `src` (dr.replace_grad analogue).
 

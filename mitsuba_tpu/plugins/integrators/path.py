@@ -130,5 +130,10 @@ def sample(scene: sc.Scene, sampler: sa.SamplerState, ray: Ray,
             sampler=smpl, valid=valid)
         return new_state, None
 
-    state, _ = jax.lax.scan(body, state, jnp.arange(max_depth))
+    if max_depth == 1:
+        # unrolled single bounce: a length-1 lax.scan trips a TPU compiler
+        # crash (SIGILL in the AOT helper) on some program shapes
+        state, _ = body(state, jnp.asarray(0))
+    else:
+        state, _ = jax.lax.scan(body, state, jnp.arange(max_depth))
     return state.L, state.valid, state.sampler

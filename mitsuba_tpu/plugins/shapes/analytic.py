@@ -77,7 +77,7 @@ class rectangle:
         o_obj = apply_point(to, o)
         d_obj = apply_vector(to, d)
         dz = d_obj[..., 2]
-        t_att = -o_obj[..., 2] / jnp.where(jnp.abs(dz) < 1e-12, 1e-12, dz)
+        t_att = m.attached_div(-o_obj[..., 2], dz, 1e-5)
         t_att = m.replace_grad(t, t_att)
         p_obj = o_obj + d_obj * t_att[..., None]
         p = apply_point(tw, p_obj)
@@ -279,7 +279,7 @@ class cube:
         # attached t: plane x_axis = sgn
         o_ax = jnp.take_along_axis(o_obj, axis[..., None], -1)[..., 0]
         d_ax = jnp.take_along_axis(d_obj, axis[..., None], -1)[..., 0]
-        t_att = (sgn - o_ax) / jnp.where(jnp.abs(d_ax) < 1e-12, 1e-12, d_ax)
+        t_att = m.attached_div(sgn - o_ax, d_ax, 1e-5)
         t_att = m.replace_grad(t, t_att)
         p_obj = o_obj + d_obj * t_att[..., None]
         p = apply_point(tw, p_obj)
@@ -375,7 +375,7 @@ class disk:
         o_obj = apply_point(to, o)
         d_obj = apply_vector(to, d)
         dz = d_obj[..., 2]
-        t_att = -o_obj[..., 2] / jnp.where(jnp.abs(dz) < 1e-12, 1e-12, dz)
+        t_att = m.attached_div(-o_obj[..., 2], dz, 1e-5)
         t_att = m.replace_grad(t, t_att)
         p_obj = o_obj + d_obj * t_att[..., None]
         p = apply_point(tw, p_obj)

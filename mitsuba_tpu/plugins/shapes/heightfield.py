@@ -374,8 +374,10 @@ class heightfield:
                 return f, fp, u, v, dh_du, dh_dv
 
             f0, fp0, _, _, _, _ = f_and_grad(t_det)
-            t_att = t_det - f0 / jnp.where(jnp.abs(fp0) < 1e-8,
-                                           jnp.where(fp0 < 0, -1e-8, 1e-8), fp0)
+            # Newton step with the attachment dropped on grazing lanes
+            # (|f'| tiny): the backward of f/f' has f'^-2 terms that overflow
+            # fp32 and poison the whole gradient via masked inf*0
+            t_att = t_det - m.attached_div(f0, fp0, 1e-4)
             t_att = m.replace_grad(t, t_att)
             _, _, u, v, dh_du, dh_dv = f_and_grad(t_att)
             x = (u + ix) / W

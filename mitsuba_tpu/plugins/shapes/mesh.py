@@ -272,8 +272,8 @@ class mesh:
             # attached t: ray/plane intersection of the (differentiable) tri
             ng = jnp.cross(p1 - p0, p2 - p0)
             denom = m.dot(d, ng)
-            t_att = m.dot(p0 - o, ng) / jnp.where(jnp.abs(denom) < 1e-12,
-                                                  1e-12, denom)
+            t_att = m.attached_div(m.dot(p0 - o, ng), denom,
+                                   1e-5 * jnp.maximum(m.norm(ng), 1e-12))
             t_att = m.replace_grad(t, t_att)
             p = o + d * t_att[..., None]
             n_geo = m.normalize(ng)

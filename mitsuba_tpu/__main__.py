@@ -1,0 +1,5 @@
+from .utils.cli import main
+
+import sys
+
+sys.exit(main())

@@ -93,9 +93,11 @@ def _gen_rays(scene, spp_pass, spp_total, seed, sample_offset=0):
     global_id = pix.astype(jnp.uint32) * jnp.uint32(spp_total) + \
         sample_index.astype(jnp.uint32)
     k0, _ = rng.sample_tea_32(jnp.asarray(seed, jnp.uint32), global_id)
-    sampler = sa.seed_from_keys(k0)
-    jitter, sampler = sa.pixel_jitter(scene.sampler_kind, sampler,
-                                      sample_index, spp_total)
+    pk0, _ = rng.sample_tea_32(jnp.asarray(seed, jnp.uint32) ^
+                               jnp.uint32(0x9e3779b9), pix.astype(jnp.uint32))
+    sampler = sa.seed_from_keys(k0, idx=sample_index, pkey=pk0,
+                                kind=scene.sampler_kind, spp=spp_total)
+    jitter, sampler = sa.next_2d(sampler)
     pos_f = jnp.stack([px + jitter[..., 0], py + jitter[..., 1]], -1)
     pos01 = pos_f / jnp.asarray([W, H], jnp.float32)
     aperture, sampler = sa.next_2d(sampler)

@@ -31,6 +31,36 @@ from ...render.records import BSDFSample
 from ...render.texture import eval_texture, eval_texture_1
 
 
+def _nch(tex):
+    """Radiance channel count for the current pass: NW when the texture set
+    carries hero wavelengths (spectral variant), else 3 (rgb)."""
+    wl = getattr(tex, 'wl', None)
+    return 3 if wl is None else wl.shape[-1]
+
+
+def _zero_val(tex, wi):
+    return jnp.zeros((wi.shape[0], _nch(tex)), wi.dtype)
+
+
+def _spec_eta_k(tbl, slot, tex):
+    """Conductor complex IOR per lane: spectral upsampled (eta(λ), k(λ)) in
+    the spectral variant, rgb otherwise (conductor.cpp reads .spd curves; we
+    upsample the rgb reduction with the unbounded sigmoid-polynomial fit)."""
+    wl = getattr(tex, 'wl', None)
+    if wl is not None and getattr(tbl, 'eta_coeff', None) is not None:
+        from ...core.spectrum import eval_coeff
+        eta = eval_coeff(tbl.eta_coeff[slot], wl) * tbl.eta_scale[slot][..., None]
+        kk = eval_coeff(tbl.k_coeff[slot], wl) * tbl.k_scale[slot][..., None]
+        return eta, kk
+    return tbl.eta[slot], tbl.k[slot]
+
+
+def _spec_cols_np(rgbs):
+    from ...core.spectrum import rgb_to_spec_with_scale
+    co, sc = rgb_to_spec_with_scale(np.asarray(rgbs, np.float32))
+    return jnp.asarray(co), jnp.asarray(sc)
+
+
 def _zero_sample(wi):
     n = wi.shape[0]
     z = jnp.zeros((n,), wi.dtype)
@@ -156,6 +186,10 @@ class ConductorTable:
     eta: jnp.ndarray   # (S,3)
     k: jnp.ndarray     # (S,3)
     specular_reflectance: jnp.ndarray  # (S,) int32 texture id
+    eta_coeff: jnp.ndarray = None   # (S,3) spectral upsampling (spectral mode)
+    eta_scale: jnp.ndarray = None   # (S,)
+    k_coeff: jnp.ndarray = None
+    k_scale: jnp.ndarray = None
 
 
 _IOR_DATA = {
@@ -187,13 +221,19 @@ class conductor:
             etas.append(np.broadcast_to(np.asarray(eta, np.float32).reshape(-1), (3,)))
             ks.append(np.broadcast_to(np.asarray(k, np.float32).reshape(-1), (3,)))
             srefl.append(_resolve_texture(p, 'specular_reflectance', 1.0, texb))
+        ec = es_ = kc = ks_ = None
+        if getattr(texb, 'spectral', False):
+            ec, es_ = _spec_cols_np(np.stack(etas))
+            kc, ks_ = _spec_cols_np(np.stack(ks))
         return ConductorTable(eta=jnp.asarray(np.stack(etas)),
                               k=jnp.asarray(np.stack(ks)),
-                              specular_reflectance=jnp.asarray(srefl, jnp.int32))
+                              specular_reflectance=jnp.asarray(srefl, jnp.int32),
+                              eta_coeff=ec, eta_scale=es_,
+                              k_coeff=kc, k_scale=ks_)
 
     @staticmethod
     def eval(tbl, slot, tex, wi, wo, uv):
-        return jnp.zeros_like(wi)  # delta lobe: eval == 0
+        return _zero_val(tex, wi)  # delta lobe: eval == 0
 
     @staticmethod
     def pdf(tbl, slot, tex, wi, wo, uv):
@@ -203,7 +243,8 @@ class conductor:
     def sample(tbl, slot, tex, wi, uv, sample1, sample2):
         cos_i = fr.cos_theta(wi)
         wo = fr.reflect(wi)
-        F = fre.fresnel_conductor(cos_i[..., None], tbl.eta[slot], tbl.k[slot])
+        eta_c, k_c = _spec_eta_k(tbl, slot, tex)
+        F = fre.fresnel_conductor(cos_i[..., None], eta_c, k_c)
         srefl = eval_texture(tex, tbl.specular_reflectance[slot], uv)
         active = cos_i > 0
         weight = jnp.where(active[..., None], F * srefl, 0.0)
@@ -229,6 +270,10 @@ class RoughConductorTable:
     specular_reflectance: jnp.ndarray  # (S,) int32
     mtype: jnp.ndarray     # (S,) int32 (0=ggx, 1=beckmann) — per-slot static-ish
     twosided: jnp.ndarray  # (S,) bool
+    eta_coeff: jnp.ndarray = None
+    eta_scale: jnp.ndarray = None
+    k_coeff: jnp.ndarray = None
+    k_scale: jnp.ndarray = None
 
 
 class roughconductor:
@@ -259,11 +304,16 @@ class roughconductor:
             srefl.append(_resolve_texture(p, 'specular_reflectance', 1.0, texb))
             mt.append(mf.BECKMANN if p.get('distribution', 'beckmann') == 'beckmann' else mf.GGX)
             ts.append(bool(p.get('_twosided', False)))
+        ec = es_ = kc = ks_ = None
+        if getattr(texb, 'spectral', False):
+            ec, es_ = _spec_cols_np(np.stack(etas))
+            kc, ks_ = _spec_cols_np(np.stack(ks))
         return RoughConductorTable(
             eta=jnp.asarray(np.stack(etas)), k=jnp.asarray(np.stack(ks)),
             alpha_u=jnp.asarray(au, jnp.int32), alpha_v=jnp.asarray(av, jnp.int32),
             specular_reflectance=jnp.asarray(srefl, jnp.int32),
-            mtype=jnp.asarray(mt, jnp.int32), twosided=jnp.asarray(ts))
+            mtype=jnp.asarray(mt, jnp.int32), twosided=jnp.asarray(ts),
+            eta_coeff=ec, eta_scale=es_, k_coeff=kc, k_scale=ks_)
 
     @staticmethod
     def _flip(tbl, slot, wi, wo):
@@ -293,7 +343,8 @@ class roughconductor:
             sel = tbl.mtype[slot] == mt
             val = jnp.where(sel, v, val)
             pdf = jnp.where(sel, p, pdf)
-        F = fre.fresnel_conductor(m.dot(wi, h)[..., None], tbl.eta[slot], tbl.k[slot])
+        eta_c, k_c = _spec_eta_k(tbl, slot, tex)
+        F = fre.fresnel_conductor(m.dot(wi, h)[..., None], eta_c, k_c)
         srefl = eval_texture(tex, tbl.specular_reflectance[slot], uv)
         spec = F * srefl * val[..., None]
         return (jnp.where(active[..., None], spec, 0.0),
@@ -376,7 +427,7 @@ class dielectric:
 
     @staticmethod
     def eval(tbl, slot, tex, wi, wo, uv):
-        return jnp.zeros_like(wi)
+        return _zero_val(tex, wi)
 
     @staticmethod
     def pdf(tbl, slot, tex, wi, wo, uv):

@@ -375,7 +375,8 @@ class null:
 
     @staticmethod
     def eval(tbl, slot, tex, wi, wo, uv):
-        return jnp.zeros_like(wi)
+        from .core_bsdfs import _zero_val
+        return _zero_val(tex, wi)
 
     @staticmethod
     def pdf(tbl, slot, tex, wi, wo, uv):
@@ -383,13 +384,14 @@ class null:
 
     @staticmethod
     def sample(tbl, slot, tex, wi, uv, sample1, sample2):
+        from .core_bsdfs import _nch
         n = wi.shape[0]
         bs = BSDFSample(
             wo=-wi, pdf=jnp.ones((n,), wi.dtype),
             eta=jnp.ones((n,), wi.dtype),
             sampled_type=jnp.full((n,), bf.Null, jnp.uint32),
             sampled_component=jnp.zeros((n,), jnp.int32))
-        return bs, jnp.ones((n, 3), wi.dtype)
+        return bs, jnp.ones((n, _nch(tex)), wi.dtype)
 
 
 # ===========================================================================

@@ -40,7 +40,8 @@ class blendbsdf:
     # direct calls should never happen — render/bsdf.py intercepts
     @staticmethod
     def eval(tbl, slot, tex, wi, wo, uv):
-        return jnp.zeros_like(wi)
+        from .core_bsdfs import _zero_val
+        return _zero_val(tex, wi)
 
     @staticmethod
     def pdf(tbl, slot, tex, wi, wo, uv):
@@ -48,5 +49,5 @@ class blendbsdf:
 
     @staticmethod
     def sample(tbl, slot, tex, wi, uv, sample1, sample2):
-        from .core_bsdfs import _zero_sample
-        return _zero_sample(wi), jnp.zeros_like(wi)
+        from .core_bsdfs import _zero_sample, _zero_val
+        return _zero_sample(wi), _zero_val(tex, wi)

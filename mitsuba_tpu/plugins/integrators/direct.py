@@ -14,16 +14,17 @@ from ...render.records import Ray
 
 
 def sample(scene, sampler, ray, emitter_samples=1, bsdf_samples=1,
-           hide_emitters=False):
+           hide_emitters=False, wl=None):
     n = ray.o.shape[0]
+    C = 3 if wl is None else wl.shape[-1]
     si = sc.ray_intersect(scene, ray)
     active = si.is_valid
-    L = jnp.zeros((n, 3))
+    L = jnp.zeros((n, C))
     # visible emitters
     hit_em = (si.emitter_index >= 0) & active
     if not hide_emitters:
-        L = L + sc.eval_emitter_hit(scene, si, hit_em)
-        L = L + sc.eval_environment(scene, ray.d, ~si.is_valid)
+        L = L + sc.eval_emitter_hit(scene, si, hit_em, wl=wl)
+        L = L + sc.eval_environment(scene, ray.d, ~si.is_valid, wl=wl)
 
     frac_lum = emitter_samples / max(emitter_samples + bsdf_samples, 1)
     frac_bsdf = 1.0 - frac_lum
@@ -36,9 +37,9 @@ def sample(scene, sampler, ray, emitter_samples=1, bsdf_samples=1,
         s2, smpl = sa.next_2d(smpl)
         ds, em_val = sc.sample_emitter_direction(
             scene, si, jax.lax.stop_gradient(s2), test_visibility=True,
-            active=active_e)
+            active=active_e, wl=wl)
         wo = si.to_local(ds.d)
-        b_val, b_pdf = bsdf_mod.eval_pdf(scene, si, wo, active_e)
+        b_val, b_pdf = bsdf_mod.eval_pdf(scene, si, wo, active_e, wl=wl)
         # balance heuristic over the sample-count-weighted mixture
         # (direct.cpp:mis_weight with sample fractions)
         mis = jnp.where(ds.delta, 1.0,
@@ -51,14 +52,16 @@ def sample(scene, sampler, ray, emitter_samples=1, bsdf_samples=1,
         s1, smpl = sa.next_1d(smpl)
         s2, smpl = sa.next_2d(smpl)
         bs, b_weight = bsdf_mod.sample(scene, si, jax.lax.stop_gradient(s1),
-                                       jax.lax.stop_gradient(s2), active)
+                                       jax.lax.stop_gradient(s2), active,
+                                       wl=wl)
         wo_world = si.to_world(bs.wo)
         ray2 = si.spawn_ray(wo_world)
         si2 = sc.ray_intersect(scene, ray2)
         hit_em2 = active & (si2.emitter_index >= 0)
-        Le2 = sc.eval_emitter_hit(scene, si2, hit_em2)
+        Le2 = sc.eval_emitter_hit(scene, si2, hit_em2, wl=wl)
         pdf_l = sc.pdf_emitter_direction(scene, si.p, si2, hit_em2)
-        Lenv2 = sc.eval_environment(scene, wo_world, active & ~si2.is_valid)
+        Lenv2 = sc.eval_environment(scene, wo_world, active & ~si2.is_valid,
+                                    wl=wl)
         pdf_env = sc.pdf_env_direction(scene, wo_world, active & ~si2.is_valid)
         Le_tot = Le2 + Lenv2
         pdf_light = pdf_l + pdf_env

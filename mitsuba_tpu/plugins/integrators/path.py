@@ -42,14 +42,17 @@ class PathState:
 
 
 def sample(scene: sc.Scene, sampler: sa.SamplerState, ray: Ray,
-           max_depth: int, rr_depth: int = 5, hide_emitters: bool = False):
-    """Returns (L (N,3), valid (N,), sampler)."""
+           max_depth: int, rr_depth: int = 5, hide_emitters: bool = False,
+           wl=None):
+    """Returns (L (N,C), valid (N,), sampler). C=3 rgb; C=NW when `wl`
+    carries per-lane hero wavelengths (spectral variant)."""
     n = ray.o.shape[0]
     dt = ray.o.dtype
+    C = 3 if wl is None else wl.shape[-1]
     state = PathState(
         o=ray.o, d=ray.d,
-        L=jnp.zeros((n, 3), dt),
-        beta=jnp.ones((n, 3), dt),
+        L=jnp.zeros((n, C), dt),
+        beta=jnp.ones((n, C), dt),
         eta=jnp.ones((n,), dt),
         active=jnp.ones((n,), bool),
         prev_pdf=jnp.ones((n,), dt),
@@ -66,7 +69,7 @@ def sample(scene: sc.Scene, sampler: sa.SamplerState, ray: Ray,
 
         # ---- direct emission at the hit (path.cpp:158-174) ----
         hit_em = active & (si.emitter_index >= 0)
-        Le = sc.eval_emitter_hit(scene, si, hit_em)
+        Le = sc.eval_emitter_hit(scene, si, hit_em, wl=wl)
         pdf_light = sc.pdf_emitter_direction(scene, state.prev_p, si, hit_em)
         mis_bsdf = jnp.where(state.prev_delta, 1.0,
                              mis_weight(state.prev_pdf, pdf_light))
@@ -75,7 +78,7 @@ def sample(scene: sc.Scene, sampler: sa.SamplerState, ray: Ray,
 
         # ---- environment for escaped rays ----
         escaped = active & ~si.is_valid
-        Lenv = sc.eval_environment(scene, state.d, escaped)
+        Lenv = sc.eval_environment(scene, state.d, escaped, wl=wl)
         pdf_env = sc.pdf_env_direction(scene, state.d, escaped)
         mis_env = jnp.where(state.prev_delta, 1.0,
                             mis_weight(state.prev_pdf, pdf_env))
@@ -90,9 +93,10 @@ def sample(scene: sc.Scene, sampler: sa.SamplerState, ray: Ray,
         active_em = active & bsdf_mod.has_smooth(scene, si)
         ds, em_weight = sc.sample_emitter_direction(
             scene, si, jax.lax.stop_gradient(s_em), test_visibility=True,
-            active=active_em)
+            active=active_em, wl=wl)
         wo_local = si.to_local(ds.d)
-        bsdf_val, bsdf_pdf = bsdf_mod.eval_pdf(scene, si, wo_local, active_em)
+        bsdf_val, bsdf_pdf = bsdf_mod.eval_pdf(scene, si, wo_local, active_em,
+                                               wl=wl)
         mis_em = jnp.where(ds.delta, 1.0, mis_weight(
             jax.lax.stop_gradient(ds.pdf), jax.lax.stop_gradient(bsdf_pdf)))
         contrib = state.beta * bsdf_val * em_weight * mis_em[..., None]
@@ -103,7 +107,7 @@ def sample(scene: sc.Scene, sampler: sa.SamplerState, ray: Ray,
         s2, smpl = sa.next_2d(smpl)
         bs, bsdf_weight = bsdf_mod.sample(
             scene, si, jax.lax.stop_gradient(s1), jax.lax.stop_gradient(s2),
-            active)
+            active, wl=wl)
         wo_world = si.to_world(bs.wo)
         new_ray = si.spawn_ray(wo_world)
         beta = state.beta * bsdf_weight

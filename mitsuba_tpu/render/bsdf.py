@@ -96,68 +96,78 @@ def _blend_maps(scene, si):
     return is_blend, w, bid_a, bid_b
 
 
-def _eval_pdf_ids(scene, si, bids, wi, wo, active):
+def _nch(wl):
+    return 3 if wl is None else wl.shape[-1]
+
+
+def _tex_wl(scene, wl):
+    return scene.textures if wl is None else scene.textures.replace(wl=wl)
+
+
+def _eval_pdf_ids(scene, si, bids, wi, wo, active, wl=None):
     from ..plugins.bsdfs import REGISTRY
     from ..core.math import small_gather
     ti_lane = small_gather(scene.bsdf_type_of, bids)
     slot = small_gather(scene.bsdf_slot_of, bids)
+    tex = _tex_wl(scene, wl)
     n = wo.shape[0]
-    val = jnp.zeros((n, 3), wo.dtype)
+    val = jnp.zeros((n, _nch(wl)), wo.dtype)
     pdf = jnp.zeros((n,), wo.dtype)
     for ti, name in enumerate(scene.bsdf_types):
         if name == 'blendbsdf':
             continue
         plugin = REGISTRY[name]
         mask = active & (ti_lane == ti) & (si.bsdf_index >= 0)
-        v = plugin.eval(scene.bsdfs[name], slot, scene.textures, wi, wo, si.uv)
-        p = plugin.pdf(scene.bsdfs[name], slot, scene.textures, wi, wo, si.uv)
+        v = plugin.eval(scene.bsdfs[name], slot, tex, wi, wo, si.uv)
+        p = plugin.pdf(scene.bsdfs[name], slot, tex, wi, wo, si.uv)
         val = jnp.where(mask[..., None], v, val)
         pdf = jnp.where(mask, p, pdf)
     return val, pdf
 
 
-def eval_pdf(scene, si, wo, active):
+def eval_pdf(scene, si, wo, active, wl=None):
     wi_p, wo_p, frame, has = _maybe_perturb(scene, si, si.wi, wo)
     wo_use = wo_p if wo_p is not None else wo
     if 'blendbsdf' in scene.bsdf_types:
         is_blend, w, bid_a, bid_b = _blend_maps(scene, si)
-        va, pa = _eval_pdf_ids(scene, si, bid_a, wi_p, wo_use, active)
+        va, pa = _eval_pdf_ids(scene, si, bid_a, wi_p, wo_use, active, wl)
         vb, pb = _eval_pdf_ids(scene, si, bid_b, wi_p, wo_use,
-                               active & is_blend)
+                               active & is_blend, wl)
         val = jnp.where(is_blend[..., None],
                         (1 - w)[..., None] * va + w[..., None] * vb, va)
         pdf = jnp.where(is_blend, (1 - w) * pa + w * pb, pa)
         return val, pdf
     bid = jnp.maximum(si.bsdf_index, 0)
-    return _eval_pdf_ids(scene, si, bid, wi_p, wo_use, active)
+    return _eval_pdf_ids(scene, si, bid, wi_p, wo_use, active, wl)
 
 
-def eval(scene, si, wo, active):
-    return eval_pdf(scene, si, wo, active)[0]
+def eval(scene, si, wo, active, wl=None):
+    return eval_pdf(scene, si, wo, active, wl)[0]
 
 
-def pdf(scene, si, wo, active):
-    return eval_pdf(scene, si, wo, active)[1]
+def pdf(scene, si, wo, active, wl=None):
+    return eval_pdf(scene, si, wo, active, wl)[1]
 
 
-def _sample_ids(scene, si, bids, wi, sample1, sample2, active):
+def _sample_ids(scene, si, bids, wi, sample1, sample2, active, wl=None):
     from ..plugins.bsdfs import REGISTRY
     from ..core.math import small_gather
     ti_lane = small_gather(scene.bsdf_type_of, bids)
     slot = small_gather(scene.bsdf_slot_of, bids)
+    tex = _tex_wl(scene, wl)
     n = sample1.shape[0]
     dt = sample2.dtype
     bs = BSDFSample(wo=jnp.zeros((n, 3), dt), pdf=jnp.zeros((n,), dt),
                     eta=jnp.ones((n,), dt),
                     sampled_type=jnp.zeros((n,), jnp.uint32),
                     sampled_component=jnp.full((n,), -1, jnp.int32))
-    weight = jnp.zeros((n, 3), dt)
+    weight = jnp.zeros((n, _nch(wl)), dt)
     for ti, name in enumerate(scene.bsdf_types):
         if name == 'blendbsdf':
             continue
         plugin = REGISTRY[name]
         mask = active & (ti_lane == ti) & (si.bsdf_index >= 0)
-        b, w = plugin.sample(scene.bsdfs[name], slot, scene.textures, wi,
+        b, w = plugin.sample(scene.bsdfs[name], slot, tex, wi,
                              si.uv, sample1, sample2)
         bs = BSDFSample(
             wo=jnp.where(mask[..., None], b.wo, bs.wo),
@@ -170,7 +180,7 @@ def _sample_ids(scene, si, bids, wi, sample1, sample2, active):
     return bs, weight
 
 
-def sample(scene, si, sample1, sample2, active):
+def sample(scene, si, sample1, sample2, active, wl=None):
     wi_p, _, frame, has = _maybe_perturb(scene, si, si.wi)
     if 'blendbsdf' in scene.bsdf_types:
         is_blend, w, bid_a, bid_b = _blend_maps(scene, si)
@@ -181,10 +191,12 @@ def sample(scene, si, sample1, sample2, active):
                                  (sample1 - w) / jnp.maximum(1 - w, 1e-9)),
                        sample1)
         bids = jnp.where(pick_b, bid_b, bid_a)
-        bs, weight = _sample_ids(scene, si, bids, wi_p, s1, sample2, active)
+        bs, weight = _sample_ids(scene, si, bids, wi_p, s1, sample2, active, wl)
         # blended value/pdf for smooth lobes (blendbsdf.cpp:sample)
-        val, pdfb = _eval_pdf_ids(scene, si, bid_a, wi_p, bs.wo, active & is_blend)
-        vb, pb = _eval_pdf_ids(scene, si, bid_b, wi_p, bs.wo, active & is_blend)
+        val, pdfb = _eval_pdf_ids(scene, si, bid_a, wi_p, bs.wo,
+                                  active & is_blend, wl)
+        vb, pb = _eval_pdf_ids(scene, si, bid_b, wi_p, bs.wo,
+                               active & is_blend, wl)
         val = (1 - w)[..., None] * val + w[..., None] * vb
         pdfb = (1 - w) * pdfb + w * pb
         is_delta = (bs.sampled_type & jnp.uint32(bf.Delta)) != 0
@@ -197,7 +209,8 @@ def sample(scene, si, sample1, sample2, active):
         bs = bs.replace(pdf=pdf_out)
     else:
         bid = jnp.maximum(si.bsdf_index, 0)
-        bs, weight = _sample_ids(scene, si, bid, wi_p, sample1, sample2, active)
+        bs, weight = _sample_ids(scene, si, bid, wi_p, sample1, sample2,
+                                 active, wl)
     if frame is not None:
         wo_world_local = jnp.where(has[..., None], frame.to_world(bs.wo), bs.wo)
         bs = bs.replace(wo=wo_world_local)

@@ -38,17 +38,23 @@ class AreaTable:
 class PointTable:
     position: jnp.ndarray   # (E,3)
     intensity: jnp.ndarray  # (E,3)
+    coeff: jnp.ndarray = None   # (E,3) spectral upsampling coefficients
+    scale: jnp.ndarray = None   # (E,)
 
 
 @struct.dataclass
 class ConstantTable:
     radiance: jnp.ndarray   # (E,3)
+    coeff: jnp.ndarray = None
+    scale: jnp.ndarray = None
 
 
 @struct.dataclass
 class DirectionalTable:
     direction: jnp.ndarray   # (E,3) unit, pointing away from the source
     irradiance: jnp.ndarray  # (E,3)
+    coeff: jnp.ndarray = None
+    scale: jnp.ndarray = None
 
 
 @struct.dataclass
@@ -58,6 +64,8 @@ class SpotTable:
     intensity: jnp.ndarray      # (E,3)
     cos_cutoff: jnp.ndarray     # (E,)
     cos_beam_width: jnp.ndarray  # (E,)
+    coeff: jnp.ndarray = None
+    scale: jnp.ndarray = None
 
 
 @struct.dataclass
@@ -70,6 +78,7 @@ class EnvmapTable:
     # flattened Hierarchical2D (coarse->fine level sums); tuple of 2D arrays
     levels: tuple
     pdf_grid: jnp.ndarray      # (H, W) normalized luminance / texel
+    spec_bitmap: jnp.ndarray = None  # (H, W, 4) per-texel [coeff, scale]
 
 
 @struct.dataclass
@@ -92,7 +101,16 @@ TYPE_FLAGS = {
 }
 
 
-def build_envmap(props):
+def emit_spectrum(coeff, scale, wl):
+    """Spectral radiance of an rgb-defined emitter: upsampled reflectance-
+    model spectrum × D65 illuminant (the reference's srgb_d65 emission
+    convention, properties.h:290 texture_d65). spectrum_to_srgb's 1/Y_D65
+    normalization makes the rgb round trip exact."""
+    from ..core.spectrum import eval_coeff, d65
+    return eval_coeff(coeff, wl) * scale[..., None] * d65(wl)
+
+
+def build_envmap(props, spectral=False):
     import numpy as np
     data = props.get('data')
     if data is None:
@@ -118,6 +136,11 @@ def build_envmap(props):
         levels.append(pad[0::2, 0::2] + pad[0::2, 1::2] + pad[1::2, 0::2] + pad[1::2, 1::2])
     total = float(levels[-1][0, 0])
     tw = props.get('to_world', Transform4())
+    spec_bitmap = None
+    if spectral:
+        from ..core.spectrum import rgb_to_spec_with_scale
+        co, sc = rgb_to_spec_with_scale(data)
+        spec_bitmap = jnp.asarray(np.concatenate([co, sc[..., None]], -1))
     return EnvmapTable(
         bitmap=jnp.asarray(data),
         scale=jnp.asarray(float(props.get('scale', 1.0)), jnp.float32),
@@ -125,19 +148,27 @@ def build_envmap(props):
         to_object=jnp.asarray(tw.inverse_matrix, jnp.float32),
         levels=tuple(jnp.asarray(l) for l in levels[::-1]),
         pdf_grid=jnp.asarray(lum / total),
+        spec_bitmap=spec_bitmap,
     )
 
 
-def envmap_eval(tbl: EnvmapTable, slot, d_world):
+def _envmap_radiance(tbl: EnvmapTable, uv, wl):
+    from .texture import bilinear_sample
+    if wl is not None and tbl.spec_bitmap is not None:
+        cs = bilinear_sample(tbl.spec_bitmap, uv)
+        return emit_spectrum(cs[..., :3], cs[..., 3], wl) * tbl.scale
+    return bilinear_sample(tbl.bitmap, uv) * tbl.scale
+
+
+def envmap_eval(tbl: EnvmapTable, slot, d_world, wl=None):
     """Radiance along direction d (toward the environment)."""
     d = apply_vector(tbl.to_object, d_world)
     d = d / jnp.maximum(m.norm(d, keepdims=True), 1e-12)
     uv = warp.direction_to_spherical_uv(d)
-    from .texture import bilinear_sample
-    return bilinear_sample(tbl.bitmap, uv) * tbl.scale
+    return _envmap_radiance(tbl, uv, wl)
 
 
-def envmap_sample_direction(tbl: EnvmapTable, sample2):
+def envmap_sample_direction(tbl: EnvmapTable, sample2, wl=None):
     """Hierarchical warp descent (distr_2d.h:Hierarchical2D::sample).
     Returns (d_world, pdf_solid_angle, radiance)."""
     ux, uy = sample2[..., 0], sample2[..., 1]
@@ -185,8 +216,7 @@ def envmap_sample_direction(tbl: EnvmapTable, sample2):
     pdf_uv = tbl.pdf_grid[row, col] * (Hf * Wf)
     sin_theta = jnp.maximum(jnp.sin(v * m.Pi), 1e-8)
     pdf_sa = pdf_uv / (2.0 * m.Pi * m.Pi * sin_theta)
-    from .texture import bilinear_sample
-    rad = bilinear_sample(tbl.bitmap, uv) * tbl.scale
+    rad = _envmap_radiance(tbl, uv, wl)
     return d_world, pdf_sa, rad
 
 
@@ -210,7 +240,15 @@ class EmitterBuilder:
         self.entries.append((type_name, props, shape_global))
         return len(self.entries) - 1
 
-    def build(self, texb) -> EmitterSet:
+    def build(self, texb, spectral=False) -> EmitterSet:
+        def _spec_cols(rgbs):
+            """(E,3) rgb -> (coeff jnp (E,3), scale jnp (E,)) or (None, None)."""
+            if not spectral:
+                return None, None
+            from ..core.spectrum import rgb_to_spec_with_scale
+            co, sc = rgb_to_spec_with_scale(np.asarray(rgbs, np.float32))
+            return jnp.asarray(co), jnp.asarray(sc)
+
         by_type = {}
         etype, eslot = [], []
         env_index = -1
@@ -236,15 +274,18 @@ class EmitterBuilder:
                         jnp.int32),
                     shape_global=jnp.asarray([sg for _, sg in plist], jnp.int32))
             elif tn == 'point':
+                inten = [_rgbval(p.get('intensity', 1.0)) for p, _ in plist]
+                co, sc = _spec_cols(inten)
                 tables[tn] = PointTable(
                     position=jnp.asarray([_rgbval(p.get('position', [0, 0, 0]))
                                           for p, _ in plist], jnp.float32),
-                    intensity=jnp.asarray([_rgbval(p.get('intensity', 1.0))
-                                           for p, _ in plist], jnp.float32))
+                    intensity=jnp.asarray(inten, jnp.float32),
+                    coeff=co, scale=sc)
             elif tn == 'constant':
+                rad = [_rgbval(p.get('radiance', 1.0)) for p, _ in plist]
+                co, sc = _spec_cols(rad)
                 tables[tn] = ConstantTable(
-                    radiance=jnp.asarray([_rgbval(p.get('radiance', 1.0))
-                                          for p, _ in plist], jnp.float32))
+                    radiance=jnp.asarray(rad, jnp.float32), coeff=co, scale=sc)
             elif tn == 'directional':
                 dirs = []
                 for p, _ in plist:
@@ -252,10 +293,12 @@ class EmitterBuilder:
                     if 'to_world' in p:
                         d = p['to_world'].transform_vector([0, 0, 1])
                     dirs.append(d / np.linalg.norm(d))
+                irr = [_rgbval(p.get('irradiance', 1.0)) for p, _ in plist]
+                co, sc = _spec_cols(irr)
                 tables[tn] = DirectionalTable(
                     direction=jnp.asarray(np.stack(dirs), jnp.float32),
-                    irradiance=jnp.asarray([_rgbval(p.get('irradiance', 1.0))
-                                            for p, _ in plist], jnp.float32))
+                    irradiance=jnp.asarray(irr, jnp.float32),
+                    coeff=co, scale=sc)
             elif tn == 'spot':
                 pos, dirs, inten, cc, cb = [], [], [], [], []
                 for p, _ in plist:
@@ -268,15 +311,17 @@ class EmitterBuilder:
                     beam = float(p.get('beam_width', cut * 0.75))
                     cc.append(np.cos(np.deg2rad(cut)))
                     cb.append(np.cos(np.deg2rad(beam)))
+                co, sc = _spec_cols(inten)
                 tables[tn] = SpotTable(
                     position=jnp.asarray(np.stack(pos), jnp.float32),
                     direction=jnp.asarray(np.stack(dirs), jnp.float32),
                     intensity=jnp.asarray(inten, jnp.float32),
                     cos_cutoff=jnp.asarray(cc, jnp.float32),
-                    cos_beam_width=jnp.asarray(cb, jnp.float32))
+                    cos_beam_width=jnp.asarray(cb, jnp.float32),
+                    coeff=co, scale=sc)
             elif tn == 'envmap':
                 assert len(plist) == 1, 'one envmap per scene'
-                tables[tn] = build_envmap(plist[0][0])
+                tables[tn] = build_envmap(plist[0][0], spectral=spectral)
             else:
                 raise ValueError(f'unknown emitter type {tn}')
         return EmitterSet(types=tuple(order),

@@ -28,22 +28,28 @@ def integrator_config(scene) -> dict:
     return dict(scene.integrator)
 
 
-def _sample_radiance(scene, cfg, sampler, ray):
-    """Dispatch to the integrator plugin (SamplingIntegrator::sample)."""
+def _sample_radiance(scene, cfg, sampler, ray, wl=None):
+    """Dispatch to the integrator plugin (SamplingIntegrator::sample).
+    `wl`: per-lane hero wavelengths (spectral variant) or None (rgb)."""
     kind = cfg.get('type', 'path')
     if kind in ('path', 'prb', 'prb_basic'):
         from ..plugins.integrators import path as path_mod
         return path_mod.sample(scene, sampler, ray,
                                max_depth=int(cfg.get('max_depth', 8)),
                                rr_depth=int(cfg.get('rr_depth', 5)),
-                               hide_emitters=bool(cfg.get('hide_emitters', False)))
+                               hide_emitters=bool(cfg.get('hide_emitters', False)),
+                               wl=wl)
     if kind == 'direct':
         from ..plugins.integrators import direct as direct_mod
         return direct_mod.sample(
             scene, sampler, ray,
             emitter_samples=int(cfg.get('emitter_samples', 1)),
             bsdf_samples=int(cfg.get('bsdf_samples', 1)),
-            hide_emitters=bool(cfg.get('hide_emitters', False)))
+            hide_emitters=bool(cfg.get('hide_emitters', False)), wl=wl)
+    if wl is not None:
+        raise NotImplementedError(
+            f'integrator {kind!r} does not support the spectral variant yet '
+            '(supported: path/prb/direct/depth)')
     if kind == 'depth':
         si = sc.ray_intersect(scene, ray)
         d = jnp.where(si.is_valid, si.t, 0.0)
@@ -83,16 +89,30 @@ def render_pass(scene, block, pass_seed, spp_pass: int, spp_total: int,
     global_id = pix.astype(jnp.uint32) * jnp.uint32(spp_total) + \
         sample_index.astype(jnp.uint32)
     k0, _ = rng.sample_tea_32(jnp.asarray(pass_seed, jnp.uint32), global_id)
-    sampler = sa.seed_from_keys(k0)
+    # per-pixel key drives the per-dimension stratification permutations
+    pk0, _ = rng.sample_tea_32(jnp.asarray(pass_seed, jnp.uint32) ^
+                               jnp.uint32(0x9e3779b9), pix.astype(jnp.uint32))
+    sampler = sa.seed_from_keys(k0, idx=sample_index, pkey=pk0,
+                                kind=scene.sampler_kind, spp=spp_total)
 
-    jitter, sampler = sa.pixel_jitter(scene.sampler_kind, sampler,
-                                      sample_index, spp_total)
+    jitter, sampler = sa.next_2d(sampler)
     pos_f = jnp.stack([px + jitter[..., 0], py + jitter[..., 1]], -1)
     pos01 = pos_f / jnp.asarray([W, H], jnp.float32)
     aperture, sampler = sa.next_2d(sampler)
     ray = sensor_mod.sample_ray(scene.sensor, pos01, aperture)
 
-    L, valid, sampler = _sample_radiance(scene, cfg, sampler, ray)
+    # spectral variant: hero-wavelength sampling (Endpoint::sample_wavelengths,
+    # integrator.cpp render_sample wavelength draw)
+    wl = winv = None
+    if getattr(scene, 'spectral', False):
+        from ..core import spectrum as spec_mod
+        u_wl, sampler = sa.next_1d(sampler)
+        wl, winv = spec_mod.sample_wavelengths(u_wl)
+
+    L, valid, sampler = _sample_radiance(scene, cfg, sampler, ray, wl=wl)
+    if wl is not None:
+        from ..core import spectrum as spec_mod
+        L = spec_mod.spectrum_to_srgb(L, wl, winv)
     L = jnp.nan_to_num(L, nan=0.0, posinf=0.0, neginf=0.0)
     block = film_mod.put(block, film, pos_f, L)
     return block
@@ -104,6 +124,14 @@ def _render_pass_jit(scene, block, pass_seed, spp_pass, spp_total,
                      sample_offset):
     return render_pass(scene, block, pass_seed, spp_pass, spp_total,
                        sample_offset)
+
+
+@jax.jit
+def _kahan_add(acc, comp, x):
+    y = x - comp
+    t = acc + y
+    comp = (t - acc) - y
+    return t, comp
 
 
 def render(scene, spp: int = None, seed: int = 0, spp_per_pass: int = None,
@@ -128,6 +156,19 @@ def render(scene, spp: int = None, seed: int = 0, spp_per_pass: int = None,
     while spp % spp_per_pass != 0:
         spp_per_pass -= 1
     n_passes = spp // spp_per_pass
+    if accum_dtype == 'kahan':
+        # Kahan-compensated on-device fp32 accumulation across passes
+        # (reference ImageBlock scatter_reduce_kahan, imageblock.h:107-110,
+        # recast: compensation happens at pass granularity, where the
+        # magnitude disparity actually lives for high-spp renders)
+        block = film.new_block()
+        comp = jnp.zeros_like(block)
+        for p in range(n_passes):
+            blk = _render_pass_jit(scene, film.new_block(),
+                                   jnp.asarray(seed, jnp.uint32),
+                                   spp_per_pass, spp, p * spp_per_pass)
+            block, comp = _kahan_add(block, comp, blk)
+        return film_mod.develop(block, film)
     if accum_dtype is not None:
         import numpy as _np
         acc = _np.zeros(film.new_block().shape, _np.float64)

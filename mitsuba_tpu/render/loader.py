@@ -32,7 +32,8 @@ _EMITTER_TYPES = ('area', 'point', 'constant', 'envmap', 'directional', 'spot')
 _SENSOR_TYPES = ('perspective', 'thinlens', 'orthographic', 'radiancemeter',
                  'batch', 'distant', 'irradiancemeter')
 _INTEGRATOR_TYPES = ('path', 'direct', 'depth', 'aov', 'moment', 'prb',
-                     'prb_basic', 'ptracer', 'volpath')
+                     'prb_basic', 'ptracer', 'volpath', 'volpathmis',
+                     'prbvolpath', 'stokes')
 
 
 def _flatten_instances(d):
@@ -70,13 +71,17 @@ def _flatten_instances(d):
     return out
 
 
-def load_dict(d: dict) -> Scene:
+def load_dict(d: dict, spectral=None) -> Scene:
     from ..plugins.shapes import REGISTRY as SHAPES
     from ..plugins.bsdfs import REGISTRY as BSDFS
 
     assert d.get('type', 'scene') == 'scene', "top-level dict must be a scene"
 
-    texb = TextureBuilder()
+    if spectral is None:
+        import mitsuba_tpu as _mt
+        spectral = bool(d.get('spectral', False)) or \
+            ('spectral' in getattr(_mt, '_variant', ''))
+    texb = TextureBuilder(spectral=spectral)
     emb = EmitterBuilder()
 
     # --- first pass: classify & collect named objects -----------------------
@@ -274,7 +279,7 @@ def load_dict(d: dict) -> Scene:
         pt[gid] = _rt({'x': spec}, 'x', 0.5, texb)
         ps[gid] = scale
 
-    emitters = emb.build(texb)
+    emitters = emb.build(texb, spectral=spectral)
     textures = texb.build()
 
     # --- sensor / film / sampler ---------------------------------------------
@@ -376,4 +381,5 @@ def load_dict(d: dict) -> Scene:
         bbox_center=jnp.asarray(c, jnp.float32),
         bbox_radius=jnp.asarray(r, jnp.float32),
         medium=(None if medium_props is None else _build_medium(medium_props)),
+        spectral=spectral,
     )

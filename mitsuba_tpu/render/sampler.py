@@ -1,17 +1,31 @@
-"""Samplers (reference include/mitsuba/render/sampler.h,
-src/samplers/independent.cpp).
+"""Samplers (reference include/mitsuba/render/sampler.h, src/samplers/*.cpp).
 
 Functional counter-based design (see core/rng.py): `SamplerState` is a pytree
-carried through the integrator's `lax.scan`. Key API parity:
+carried through the integrator's loops. Key API parity:
   seed(seed, n)  <->  Sampler::seed(seed, wavefront_size)
   clone          <->  same sequence (PRB replay relies on this)
   fork(seed')    <->  statistically independent stream
-Stratified / multijitter / LD samplers are implemented by warping the FIRST
-2D draw (the pixel-jitter dimension) per sample index; later dims fall back to
-the independent stream (matches the reference's per-dimension behavior closely
-enough for chi2 tests; stratified.cpp strats every dim, noted as a TODO).
+
+Unlike stateful per-lane PCG32, every draw is a pure function of
+(key, pkey, idx, ctr), so replay (clone) is exact by construction.
+
+Per-dimension stratification parity: the reference samplers stratify EVERY
+requested dimension, not just the pixel jitter (stratified.cpp:106-143,
+multijitter.cpp:120-170, ldsampler.cpp:100-160, orthogonal.cpp:140-220).
+Here `kind`/`spp` are static fields of the sampler state and next_1d/next_2d
+dispatch at trace time:
+  stratified  — hash-permuted stratum per (pixel, dim) + jitter
+  multijitter — Kensler 2013 correlated multi-jittered 2D point sets
+  ldsampler   — scrambled radical-inverse sequences (base 2 / Sobol' dim-2 /
+                odd prime bases per higher dim) with Cranley-Patterson shifts
+  orthogonal  — Bush orthogonal-array construction (strength 2, prime p,
+                spp = p^2), per-dim permutations (Jarosz et al. 2019)
+Dimensions that cannot be stratified for the given spp fall back to the
+independent stream, as the reference does for non-square/non-prime counts.
 """
 from __future__ import annotations
+
+import math as pymath
 
 import jax.numpy as jnp
 from flax import struct
@@ -19,110 +33,312 @@ from flax import struct
 from ..core import rng
 
 U32 = jnp.uint32
+F32 = jnp.float32
+
+_PRIMES = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37)
 
 
 @struct.dataclass
 class SamplerState:
     key: jnp.ndarray   # (N,) uint32 per-lane stream key
     ctr: jnp.ndarray   # (N,) uint32 per-lane dimension counter
+    idx: jnp.ndarray   # (N,) uint32 sample-in-pixel index (stratification)
+    pkey: jnp.ndarray  # (N,) uint32 per-pixel key (permutation seeds)
+    kind: str = struct.field(pytree_node=False, default='independent')
+    spp: int = struct.field(pytree_node=False, default=1)
 
 
 def seed(seed_value, n: int) -> SamplerState:
-    return SamplerState(key=rng.seed_keys(seed_value, n),
-                        ctr=jnp.zeros((n,), U32))
+    k = rng.seed_keys(seed_value, n)
+    return SamplerState(key=k, ctr=jnp.zeros((n,), U32),
+                        idx=jnp.zeros((n,), U32), pkey=k)
 
 
-def seed_from_keys(keys) -> SamplerState:
-    return SamplerState(key=keys, ctr=jnp.zeros(keys.shape, U32))
+def seed_from_keys(keys, idx=None, pkey=None, kind='independent',
+                   spp: int = 1) -> SamplerState:
+    z = jnp.zeros(keys.shape, U32)
+    return SamplerState(
+        key=keys, ctr=z,
+        idx=z if idx is None else jnp.asarray(idx, U32),
+        pkey=keys if pkey is None else jnp.asarray(pkey, U32),
+        kind=kind, spp=int(spp))
 
 
 def clone(s: SamplerState) -> SamplerState:
     """Same seed, restarted sequence (sampler.h:clone semantics for replay)."""
-    return SamplerState(key=s.key, ctr=jnp.zeros_like(s.ctr))
+    return s.replace(ctr=jnp.zeros_like(s.ctr))
 
 
 def fork(s: SamplerState, salt=0x9e3779b9) -> SamplerState:
     k, _ = rng.sample_tea_32(s.key, jnp.full_like(s.key, U32(salt)))
-    return SamplerState(key=k, ctr=jnp.zeros_like(s.ctr))
+    pk, _ = rng.sample_tea_32(s.pkey, jnp.full_like(s.pkey, U32(salt)))
+    return s.replace(key=k, pkey=pk, ctr=jnp.zeros_like(s.ctr))
 
 
-def next_1d(s: SamplerState):
-    v = rng.uint32_to_float01(rng.hash_combine(s.key, s.ctr))
-    return v, SamplerState(key=s.key, ctr=s.ctr + U32(1))
+def _iid(s: SamplerState, lane_offset=0):
+    return rng.uint32_to_float01(
+        rng.hash_combine(s.key, s.ctr + U32(lane_offset)))
 
 
-def next_2d(s: SamplerState):
-    v0 = rng.uint32_to_float01(rng.hash_combine(s.key, s.ctr))
-    v1 = rng.uint32_to_float01(rng.hash_combine(s.key, s.ctr + U32(1)))
-    return jnp.stack([v0, v1], axis=-1), SamplerState(key=s.key, ctr=s.ctr + U32(2))
+# --- hash-based stateless permutation (Kensler 2013 §4) ---------------------
+
+def _permute(i, l: int, p):
+    """Pseudorandom bijection of [0, l) keyed on p (static l).
+
+    Kensler's cycle-walking hash, unrolled 3 rounds with a final modulo
+    backstop instead of a data-dependent loop (TPU-friendly; the bias of the
+    backstop is O(2^-ceil(lg l)) and only affects lanes that failed all 3
+    walks, which has probability < (1/2)^3)."""
+    if l <= 1:
+        return jnp.zeros_like(jnp.asarray(i, U32))
+    w = l - 1
+    w |= w >> 1; w |= w >> 2; w |= w >> 4; w |= w >> 8; w |= w >> 16
+    wm = U32(w)
+    i = jnp.asarray(i, U32)
+    p = jnp.asarray(p, U32)
+
+    def mix(x):
+        x ^= p
+        x *= U32(0xe170893d)
+        x ^= p >> U32(16)
+        x ^= (x & wm) >> U32(4)
+        x ^= p >> U32(8)
+        x *= U32(0x0929eb3f)
+        x ^= p >> U32(23)
+        x ^= (x & wm) >> U32(1)
+        x *= U32(1) | (p >> U32(27))
+        x *= U32(0x6935fa69)
+        x ^= (x & wm) >> U32(11)
+        x *= U32(0x74dcb303)
+        x ^= (x & wm) >> U32(2)
+        x *= U32(0x9e501cc3)
+        x ^= (x & wm) >> U32(2)
+        x *= U32(0xc860a3df)
+        x &= wm
+        return x ^ (x >> U32(5))
+
+    x = mix(i)
+    for _ in range(2):
+        x = jnp.where(x >= U32(l), mix(x), x)
+    x = jnp.where(x >= U32(l), x % U32(l), x)
+    return (x + p) % U32(l)
 
 
-# --- sample-count/layout-aware pixel jitter for stratified family ----------
-
-def pixel_jitter(kind: str, s: SamplerState, sample_index, spp: int):
-    """First-dimension 2D sample used for the film-plane jitter.
-
-    kind: 'independent' | 'stratified' | 'multijitter' | 'ldsampler' |
-          'orthogonal'.
-    sample_index: (N,) int32 index of the sample within its pixel [0, spp).
-    """
-    u, s = next_2d(s)
-    if kind == 'independent' or spp <= 1:
-        return u, s
-    if kind in ('stratified', 'orthogonal'):
-        # res x res strata (stratified.cpp); remainder lanes keep iid jitter
-        import math as pymath
-        res = int(pymath.isqrt(spp))
-        if res < 2:
-            return u, s
-        cell = jnp.minimum(sample_index, res * res - 1)
-        cx = (cell % res).astype(u.dtype)
-        cy = ((cell // res) % res).astype(u.dtype)
-        su = jnp.stack([(cx + u[..., 0]) / res, (cy + u[..., 1]) / res], -1)
-        return jnp.where((sample_index < res * res)[..., None], su, u), s
-    if kind == 'multijitter':
-        import math as pymath
-        res = int(pymath.isqrt(spp))
-        if res < 2:
-            return u, s
-        cell = jnp.minimum(sample_index, res * res - 1)
-        sx = (cell % res).astype(u.dtype)
-        sy = ((cell // res) % res).astype(u.dtype)
-        # correlated multi-jitter (multijitter.cpp, Kensler 2013 simplified):
-        # sub-stratify each axis by the opposite index
-        ju = (sx + (sy + u[..., 0]) / res) / res
-        jv = (sy + (sx + u[..., 1]) / res) / res
-        su = jnp.stack([ju, jv], -1)
-        return jnp.where((sample_index < res * res)[..., None], su, u), s
-    if kind == 'ldsampler':
-        # 0,2-sequence: van der Corput + Sobol' 2nd dim, scrambled per pixel
-        i = sample_index.astype(U32)
-        vdc = _radical_inverse_base2(i)
-        sob = _sobol2(i)
-        sc0 = rng.uint32_to_float01(rng.pcg_hash(s.key))
-        sc1 = rng.uint32_to_float01(rng.pcg_hash(s.key ^ U32(0xdeadbeef)))
-        su = jnp.stack([jnp.mod(vdc + sc0, 1.0), jnp.mod(sob + sc1, 1.0)], -1)
-        return su, s
-    return u, s
+def _randfloat(i, p):
+    """Kensler-style decorrelated jitter: float in [0,1) from (index, seed)."""
+    return rng.uint32_to_float01(rng.pcg_hash(jnp.asarray(i, U32) ^
+                                              rng.pcg_hash(jnp.asarray(p, U32))))
 
 
-def _radical_inverse_base2(i):
+# --- radical inverses --------------------------------------------------------
+
+def _reverse_bits(i):
     i = jnp.asarray(i, U32)
     i = ((i & U32(0x55555555)) << 1) | ((i & U32(0xAAAAAAAA)) >> 1)
     i = ((i & U32(0x33333333)) << 2) | ((i & U32(0xCCCCCCCC)) >> 2)
     i = ((i & U32(0x0F0F0F0F)) << 4) | ((i & U32(0xF0F0F0F0)) >> 4)
     i = ((i & U32(0x00FF00FF)) << 8) | ((i & U32(0xFF00FF00)) >> 8)
-    i = (i << 16) | (i >> 16)
-    return i.astype(jnp.float32) * (1.0 / 4294967296.0)
+    return (i << 16) | (i >> 16)
 
 
-def _sobol2(i):
-    """Second dimension of the Sobol' sequence (direction numbers for d=2)."""
+def _radical_inverse_base2(i):
+    return _reverse_bits(i).astype(F32) * (1.0 / 4294967296.0)
+
+
+def _sobol2_bits(i):
+    """Second dimension of the Sobol' sequence (direction numbers for d=2),
+    returned as raw uint32 so callers can digit-scramble."""
     i = jnp.asarray(i, U32)
     r = jnp.zeros_like(i)
     v = U32(1 << 31)
-    for bit in range(32):
-        mask = (i >> U32(bit)) & U32(1)
+    for _ in range(32):
+        mask = i & U32(1)
         r = r ^ (mask * v)
         v = v ^ (v >> U32(1))
-    return r.astype(jnp.float32) * (1.0 / 4294967296.0)
+        i = i >> U32(1)
+    return r
+
+
+def _sobol2(i):
+    return _sobol2_bits(i).astype(F32) * (1.0 / 4294967296.0)
+
+
+def _radical_inverse(i, base: int, max_index: int):
+    """Radical inverse of i in a static prime base; i < max_index (static),
+    so the digit loop is a static unroll (qmc.h RadicalInverse::eval)."""
+    i = jnp.asarray(i, U32)
+    n_digits = max(1, pymath.ceil(pymath.log(max(max_index, 2)) /
+                                  pymath.log(base)))
+    inv_base = 1.0 / base
+    value = jnp.zeros(i.shape, F32)
+    scale = inv_base
+    for _ in range(n_digits):
+        digit = (i % U32(base)).astype(F32)
+        value = value + digit * scale
+        scale = scale * inv_base
+        i = i // U32(base)
+    return value
+
+
+# --- per-dimension stratified draw families ---------------------------------
+
+def _stratified_1d(s: SamplerState):
+    spp = s.spp
+    jit = _iid(s)
+    pseed = rng.hash_combine(s.pkey, s.ctr)
+    p = _permute(s.idx, spp, pseed)
+    return (p.astype(F32) + jit) / spp
+
+
+def _stratified_2d(s: SamplerState):
+    spp = s.spp
+    res = int(pymath.isqrt(spp))
+    jx = _iid(s, 0)
+    jy = _iid(s, 1)
+    pseed = rng.hash_combine(s.pkey, s.ctr)
+    if res * res == spp and res >= 2:
+        p = _permute(s.idx, spp, pseed)
+        cx = (p % U32(res)).astype(F32)
+        cy = (p // U32(res)).astype(F32)
+        return jnp.stack([(cx + jx) / res, (cy + jy) / res], -1)
+    # non-square spp: two independently permuted 1D stratifications
+    # (Latin-hypercube marginals, the reference's fallback behavior)
+    p0 = _permute(s.idx, spp, pseed)
+    p1 = _permute(s.idx, spp, pseed ^ U32(0x63d83595))
+    return jnp.stack([(p0.astype(F32) + jx) / spp,
+                      (p1.astype(F32) + jy) / spp], -1)
+
+
+def _multijitter_2d(s: SamplerState):
+    """Kensler 2013 correlated multi-jittered point set per (pixel, dim-pair)
+    (multijitter.cpp). Falls back to stratified_2d for non-square spp."""
+    spp = s.spp
+    m = int(pymath.isqrt(spp))
+    if m * m != spp or m < 2:
+        return _stratified_2d(s)
+    p = rng.hash_combine(s.pkey, s.ctr)
+    sidx = _permute(s.idx, spp, p * U32(0x51633e2d))
+    col = sidx % U32(m)
+    row = sidx // U32(m)
+    sx = _permute(col, m, p * U32(0xa511e9b3))
+    sy = _permute(row, m, p * U32(0x63d83595))
+    jx = _randfloat(sidx, p * U32(0xa399d265))
+    jy = _randfloat(sidx, p * U32(0x711ad6a5))
+    x = (col.astype(F32) + (sy.astype(F32) + jx) / m) / m
+    y = (row.astype(F32) + (sx.astype(F32) + jy) / m) / m
+    return jnp.stack([x, y], -1)
+
+
+def _ld_1d(s: SamplerState, dim_salt=0):
+    """Base-2 radical inverse with per-(pixel,dim) random digit scrambling
+    (ldsampler.cpp semantics; XOR on the reversed bits is the base-2 form of
+    Faure-style digit scrambling and preserves the (0,m,2)-net property while
+    fully decorrelating dimensions)."""
+    d = s.ctr + U32(dim_salt)
+    scramble = rng.hash_combine(s.pkey, d)
+    bits = _reverse_bits(s.idx) ^ scramble
+    return bits.astype(F32) * (1.0 / 4294967296.0)
+
+
+def _ld_2d(s: SamplerState):
+    """(0,2)-sequence pair (van der Corput, Sobol' dim 2) with per-(pixel,dim)
+    random digit scrambling."""
+    d = s.ctr
+    i = s.idx
+    b0 = _reverse_bits(i) ^ rng.hash_combine(s.pkey, d)
+    b1 = _sobol2_bits(i) ^ rng.hash_combine(s.pkey, d + U32(1))
+    return jnp.stack([b0.astype(F32) * (1.0 / 4294967296.0),
+                      b1.astype(F32) * (1.0 / 4294967296.0)], -1)
+
+
+def _orthogonal_params(spp: int):
+    p = int(round(pymath.sqrt(spp)))
+    is_prime = p >= 2 and all(p % q for q in range(2, int(pymath.isqrt(p)) + 1))
+    return (p if (is_prime and p * p == spp) else 0)
+
+
+def _orthogonal_1d(s: SamplerState):
+    """Bush OA(p^2, k, p, 2) construction (orthogonal.cpp, Jarosz 2019):
+    sample i=(a,b) base p; dim j gets stratum (a + c_j*b) mod p, where c_j is
+    a per-dim coefficient; per-dim stratum permutation + sub-stratum jitter."""
+    p = _orthogonal_params(s.spp)
+    if p == 0:
+        return _stratified_1d(s)
+    pseed = rng.hash_combine(s.pkey, s.ctr)
+    i = _permute(s.idx, s.spp, pseed * U32(0x51633e2d))
+    a = i // U32(p)
+    b = i % U32(p)
+    cj = (rng.hash_combine(s.pkey ^ U32(0xba5eba11), s.ctr) % U32(p))
+    stratum = (a + cj * b) % U32(p)
+    stratum = _permute(stratum, p, pseed * U32(0x68bc21eb))
+    # sub-stratum offset: position within the stratum's p-wide substrata
+    sub = _permute(b, p, pseed * U32(0x02e5be93))
+    jit = _iid(s)
+    return (stratum.astype(F32) + (sub.astype(F32) + jit) / p) / p
+
+
+def _orthogonal_2d(s: SamplerState):
+    """Joint Bush-OA dimension pair: two DISTINCT coefficients c0 != c1 make
+    (a,b) -> ((a+c0*b)%p, (a+c1*b)%p) a bijection of Z_p^2, i.e. exactly one
+    sample per p*p joint stratum (perfect 2D stratification), while every
+    single dim stays an OA margin."""
+    p = _orthogonal_params(s.spp)
+    if p == 0:
+        return _stratified_2d(s)
+    pseed = rng.hash_combine(s.pkey, s.ctr)
+    i = _permute(s.idx, s.spp, pseed * U32(0x51633e2d))
+    a = i // U32(p)
+    b = i % U32(p)
+    h = rng.hash_combine(s.pkey ^ U32(0xba5eba11), s.ctr)
+    c0 = h % U32(p)
+    c1 = (c0 + U32(1) + (h >> U32(8)) % U32(max(p - 1, 1))) % U32(p)
+    sx = _permute((a + c0 * b) % U32(p), p, pseed * U32(0x68bc21eb))
+    sy = _permute((a + c1 * b) % U32(p), p, pseed * U32(0x02e5be93))
+    subx = _permute(b, p, pseed * U32(0xa511e9b3))
+    suby = _permute(a, p, pseed * U32(0x63d83595))
+    jx = _iid(s, 0)
+    jy = _iid(s, 1)
+    x = (sx.astype(F32) + (subx.astype(F32) + jx) / p) / p
+    y = (sy.astype(F32) + (suby.astype(F32) + jy) / p) / p
+    return jnp.stack([x, y], -1)
+
+
+def next_1d(s: SamplerState):
+    kind, spp = s.kind, s.spp
+    if kind == 'independent' or spp <= 1:
+        v = _iid(s)
+    elif kind in ('stratified', 'multijitter'):
+        v = _stratified_1d(s)
+    elif kind == 'ldsampler':
+        v = _ld_1d(s)
+    elif kind == 'orthogonal':
+        v = _orthogonal_1d(s)
+    else:
+        v = _iid(s)
+    return v, s.replace(ctr=s.ctr + U32(1))
+
+
+def next_2d(s: SamplerState):
+    kind, spp = s.kind, s.spp
+    if kind == 'independent' or spp <= 1:
+        v = jnp.stack([_iid(s, 0), _iid(s, 1)], -1)
+    elif kind == 'stratified':
+        v = _stratified_2d(s)
+    elif kind == 'multijitter':
+        v = _multijitter_2d(s)
+    elif kind == 'ldsampler':
+        v = _ld_2d(s)
+    elif kind == 'orthogonal':
+        v = _orthogonal_2d(s)
+    else:
+        v = jnp.stack([_iid(s, 0), _iid(s, 1)], -1)
+    return v, s.replace(ctr=s.ctr + U32(2))
+
+
+def pixel_jitter(kind: str, s: SamplerState, sample_index, spp: int):
+    """First 2D draw (film-plane jitter). With per-dimension stratification
+    this is just next_2d on a state carrying the stratification context."""
+    if s.kind != kind or s.spp != int(spp):
+        s = s.replace(kind=kind, spp=int(max(spp, 1)),
+                      idx=jnp.asarray(sample_index, U32))
+    return next_2d(s)

@@ -86,6 +86,8 @@ class Scene:
     bbox_radius: jnp.ndarray = None
     # optional global participating medium (render/medium.py)
     medium: object = None
+    # spectral variant (hero-wavelength transport, SURVEY §1 variant axes)
+    spectral: bool = struct.field(pytree_node=False, default=False)
 
     # convenience
     def environment(self):
@@ -231,12 +233,21 @@ def shape_sample_position(scene: Scene, shape_global, sample2):
 # Emitter evaluation / sampling (scene.cpp:259-332)
 # ===========================================================================
 
-def eval_emitter_hit(scene: Scene, si: SurfaceInteraction, active):
+def _nch(wl):
+    """Radiance channel count: 3 (rgb) or NW (spectral samples)."""
+    return 3 if wl is None else wl.shape[-1]
+
+
+def _tex_wl(scene, wl):
+    return scene.textures if wl is None else scene.textures.replace(wl=wl)
+
+
+def eval_emitter_hit(scene: Scene, si: SurfaceInteraction, active, wl=None):
     """Radiance of the emitter at a surface hit (area.cpp:eval: front side
     only)."""
     es = scene.emitters
     n = si.t.shape[0]
-    L = jnp.zeros((n, 3), si.p.dtype)
+    L = jnp.zeros((n, _nch(wl)), si.p.dtype)
     if es.n == 0:
         return L
     has_em = active & (si.emitter_index >= 0)
@@ -247,44 +258,52 @@ def eval_emitter_hit(scene: Scene, si: SurfaceInteraction, active):
         if name != 'area':
             continue
         tbl = es.tables[name]
-        rad = eval_texture(scene.textures, tbl.radiance[eslot], si.uv)
-        front = m.dot(si.wi, jnp.asarray([0.0, 0.0, 1.0])) > 0  # local wi z>0
+        rad = eval_texture(_tex_wl(scene, wl), tbl.radiance[eslot], si.uv)
+        if wl is not None:
+            from ..core.spectrum import d65
+            rad = rad * d65(wl)   # rgb emission = upsampled spectrum × D65
         sel = has_em & (etype == ti) & (si.wi[..., 2] > 0)
         L = jnp.where(sel[..., None], rad, L)
     return L
 
 
-def eval_environment(scene: Scene, ray_d, active):
+def eval_environment(scene: Scene, ray_d, active, wl=None):
     """Radiance for escaped rays (constant.cpp / envmap.cpp eval)."""
     es = scene.emitters
     n = ray_d.shape[0]
-    L = jnp.zeros((n, 3), ray_d.dtype)
+    L = jnp.zeros((n, _nch(wl)), ray_d.dtype)
     if es.n == 0:
         return L
     for name in es.types:
         tbl = es.tables[name]
         if name == 'constant':
-            L = L + jnp.sum(tbl.radiance, axis=0)[None] * active[..., None]
+            if wl is not None:
+                rad = sum(em.emit_spectrum(tbl.coeff[e], tbl.scale[e, None], wl)
+                          for e in range(tbl.radiance.shape[0]))
+            else:
+                rad = jnp.sum(tbl.radiance, axis=0)[None]
+            L = L + rad * active[..., None]
         elif name == 'envmap':
-            L = L + em.envmap_eval(tbl, 0, ray_d) * active[..., None]
+            L = L + em.envmap_eval(tbl, 0, ray_d, wl=wl) * active[..., None]
     return L
 
 
 def sample_emitter_direction(scene: Scene, si: SurfaceInteraction, sample2,
-                             test_visibility=True, active=None):
+                             test_visibility=True, active=None, wl=None):
     """scene.cpp:sample_emitter_direction — pick one emitter uniformly, sample
     a direction toward it, optionally shadow-test. Returns (ds, value) with
     value = radiance / pdf (importance-weighted, pick pmf folded in)."""
     es = scene.emitters
     n = sample2.shape[0]
     dtype = sample2.dtype
+    C = _nch(wl)
     zero3 = jnp.zeros((n, 3), dtype)
     ds = DirectionSample(p=zero3, n=zero3, uv=jnp.zeros((n, 2), dtype),
                          d=zero3, dist=jnp.full((n,), jnp.inf, dtype),
                          pdf=jnp.zeros((n,), dtype),
                          delta=jnp.zeros((n,), bool),
                          emitter_index=jnp.full((n,), -1, jnp.int32))
-    value = jnp.zeros((n, 3), dtype)
+    value = jnp.zeros((n, C), dtype)
     if es.n == 0:
         return ds, value
     if active is None:
@@ -304,7 +323,11 @@ def sample_emitter_direction(scene: Scene, si: SurfaceInteraction, sample2,
     dist_out = jnp.full((n,), jnp.inf, dtype)
     pdf_out = jnp.zeros((n,), dtype)
     delta_out = jnp.zeros((n,), bool)
-    val_out = jnp.zeros((n, 3), dtype)
+    val_out = jnp.zeros((n, C), dtype)
+
+    def _spec_val(tbl, eslot):
+        """Per-lane emitter spectrum for rgb-valued tables (spectral mode)."""
+        return em.emit_spectrum(tbl.coeff[eslot], tbl.scale[eslot], wl)
 
     for ti, name in enumerate(es.types):
         tbl = es.tables[name]
@@ -319,7 +342,10 @@ def sample_emitter_direction(scene: Scene, si: SurfaceInteraction, sample2,
             cos_e = m.dot(nrm, -d)
             pdf_sl = pdf_area * dist2 / jnp.maximum(cos_e, 1e-12)
             ok = cos_e > 1e-6
-            rad = eval_texture(scene.textures, tbl.radiance[eslot], uv)
+            rad = eval_texture(_tex_wl(scene, wl), tbl.radiance[eslot], uv)
+            if wl is not None:
+                from ..core.spectrum import d65
+                rad = rad * d65(wl)
             v = rad / jnp.maximum(pdf_sl, 1e-12)[..., None]
             p_out = jnp.where(sel[..., None], p, p_out)
             n_out = jnp.where(sel[..., None], nrm, n_out)
@@ -334,7 +360,8 @@ def sample_emitter_direction(scene: Scene, si: SurfaceInteraction, sample2,
             dist2 = m.squared_norm(dvec)
             dist = m.safe_sqrt(dist2)
             d = dvec / jnp.maximum(dist[..., None], 1e-12)
-            v = tbl.intensity[eslot] / jnp.maximum(dist2, 1e-12)[..., None]
+            inten = tbl.intensity[eslot] if wl is None else _spec_val(tbl, eslot)
+            v = inten / jnp.maximum(dist2, 1e-12)[..., None]
             p_out = jnp.where(sel[..., None], p, p_out)
             n_out = jnp.where(sel[..., None], -d, n_out)
             d_out = jnp.where(sel[..., None], d, d_out)
@@ -352,7 +379,8 @@ def sample_emitter_direction(scene: Scene, si: SurfaceInteraction, sample2,
             cc = tbl.cos_cutoff[eslot]
             cb = tbl.cos_beam_width[eslot]
             falloff = jnp.clip((cos_f - cc) / jnp.maximum(cb - cc, 1e-6), 0.0, 1.0)
-            v = tbl.intensity[eslot] * (falloff / jnp.maximum(dist2, 1e-12))[..., None]
+            inten = tbl.intensity[eslot] if wl is None else _spec_val(tbl, eslot)
+            v = inten * (falloff / jnp.maximum(dist2, 1e-12))[..., None]
             p_out = jnp.where(sel[..., None], p, p_out)
             n_out = jnp.where(sel[..., None], -d, n_out)
             d_out = jnp.where(sel[..., None], d, d_out)
@@ -363,7 +391,7 @@ def sample_emitter_direction(scene: Scene, si: SurfaceInteraction, sample2,
         elif name == 'directional':
             d = -tbl.direction[eslot]
             far = 2.0 * scene.bbox_radius
-            v = tbl.irradiance[eslot]
+            v = tbl.irradiance[eslot] if wl is None else _spec_val(tbl, eslot)
             p_out = jnp.where(sel[..., None], si.p + d * far, p_out)
             n_out = jnp.where(sel[..., None], -d, n_out)
             d_out = jnp.where(sel[..., None], d, d_out)
@@ -376,7 +404,8 @@ def sample_emitter_direction(scene: Scene, si: SurfaceInteraction, sample2,
             d = warp.square_to_uniform_sphere(s2)
             pdf_sl = jnp.full((n,), m.InvFourPi, dtype)
             far = 2.0 * scene.bbox_radius
-            v = tbl.radiance[eslot] / pdf_sl[..., None]
+            rad = tbl.radiance[eslot] if wl is None else _spec_val(tbl, eslot)
+            v = rad / pdf_sl[..., None]
             p_out = jnp.where(sel[..., None], si.p + d * far, p_out)
             n_out = jnp.where(sel[..., None], -d, n_out)
             d_out = jnp.where(sel[..., None], d, d_out)
@@ -384,7 +413,7 @@ def sample_emitter_direction(scene: Scene, si: SurfaceInteraction, sample2,
             pdf_out = jnp.where(sel, pdf_sl, pdf_out)
             val_out = jnp.where(sel[..., None], v, val_out)
         elif name == 'envmap':
-            d, pdf_sl, rad = em.envmap_sample_direction(tbl, s2)
+            d, pdf_sl, rad = em.envmap_sample_direction(tbl, s2, wl=wl)
             far = 2.0 * scene.bbox_radius
             v = rad / jnp.maximum(pdf_sl, 1e-12)[..., None]
             ok = pdf_sl > 0

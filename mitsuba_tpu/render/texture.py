@@ -9,6 +9,15 @@ Dr.Jit vcall dispatch).
 Kinds: 0 = constant rgb, 1 = checkerboard, 2 = bitmap.
 Bitmap data are differentiable leaves (reference bitmap.cpp:267 exposes
 "data" as a differentiable parameter).
+
+Spectral mode (reference spectral variants + src/textures/bitmap.cpp
+MI_SPECTRAL upsampling): color entries are converted at build time to
+sigmoid-polynomial coefficients (core/spectrum.py) with a per-entry (or
+per-texel, for bitmaps) HDR scale; `eval_texture` evaluates the spectrum at
+the per-lane hero wavelengths carried in the `wl` field (set per wavefront
+with `tex.replace(wl=...)` by the BSDF/emitter dispatch). Entries added with
+is_color=False (normal maps, bump heights, roughness, blend weights) keep
+their raw values in every mode.
 """
 from __future__ import annotations
 
@@ -24,25 +33,33 @@ KIND_BITMAP = 2
 @struct.dataclass
 class TextureSet:
     kind: jnp.ndarray        # (T,) int32
-    color0: jnp.ndarray      # (T,3) const value / checker color0
-    color1: jnp.ndarray      # (T,3) checker color1
+    color0: jnp.ndarray      # (T,3) const value / checker color0 (coeff in spectral)
+    color1: jnp.ndarray      # (T,3) checker color1 (coeff in spectral)
     uv_scale: jnp.ndarray    # (T,2)
     uv_offset: jnp.ndarray   # (T,2)
     bitmap_slot: jnp.ndarray  # (T,) int32 index into `bitmaps`, -1 if none
-    bitmaps: tuple           # tuple of (H,W,3) float arrays (pytree leaves)
+    bitmaps: tuple           # tuple of (H,W,3|4) float arrays (pytree leaves)
     filter_nearest: tuple = struct.field(pytree_node=False, default=())
+    # spectral-mode extras
+    scale0: jnp.ndarray = None   # (T,) HDR scale for color0 coefficients
+    scale1: jnp.ndarray = None   # (T,)
+    wl: jnp.ndarray = None       # (N,NW) per-lane wavelengths (set per pass)
+    spectral: bool = struct.field(pytree_node=False, default=False)
 
 
 class TextureBuilder:
     """Host-side accumulator used by the scene loader."""
 
-    def __init__(self):
+    def __init__(self, spectral: bool = False):
         self.kinds, self.c0, self.c1 = [], [], []
         self.uv_scale, self.uv_offset = [], []
         self.bitmap_slot, self.bitmaps = [], []
         self.filter_nearest = []
+        self.is_color = []
+        self.bitmap_is_color = []
+        self.spectral = bool(spectral)
 
-    def add_constant(self, rgb):
+    def add_constant(self, rgb, is_color=True):
         rgb = np.broadcast_to(np.asarray(rgb, np.float32).reshape(-1), (3,))
         self.kinds.append(KIND_CONST)
         self.c0.append(rgb)
@@ -50,18 +67,22 @@ class TextureBuilder:
         self.uv_scale.append(np.ones(2, np.float32))
         self.uv_offset.append(np.zeros(2, np.float32))
         self.bitmap_slot.append(-1)
+        self.is_color.append(bool(is_color))
         return len(self.kinds) - 1
 
-    def add_checkerboard(self, color0, color1, uv_scale=(1, 1), uv_offset=(0, 0)):
+    def add_checkerboard(self, color0, color1, uv_scale=(1, 1), uv_offset=(0, 0),
+                         is_color=True):
         self.kinds.append(KIND_CHECKER)
         self.c0.append(np.broadcast_to(np.asarray(color0, np.float32).reshape(-1), (3,)))
         self.c1.append(np.broadcast_to(np.asarray(color1, np.float32).reshape(-1), (3,)))
         self.uv_scale.append(np.asarray(uv_scale, np.float32))
         self.uv_offset.append(np.asarray(uv_offset, np.float32))
         self.bitmap_slot.append(-1)
+        self.is_color.append(bool(is_color))
         return len(self.kinds) - 1
 
-    def add_bitmap(self, data, uv_scale=(1, 1), uv_offset=(0, 0), nearest=False):
+    def add_bitmap(self, data, uv_scale=(1, 1), uv_offset=(0, 0), nearest=False,
+                   is_color=True):
         data = np.asarray(data, np.float32)
         if data.ndim == 2:
             data = np.repeat(data[..., None], 3, axis=-1)
@@ -71,22 +92,45 @@ class TextureBuilder:
         self.uv_scale.append(np.asarray(uv_scale, np.float32))
         self.uv_offset.append(np.asarray(uv_offset, np.float32))
         self.bitmap_slot.append(len(self.bitmaps))
-        self.bitmaps.append(jnp.asarray(data))
+        self.bitmaps.append(data)
         self.filter_nearest.append(bool(nearest))
+        self.is_color.append(bool(is_color))
+        self.bitmap_is_color.append(bool(is_color))
         return len(self.kinds) - 1
 
     def build(self) -> TextureSet:
         if not self.kinds:  # always keep one dummy slot so tables are non-empty
             self.add_constant([0.0, 0.0, 0.0])
+        c0 = np.stack(self.c0)
+        c1 = np.stack(self.c1)
+        sc0 = np.ones(len(self.kinds), np.float32)
+        sc1 = np.ones(len(self.kinds), np.float32)
+        bitmaps = list(self.bitmaps)
+        if self.spectral:
+            from ..core.spectrum import rgb_to_spec_with_scale
+            icol = np.asarray(self.is_color, bool)
+            if icol.any():
+                cc0, ss0 = rgb_to_spec_with_scale(c0[icol])
+                cc1, ss1 = rgb_to_spec_with_scale(c1[icol])
+                c0 = c0.copy(); c1 = c1.copy()
+                c0[icol] = cc0; c1[icol] = cc1
+                sc0[icol] = ss0; sc1[icol] = ss1
+            for bi, img in enumerate(bitmaps):
+                if bi < len(self.bitmap_is_color) and self.bitmap_is_color[bi]:
+                    co, sc = rgb_to_spec_with_scale(img)
+                    bitmaps[bi] = np.concatenate([co, sc[..., None]], -1)
         return TextureSet(
             kind=jnp.asarray(self.kinds, jnp.int32),
-            color0=jnp.asarray(np.stack(self.c0)),
-            color1=jnp.asarray(np.stack(self.c1)),
+            color0=jnp.asarray(c0),
+            color1=jnp.asarray(c1),
             uv_scale=jnp.asarray(np.stack(self.uv_scale)),
             uv_offset=jnp.asarray(np.stack(self.uv_offset)),
             bitmap_slot=jnp.asarray(self.bitmap_slot, jnp.int32),
-            bitmaps=tuple(self.bitmaps),
+            bitmaps=tuple(jnp.asarray(b) for b in bitmaps),
             filter_nearest=tuple(self.filter_nearest),
+            scale0=jnp.asarray(sc0),
+            scale1=jnp.asarray(sc1),
+            spectral=self.spectral,
         )
 
 
@@ -120,13 +164,15 @@ def bilinear_sample(img, uv, nearest=False):
 
 
 def eval_texture(tex: TextureSet, tex_id, uv):
-    """tex_id: (N,) int32; uv: (N,2) -> (N,3). Small-table lookups use
-    VPU select-chains (core.math.small_gather) — per-lane scalar gathers are
-    the TPU hot-path killer."""
+    """tex_id: (N,) int32; uv: (N,2) -> (N,3) rgb, or (N,NW) spectral samples
+    when `tex.spectral` and per-lane wavelengths are set (tex.wl). Small-table
+    lookups use VPU select-chains (core.math.small_gather) — per-lane scalar
+    gathers are the TPU hot-path killer."""
     from ..core.math import small_gather
     tex_id = jnp.clip(tex_id, 0, tex.kind.shape[0] - 1)
     kind = small_gather(tex.kind, tex_id)
     color0 = small_gather(tex.color0, tex_id)
+    spectral = tex.spectral and tex.wl is not None
     out = color0
     # checkerboard (checkerboard.cpp: color selected by parity of uv cell)
     uv_t = uv * small_gather(tex.uv_scale, tex_id) +         small_gather(tex.uv_offset, tex_id)
@@ -136,17 +182,30 @@ def eval_texture(tex: TextureSet, tex_id, uv):
     checker = jnp.where(mask_c[..., None], color0,
                         small_gather(tex.color1, tex_id))
     out = jnp.where((kind == KIND_CHECKER)[..., None], checker, out)
+    if spectral:
+        scale = small_gather(tex.scale0, tex_id)
+        scale_c = jnp.where(mask_c, scale, small_gather(tex.scale1, tex_id))
+        scale = jnp.where(kind == KIND_CHECKER, scale_c, scale)
     slot = small_gather(tex.bitmap_slot, tex_id)
     for i, img in enumerate(tex.bitmaps):
         nearest = tex.filter_nearest[i] if i < len(tex.filter_nearest) else False
         val = bilinear_sample(img, uv_t, nearest=nearest)
         sel = (kind == KIND_BITMAP) & (slot == i)
-        out = jnp.where(sel[..., None], val, out)
+        out = jnp.where(sel[..., None], val[..., :3], out)
+        if spectral and img.shape[-1] == 4:
+            scale = jnp.where(sel, val[..., 3], scale)
+    if spectral:
+        from ..core.spectrum import eval_coeff
+        return eval_coeff(out, tex.wl) * scale[..., None]
     return out
 
 
 def eval_texture_1(tex: TextureSet, tex_id, uv):
-    """Scalar evaluation (texture.h:eval_1): mean of channels."""
+    """Scalar evaluation (texture.h:eval_1): mean of channels. Always raw —
+    scalar textures (roughness, blend weights, bump heights) are stored
+    unconverted in spectral mode (is_color=False)."""
+    if tex.wl is not None:
+        tex = tex.replace(wl=None)
     return jnp.mean(eval_texture(tex, tex_id, uv), axis=-1)
 
 

@@ -1,0 +1,85 @@
+"""Command-line renderer (reference src/mitsuba/mitsuba.cpp:25-67 help text,
+src/python/python/cli.py entry point).
+
+    python -m mitsuba_tpu scene.xml -o out.exr -D spp=64 -s 0
+
+Arguments mirror the reference CLI where they make sense on TPU; the
+variant (-m) and thread (-t) flags are accepted for compatibility but map to
+dtype config / XLA respectively.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog='mitsuba_tpu',
+        description='Render a Mitsuba scene (XML) on TPU via JAX.')
+    p.add_argument('scene', nargs='+', help='scene .xml file(s) to render')
+    p.add_argument('-o', '--output', default=None,
+                   help='output image path (default: scene name + .exr)')
+    p.add_argument('-D', '--define', action='append', default=[],
+                   metavar='key=value',
+                   help='define a scene $parameter (repeatable)')
+    p.add_argument('-s', '--sensor', type=int, default=0,
+                   help='sensor index to render from')
+    p.add_argument('-p', '--spp', type=int, default=None,
+                   help='override samples per pixel')
+    p.add_argument('--seed', type=int, default=0, help='random seed')
+    p.add_argument('-m', '--mode', default='tpu_ad_rgb',
+                   help='variant shim (accepted for parity; TPU collapses '
+                        'variants, SURVEY.md §1)')
+    p.add_argument('-t', '--threads', type=int, default=0,
+                   help='ignored (XLA manages parallelism)')
+    p.add_argument('-v', '--verbose', action='count', default=0)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import mitsuba_tpu as mt
+    from mitsuba_tpu.utils.observability import set_log_level, Log, Info
+
+    if args.verbose >= 2:
+        set_log_level('debug')
+    elif args.verbose == 1:
+        set_log_level('info')
+    mt.set_variant(args.mode)
+
+    defines = {}
+    for d in args.define:
+        if '=' not in d:
+            print(f'error: -D expects key=value, got {d!r}', file=sys.stderr)
+            return 2
+        k, v = d.split('=', 1)
+        defines[k] = v
+
+    rc = 0
+    for scene_path in args.scene:
+        t0 = time.time()
+        try:
+            scene = mt.load_file(scene_path, **defines)
+        except Exception as e:  # noqa: BLE001 - CLI surface
+            print(f'error loading {scene_path}: {e}', file=sys.stderr)
+            rc = 1
+            continue
+        Log(Info, f'loaded {scene_path} in {time.time() - t0:.2f}s')
+        t0 = time.time()
+        img = mt.render(scene, spp=args.spp, seed=args.seed)
+        img.block_until_ready()
+        Log(Info, f'rendered in {time.time() - t0:.2f}s')
+        out = args.output
+        if out is None:
+            base = scene_path.rsplit('.', 1)[0]
+            out = base + '.exr'
+        mt.write_bitmap(out, img)
+        print(f'wrote {out}')
+    return rc
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -36,6 +36,8 @@ def Log(level, msg, *args):
 
 
 def set_log_level(level):
+    if isinstance(level, str):
+        level = level.upper()
     _logger.setLevel(level)
 
 

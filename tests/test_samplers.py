@@ -1,0 +1,97 @@
+"""Sampler parity tests (reference src/samplers/tests/*).
+
+The reference stratifies EVERY dimension (stratified.cpp, multijitter.cpp,
+ldsampler.cpp, orthogonal.cpp); these tests assert per-dimension stratum
+occupancy, uniformity, and the clone/replay contract PRB relies on."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mitsuba_tpu.render import sampler as sa
+from mitsuba_tpu.core import rng
+
+
+def _make(kind, spp, pixel_key=123, seed=7):
+    idx = jnp.arange(spp, dtype=jnp.uint32)
+    keys = rng.seed_keys(seed, spp)
+    pk = jnp.full((spp,), jnp.uint32(pixel_key))
+    return sa.seed_from_keys(keys, idx=idx, pkey=pk, kind=kind, spp=spp)
+
+
+def _occ2(u, res):
+    c = (u[:, 0] * res).astype(int) + res * (u[:, 1] * res).astype(int)
+    return len(set(c.tolist()))
+
+
+def _occ1(u, n):
+    return len(set((u * n).astype(int).tolist()))
+
+
+@pytest.mark.parametrize('kind,spp', [
+    ('stratified', 16), ('multijitter', 16), ('ldsampler', 16),
+    ('orthogonal', 25), ('stratified', 64), ('multijitter', 64),
+])
+def test_per_dim_stratification(kind, spp):
+    res = int(np.sqrt(spp))
+    s = _make(kind, spp)
+    u01, s = sa.next_2d(s)
+    u2, s = sa.next_1d(s)
+    u34, s = sa.next_2d(s)
+    for u in (np.asarray(u01), np.asarray(u34)):
+        assert u.min() >= 0.0 and u.max() < 1.0
+        assert _occ2(u, res) == spp, f'{kind} 2D strata not fully occupied'
+    assert _occ1(np.asarray(u2), spp) >= spp - 1, f'{kind} 1D strata'
+
+
+@pytest.mark.parametrize('kind', ['stratified', 'multijitter', 'ldsampler',
+                                  'orthogonal', 'independent'])
+def test_clone_replay_identical(kind):
+    spp = 16
+    s = _make(kind, spp)
+    seq = []
+    t = s
+    for _ in range(4):
+        v, t = sa.next_2d(t)
+        seq.append(np.asarray(v))
+    t2 = sa.clone(t)
+    for i in range(4):
+        v, t2 = sa.next_2d(t2)
+        np.testing.assert_allclose(np.asarray(v), seq[i])
+
+
+def test_fork_decorrelates():
+    s = _make('independent', 64)
+    a, _ = sa.next_2d(s)
+    b, _ = sa.next_2d(sa.fork(s))
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_nonsquare_spp_falls_back_gracefully():
+    for kind in ('stratified', 'multijitter', 'orthogonal'):
+        s = _make(kind, 12)
+        u, s2 = sa.next_2d(s)
+        u = np.asarray(u)
+        assert u.min() >= 0 and u.max() < 1
+        # marginals are still 1D-stratified (Latin-hypercube fallback)
+        assert _occ1(u[:, 0], 12) == 12
+        assert _occ1(u[:, 1], 12) == 12
+
+
+def test_variance_reduction_vs_independent():
+    """Stratified mean-estimation error should beat iid on a smooth integrand
+    (the reference validates samplers via chi2 + renders; this is the cheap
+    invariant)."""
+    spp = 256
+    errs = {}
+    for kind in ('independent', 'stratified', 'multijitter', 'ldsampler'):
+        e = []
+        for trial in range(8):
+            s = _make(kind, spp, pixel_key=trial * 77 + 1, seed=trial)
+            u, _ = sa.next_2d(s)
+            u = np.asarray(u)
+            f = np.sin(np.pi * u[:, 0]) * np.sin(np.pi * u[:, 1])
+            e.append((f.mean() - (2 / np.pi) ** 2) ** 2)
+        errs[kind] = np.mean(e)
+    assert errs['stratified'] < errs['independent']
+    assert errs['multijitter'] < errs['independent']
+    assert errs['ldsampler'] < errs['independent']

@@ -66,6 +66,18 @@ def _sample_emitter_ray(scene, smpl, n):
             d = jnp.where(selm[..., None], dd, d)
             beta = jnp.where(selm[..., None], b, beta)
             nrm = jnp.where(selm[..., None], dd, nrm)
+        elif name == 'directionalarea':
+            # directionalarea.cpp sample_ray: position on the shape, delta
+            # direction along the normal; weight = Le * area
+            sg = tbl.shape_global[eslot]
+            p, nn, uv, pdf_area = shape_sample_position(scene, sg, s_pos)
+            from ...render.texture import eval_texture
+            rad = eval_texture(scene.textures, tbl.radiance[eslot], uv)
+            b = rad / jnp.maximum(pdf_area, 1e-12)[..., None] * E
+            o = jnp.where(selm[..., None], p + nn * 1e-4, o)
+            d = jnp.where(selm[..., None], nn, d)
+            beta = jnp.where(selm[..., None], b, beta)
+            nrm = jnp.where(selm[..., None], nn, nrm)
     return o, d, beta, nrm, smpl
 
 

@@ -69,6 +69,27 @@ class SpotTable:
 
 
 @struct.dataclass
+class ProjectorTable:
+    """projector.cpp: delta-position emitter projecting a texture through a
+    perspective frustum (a textured spot light)."""
+    position: jnp.ndarray    # (E,3)
+    to_object: jnp.ndarray   # (E,4,4) world -> projector local (z forward)
+    irradiance: jnp.ndarray  # (E,) int32 texture id
+    scale: jnp.ndarray       # (E,)
+    tan_x: jnp.ndarray       # (E,)
+    tan_y: jnp.ndarray       # (E,)
+
+
+@struct.dataclass
+class DirectionalAreaTable:
+    """directionalarea.cpp: area light emitting only along the surface
+    normal (DeltaDirection | Surface). Invisible to BSDF/emitter sampling;
+    participates via light tracing (ptracer sample_ray)."""
+    radiance: jnp.ndarray      # (E,) int32 texture id
+    shape_global: jnp.ndarray  # (E,)
+
+
+@struct.dataclass
 class EnvmapTable:
     """envmap.cpp: equirectangular radiance map + hierarchical luminance warp."""
     bitmap: jnp.ndarray        # (H, W, 3), differentiable
@@ -98,6 +119,8 @@ TYPE_FLAGS = {
     'directional': F_DELTA_DIRECTION | F_INFINITE,
     'spot': F_DELTA_POSITION,
     'envmap': F_INFINITE | F_SPATIALLY_VARYING,
+    'projector': F_DELTA_POSITION | F_SPATIALLY_VARYING,
+    'directionalarea': F_DELTA_DIRECTION | F_SURFACE,
 }
 
 
@@ -319,6 +342,35 @@ class EmitterBuilder:
                     cos_cutoff=jnp.asarray(cc, jnp.float32),
                     cos_beam_width=jnp.asarray(cb, jnp.float32),
                     coeff=co, scale=sc)
+            elif tn == 'projector':
+                from ..plugins.bsdfs.core_bsdfs import _resolve_texture
+                pos, to_obj, tex, scl, tx, ty = [], [], [], [], [], []
+                for p, _ in plist:
+                    tw = p.get('to_world', Transform4())
+                    pos.append(tw.transform_point([0, 0, 0]))
+                    to_obj.append(tw.inverse_matrix)
+                    tex.append(_resolve_texture(p, 'irradiance', 1.0, texb))
+                    scl.append(float(p.get('scale', 1.0)))
+                    fov = float(p.get('fov', 45.0))
+                    import math as pym
+                    t_x = pym.tan(pym.radians(fov) / 2)
+                    pos_asp = float(p.get('aspect', 1.0))
+                    tx.append(t_x)
+                    ty.append(t_x / pos_asp)
+                tables[tn] = ProjectorTable(
+                    position=jnp.asarray(np.stack(pos), jnp.float32),
+                    to_object=jnp.asarray(np.stack(to_obj), jnp.float32),
+                    irradiance=jnp.asarray(tex, jnp.int32),
+                    scale=jnp.asarray(scl, jnp.float32),
+                    tan_x=jnp.asarray(tx, jnp.float32),
+                    tan_y=jnp.asarray(ty, jnp.float32))
+            elif tn == 'directionalarea':
+                from ..plugins.bsdfs.core_bsdfs import _resolve_texture
+                tables[tn] = DirectionalAreaTable(
+                    radiance=jnp.asarray(
+                        [_resolve_texture(p, 'radiance', 1.0, texb)
+                         for p, _ in plist], jnp.int32),
+                    shape_global=jnp.asarray([sg for _, sg in plist], jnp.int32))
             elif tn == 'envmap':
                 assert len(plist) == 1, 'one envmap per scene'
                 tables[tn] = build_envmap(plist[0][0], spectral=spectral)

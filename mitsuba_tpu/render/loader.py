@@ -28,7 +28,8 @@ def _build_medium(props):
 
 _SHAPE_TYPES = ('rectangle', 'cube', 'sphere', 'disk', 'cylinder',
                 'heightfield', 'obj', 'ply', 'mesh')
-_EMITTER_TYPES = ('area', 'point', 'constant', 'envmap', 'directional', 'spot')
+_EMITTER_TYPES = ('area', 'point', 'constant', 'envmap', 'directional',
+                  'spot', 'projector', 'directionalarea')
 _SENSOR_TYPES = ('perspective', 'thinlens', 'orthographic', 'radiancemeter',
                  'batch', 'distant', 'irradiancemeter')
 _INTEGRATOR_TYPES = ('path', 'direct', 'depth', 'aov', 'moment', 'prb',
@@ -196,7 +197,8 @@ def load_dict(d: dict, spectral=None) -> Scene:
                     v.get('type') in ('twosided', 'normalmap', 'bumpmap',
                                       'blendbsdf')):
                 bsdf_gid = _add_bsdf(v)
-            elif isinstance(v, dict) and v.get('type') == 'area':
+            elif isinstance(v, dict) and v.get('type') in ('area',
+                                                            'directionalarea'):
                 emitter_props = v
         if bsdf_gid < 0:
             if default_bsdf is None:
@@ -241,8 +243,10 @@ def load_dict(d: dict, spectral=None) -> Scene:
     for g in range(n_shapes):
         ep = shape_emitter_props[g]
         if ep is not None:
-            eid = emb.add('area', ep, shape_global=g)
-            shape_emitter[g] = eid
+            eid = emb.add(ep.get('type', 'area'), ep, shape_global=g)
+            # directionalarea is DeltaDirection: never visible to eval
+            if ep.get('type', 'area') == 'area':
+                shape_emitter[g] = eid
     for props in env_emitters:
         p = dict(props)
         if 'to_world' in p and not isinstance(p['to_world'], Transform4):

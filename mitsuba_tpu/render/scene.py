@@ -412,6 +412,36 @@ def sample_emitter_direction(scene: Scene, si: SurfaceInteraction, sample2,
             dist_out = jnp.where(sel, far, dist_out)
             pdf_out = jnp.where(sel, pdf_sl, pdf_out)
             val_out = jnp.where(sel[..., None], v, val_out)
+        elif name == 'projector':
+            p = tbl.position[eslot]
+            dvec = p - si.p
+            dist2 = m.squared_norm(dvec)
+            dist = m.safe_sqrt(dist2)
+            d = dvec / jnp.maximum(dist[..., None], 1e-12)
+            # project the shading point through the projector frustum
+            M4 = tbl.to_object[eslot]
+            q = jnp.einsum('nij,nj->ni', M4[..., :3, :3], si.p) + M4[..., :3, 3]
+            z = q[..., 2]
+            uu = 0.5 * (1.0 + q[..., 0] / (jnp.maximum(z, 1e-6) * tbl.tan_x[eslot]))
+            vv = 0.5 * (1.0 + q[..., 1] / (jnp.maximum(z, 1e-6) * tbl.tan_y[eslot]))
+            inside = (z > 0) & (uu >= 0) & (uu < 1) & (vv >= 0) & (vv < 1)
+            uv_p = jnp.stack([uu, vv], -1)
+            tex_val = eval_texture(_tex_wl(scene, wl), tbl.irradiance[eslot], uv_p)
+            if wl is not None:
+                from ..core.spectrum import d65 as _d65
+                tex_val = tex_val * _d65(wl)
+            v = tex_val * (tbl.scale[eslot] * inside /
+                           jnp.maximum(dist2, 1e-12))[..., None]
+            p_out = jnp.where(sel[..., None], p, p_out)
+            n_out = jnp.where(sel[..., None], -d, n_out)
+            uv_out = jnp.where(sel[..., None], uv_p, uv_out)
+            d_out = jnp.where(sel[..., None], d, d_out)
+            dist_out = jnp.where(sel, dist, dist_out)
+            pdf_out = jnp.where(sel & inside, 1.0, pdf_out)
+            delta_out = jnp.where(sel, True, delta_out)
+            val_out = jnp.where((sel & inside)[..., None], v, val_out)
+        elif name == 'directionalarea':
+            pass   # DeltaDirection: zero direct-sampling measure
         elif name == 'envmap':
             d, pdf_sl, rad = em.envmap_sample_direction(tbl, s2, wl=wl)
             far = 2.0 * scene.bbox_radius

@@ -1,0 +1,221 @@
+"""Mueller calculus for polarized transport (reference
+include/mitsuba/render/mueller.h).
+
+Stokes vectors S = (I, Q, U, V) are expressed w.r.t. a basis vector
+perpendicular to the propagation direction; Mueller matrices (…,4,4) act on
+them. All functions are batched jnp and differentiable.
+
+Conventions follow the reference: `stokes_basis(w)` is the implicit basis
+(first axis of a coordinate system around w); `rotator(θ)` rotates the frame
+by θ around the propagation direction (entries see mueller.h:rotator — the
+Stokes rotation uses 2θ); polarized Fresnel matrices are expressed in the
+s/p basis of the plane of incidence.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import math as m
+from .frame import coordinate_system
+
+
+def _mat4(rows):
+    """rows: 4 lists of 4 batched scalars -> (...,4,4)."""
+    return jnp.stack([jnp.stack(r, -1) for r in rows], -2)
+
+
+def _z(x):
+    return jnp.zeros_like(x)
+
+
+def _o(x):
+    return jnp.ones_like(x)
+
+
+def depolarizer(value):
+    """mueller.h:depolarizer — only M[0,0] = value survives."""
+    value = jnp.asarray(value)
+    M = jnp.zeros(value.shape + (4, 4), value.dtype)
+    return M.at[..., 0, 0].set(value)
+
+
+def absorber(value):
+    """Neutral attenuation of all components."""
+    value = jnp.asarray(value)
+    return jnp.eye(4, dtype=value.dtype) * value[..., None, None]
+
+
+def linear_polarizer(value=1.0):
+    """Ideal linear polarizer along the basis x-axis (mueller.h)."""
+    v = jnp.asarray(value)
+    a = 0.5 * v
+    z = _z(a)
+    return _mat4([[a, a, z, z],
+                  [a, a, z, z],
+                  [z, z, z, z],
+                  [z, z, z, z]])
+
+
+def linear_retarder(phase):
+    """Retarder with fast axis = basis x-axis, retardance `phase` (radians).
+    phase=π: half-wave plate; π/2: quarter-wave plate."""
+    p = jnp.asarray(phase)
+    c, s = jnp.cos(p), jnp.sin(p)
+    z, o = _z(p), _o(p)
+    return _mat4([[o, z, z, z],
+                  [z, o, z, z],
+                  [z, z, c, -s],
+                  [z, z, s, c]])
+
+
+def circular_polarizer(value=1.0, left=False):
+    """Ideal circular polarizer (mueller.h right_/left_circular_polarizer)."""
+    v = jnp.asarray(value)
+    a = 0.5 * v
+    sgn = -a if left else a
+    z = _z(a)
+    return _mat4([[a, z, z, sgn],
+                  [z, z, z, z],
+                  [z, z, z, z],
+                  [sgn, z, z, a]])
+
+
+def rotator(theta):
+    """Frame rotation of the Stokes basis by θ around the propagation
+    direction (mueller.h:rotator; Stokes Q/U rotate by 2θ)."""
+    t = 2.0 * jnp.asarray(theta)
+    c, s = jnp.cos(t), jnp.sin(t)
+    z, o = _z(t), _o(t)
+    return _mat4([[o, z, z, z],
+                  [z, c, s, z],
+                  [z, -s, c, z],
+                  [z, z, z, o]])
+
+
+def rotated_element(theta, M):
+    """Optical element rotated by θ: R(θ) @ M @ R(-θ) (mueller.h)."""
+    return rotator(theta) @ M @ rotator(-jnp.asarray(theta))
+
+
+def stokes_basis(w):
+    """Implicit Stokes basis for propagation direction w (mueller.h):
+    the first axis of a deterministic coordinate system around w."""
+    s, _ = coordinate_system(w)
+    return s
+
+
+def rotate_stokes_basis(w, basis_from, basis_to):
+    """Mueller rotator aligning a Stokes vector expressed in `basis_from`
+    to `basis_to` (both ⟂ w). mueller.h:rotate_stokes_basis."""
+    # signed angle from basis_from to basis_to around w
+    c = m.dot(basis_from, basis_to)
+    s = m.dot(jnp.cross(basis_from, basis_to), w)
+    theta = jnp.arctan2(s, c)
+    return rotator(theta)
+
+
+def rotate_mueller_basis(M, w_in, b_in_from, b_in_to, w_out, b_out_from,
+                         b_out_to):
+    """Express Mueller matrix M (bases b_in_from → b_out_from) in new bases
+    (b_in_to → b_out_to). mueller.h:rotate_mueller_basis."""
+    R_in = rotate_stokes_basis(w_in, b_in_to, b_in_from)
+    R_out = rotate_stokes_basis(w_out, b_out_from, b_out_to)
+    return R_out @ M @ R_in
+
+
+# --- polarized Fresnel --------------------------------------------------------
+
+def specular_reflection_conductor(cos_theta_i, eta, k):
+    """Mueller matrix of specular reflection off a conductor, in the s/p basis
+    of the plane of incidence (mueller.h:specular_reflection with complex
+    IOR). cos_theta_i ≥ 0; eta/k broadcast against it."""
+    ci = jnp.clip(jnp.asarray(cos_theta_i), 1e-6, 1.0)
+    si2 = 1.0 - ci * ci
+    e2 = eta * eta - k * k - si2
+    # complex sqrt: a + ib = sqrt(e2 + i·2ηk)
+    t0 = jnp.sqrt(jnp.maximum(e2 * e2 + 4.0 * eta * eta * k * k, 0.0))
+    a2 = jnp.maximum(0.5 * (t0 + e2), 0.0)
+    b2 = jnp.maximum(0.5 * (t0 - e2), 0.0)
+    a = jnp.sqrt(a2)
+    b = jnp.sqrt(b2)
+    # amplitude coefficients r_s = (ci - (a+ib)) / (ci + (a+ib))
+    # r_p = ((η²-k²+i2ηk) ci - (a+ib) si²/... ) — use the standard forms:
+    t1 = a2 + b2
+    # |r_s|² and phase
+    Rs = (t1 - 2 * a * ci + ci * ci) / (t1 + 2 * a * ci + ci * ci)
+    t2 = t1 * ci * ci
+    Rp = Rs * (t2 - 2 * a * ci * si2 + si2 * si2) / \
+        (t2 + 2 * a * ci * si2 + si2 * si2)
+    # relative phase between rs and rp (retardance), Azzam & Bashara forms
+    # tan(δs) = 2 b ci / (ci² - a² - b²)
+    ds = jnp.arctan2(2 * b * ci, ci * ci - a2 - b2)
+    dp = jnp.arctan2(2 * ci * ((eta * eta - k * k) * b - 2 * eta * k * a),
+                     (eta * eta + k * k) ** 2 * ci * ci - a2 - b2)
+    delta = ds - dp
+    sqRsRp = jnp.sqrt(jnp.maximum(Rs * Rp, 0.0))
+    A = 0.5 * (Rs + Rp)
+    B = 0.5 * (Rs - Rp)
+    C = jnp.cos(delta) * sqRsRp
+    S = jnp.sin(delta) * sqRsRp
+    z = jnp.zeros_like(A)
+    return _mat4([[A, B, z, z],
+                  [B, A, z, z],
+                  [z, z, C, S],
+                  [z, z, -S, C]])
+
+
+def specular_reflection_dielectric(cos_theta_i, eta):
+    """Mueller matrix of specular reflection off a dielectric interface,
+    s/p basis (mueller.h:specular_reflection, real eta). Handles TIR."""
+    ci = jnp.clip(jnp.abs(jnp.asarray(cos_theta_i)), 0.0, 1.0)
+    si2 = 1.0 - ci * ci
+    ct2 = 1.0 - si2 / (eta * eta)
+    tir = ct2 <= 0.0
+    ct = jnp.sqrt(jnp.maximum(ct2, 0.0))
+    rs = (ci - eta * ct) / jnp.maximum(ci + eta * ct, 1e-12)
+    rp = (eta * ci - ct) / jnp.maximum(eta * ci + ct, 1e-12)
+    Rs = jnp.where(tir, 1.0, rs * rs)
+    Rp = jnp.where(tir, 1.0, rp * rp)
+    # TIR phase shift (retardance) — mueller.h handles via complex rs/rp
+    st2 = jnp.maximum(si2 / (eta * eta) - 1.0, 0.0)
+    delta_tir = -2.0 * jnp.arctan2(ci * jnp.sqrt(st2) * (eta * eta + 1.0),
+                                   jnp.maximum(eta * si2, 1e-12))
+    cosd = jnp.where(tir, jnp.cos(delta_tir),
+                     jnp.sign(rs * rp))
+    sind = jnp.where(tir, jnp.sin(delta_tir), 0.0)
+    sqq = jnp.sqrt(jnp.maximum(Rs * Rp, 0.0))
+    A = 0.5 * (Rs + Rp)
+    B = 0.5 * (Rs - Rp)
+    C = cosd * sqq
+    S = sind * sqq
+    z = jnp.zeros_like(A)
+    return _mat4([[A, B, z, z],
+                  [B, A, z, z],
+                  [z, z, C, S],
+                  [z, z, -S, C]])
+
+
+def specular_transmission_dielectric(cos_theta_i, eta):
+    """Mueller matrix of specular transmission through a dielectric,
+    s/p basis, including the radiance scaling 1/η² handled by the caller
+    (mueller.h:specular_transmission)."""
+    ci = jnp.clip(jnp.abs(jnp.asarray(cos_theta_i)), 1e-6, 1.0)
+    si2 = 1.0 - ci * ci
+    ct2 = 1.0 - si2 / (eta * eta)
+    valid = ct2 > 0.0
+    ct = jnp.sqrt(jnp.maximum(ct2, 1e-12))
+    ts = 2.0 * ci / jnp.maximum(ci + eta * ct, 1e-12)
+    tp = 2.0 * ci / jnp.maximum(eta * ci + ct, 1e-12)
+    # power transmission factor (η ct / ci per component)
+    f = eta * ct / ci
+    Ts = ts * ts * f
+    Tp = tp * tp * f
+    A = 0.5 * (Ts + Tp)
+    B = 0.5 * (Ts - Tp)
+    C = jnp.sqrt(jnp.maximum(Ts * Tp, 0.0))
+    z = jnp.zeros_like(A)
+    M = _mat4([[A, B, z, z],
+               [B, A, z, z],
+               [z, z, C, z],
+               [z, z, z, C]])
+    return jnp.where(valid[..., None, None], M, jnp.zeros_like(M))

@@ -28,6 +28,17 @@ def _extend():
         REGISTRY['blendbsdf'] = blendbsdf
     except ImportError:
         pass
+    try:
+        from .polarized import polarizer, retarder, circular
+        REGISTRY['polarizer'] = polarizer
+        REGISTRY['retarder'] = retarder
+        REGISTRY['circular'] = circular
+        # pplastic: polarized plastic — unpolarized projection equals the
+        # plastic lobes; the stokes integrator adds the Fresnel Mueller
+        if 'plastic' in REGISTRY:
+            REGISTRY['pplastic'] = REGISTRY['plastic']
+    except ImportError:
+        pass
 
 
 _extend()

@@ -1,0 +1,164 @@
+"""Polarization optics BSDFs: polarizer, retarder, circular, pplastic
+(reference src/bsdfs/{polarizer,retarder,circular,pplastic}.cpp).
+
+In the unpolarized pipeline these behave as their Mueller matrices' (0,0)
+entry (an ideal polarizer transmits half of unpolarized light, a retarder is
+lossless, a circular polarizer transmits half); the `stokes` integrator
+(plugins/integrators/stokes.py) upgrades them to full Mueller transport via
+the `mueller` hooks below.
+
+All three filters are null-style delta-transmission elements (wo = -wi,
+BSDFFlags::Null), matching the reference's modelling of thin idealized
+optical elements.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from ...core import mueller as mu
+from ...render import bsdf_flags as bf
+from ...render.records import BSDFSample
+from ...render.texture import eval_texture_1
+from .core_bsdfs import _resolve_texture, _nch
+
+
+def _delta_transmit(tbl, slot, tex, wi, weight_scalar):
+    n = wi.shape[0]
+    C = _nch(tex)
+    bs = BSDFSample(
+        wo=-wi, pdf=jnp.ones((n,), wi.dtype),
+        eta=jnp.ones((n,), wi.dtype),
+        sampled_type=jnp.full((n,), bf.Null, jnp.uint32),
+        sampled_component=jnp.zeros((n,), jnp.int32))
+    return bs, jnp.repeat(weight_scalar[..., None], C, -1)
+
+
+def _zero_eval(tex, wi):
+    from .core_bsdfs import _zero_val
+    return _zero_val(tex, wi)
+
+
+@struct.dataclass
+class PolarizerTable:
+    theta: jnp.ndarray          # (S,) rotation of the transmission axis, rad
+    transmittance: jnp.ndarray  # (S,) int32 texture id (eval_1)
+
+
+class polarizer:
+    Table = PolarizerTable
+    flags = bf.Null | bf.FrontSide | bf.BackSide
+
+    @staticmethod
+    def build(props_list, texb):
+        th, tr = [], []
+        for p in props_list:
+            th.append(np.deg2rad(float(_scalar(p.get('theta', 0.0)))))
+            tr.append(_resolve_texture(p, 'transmittance', 1.0, texb))
+        return PolarizerTable(theta=jnp.asarray(th, jnp.float32),
+                              transmittance=jnp.asarray(tr, jnp.int32))
+
+    @staticmethod
+    def eval(tbl, slot, tex, wi, wo, uv):
+        return _zero_eval(tex, wi)
+
+    @staticmethod
+    def pdf(tbl, slot, tex, wi, wo, uv):
+        return jnp.zeros(wi.shape[0], wi.dtype)
+
+    @staticmethod
+    def sample(tbl, slot, tex, wi, uv, sample1, sample2):
+        t = eval_texture_1(tex, tbl.transmittance[slot], uv)
+        return _delta_transmit(tbl, slot, tex, wi, 0.5 * t)
+
+    @staticmethod
+    def mueller(tbl, slot, tex, wi, uv):
+        """Element Mueller in the LOCAL frame (basis = local x-axis),
+        rotated by theta around the transmission direction."""
+        t = eval_texture_1(tex, tbl.transmittance[slot], uv)
+        return mu.rotated_element(tbl.theta[slot], mu.linear_polarizer(t))
+
+
+@struct.dataclass
+class RetarderTable:
+    theta: jnp.ndarray   # (S,) fast-axis rotation, rad
+    delta: jnp.ndarray   # (S,) retardance, rad (90° = quarter-wave)
+
+
+class retarder:
+    Table = RetarderTable
+    flags = bf.Null | bf.FrontSide | bf.BackSide
+
+    @staticmethod
+    def build(props_list, texb):
+        th, de = [], []
+        for p in props_list:
+            th.append(np.deg2rad(float(_scalar(p.get('theta', 0.0)))))
+            de.append(np.deg2rad(float(_scalar(p.get('delta', 90.0)))))
+        return RetarderTable(theta=jnp.asarray(th, jnp.float32),
+                             delta=jnp.asarray(de, jnp.float32))
+
+    @staticmethod
+    def eval(tbl, slot, tex, wi, wo, uv):
+        return _zero_eval(tex, wi)
+
+    @staticmethod
+    def pdf(tbl, slot, tex, wi, wo, uv):
+        return jnp.zeros(wi.shape[0], wi.dtype)
+
+    @staticmethod
+    def sample(tbl, slot, tex, wi, uv, sample1, sample2):
+        one = jnp.ones(wi.shape[0], wi.dtype)
+        return _delta_transmit(tbl, slot, tex, wi, one)
+
+    @staticmethod
+    def mueller(tbl, slot, tex, wi, uv):
+        return mu.rotated_element(tbl.theta[slot],
+                                  mu.linear_retarder(tbl.delta[slot]))
+
+
+@struct.dataclass
+class CircularTable:
+    transmittance: jnp.ndarray  # (S,) int32 texture id
+    left: jnp.ndarray           # (S,) bool handedness
+
+
+class circular:
+    Table = CircularTable
+    flags = bf.Null | bf.FrontSide | bf.BackSide
+
+    @staticmethod
+    def build(props_list, texb):
+        tr, lf = [], []
+        for p in props_list:
+            tr.append(_resolve_texture(p, 'transmittance', 1.0, texb))
+            lf.append(bool(p.get('left_handed', False)))
+        return CircularTable(transmittance=jnp.asarray(tr, jnp.int32),
+                             left=jnp.asarray(lf))
+
+    @staticmethod
+    def eval(tbl, slot, tex, wi, wo, uv):
+        return _zero_eval(tex, wi)
+
+    @staticmethod
+    def pdf(tbl, slot, tex, wi, wo, uv):
+        return jnp.zeros(wi.shape[0], wi.dtype)
+
+    @staticmethod
+    def sample(tbl, slot, tex, wi, uv, sample1, sample2):
+        t = eval_texture_1(tex, tbl.transmittance[slot], uv)
+        return _delta_transmit(tbl, slot, tex, wi, 0.5 * t)
+
+    @staticmethod
+    def mueller(tbl, slot, tex, wi, uv):
+        t = eval_texture_1(tex, tbl.transmittance[slot], uv)
+        M_r = mu.circular_polarizer(t, left=False)
+        M_l = mu.circular_polarizer(t, left=True)
+        return jnp.where(tbl.left[slot][..., None, None], M_l, M_r)
+
+
+def _scalar(v):
+    if isinstance(v, dict):
+        return v.get('value', 0.0)
+    return v

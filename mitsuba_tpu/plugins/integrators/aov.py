@@ -34,6 +34,8 @@ def channel_count(cfg) -> int:
     kind = cfg.get('type', 'path')
     if kind == 'moment':
         return 6
+    if kind == 'stokes':
+        return 12   # S0..S3, rgb each (stokes.cpp AOV layout)
     if kind == 'aov':
         n = sum(AOV_SIZES[k] for k in parse_aovs(cfg.get('aovs', '')))
         if cfg.get('nested_type'):

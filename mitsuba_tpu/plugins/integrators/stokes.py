@@ -1,0 +1,246 @@
+"""Polarized path tracer + Stokes AOV output (reference
+src/integrators/stokes.cpp + the `_polarized` variants' Mueller-valued
+Spectrum transport; mueller.h).
+
+TPU formulation: the reference makes `Spectrum` itself a Mueller matrix in
+polarized variants and reuses the same integrator; here the polarized
+transport is a dedicated integrator that carries a per-lane, per-channel
+Mueller throughput T (N,3,4,4) plus the Stokes reference basis of the
+current path segment, and outputs 12 channels (S0..S3, rgb each).
+
+S0 reproduces the unpolarized pipeline EXACTLY by construction: each
+interaction's Mueller matrix is normalized by its (0,0) entry and re-scaled
+by the scalar pipeline's throughput weight, so polarization state rides on
+top of the proven radiometry.
+
+Mueller bookkeeping (mueller.h conventions): Stokes bases are ⟂ to the
+direction of LIGHT propagation. Walking camera→light with ray direction d,
+light leaves each vertex along -d; the accumulated T maps a Stokes vector
+expressed in `basis` (⟂ -d of the current segment) to the sensor's frame.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ...core import math as m
+from ...core import mueller as mu
+from ...render import scene as sc
+from ...render import bsdf as bsdf_mod
+from ...render import bsdf_flags as bf
+from ...render import sampler as sa
+from ...render.records import Ray
+from .path import mis_weight
+
+
+def _safe_normalize(v, fallback):
+    n2 = m.squared_norm(v)
+    ok = n2 > 1e-12
+    v_n = v / jnp.sqrt(jnp.maximum(n2, 1e-12))[..., None]
+    return jnp.where(ok[..., None], v_n, fallback), ok
+
+
+def _perp_basis(x_hint, w):
+    """Project a hint vector ⟂ w; falls back to the implicit basis."""
+    p = x_hint - w * m.dot(w, x_hint, keepdims=True)
+    return _safe_normalize(p, mu.stokes_basis(w))[0]
+
+
+def _interaction_mueller(scene, si, dir_in, dir_out, active):
+    """Per-lane NORMALIZED Mueller (N,3,4,4) with M[0,0]=1 for the
+    interaction (light arriving along dir_in, leaving along dir_out),
+    plus its in/out Stokes bases (world, ⟂ the respective directions).
+
+    Types: conductor/roughconductor -> polarized Fresnel (complex IOR);
+    dielectric/thindielectric/plastic/pplastic -> polarized dielectric
+    Fresnel (reflection branch; transmission handled by the same s/p
+    geometry); polarizer/retarder/circular -> ideal elements rotated into
+    the shading frame; everything else -> ideal depolarizer."""
+    from ...core.math import small_gather
+    n = si.t.shape[0]
+    dt = si.p.dtype
+    bid = jnp.maximum(si.bsdf_index, 0)
+    ti_lane = small_gather(scene.bsdf_type_of, bid)
+    slot = small_gather(scene.bsdf_slot_of, bid)
+
+    # s/p basis of the plane of incidence (shared by both directions for
+    # specular events); degenerate at normal incidence -> implicit basis
+    s_axis_raw = jnp.cross(dir_in, dir_out)
+    s_axis, _ = _safe_normalize(s_axis_raw, mu.stokes_basis(dir_out))
+    b_in_fres = _perp_basis(s_axis, dir_in)
+    b_out_fres = _perp_basis(s_axis, dir_out)
+    # element basis: shading tangent projected ⟂ propagation
+    b_elem_in = _perp_basis(si.sh_s, dir_in)
+    b_elem_out = _perp_basis(si.sh_s, dir_out)
+    # default: depolarizer with implicit bases
+    b_in = mu.stokes_basis(dir_in)
+    b_out = mu.stokes_basis(dir_out)
+
+    cos_i = jnp.abs(m.dot(si.sh_n, dir_in))
+    # half-vector cosine for rough lobes (microfacet Fresnel geometry)
+    h_raw = dir_out - dir_in          # reflection half vector ∝ (wo + wi)
+    h, _ = _safe_normalize(h_raw, si.sh_n)
+    cos_h = jnp.clip(jnp.abs(m.dot(dir_in, h)), 1e-4, 1.0)
+
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=dt), (n, 3, 4, 4))
+    M = jnp.broadcast_to(mu.depolarizer(jnp.ones((n,), dt))[:, None],
+                         (n, 3, 4, 4))
+    out_b_in, out_b_out = b_in, b_out
+
+    for ti, name in enumerate(scene.bsdf_types):
+        sel = active & (ti_lane == ti)
+        tbl = scene.bsdfs[name]
+        if name in ('conductor', 'roughconductor'):
+            eta = tbl.eta[slot]          # (N,3)
+            k = tbl.k[slot]
+            ci = cos_h if name == 'roughconductor' else cos_i
+            Mf = mu.specular_reflection_conductor(ci[..., None], eta, k)
+            m00 = jnp.maximum(Mf[..., 0:1, 0:1], 1e-12)
+            M = jnp.where(sel[..., None, None, None], Mf / m00, M)
+            out_b_in = jnp.where(sel[..., None], b_in_fres, out_b_in)
+            out_b_out = jnp.where(sel[..., None], b_out_fres, out_b_out)
+        elif name in ('dielectric', 'thindielectric', 'plastic', 'pplastic',
+                      'roughdielectric', 'roughplastic'):
+            eta = tbl.eta[slot] if hasattr(tbl, 'eta') else \
+                jnp.full((n,), 1.5, dt)
+            # reflection vs transmission by which side dir_in leaves toward
+            same_side = m.dot(si.sh_n, dir_in) * m.dot(si.sh_n, dir_out) < 0
+            Mr = mu.specular_reflection_dielectric(cos_i, eta)
+            Mt = mu.specular_transmission_dielectric(cos_i, eta)
+            Mf = jnp.where(same_side[..., None, None], Mr, Mt)
+            m00 = jnp.maximum(Mf[..., 0:1, 0:1], 1e-12)
+            Mf = (Mf / m00)[:, None]
+            M = jnp.where(sel[..., None, None, None], Mf, M)
+            out_b_in = jnp.where(sel[..., None], b_in_fres, out_b_in)
+            out_b_out = jnp.where(sel[..., None], b_out_fres, out_b_out)
+        elif name in ('polarizer', 'retarder', 'circular'):
+            from ..bsdfs import REGISTRY
+            Me = REGISTRY[name].mueller(tbl, slot, scene.textures,
+                                        si.wi, si.uv)
+            m00 = jnp.maximum(Me[..., 0:1, 0:1], 1e-12)
+            Me = (Me / m00)[:, None]
+            M = jnp.where(sel[..., None, None, None], Me, M)
+            out_b_in = jnp.where(sel[..., None], b_elem_in, out_b_in)
+            out_b_out = jnp.where(sel[..., None], b_elem_out, out_b_out)
+        # depolarizing types keep the default
+    return M, out_b_in, out_b_out
+
+
+def _extend(T, basis, dir_out_light, M, b_in, b_out, weight, active):
+    """T' = T ∘ rotate(b_out -> basis) ∘ M, rescaled by the scalar weight.
+    dir_out_light: light propagation direction of the CURRENT segment
+    (toward the camera), i.e. the out side of M and the in side of T."""
+    R = mu.rotate_stokes_basis(dir_out_light, b_out, basis)   # (N,4,4)
+    T_new = T @ R[:, None] @ M * weight[..., None, None]
+    return jnp.where(active[..., None, None, None], T_new, T), b_in
+
+
+def _collect(T, Le, mis, L_stokes, active):
+    """Add an unpolarized emission Le (N,3) through throughput T:
+    S += T @ (Le,0,0,0) = Le * first column of T."""
+    contrib = T[..., :, 0] * (Le * mis[..., None])[..., None]
+    return L_stokes + jnp.where(active[..., None, None], contrib, 0.0)
+
+
+def sample(scene, cfg, sampler, ray):
+    """Returns (channels (N,12) = S0.rgb S1.rgb S2.rgb S3.rgb, valid,
+    sampler)."""
+    max_depth = int(cfg.get('max_depth', 8))
+    rr_depth = int(cfg.get('rr_depth', 5))
+    hide_emitters = bool(cfg.get('hide_emitters', False))
+    n = ray.o.shape[0]
+    dt = ray.o.dtype
+
+    # sensor measurement basis: camera x-axis ⟂ to the light direction -d
+    cam_x = scene.sensor.to_world[:3, 0]
+    light_dir0 = -ray.d
+    b_cam = _perp_basis(jnp.broadcast_to(cam_x, (n, 3)), light_dir0)
+    b0 = mu.stokes_basis(light_dir0)
+    T0 = jnp.broadcast_to(
+        mu.rotate_stokes_basis(light_dir0, b0, b_cam)[:, None], (n, 3, 4, 4))
+
+    state = dict(
+        o=ray.o, d=ray.d, T=T0, basis=b0,
+        L=jnp.zeros((n, 3, 4), dt),
+        active=jnp.ones((n,), bool),
+        prev_pdf=jnp.ones((n,), dt), prev_delta=jnp.ones((n,), bool),
+        prev_p=ray.o, valid=jnp.zeros((n,), bool), sampler=sampler)
+
+    def body(st, depth):
+        cur_ray = Ray.make(st['o'], st['d'])
+        si = sc.ray_intersect(scene, cur_ray)
+        first = depth == 0
+        active = st['active']
+        light_out = -st['d']     # light leaves the vertex along -d
+
+        # emission at the hit / environment (unpolarized sources)
+        hit_em = active & (si.emitter_index >= 0)
+        Le = sc.eval_emitter_hit(scene, si, hit_em)
+        pdf_light = sc.pdf_emitter_direction(scene, st['prev_p'], si, hit_em)
+        mis_b = jnp.where(st['prev_delta'], 1.0,
+                          mis_weight(st['prev_pdf'], pdf_light))
+        show = jnp.where(first, not hide_emitters, True)
+        L = _collect(st['T'], Le, mis_b * show, st['L'], hit_em)
+        escaped = active & ~si.is_valid
+        Lenv = sc.eval_environment(scene, st['d'], escaped)
+        pdf_env = sc.pdf_env_direction(scene, st['d'], escaped)
+        mis_e = jnp.where(st['prev_delta'], 1.0,
+                          mis_weight(st['prev_pdf'], pdf_env))
+        L = _collect(st['T'], Lenv, mis_e * show, L, escaped)
+
+        valid = st['valid'] | (active & si.is_valid)
+        active = active & si.is_valid
+
+        # --- NEE with polarized connection -------------------------------
+        smpl = st['sampler']
+        s_em, smpl = sa.next_2d(smpl)
+        active_em = active & bsdf_mod.has_smooth(scene, si)
+        ds, em_w = sc.sample_emitter_direction(
+            scene, si, jax.lax.stop_gradient(s_em), test_visibility=True,
+            active=active_em)
+        wo_local = si.to_local(ds.d)
+        b_val, b_pdf = bsdf_mod.eval_pdf(scene, si, wo_local, active_em)
+        mis_em = jnp.where(ds.delta, 1.0, mis_weight(
+            jax.lax.stop_gradient(ds.pdf), jax.lax.stop_gradient(b_pdf)))
+        # Mueller of the connection: light arrives along -ds.d
+        M_c, bc_in, bc_out = _interaction_mueller(
+            scene, si, -ds.d, light_out, active_em)
+        R_c = mu.rotate_stokes_basis(light_out, bc_out, st['basis'])
+        T_c = st['T'] @ R_c[:, None] @ M_c * \
+            (b_val * em_w)[..., None, None]
+        L = L + jnp.where(active_em[..., None, None],
+                          T_c[..., :, 0] * mis_em[..., None, None], 0.0)
+
+        # --- BSDF sampling + Mueller throughput extension -----------------
+        s1, smpl = sa.next_1d(smpl)
+        s2, smpl = sa.next_2d(smpl)
+        bs, w = bsdf_mod.sample(scene, si, jax.lax.stop_gradient(s1),
+                                jax.lax.stop_gradient(s2), active)
+        wo_world = si.to_world(bs.wo)
+        new_ray = si.spawn_ray(wo_world)
+        M_b, bb_in, bb_out = _interaction_mueller(
+            scene, si, -wo_world, light_out, active)
+        T, basis = _extend(st['T'], st['basis'], light_out, M_b,
+                           bb_in, bb_out, w, active)
+        prev_delta = (bs.sampled_type & jnp.uint32(bf.Delta)) != 0
+
+        # russian roulette on the S0 throughput (first row ~ power)
+        u_rr, smpl = sa.next_1d(smpl)
+        t00 = jnp.max(jnp.abs(T[..., 0, 0]), -1)
+        rr_prob = jax.lax.stop_gradient(jnp.minimum(t00, 0.95))
+        rr_act = depth >= rr_depth
+        cont = ~rr_act | (u_rr < rr_prob)
+        T = T * jnp.where(rr_act, 1.0 / jnp.maximum(rr_prob, 1e-8),
+                          1.0)[..., None, None, None]
+        active = active & cont & (bs.pdf > 0) & (t00 > 0)
+
+        return dict(o=new_ray.o, d=wo_world, T=T, basis=basis, L=L,
+                    active=active, prev_pdf=bs.pdf, prev_delta=prev_delta,
+                    prev_p=si.p, valid=valid, sampler=smpl), None
+
+    state, _ = jax.lax.scan(body, state, jnp.arange(max_depth))
+    Ls = state['L']                      # (N,3,4)
+    channels = jnp.concatenate([Ls[..., 0], Ls[..., 1],
+                                Ls[..., 2], Ls[..., 3]], -1)  # (N,12)
+    return channels, state['valid'], state['sampler']

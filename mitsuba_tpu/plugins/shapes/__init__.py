@@ -20,5 +20,6 @@ try:
     REGISTRY['obj'] = mesh
     REGISTRY['ply'] = mesh
     REGISTRY['mesh'] = mesh
+    REGISTRY['serialized'] = mesh
 except ImportError:
     pass

@@ -84,6 +84,110 @@ def load_obj(path):
     return v, f_arr, nrm, uv
 
 
+SER_FORMAT_ID = 0x041C
+SER_HAS_NORMALS = 0x0001
+SER_HAS_UVS = 0x0002
+SER_HAS_COLORS = 0x0008
+SER_FACE_NORMALS = 0x0010
+SER_SINGLE = 0x1000
+SER_DOUBLE = 0x2000
+
+
+def load_serialized(path, shape_index=0):
+    """Mitsuba `.serialized` mesh container (reference
+    src/shapes/serialized.cpp): per-mesh zlib-deflated payload after a
+    (format_id, version) header; a footer holds the mesh offset table.
+    Returns (vertices (V,3) f32, faces (F,3) i32, normals|None, uvs|None)."""
+    import struct as pystruct
+    import zlib
+    with open(path, 'rb') as f:
+        data = f.read()
+    fid, version = pystruct.unpack_from('<HH', data, 0)
+    if fid != SER_FORMAT_ID:
+        raise ValueError(f'{path}: not a .serialized file (id {fid:#x})')
+    (count,) = pystruct.unpack('<I', data[-4:])
+    if not (0 <= shape_index < count):
+        raise ValueError(f'shape_index {shape_index} out of range ({count})')
+    if version >= 4:
+        offsets = pystruct.unpack_from(f'<{count}Q', data,
+                                       len(data) - 4 - 8 * count)
+    else:
+        offsets = pystruct.unpack_from(f'<{count}I', data,
+                                       len(data) - 4 - 4 * count)
+    start = offsets[shape_index]
+    end = offsets[shape_index + 1] if shape_index + 1 < count else len(data)
+    fid_m, ver_m = pystruct.unpack_from('<HH', data, start)
+    payload = zlib.decompress(data[start + 4:end])
+
+    pos = 0
+    (flags,) = pystruct.unpack_from('<I', payload, pos)
+    pos += 4
+    if ver_m >= 4:   # null-terminated mesh name
+        zero = payload.index(b'\0', pos)
+        pos = zero + 1
+    vcount, fcount = pystruct.unpack_from('<QQ', payload, pos)
+    pos += 16
+    double = bool(flags & SER_DOUBLE)
+    dt = np.float64 if double else np.float32
+    sz = 8 if double else 4
+
+    def read_f(n_elem):
+        nonlocal pos
+        a = np.frombuffer(payload, dt, n_elem, pos)
+        pos += n_elem * sz
+        return a
+
+    v = read_f(3 * vcount).reshape(vcount, 3).astype(np.float32)
+    nrm = uv = None
+    if flags & SER_HAS_NORMALS:
+        nrm = read_f(3 * vcount).reshape(vcount, 3).astype(np.float32)
+    if flags & SER_HAS_UVS:
+        uv = read_f(2 * vcount).reshape(vcount, 2).astype(np.float32)
+    if flags & SER_HAS_COLORS:
+        read_f(3 * vcount)   # vertex colors parsed but unused (parity: note)
+    idx_t = np.uint32 if vcount <= 0xFFFFFFFF else np.uint64
+    faces = np.frombuffer(payload, idx_t, 3 * fcount, pos)
+    faces = faces.reshape(fcount, 3).astype(np.int32)
+    return v, faces, nrm, uv
+
+
+def save_serialized(path, meshes):
+    """Writer for the `.serialized` container (v4, single precision).
+    meshes: list of dicts {vertices, faces[, normals, uvs, name]}."""
+    import struct as pystruct
+    import zlib
+    blob = bytearray()
+    offsets = []
+    for msh in meshes:
+        offsets.append(len(blob))
+        v = np.asarray(msh['vertices'], np.float32)
+        f_arr = np.asarray(msh['faces'], np.uint32)
+        nrm = msh.get('normals')
+        uv = msh.get('uvs')
+        flags = SER_SINGLE
+        payload = bytearray()
+        if nrm is not None:
+            flags |= SER_HAS_NORMALS
+        if uv is not None:
+            flags |= SER_HAS_UVS
+        payload += pystruct.pack('<I', flags)
+        payload += msh.get('name', 'mesh').encode() + b'\0'
+        payload += pystruct.pack('<QQ', v.shape[0], f_arr.shape[0])
+        payload += v.astype('<f4').tobytes()
+        if nrm is not None:
+            payload += np.asarray(nrm, '<f4').tobytes()
+        if uv is not None:
+            payload += np.asarray(uv, '<f4').tobytes()
+        payload += f_arr.astype('<u4').tobytes()
+        blob += pystruct.pack('<HH', SER_FORMAT_ID, 4)
+        blob += zlib.compress(bytes(payload))
+    for off in offsets:
+        blob += pystruct.pack('<Q', off)
+    blob += pystruct.pack('<I', len(meshes))
+    with open(path, 'wb') as f:
+        f.write(bytes(blob))
+
+
 def load_ply(path):
     """Minimal PLY parser: ascii and binary_little_endian, vertex props
     x,y,z[,nx,ny,nz][,u,v / s,t], face lists (ply.cpp capability subset)."""
@@ -165,6 +269,9 @@ class mesh:
                         v, f_arr, nrm, uv = load_obj(p['filename'])
                 elif ext == '.ply':
                     v, f_arr, nrm, uv = load_ply(p['filename'])
+                elif ext == '.serialized':
+                    v, f_arr, nrm, uv = load_serialized(
+                        p['filename'], int(p.get('shape_index', 0)))
                 else:
                     raise ValueError(f'unsupported mesh format {ext}')
             else:

@@ -57,6 +57,9 @@ def _sample_radiance(scene, cfg, sampler, ray, wl=None):
     if kind in ('aov', 'moment'):
         from ..plugins.integrators import aov as aov_mod
         return aov_mod.sample(scene, cfg, sampler, ray)
+    if kind == 'stokes':
+        from ..plugins.integrators import stokes as stokes_mod
+        return stokes_mod.sample(scene, cfg, sampler, ray)
     if kind in CUSTOM_INTEGRATORS:
         return CUSTOM_INTEGRATORS[kind](scene, cfg, sampler, ray)
     if kind in ('volpath', 'volpathmis', 'prbvolpath'):

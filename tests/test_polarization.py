@@ -1,0 +1,146 @@
+"""Polarized transport tests (reference mueller.h + src/bsdfs/{polarizer,
+retarder,circular}.cpp + stokes.cpp; the reference validates these in
+src/render/tests/test_mueller.py and bsdfs/tests/test_polarizer.py)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import mitsuba_tpu as mt
+from mitsuba_tpu.core import mueller as mu
+
+
+# --- Mueller algebra unit tests ----------------------------------------------
+
+def test_polarizer_malus_law_matrix():
+    """Unpolarized light through two polarizers at relative angle θ:
+    transmitted power = 0.5 cos²θ."""
+    S = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+    for theta in (0.0, np.pi / 6, np.pi / 4, np.pi / 3, np.pi / 2):
+        M1 = mu.linear_polarizer(1.0)
+        M2 = mu.rotated_element(jnp.asarray(theta), mu.linear_polarizer(1.0))
+        out = M2 @ (M1 @ S)
+        np.testing.assert_allclose(float(out[0]), 0.5 * np.cos(theta) ** 2,
+                                   atol=1e-6)
+
+
+def test_quarter_wave_makes_circular():
+    """45° linear polarization through a quarter-wave plate (fast axis
+    horizontal) becomes fully circular: |S3| = S0."""
+    S_lin45 = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+    out = mu.linear_retarder(jnp.asarray(np.pi / 2)) @ S_lin45
+    assert abs(float(out[3])) == pytest.approx(1.0, abs=1e-6)
+    assert abs(float(out[1])) < 1e-6 and abs(float(out[2])) < 1e-6
+
+
+def test_rotator_roundtrip():
+    th = jnp.asarray(0.7)
+    M = mu.rotator(th) @ mu.rotator(-th)
+    np.testing.assert_allclose(np.asarray(M), np.eye(4), atol=1e-6)
+
+
+def test_conductor_mueller_unpolarized_reflectance():
+    """M[0,0] of the conductor Fresnel Mueller equals the average of Rs,Rp
+    (the scalar fresnel_conductor)."""
+    from mitsuba_tpu.core.fresnel import fresnel_conductor
+    ci = jnp.asarray([0.3, 0.7, 0.95])
+    eta = jnp.asarray(0.2)
+    k = jnp.asarray(3.9)
+    M = mu.specular_reflection_conductor(ci, eta, k)
+    F = fresnel_conductor(ci, eta, k)
+    np.testing.assert_allclose(np.asarray(M[..., 0, 0]), np.asarray(F),
+                               rtol=1e-4)
+
+
+def test_brewster_full_polarization():
+    """Dielectric reflection at Brewster's angle: Rp = 0, so the reflected
+    light is fully polarized (|M01| == M00)."""
+    eta = 1.5
+    brewster = np.arctan(eta)
+    M = mu.specular_reflection_dielectric(jnp.asarray(np.cos(brewster)),
+                                          jnp.asarray(eta))
+    M = np.asarray(M)
+    assert abs(M[0, 1]) == pytest.approx(M[0, 0], rel=1e-3)
+
+
+# --- end-to-end stokes integrator tests --------------------------------------
+
+def _pol_scene(theta_a, theta_b):
+    return {'type': 'scene',
+            'integrator': {'type': 'stokes', 'max_depth': 6},
+            'sensor': {'type': 'perspective', 'fov': 20.0,
+                       'to_world': mt.ScalarTransform4f.look_at(
+                           origin=[0, 0, 6], target=[0, 0, 0], up=[0, 1, 0]),
+                       'film': {'type': 'hdrfilm', 'width': 16, 'height': 16}},
+            'light': {'type': 'constant', 'radiance': 1.0},
+            'polA': {'type': 'rectangle',
+                     'to_world': np.array([[1, 0, 0, 0], [0, 1, 0, 0],
+                                           [0, 0, 1, 2], [0, 0, 0, 1]], np.float32),
+                     'bsdf': {'type': 'polarizer', 'theta': theta_a}},
+            'polB': {'type': 'rectangle',
+                     'to_world': np.array([[1, 0, 0, 0], [0, 1, 0, 0],
+                                           [0, 0, 1, 1], [0, 0, 0, 1]], np.float32),
+                     'bsdf': {'type': 'polarizer', 'theta': theta_b}}}
+
+
+@pytest.mark.parametrize('tb,expect', [(0, 0.5), (45, 0.25), (90, 0.0)])
+def test_stokes_malus_law_render(tb, expect):
+    scene = mt.load_dict(_pol_scene(0, tb))
+    img = np.asarray(mt.render(scene, spp=16, seed=0))
+    assert img.shape[-1] == 12
+    s0 = img[8, 8, :3].mean()
+    assert s0 == pytest.approx(expect, abs=5e-3)
+
+
+def test_stokes_polarizer_produces_linear_state():
+    """A single 0° polarizer: S1 == S0 (fully horizontally polarized)."""
+    d = _pol_scene(0, 0)
+    del d['polB']
+    img = np.asarray(mt.render(mt.load_dict(d), spp=16, seed=0))
+    s0 = img[8, 8, :3].mean()
+    s1 = img[8, 8, 3:6].mean()
+    assert s0 == pytest.approx(0.5, abs=5e-3)
+    assert s1 == pytest.approx(s0, abs=5e-3)
+
+
+def test_stokes_s0_matches_path():
+    """The S0 output reproduces the unpolarized path tracer (construction
+    invariant: Muellers are normalized to the scalar throughput)."""
+    d = {'type': 'scene',
+         'integrator': {'type': 'stokes', 'max_depth': 4},
+         'sensor': {'type': 'perspective', 'fov': 45.0,
+                    'to_world': mt.ScalarTransform4f.look_at(
+                        origin=[0, 0, 4], target=[0, 0, 0], up=[0, 1, 0]),
+                    'film': {'type': 'hdrfilm', 'width': 24, 'height': 24}},
+         'light': {'type': 'constant', 'radiance': {'type': 'rgb', 'value': [0.8, 0.9, 1.0]}},
+         'sph': {'type': 'sphere',
+                 'bsdf': {'type': 'diffuse', 'reflectance': 0.6}},
+         'metal': {'type': 'sphere',
+                   'to_world': np.array([[0.5, 0, 0, 1.3], [0, 0.5, 0, 0],
+                                         [0, 0, 0.5, 0], [0, 0, 0, 1]]),
+                   'bsdf': {'type': 'roughconductor', 'material': 'Au',
+                            'alpha': 0.2}}}
+    img_pol = np.asarray(mt.render(mt.load_dict(dict(d)), spp=48, seed=3))
+    d['integrator'] = {'type': 'path', 'max_depth': 4}
+    img_path = np.asarray(mt.render(mt.load_dict(dict(d)), spp=48, seed=3))
+    assert np.abs(img_pol[..., :3] - img_path).max() < 5e-3
+
+
+def test_stokes_conductor_polarizes_diffuse_does_not():
+    d = {'type': 'scene',
+         'integrator': {'type': 'stokes', 'max_depth': 3},
+         'sensor': {'type': 'perspective', 'fov': 45.0,
+                    'to_world': mt.ScalarTransform4f.look_at(
+                        origin=[0, 0, 4], target=[0, 0, 0], up=[0, 1, 0]),
+                    'film': {'type': 'hdrfilm', 'width': 32, 'height': 32}},
+         'light': {'type': 'constant', 'radiance': 1.0},
+         'sph': {'type': 'sphere', 'bsdf': {'type': 'diffuse', 'reflectance': 0.6}},
+         'metal': {'type': 'sphere',
+                   'to_world': np.array([[0.5, 0, 0, 1.3], [0, 0.5, 0, 0],
+                                         [0, 0, 0.5, 0], [0, 0, 0, 1]]),
+                   'bsdf': {'type': 'roughconductor', 'material': 'Au',
+                            'alpha': 0.2}}}
+    img = np.asarray(mt.render(mt.load_dict(d), spp=48, seed=1))
+    diffuse_s123 = np.abs(img[12:20, 8:16, 3:12])
+    metal_s123 = np.abs(img[12:20, 22:30, 3:12])
+    assert diffuse_s123.max() < 1e-5        # ideal depolarizer
+    assert metal_s123.mean() > 1e-3         # Fresnel-polarized reflection

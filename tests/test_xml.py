@@ -99,3 +99,37 @@ def test_instance_shapegroup():
     # two spheres visible left and right of center
     assert img[16, 10, 0] > 0 and img[16, 22, 0] > 0
     assert img[16, 16, 0] == 0  # gap between them
+
+
+def test_serialized_mesh_round_trip(tmp_path):
+    """.serialized container (serialized.cpp format): writer/loader round
+    trip + scene load."""
+    import numpy as np
+    import mitsuba_tpu as mt
+    from mitsuba_tpu.plugins.shapes.mesh import (save_serialized,
+                                                 load_serialized)
+    rng = np.random.default_rng(0)
+    v = rng.random((64, 3)).astype(np.float32)
+    f = rng.integers(0, 64, (30, 3)).astype(np.int32)
+    n = rng.random((64, 3)).astype(np.float32)
+    uv = rng.random((64, 2)).astype(np.float32)
+    path = str(tmp_path / 'm.serialized')
+    save_serialized(path, [{'vertices': v, 'faces': f, 'normals': n,
+                            'uvs': uv, 'name': 'a'},
+                           {'vertices': v * 2, 'faces': f}])
+    v2, f2, n2, uv2 = load_serialized(path, 0)
+    assert np.allclose(v, v2) and (f == f2).all()
+    assert np.allclose(n, n2) and np.allclose(uv, uv2)
+    v3, f3, n3, uv3 = load_serialized(path, 1)
+    assert np.allclose(v * 2, v3) and n3 is None and uv3 is None
+    d = {'type': 'scene',
+         'm': {'type': 'serialized', 'filename': path, 'shape_index': 0,
+               'bsdf': {'type': 'diffuse'}},
+         'light': {'type': 'constant', 'radiance': 1.0},
+         'sensor': {'type': 'perspective', 'fov': 45.0,
+                    'to_world': mt.ScalarTransform4f.look_at(
+                        origin=[0.5, 0.5, 4], target=[0.5, 0.5, 0.5],
+                        up=[0, 1, 0]),
+                    'film': {'type': 'hdrfilm', 'width': 8, 'height': 8}}}
+    img = np.asarray(mt.render(mt.load_dict(d), spp=4, seed=0))
+    assert np.isfinite(img).all()

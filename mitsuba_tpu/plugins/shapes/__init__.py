@@ -23,3 +23,10 @@ try:
     REGISTRY['serialized'] = mesh
 except ImportError:
     pass
+
+try:
+    from .curve import linearcurve, bsplinecurve
+    REGISTRY['linearcurve'] = linearcurve
+    REGISTRY['bsplinecurve'] = bsplinecurve
+except ImportError:
+    pass

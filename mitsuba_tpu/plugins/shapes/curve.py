@@ -1,0 +1,320 @@
+"""Curve shapes: linearcurve + bsplinecurve (reference
+src/shapes/{linearcurve,bsplinecurve}.cpp — differentiable curves whose
+control points/radii are tensor parameters; the reference traces them with
+OptiX built-in curve primitives).
+
+TPU-native design: a curve is a chain of ROUND CONES (spherically-capped
+cone frusta) between consecutive (sub)points. B-splines are flattened
+inside the jit program by a STATIC subdivision matrix (pts = W @ controls),
+so gradients flow from hits back to the control tensors exactly like mesh
+vertices. Intersection is the analytic quadratic round-cone test (classic
+swept-sphere construction, cf. Quilez's round-cone intersector), chunked
+over segments like the mesh Möller-Trumbore path. Traversal is detached;
+`compute_si` re-derives the hit attached and `replace_grad`s the traversal t
+(the sphere.cpp:458-573 differentiation contract).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ...core import math as m
+from ...core.transform import Transform4
+from ...core.frame import coordinate_system
+
+CHUNK = 256
+
+
+@struct.dataclass
+class CurveTable:
+    controls: tuple   # per instance (P,3) WORLD control points (differentiable)
+    radii: tuple      # per instance (P,) radii (differentiable)
+    subdiv: tuple     # per instance (M,P) static flattening matrix (leaf)
+    seg0: tuple       # per instance (S,) int32 segment start indices (leaf)
+    seg1: tuple
+
+
+def _bspline_matrix(n_ctrl, strands, subdiv=4):
+    """Static flattening matrix W (M, P): rows evaluate the cubic uniform
+    B-spline at `subdiv` parameters per span (bsplinecurve.cpp basis)."""
+    rows = []
+    B = np.asarray([[1, 4, 1, 0],
+                    [-3, 0, 3, 0],
+                    [3, -6, 3, 0],
+                    [-1, 3, -3, 1]], np.float64) / 6.0
+    for (s0, s1) in strands:
+        P = s1 - s0
+        if P < 4:
+            for i in range(P):           # too short: keep as polyline
+                r = np.zeros(n_ctrl)
+                r[s0 + i] = 1.0
+                rows.append(r)
+            continue
+        n_span = P - 3
+        for span in range(n_span):
+            ts = np.arange(subdiv) / subdiv if span < n_span - 1 else \
+                np.linspace(0, 1, subdiv + 1)
+            for t in ts:
+                w4 = np.asarray([1.0, t, t * t, t ** 3]) @ B
+                r = np.zeros(n_ctrl)
+                r[s0 + span:s0 + span + 4] = w4
+                rows.append(r)
+    return np.stack(rows).astype(np.float32)
+
+
+def _parse_curve_file(path):
+    """Mitsuba curve file: one 'x y z radius' per line; blank lines separate
+    strands (linearcurve.cpp/bsplinecurve.cpp loaders)."""
+    pts, radii, strands = [], [], []
+    start = 0
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                if len(pts) > start:
+                    strands.append((start, len(pts)))
+                    start = len(pts)
+                continue
+            vals = [float(x) for x in line.split()]
+            pts.append(vals[:3])
+            radii.append(vals[3] if len(vals) > 3 else 0.01)
+    if len(pts) > start:
+        strands.append((start, len(pts)))
+    return (np.asarray(pts, np.float32), np.asarray(radii, np.float32),
+            strands)
+
+
+def _segments_for(n_pts, strands_flat):
+    """Consecutive-point segments within each flattened strand."""
+    s0, s1 = [], []
+    for (a, b) in strands_flat:
+        for i in range(a, b - 1):
+            s0.append(i)
+            s1.append(i + 1)
+    return np.asarray(s0, np.int32), np.asarray(s1, np.int32)
+
+
+class _curve_base:
+    degree = 1
+
+    @classmethod
+    def build(cls, props_list):
+        controls, radii, subdivs, seg0s, seg1s = [], [], [], [], []
+        for p in props_list:
+            if 'filename' in p:
+                pts, rad, strands = _parse_curve_file(p['filename'])
+            else:
+                pts = np.asarray(p['control_points'], np.float32).reshape(-1, 3)
+                rad = np.asarray(p.get('radii', p.get('radius', 0.01)),
+                                 np.float32)
+                rad = np.broadcast_to(rad.reshape(-1), (pts.shape[0],)).copy()
+                strands = [(0, pts.shape[0])]
+            tw = p.get('to_world', Transform4())
+            pts = (tw.matrix[:3, :3] @ pts.T).T + tw.matrix[:3, 3]
+            scale = float(np.cbrt(max(abs(np.linalg.det(tw.matrix[:3, :3])),
+                                      1e-12)))
+            rad = rad * scale
+            if cls.degree == 3:
+                W = _bspline_matrix(pts.shape[0], strands,
+                                    int(p.get('subdiv', 4)))
+                # flattened strand ranges follow from W's row blocks
+                flat_strands = []
+                row = 0
+                for (a, b) in strands:
+                    P = b - a
+                    n_rows = P if P < 4 else (P - 4) * int(p.get('subdiv', 4)) \
+                        + int(p.get('subdiv', 4)) + 1
+                    flat_strands.append((row, row + n_rows))
+                    row += n_rows
+            else:
+                W = np.eye(pts.shape[0], dtype=np.float32)
+                flat_strands = strands
+            s0, s1 = _segments_for(W.shape[0], flat_strands)
+            controls.append(jnp.asarray(pts.astype(np.float32)))
+            radii.append(jnp.asarray(rad.astype(np.float32)))
+            subdivs.append(jnp.asarray(W))
+            seg0s.append(jnp.asarray(s0))
+            seg1s.append(jnp.asarray(s1))
+        return CurveTable(controls=tuple(controls), radii=tuple(radii),
+                          subdiv=tuple(subdivs), seg0=tuple(seg0s),
+                          seg1=tuple(seg1s))
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _flatten(tbl, s):
+        """(M,3) points + (M,) radii of instance s — linear in the control
+        tensors (differentiable)."""
+        W = jax.lax.stop_gradient(tbl.subdiv[s])
+        pts = W @ tbl.controls[s]
+        rad = W @ tbl.radii[s]
+        return pts, rad
+
+    @staticmethod
+    def _roundcone_hit(pa, pb, ra, rb, o, d):
+        """Analytic ray / round-cone intersection; batched over leading dims.
+        Returns (t, y_frac, valid): y_frac in [0,1] is the axial parameter."""
+        ba = pb - pa
+        oa = o - pa
+        ob = o - pb
+        rr = ra - rb
+        m0 = jnp.sum(ba * ba, -1)
+        m1 = jnp.sum(ba * oa, -1)
+        m2 = jnp.sum(ba * d, -1)
+        m3 = jnp.sum(d * oa, -1)
+        m5 = jnp.sum(oa * oa, -1)
+        m6 = jnp.sum(ob * d, -1)
+        m7 = jnp.sum(ob * ob, -1)
+        d2 = m0 - rr * rr
+        k2 = d2 - m2 * m2
+        k1 = d2 * m3 - m1 * m2 + m2 * rr * ra
+        k0 = d2 * m5 - m1 * m1 + 2.0 * m1 * rr * ra - m0 * ra * ra
+        h = k1 * k1 - k0 * k2
+        k2s = jnp.where(jnp.abs(k2) < 1e-12, 1e-12, k2)
+        # NaN-safe backward: sqrt at the masked lanes must see a benign
+        # argument (double-where pattern; see core/math.safe_sqrt rationale)
+        t_body = (-m.safe_sqrt(jnp.where(h > 0, h, 1.0)) *
+                  jnp.where(h > 0, 1.0, 0.0) - k1) / k2s
+        y = m1 - ra * rr + t_body * m2
+        body_ok = (h >= 0) & (t_body > 1e-5) & (y > 0) & (y < d2)
+        # spherical caps
+        h1 = m3 * m3 - m5 + ra * ra
+        t_a = -m3 - m.safe_sqrt(jnp.where(h1 > 0, h1, 1.0)) * \
+            jnp.where(h1 > 0, 1.0, 0.0)
+        a_ok = (h1 >= 0) & (t_a > 1e-5)
+        h2 = m6 * m6 - m7 + rb * rb
+        t_b = -m6 - m.safe_sqrt(jnp.where(h2 > 0, h2, 1.0)) * \
+            jnp.where(h2 > 0, 1.0, 0.0)
+        b_ok = (h2 >= 0) & (t_b > 1e-5)
+        big = jnp.asarray(1e8, t_a.dtype)   # finite sentinel keeps grads clean
+        t_caps = jnp.where(a_ok, t_a, big)
+        t_caps = jnp.minimum(t_caps, jnp.where(b_ok, t_b, big))
+        t = jnp.where(body_ok, t_body, t_caps)
+        valid = body_ok | a_ok | b_ok
+        y_frac = jnp.clip(jnp.where(body_ok, y / jnp.maximum(d2, 1e-12),
+                                    jnp.where(t_caps == t_a, 0.0, 1.0)),
+                          0.0, 1.0)
+        return jnp.where(valid, t, jnp.inf), y_frac, valid
+
+    @classmethod
+    def _intersect_one(cls, tbl, s, o, d):
+        o = jax.lax.stop_gradient(o)
+        d = jax.lax.stop_gradient(d)
+        pts, rad = cls._flatten(tbl, s)
+        pts = jax.lax.stop_gradient(pts)
+        rad = jax.lax.stop_gradient(rad)
+        s0 = tbl.seg0[s]
+        s1 = tbl.seg1[s]
+        S = s0.shape[0]
+        n = o.shape[0]
+        n_chunks = (S + CHUNK - 1) // CHUNK
+        Sp = n_chunks * CHUNK
+        pad_i = lambda x: jnp.concatenate(
+            [x, jnp.zeros((Sp - S,), x.dtype)], 0)
+        s0p, s1p = pad_i(s0), pad_i(s1)
+
+        def body(c, carry):
+            t_best, uv_best, prim_best = carry
+            sl = jax.lax.dynamic_slice_in_dim
+            i0 = sl(s0p, c * CHUNK, CHUNK)
+            i1 = sl(s1p, c * CHUNK, CHUNK)
+            pa = pts[i0][:, None]        # (C,1,3)
+            pb = pts[i1][:, None]
+            ra = rad[i0][:, None]
+            rb = rad[i1][:, None]
+            pad_mask = (jnp.arange(CHUNK) + c * CHUNK < S)[:, None]
+            t, yf, ok = _curve_base._roundcone_hit(pa, pb, ra, rb,
+                                                   o[None], d[None])
+            t = jnp.where(ok & pad_mask, t, jnp.inf)
+            idx = jnp.argmin(t, axis=0)
+            t_c = jnp.take_along_axis(t, idx[None], 0)[0]
+            y_c = jnp.take_along_axis(yf, idx[None], 0)[0]
+            better = t_c < t_best
+            t_best = jnp.where(better, t_c, t_best)
+            uv_best = jnp.where(better[..., None],
+                                jnp.stack([y_c, jnp.zeros_like(y_c)], -1),
+                                uv_best)
+            prim_best = jnp.where(better, c * CHUNK + idx.astype(jnp.int32),
+                                  prim_best)
+            return (t_best, uv_best, prim_best)
+
+        init = (jnp.full((n,), jnp.inf), jnp.zeros((n, 2)),
+                jnp.zeros((n,), jnp.int32))
+        return jax.lax.fori_loop(0, n_chunks, body, init)
+
+    @classmethod
+    def intersect(cls, tbl, o, d):
+        ts, uvs, prims = [], [], []
+        for s in range(len(tbl.controls)):
+            t, uv, prim = cls._intersect_one(tbl, s, o, d)
+            ts.append(t)
+            uvs.append(uv)
+            prims.append(prim)
+        return jnp.stack(ts), jnp.stack(uvs), jnp.stack(prims)
+
+    @classmethod
+    def compute_si(cls, tbl, slot, o, d, t, prim_uv, prim_index):
+        out = None
+        for s in range(len(tbl.controls)):
+            pts, rad = cls._flatten(tbl, s)
+            s0 = tbl.seg0[s]
+            s1 = tbl.seg1[s]
+            prim = jnp.clip(prim_index, 0, s0.shape[0] - 1)
+            pa = pts[s0[prim]]
+            pb = pts[s1[prim]]
+            ra = rad[s0[prim]]
+            rb = rad[s1[prim]]
+            # attached recomputation of the same segment's hit; sanitize
+            # missed lanes (their values are replaced by the SI merge, but
+            # their GRADIENTS must stay finite)
+            t_att, y_frac, ok_att = cls._roundcone_hit(pa, pb, ra, rb, o, d)
+            t_att = jnp.where(ok_att & jnp.isfinite(t_att), t_att,
+                              jax.lax.stop_gradient(t))
+            t_att = m.replace_grad(t, t_att)
+            p = o + d * t_att[..., None]
+            # axis point + local radius at the hit parameter
+            yf = m.replace_grad(prim_uv[..., 0], y_frac)
+            c_axis = pa + (pb - pa) * yf[..., None]
+            r_here = ra + (rb - ra) * yf
+            n_vec = p - c_axis
+            nrm = m.normalize(n_vec)
+            axis = m.normalize(pb - pa)
+            # uv: u = (segment + y)/n_segments along the strand, v = azimuth
+            fx, fy = coordinate_system(axis)
+            phi = jnp.arctan2(m.dot(nrm, fy), m.dot(nrm, fx))
+            n_seg = s0.shape[0]
+            u = (prim.astype(p.dtype) + yf) / n_seg
+            uv = jnp.stack([u, (phi + m.Pi) * m.InvTwoPi], -1)
+            dp_du = (pb - pa) * n_seg
+            dp_dv = jnp.cross(axis, nrm) * (m.TwoPi * r_here[..., None])
+            cur = dict(t=t_att, p=p, n=nrm, uv=uv, dp_du=dp_du, dp_dv=dp_dv,
+                       sh_n=nrm)
+            if out is None:
+                out = cur
+            else:
+                sel = slot == s
+                out = {k: jnp.where(sel[..., None] if cur[k].ndim > sel.ndim
+                                    else sel, cur[k], out[k])
+                       for k in cur}
+        return out
+
+    @classmethod
+    def surface_area(cls, tbl):
+        areas = []
+        for s in range(len(tbl.controls)):
+            pts, rad = cls._flatten(tbl, s)
+            s0 = tbl.seg0[s]
+            s1 = tbl.seg1[s]
+            ln = m.norm(pts[s1] - pts[s0])
+            r_avg = 0.5 * (rad[s0] + rad[s1])
+            areas.append(jnp.sum(m.TwoPi * r_avg * ln))
+        return jnp.stack(areas)
+
+
+class linearcurve(_curve_base):
+    degree = 1
+
+
+class bsplinecurve(_curve_base):
+    degree = 3

@@ -27,7 +27,8 @@ def _build_medium(props):
     return _medium_mod.build(props)
 
 _SHAPE_TYPES = ('rectangle', 'cube', 'sphere', 'disk', 'cylinder',
-                'heightfield', 'obj', 'ply', 'mesh', 'serialized')
+                'heightfield', 'obj', 'ply', 'mesh', 'serialized',
+                'linearcurve', 'bsplinecurve')
 _EMITTER_TYPES = ('area', 'point', 'constant', 'envmap', 'directional',
                   'spot', 'projector', 'directionalarea')
 _SENSOR_TYPES = ('perspective', 'thinlens', 'orthographic', 'radiancemeter',

@@ -1,0 +1,98 @@
+"""Curve shape tests (reference src/shapes/{linearcurve,bsplinecurve}.cpp +
+src/shapes/tests/test_bsplinecurve.py semantics)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import mitsuba_tpu as mt
+from mitsuba_tpu.render.integrator import render_wavefront
+
+
+def _scene(curve):
+    return {'type': 'scene',
+            'integrator': {'type': 'path', 'max_depth': 2},
+            'sensor': {'type': 'perspective', 'fov': 45.0,
+                       'to_world': mt.ScalarTransform4f.look_at(
+                           origin=[0, 0, 3], target=[0, 0, 0], up=[0, 1, 0]),
+                       'film': {'type': 'hdrfilm', 'width': 48, 'height': 48}},
+            'light': {'type': 'constant', 'radiance': 1.0},
+            'hair': curve}
+
+
+def test_linearcurve_renders_band():
+    ctrl = np.array([[-1, 0, 0], [0, 0, 0], [1, 0, 0]], np.float32)
+    d = _scene({'type': 'linearcurve', 'control_points': ctrl,
+                'radius': 0.15, 'bsdf': {'type': 'diffuse',
+                                         'reflectance': 0.8}})
+    img = np.asarray(mt.render(mt.load_dict(d), spp=16, seed=0))
+    assert np.isfinite(img).all()
+    # the tube occupies the middle rows, background stays at env radiance
+    assert img[23:25, 20:28].mean() < 0.95
+    assert img[2:6, :].mean() == pytest.approx(1.0, abs=0.02)
+
+
+def test_linearcurve_vs_cylinder():
+    """A straight 2-point linear curve IS a round cone == cylinder + caps;
+    interior pixels must match an actual cylinder render."""
+    ctrl = np.array([[0, -0.7, 0], [0, 0.7, 0]], np.float32)
+    d1 = _scene({'type': 'linearcurve', 'control_points': ctrl,
+                 'radius': 0.3, 'bsdf': {'type': 'diffuse',
+                                         'reflectance': 0.6}})
+    img1 = np.asarray(mt.render(mt.load_dict(d1), spp=64, seed=1))
+    d2 = _scene({'type': 'cylinder', 'p0': [0, -0.7, 0], 'p1': [0, 0.7, 0],
+                 'radius': 0.3, 'bsdf': {'type': 'diffuse',
+                                         'reflectance': 0.6}})
+    img2 = np.asarray(mt.render(mt.load_dict(d2), spp=64, seed=1))
+    # compare the central column region (away from caps)
+    a = img1[20:28, 20:28].mean()
+    b = img2[20:28, 20:28].mean()
+    assert a == pytest.approx(b, rel=0.05)
+
+
+def test_bspline_smooth_and_differentiable():
+    theta = np.linspace(0, np.pi, 10)
+    ctrl = np.stack([np.cos(theta), np.sin(theta) * 0.5,
+                     np.zeros_like(theta)], -1).astype(np.float32)
+    d = _scene({'type': 'bsplinecurve', 'control_points': ctrl,
+                'radius': 0.1, 'bsdf': {'type': 'diffuse',
+                                        'reflectance': 0.8}})
+    scene = mt.load_dict(d)
+    img = np.asarray(mt.render(scene, spp=16, seed=0))
+    assert np.isfinite(img).all()
+    assert (img.mean(-1) < 0.95).mean() > 0.04   # curve coverage
+
+    def loss(cp):
+        tbl = scene.shapes['bsplinecurve']
+        s = scene.replace(shapes={**scene.shapes,
+                                  'bsplinecurve': tbl.replace(controls=(cp,))})
+        return jnp.sum(render_wavefront(s, spp=4, seed=0))
+
+    cp0 = scene.shapes['bsplinecurve'].controls[0]
+    g = np.asarray(jax.grad(loss)(cp0))
+    assert np.isfinite(g).all()
+    assert np.abs(g).sum() > 1.0
+    # FD sanity on one coordinate: same sign. The magnitudes differ
+    # because AD here is the interior derivative while FD includes the
+    # silhouette (visibility) term — exactly the sphere/cylinder convention
+    # without reparameterization; curve silhouettes dominate for thin tubes.
+    eps = 2e-3
+    i, j = 4, 1
+    fd = (float(loss(cp0.at[i, j].add(eps))) -
+          float(loss(cp0.at[i, j].add(-eps)))) / (2 * eps)
+    assert np.sign(fd) == np.sign(g[i, j])
+
+
+def test_curve_file_loader(tmp_path):
+    path = tmp_path / 'strands.txt'
+    path.write_text('0 0 0 0.1\n1 0 0 0.1\n2 0 0 0.05\n\n'
+                    '0 1 0 0.2\n1 1 0 0.2\n')
+    d = _scene({'type': 'linearcurve', 'filename': str(path),
+                'bsdf': {'type': 'diffuse'}})
+    scene = mt.load_dict(d)
+    tbl = scene.shapes['linearcurve']
+    assert tbl.controls[0].shape == (5, 3)
+    # segments: 2 within strand 1, 1 within strand 2 — no cross-strand link
+    assert tbl.seg0[0].shape[0] == 3
+    img = np.asarray(mt.render(scene, spp=4, seed=0))
+    assert np.isfinite(img).all()

@@ -167,3 +167,53 @@ class Hierarchical2D:
         col = jnp.clip((pos[..., 0] * w).astype(jnp.int32), 0, w - 1)
         row = jnp.clip((pos[..., 1] * h).astype(jnp.int32), 0, h - 1)
         return self.pdf_grid[row, col] * (h * w)
+
+
+class Marginal2D:
+    """distr_2d.h:Marginal2D<0> — sample a 2D grid via the row marginal and
+    the per-row conditional CDF (piecewise-constant within texels). Used by
+    the `measured` BSDF (reference src/bsdfs/measured.cpp warps).
+
+    Sampling is two searchsorted passes (row marginal, then the gathered
+    row's conditional) — small uniform-stride tables lower well on TPU.
+    """
+
+    def __init__(self, data):
+        data = np.maximum(np.asarray(data, np.float32), 0.0) + 1e-12
+        h, w = data.shape
+        self.shape = (h, w)
+        row_sum = data.sum(axis=1)                      # (H,)
+        self.total = float(row_sum.sum())
+        self.marg_cdf = jnp.asarray(np.cumsum(row_sum) / self.total)
+        cond = np.cumsum(data, axis=1)
+        self.row_sum = jnp.asarray(row_sum)
+        self.cond_cdf = jnp.asarray(cond / row_sum[:, None])  # (H,W)
+        self.pdf_grid = jnp.asarray(data / self.total)
+
+    def sample(self, u):
+        """u: (...,2) -> ((...,2) in [0,1)^2, pdf w.r.t. unit-square area)."""
+        ux, uy = u[..., 0], u[..., 1]
+        h, w = self.shape
+        row = jnp.clip(jnp.searchsorted(self.marg_cdf, uy, side='right'),
+                       0, h - 1)
+        cdf_lo = jnp.where(row > 0, self.marg_cdf[jnp.maximum(row - 1, 0)], 0.0)
+        row_p = jnp.maximum(self.marg_cdf[row] - cdf_lo, 1e-12)
+        y_frac = jnp.clip((uy - cdf_lo) / row_p, 0.0, 1.0 - 1e-7)
+        cond = self.cond_cdf[row]                        # (...,W)
+        col = jnp.clip(
+            jnp.sum((cond < ux[..., None]).astype(jnp.int32), -1), 0, w - 1)
+        c_lo = jnp.where(col > 0,
+                         jnp.take_along_axis(cond, jnp.maximum(col - 1, 0)[..., None],
+                                             -1)[..., 0], 0.0)
+        c_hi = jnp.take_along_axis(cond, col[..., None], -1)[..., 0]
+        x_frac = jnp.clip((ux - c_lo) / jnp.maximum(c_hi - c_lo, 1e-12),
+                          0.0, 1.0 - 1e-7)
+        pos = jnp.stack([(col + x_frac) / w, (row + y_frac) / h], -1)
+        pdf = self.pdf_grid[row, col] * (h * w)
+        return pos, pdf
+
+    def eval_pdf(self, pos):
+        h, w = self.shape
+        col = jnp.clip((pos[..., 0] * w).astype(jnp.int32), 0, w - 1)
+        row = jnp.clip((pos[..., 1] * h).astype(jnp.int32), 0, h - 1)
+        return self.pdf_grid[row, col] * (h * w)

@@ -29,6 +29,11 @@ def _extend():
     except ImportError:
         pass
     try:
+        from .measured import measured
+        REGISTRY['measured'] = measured
+    except ImportError:
+        pass
+    try:
         from .polarized import polarizer, retarder, circular
         REGISTRY['polarizer'] = polarizer
         REGISTRY['retarder'] = retarder

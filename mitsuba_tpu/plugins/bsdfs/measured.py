@@ -1,0 +1,249 @@
+"""Data-driven measured BRDF (reference src/bsdfs/measured.cpp — RGL
+tensor-file BRDFs sampled with Marginal2D warps; here redesigned around a
+regular (θ_i, θ_o, φ_d) grid that is TPU-friendly to fetch, with MERL
+`.binary` import on the host side).
+
+Storage: a (Ti, To, Pd, 3) table of BRDF values f(θi, θo, φd) (WITHOUT the
+cosine). Isotropic materials only (like MERL; the RGL format's φ_i axis
+collapses for isotropic data).
+
+Sampling: per-θi-bin Marginal2D over (θo, φd) of luminance × cosθo sinθo
+(the solid-angle-weighted importance), so sample() and pdf() are exactly
+consistent (chi2-testable) while following the measured energy distribution.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ...core import math as m
+from ...core import frame as fr
+from ...render import bsdf_flags as bf
+from ...render.records import BSDFSample
+from .core_bsdfs import _nch
+
+
+@struct.dataclass
+class MeasuredTable:
+    data: tuple        # per instance (Ti,To,Pd,3) BRDF values
+    marg_cdf: tuple    # per instance (Ti,To) row-marginal CDF over θo
+    cond_cdf: tuple    # per instance (Ti,To,Pd) conditional CDF over φd
+    pdf_grid: tuple    # per instance (Ti,To,Pd) normalized cell pdf
+
+
+def load_merl(path, Ti=32, To=64, Pd=64):
+    """Resample a MERL `.binary` BRDF (Rusinkiewicz half/diff-angle layout,
+    90×90×180 doubles per channel with the standard channel scales) onto the
+    regular (θi, θo, φd) grid."""
+    with open(path, 'rb') as f:
+        dims = np.fromfile(f, np.int32, 3)
+        n = int(dims[0]) * int(dims[1]) * int(dims[2])
+        vals = np.fromfile(f, np.float64, 3 * n)
+    assert tuple(dims) == (90, 90, 180), f'unexpected MERL dims {dims}'
+    brdf = vals.reshape(3, 90, 90, 180)
+    scale = np.asarray([1.0 / 1500.0, 1.15 / 1500.0, 1.66 / 1500.0])
+
+    ti = (np.arange(Ti) + 0.5) / Ti * (np.pi / 2)
+    to = (np.arange(To) + 0.5) / To * (np.pi / 2)
+    pd = (np.arange(Pd) + 0.5) / Pd * (2 * np.pi)
+    TI, TO, PD = np.meshgrid(ti, to, pd, indexing='ij')
+    wi = np.stack([np.sin(TI), np.zeros_like(TI), np.cos(TI)], -1)
+    wo = np.stack([np.sin(TO) * np.cos(PD), np.sin(TO) * np.sin(PD),
+                   np.cos(TO)], -1)
+    # Rusinkiewicz half/diff angles
+    h = wi + wo
+    h /= np.maximum(np.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+    theta_h = np.arccos(np.clip(h[..., 2], -1, 1))
+    phi_h = np.arctan2(h[..., 1], h[..., 0])
+    # rotate wi into the half-vector frame: Rz(-phi_h) then Ry(-theta_h)
+    def rot_z(v, a):
+        c, s = np.cos(a), np.sin(a)
+        return np.stack([c * v[..., 0] - s * v[..., 1],
+                         s * v[..., 0] + c * v[..., 1], v[..., 2]], -1)
+
+    def rot_y(v, a):
+        c, s = np.cos(a), np.sin(a)
+        return np.stack([c * v[..., 0] + s * v[..., 2], v[..., 1],
+                         -s * v[..., 0] + c * v[..., 2]], -1)
+
+    d = rot_y(rot_z(wi, -phi_h), -theta_h)
+    theta_d = np.arccos(np.clip(d[..., 2], -1, 1))
+    phi_d = np.mod(np.arctan2(d[..., 1], d[..., 0]), np.pi)  # reciprocity
+    # MERL indexing (nonlinear θh axis)
+    i_th = np.clip((np.sqrt(np.clip(theta_h / (np.pi / 2), 0, 1)) * 90)
+                   .astype(np.int32), 0, 89)
+    i_td = np.clip((theta_d / (np.pi / 2) * 90).astype(np.int32), 0, 89)
+    i_pd = np.clip((phi_d / np.pi * 180).astype(np.int32), 0, 179)
+    out = np.stack([brdf[c, i_th, i_td, i_pd] * scale[c] for c in range(3)],
+                   -1)
+    return np.maximum(out, 0.0).astype(np.float32)
+
+
+def _build_warps(data):
+    """(Ti,To,Pd,3) -> per-θi Marginal2D tables over (θo, φd), weighted by
+    luminance × cosθo sinθo (the projected-solid-angle importance)."""
+    Ti, To, Pd, _ = data.shape
+    lum = data @ np.asarray([0.2126, 0.7152, 0.0722], np.float32)
+    to = (np.arange(To) + 0.5) / To * (np.pi / 2)
+    w = (np.cos(to) * np.sin(to)).astype(np.float32)
+    weighted = np.maximum(lum, 0.0) * w[None, :, None] + 1e-10   # (Ti,To,Pd)
+    row_sum = weighted.sum(-1)                                    # (Ti,To)
+    total = row_sum.sum(-1, keepdims=True)                        # (Ti,1)
+    marg_cdf = np.cumsum(row_sum, -1) / total                     # (Ti,To)
+    cond_cdf = np.cumsum(weighted, -1) / row_sum[..., None]       # (Ti,To,Pd)
+    pdf_grid = weighted / total[..., None]                        # cell pmf
+    return (jnp.asarray(marg_cdf), jnp.asarray(cond_cdf),
+            jnp.asarray(pdf_grid))
+
+
+class measured:
+    Table = MeasuredTable
+    flags = bf.GlossyReflection | bf.FrontSide
+
+    @staticmethod
+    def build(props_list, texb):
+        datas, margs, conds, pdfs = [], [], [], []
+        for p in props_list:
+            if 'filename' in p:
+                data = load_merl(p['filename'])
+            else:
+                data = np.asarray(p['data'], np.float32)
+            assert data.ndim == 4 and data.shape[-1] == 3
+            mc, cc, pg = _build_warps(data)
+            datas.append(jnp.asarray(data))
+            margs.append(mc)
+            conds.append(cc)
+            pdfs.append(pg)
+        return MeasuredTable(data=tuple(datas), marg_cdf=tuple(margs),
+                             cond_cdf=tuple(conds), pdf_grid=tuple(pdfs))
+
+    # -- angular helpers ----------------------------------------------------
+    @staticmethod
+    def _angles(wi, wo):
+        ti = jnp.arccos(jnp.clip(fr.cos_theta(wi), -1, 1))
+        to = jnp.arccos(jnp.clip(fr.cos_theta(wo), -1, 1))
+        phi_i = jnp.arctan2(wi[..., 1], wi[..., 0])
+        phi_o = jnp.arctan2(wo[..., 1], wo[..., 0])
+        pd = jnp.mod(phi_o - phi_i, 2 * jnp.pi)
+        return ti, to, pd
+
+    @staticmethod
+    def _eval_one(data, wi, wo):
+        """Trilinear fetch of f(θi,θo,φd) from one instance's table."""
+        Ti, To, Pd, _ = data.shape
+        ti, to, pd = measured._angles(wi, wo)
+        x = jnp.clip(ti / (jnp.pi / 2) * Ti - 0.5, 0.0, Ti - 1.0)
+        y = jnp.clip(to / (jnp.pi / 2) * To - 0.5, 0.0, To - 1.0)
+        z = pd / (2 * jnp.pi) * Pd - 0.5
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        z0 = jnp.floor(z).astype(jnp.int32)
+        fx = (x - x0)[..., None]
+        fy = (y - y0)[..., None]
+        fz = (z - z0)[..., None]
+        x1 = jnp.clip(x0 + 1, 0, Ti - 1)
+        y1 = jnp.clip(y0 + 1, 0, To - 1)
+        z0m = jnp.mod(z0, Pd)
+        z1m = jnp.mod(z0 + 1, Pd)
+        x0 = jnp.clip(x0, 0, Ti - 1)
+        y0 = jnp.clip(y0, 0, To - 1)
+
+        def g(a, b, c):
+            return data[a, b, c]
+        v = ((g(x0, y0, z0m) * (1 - fz) + g(x0, y0, z1m) * fz) * (1 - fy) +
+             (g(x0, y1, z0m) * (1 - fz) + g(x0, y1, z1m) * fz) * fy) * (1 - fx) + \
+            ((g(x1, y0, z0m) * (1 - fz) + g(x1, y0, z1m) * fz) * (1 - fy) +
+             (g(x1, y1, z0m) * (1 - fz) + g(x1, y1, z1m) * fz) * fy) * fx
+        return v
+
+    @staticmethod
+    def _pdf_one(pdf_grid, wi, wo):
+        """Solid-angle pdf of the (θo,φd) cell warp for this wi."""
+        Ti, To, Pd = pdf_grid.shape
+        ti, to, pd = measured._angles(wi, wo)
+        i = jnp.clip((ti / (jnp.pi / 2) * Ti).astype(jnp.int32), 0, Ti - 1)
+        j = jnp.clip((to / (jnp.pi / 2) * To).astype(jnp.int32), 0, To - 1)
+        k = jnp.clip((pd / (2 * jnp.pi) * Pd).astype(jnp.int32), 0, Pd - 1)
+        cell_solid = (jnp.pi / 2 / To) * (2 * jnp.pi / Pd) * \
+            jnp.maximum(jnp.sin(to), 1e-6)
+        return pdf_grid[i, j, k] / cell_solid
+
+    @staticmethod
+    def eval(tbl, slot, tex, wi, wo, uv):
+        n = wi.shape[0]
+        out = jnp.zeros((n, _nch(tex)), wi.dtype)
+        active = (fr.cos_theta(wi) > 0) & (fr.cos_theta(wo) > 0)
+        for s in range(len(tbl.data)):
+            v = measured._eval_one(tbl.data[s], wi, wo) * \
+                jnp.maximum(fr.cos_theta(wo), 0.0)[..., None]
+            if out.shape[-1] != 3:   # spectral variant: gray projection
+                v = jnp.repeat(v.mean(-1, keepdims=True), out.shape[-1], -1)
+            out = jnp.where(((slot == s) & active)[..., None], v, out)
+        return out
+
+    @staticmethod
+    def pdf(tbl, slot, tex, wi, wo, uv):
+        n = wi.shape[0]
+        out = jnp.zeros((n,), wi.dtype)
+        active = (fr.cos_theta(wi) > 0) & (fr.cos_theta(wo) > 0)
+        for s in range(len(tbl.data)):
+            p = measured._pdf_one(tbl.pdf_grid[s], wi, wo)
+            out = jnp.where((slot == s) & active, p, out)
+        return out
+
+    @staticmethod
+    def sample(tbl, slot, tex, wi, uv, sample1, sample2):
+        n = wi.shape[0]
+        dt = wi.dtype
+        wo_out = jnp.zeros((n, 3), dt)
+        pdf_out = jnp.zeros((n,), dt)
+        for s in range(len(tbl.data)):
+            Ti, To, Pd = tbl.pdf_grid[s].shape
+            ti = jnp.arccos(jnp.clip(fr.cos_theta(wi), -1, 1))
+            i = jnp.clip((ti / (jnp.pi / 2) * Ti).astype(jnp.int32), 0, Ti - 1)
+            marg = tbl.marg_cdf[s][i]          # (N,To)
+            cond_all = tbl.cond_cdf[s][i]      # (N,To,Pd)
+            uy, ux = sample2[..., 1], sample2[..., 0]
+            j = jnp.clip(jnp.sum((marg < uy[..., None]).astype(jnp.int32), -1),
+                         0, To - 1)
+            m_lo = jnp.where(j > 0,
+                             jnp.take_along_axis(marg, jnp.maximum(j - 1, 0)[..., None], -1)[..., 0],
+                             0.0)
+            m_hi = jnp.take_along_axis(marg, j[..., None], -1)[..., 0]
+            yf = jnp.clip((uy - m_lo) / jnp.maximum(m_hi - m_lo, 1e-12),
+                          0.0, 1.0 - 1e-6)
+            cond = jnp.take_along_axis(
+                cond_all, j[..., None, None].repeat(Pd, -1), 1)[:, 0]  # (N,Pd)
+            k = jnp.clip(jnp.sum((cond < ux[..., None]).astype(jnp.int32), -1),
+                         0, Pd - 1)
+            c_lo = jnp.where(k > 0,
+                             jnp.take_along_axis(cond, jnp.maximum(k - 1, 0)[..., None], -1)[..., 0],
+                             0.0)
+            c_hi = jnp.take_along_axis(cond, k[..., None], -1)[..., 0]
+            xf = jnp.clip((ux - c_lo) / jnp.maximum(c_hi - c_lo, 1e-12),
+                          0.0, 1.0 - 1e-6)
+            to = (j + yf) / To * (jnp.pi / 2)
+            pd = (k + xf) / Pd * (2 * jnp.pi)
+            phi_i = jnp.arctan2(wi[..., 1], wi[..., 0])
+            phi_o = phi_i + pd
+            st, ct = jnp.sin(to), jnp.cos(to)
+            wo = jnp.stack([st * jnp.cos(phi_o), st * jnp.sin(phi_o), ct], -1)
+            cell_solid = (jnp.pi / 2 / To) * (2 * jnp.pi / Pd) * \
+                jnp.maximum(st, 1e-6)
+            p = tbl.pdf_grid[s][i, j, k] / cell_solid
+            sel = (slot == s)
+            wo_out = jnp.where(sel[..., None], wo, wo_out)
+            pdf_out = jnp.where(sel, p, pdf_out)
+        active = (fr.cos_theta(wi) > 0) & (fr.cos_theta(wo_out) > 0) & \
+            (pdf_out > 1e-9)
+        val = measured.eval(tbl, slot, tex, wi, wo_out, uv)
+        weight = jnp.where(active[..., None],
+                           val / jnp.maximum(pdf_out, 1e-9)[..., None], 0.0)
+        bs = BSDFSample(
+            wo=wo_out, pdf=jnp.where(active, pdf_out, 0.0),
+            eta=jnp.ones((n,), dt),
+            sampled_type=jnp.full((n,), bf.GlossyReflection, jnp.uint32),
+            sampled_component=jnp.zeros((n,), jnp.int32))
+        return bs, weight

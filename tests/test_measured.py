@@ -1,0 +1,96 @@
+"""measured BSDF tests (reference src/bsdfs/measured.cpp + its Marginal2D
+warps; MERL import)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import mitsuba_tpu as mt
+from mitsuba_tpu.core.distr import Marginal2D
+from mitsuba_tpu.render.texture import TextureBuilder
+from mitsuba_tpu.utils.chi2 import bsdf_chi2
+
+
+def _diffuse_table(rho=(0.6, 0.3, 0.2), Ti=16, To=32, Pd=32):
+    return np.broadcast_to(np.asarray(rho, np.float32) / np.pi,
+                           (Ti, To, Pd, 3)).copy()
+
+
+def _mk(data):
+    def build():
+        from mitsuba_tpu.plugins.bsdfs import REGISTRY
+        texb = TextureBuilder()
+        plugin = REGISTRY['measured']
+        tbl = plugin.build([{'data': data}], texb)
+        return plugin, tbl, texb.build()
+    return build
+
+
+def test_marginal2d_uniformity_and_pdf():
+    rng = np.random.default_rng(0)
+    grid = rng.random((16, 24)).astype(np.float32) + 0.1
+    dist = Marginal2D(grid)
+    u = jnp.asarray(rng.random((200000, 2), np.float32))
+    pos, pdf = dist.sample(u)
+    pos = np.asarray(pos)
+    pdf = np.asarray(pdf)
+    # pdf consistency at the sampled positions (float32 rounding can land a
+    # boundary sample in the neighboring texel — allow a vanishing fraction)
+    pdf2 = np.asarray(dist.eval_pdf(jnp.asarray(pos)))
+    mismatch = np.abs(pdf - pdf2) > 1e-4 * np.maximum(pdf, 1e-9)
+    assert mismatch.mean() < 1e-4, mismatch.mean()
+    # histogram matches the grid mass (coarse 4x4 check)
+    H, W = grid.shape
+    hist, _, _ = np.histogram2d(pos[:, 1], pos[:, 0], bins=(4, 4),
+                                range=[[0, 1], [0, 1]])
+    hist = hist / hist.sum()
+    mass = grid.reshape(4, H // 4, 4, W // 4).sum((1, 3))
+    mass = mass / mass.sum()
+    np.testing.assert_allclose(hist, mass, atol=0.01)
+
+
+def test_measured_chi2():
+    """sample()/pdf() consistency of the per-θi Marginal2D warp."""
+    wi = np.asarray([0.4, 0.1, 0.9], np.float32)
+    wi /= np.linalg.norm(wi)
+    t = bsdf_chi2(_mk(_diffuse_table()), wi, sample_count=200_000)
+    assert t.run(), t.messages
+
+
+def test_measured_diffuse_matches_analytic():
+    """A constant table f = ρ/π must render identically to the diffuse
+    plugin (white-light sphere scene; the furnace-style oracle)."""
+    rho = np.asarray([0.6, 0.3, 0.2], np.float32)
+    d = {'type': 'scene',
+         'integrator': {'type': 'path', 'max_depth': 3},
+         'sensor': {'type': 'perspective', 'fov': 45.0,
+                    'to_world': mt.ScalarTransform4f.look_at(
+                        origin=[0, 0, 4], target=[0, 0, 0], up=[0, 1, 0]),
+                    'film': {'type': 'hdrfilm', 'width': 32, 'height': 32}},
+         'light': {'type': 'constant', 'radiance': 1.0},
+         'sph': {'type': 'sphere',
+                 'bsdf': {'type': 'measured', 'data': _diffuse_table(rho)}}}
+    img_meas = np.asarray(mt.render(mt.load_dict(dict(d)), spp=64, seed=0))
+    d['sph']['bsdf'] = {'type': 'diffuse',
+                        'reflectance': {'type': 'rgb', 'value': rho.tolist()}}
+    img_diff = np.asarray(mt.render(mt.load_dict(dict(d)), spp=64, seed=0))
+    assert np.abs(img_meas.mean((0, 1)) - img_diff.mean((0, 1))).max() < 5e-3
+
+
+def test_merl_import(tmp_path):
+    """Round trip through a synthetic MERL .binary file (constant BRDF)."""
+    from mitsuba_tpu.plugins.bsdfs.measured import load_merl
+    path = str(tmp_path / 'mat.binary')
+    dims = np.asarray([90, 90, 180], np.int32)
+    # constant raw value per channel; MERL scales divide by channel factors
+    raw = np.ones((3, 90, 90, 180), np.float64)
+    raw[0] *= 1500.0 * 0.5          # -> 0.5 after scaling
+    raw[1] *= (1500.0 / 1.15) * 0.25
+    raw[2] *= (1500.0 / 1.66) * 0.125
+    with open(path, 'wb') as f:
+        dims.tofile(f)
+        raw.tofile(f)
+    data = load_merl(path, Ti=8, To=16, Pd=16)
+    assert data.shape == (8, 16, 16, 3)
+    np.testing.assert_allclose(data[..., 0], 0.5, rtol=1e-5)
+    np.testing.assert_allclose(data[..., 1], 0.25, rtol=1e-5)
+    np.testing.assert_allclose(data[..., 2], 0.125, rtol=1e-5)

@@ -19,9 +19,12 @@ from ..core import warp
 from ..core.frame import Frame
 
 
-# phase function kinds
+# phase function kinds (src/phase/*.cpp)
 PHASE_ISOTROPIC = 0
 PHASE_HG = 1
+PHASE_RAYLEIGH = 2
+PHASE_TABULATED = 3
+PHASE_SGGX = 4
 
 
 @struct.dataclass
@@ -30,6 +33,15 @@ class Medium:
     albedo: jnp.ndarray     # (3,) single-scattering albedo
     phase_kind: int = struct.field(pytree_node=False, default=PHASE_ISOTROPIC)
     g: jnp.ndarray = 0.0    # HG asymmetry
+    # tabphase (src/phase/tabphase.cpp): tabulated p(cos θ) on [-1,1]
+    tab_pdf: jnp.ndarray = None     # (K,) normalized pdf over cos θ
+    tab_cdf: jnp.ndarray = None     # (K-1,) cell cdf
+    # sggx (src/phase/sggx.cpp, Heitz 2015): symmetric microflake matrix
+    sggx_S: jnp.ndarray = None      # (3,3)
+    # blendphase (src/phase/blendphase.cpp): mix of two kinds
+    phase_kind_b: int = struct.field(pytree_node=False, default=-1)
+    phase_blend_w: jnp.ndarray = 0.5
+    g_b: jnp.ndarray = 0.0
     # heterogeneous extension (src/media/heterogeneous.cpp +
     # src/volumes/gridvolume.cpp): density grid over [0,1]^3 in medium-local
     # coords; majorant = global max (the supervoxel-majorant refinement is a
@@ -47,8 +59,15 @@ def build(props) -> Medium:
     if isinstance(albedo, dict):
         albedo = albedo['value']
     phase = props.get('phase', {'type': 'isotropic'})
-    kind = PHASE_HG if phase.get('type') == 'hg' else PHASE_ISOTROPIC
-    g = float(phase.get('g', 0.0))
+    kind, g, tab_pdf, tab_cdf, sggx_S = _parse_phase(phase)
+    kind_b, g_b, blend_w = -1, 0.0, 0.5
+    if phase.get('type') == 'blendphase':
+        inner = [v for v in phase.values()
+                 if isinstance(v, dict) and 'type' in v]
+        assert len(inner) >= 2, 'blendphase needs two nested phases'
+        kind, g, tab_pdf, tab_cdf, sggx_S = _parse_phase(inner[0])
+        kind_b, g_b, _, _, _ = _parse_phase(inner[1])
+        blend_w = float(phase.get('weight', 0.5))
     density = None
     majorant = 1.0
     to_object = None
@@ -73,7 +92,43 @@ def build(props) -> Medium:
         albedo=jnp.broadcast_to(jnp.asarray(albedo, jnp.float32).reshape(-1), (3,)),
         phase_kind=kind, g=jnp.asarray(g, jnp.float32),
         density=density, majorant=jnp.asarray(majorant, jnp.float32),
-        to_object=to_object)
+        to_object=to_object,
+        tab_pdf=tab_pdf, tab_cdf=tab_cdf, sggx_S=sggx_S,
+        phase_kind_b=kind_b, phase_blend_w=jnp.asarray(blend_w, jnp.float32),
+        g_b=jnp.asarray(g_b, jnp.float32))
+
+
+def _parse_phase(phase):
+    t = phase.get('type', 'isotropic')
+    g = float(phase.get('g', 0.0))
+    tab_pdf = tab_cdf = sggx_S = None
+    if t == 'hg':
+        kind = PHASE_HG
+    elif t == 'rayleigh':
+        kind = PHASE_RAYLEIGH
+    elif t == 'tabphase':
+        kind = PHASE_TABULATED
+        vals = np.maximum(np.asarray(phase['values'], np.float64), 0.0)
+        K = len(vals)
+        # normalize over the sphere: ∫ p dω = 2π ∫ p(cosθ) dcosθ = 1
+        dx = 2.0 / (K - 1)
+        integral = np.sum(0.5 * (vals[:-1] + vals[1:])) * dx * 2 * np.pi
+        vals = vals / max(integral, 1e-20)
+        cell = 0.5 * (vals[:-1] + vals[1:]) * dx * 2 * np.pi
+        tab_pdf = jnp.asarray(vals.astype(np.float32))
+        tab_cdf = jnp.asarray(np.cumsum(cell).astype(np.float32))
+    elif t == 'sggx':
+        kind = PHASE_SGGX
+        Sv = phase.get('S', [1.0, 1.0, 1.0, 0.0, 0.0, 0.0])
+        if isinstance(Sv, dict):
+            Sv = Sv['value']
+        sxx, syy, szz, sxy, sxz, syz = [float(x) for x in Sv]
+        sggx_S = jnp.asarray([[sxx, sxy, sxz],
+                              [sxy, syy, syz],
+                              [sxz, syz, szz]], jnp.float32)
+    else:
+        kind = PHASE_ISOTROPIC
+    return kind, g, tab_pdf, tab_cdf, sggx_S
 
 
 def eval_density(med: Medium, p_world):
@@ -203,31 +258,165 @@ def transmittance(med: Medium, dist):
 # phase functions (src/phase/{isotropic,hg}.cpp)
 # ---------------------------------------------------------------------------
 
-def phase_eval(med: Medium, wi, wo):
-    """Phase value == pdf (both normalized over solid angle)."""
-    if med.phase_kind == PHASE_ISOTROPIC:
+def _sggx_sigma(S, w):
+    """Projected microflake area σ(w) = sqrt(wᵀSw) (Heitz 2015 eq. 7)."""
+    return m.safe_sqrt(jnp.einsum('...i,ij,...j->...', w, S, w))
+
+
+def _sggx_D(S, w):
+    """SGGX NDF D(w) = 1/(π √|S| (wᵀS⁻¹w)²) (Heitz 2015 eq. 4)."""
+    S_inv = jnp.linalg.inv(S)
+    det = jnp.linalg.det(S)
+    q = jnp.einsum('...i,ij,...j->...', w, S_inv, w)
+    return 1.0 / (m.Pi * m.safe_sqrt(jnp.abs(det)) *
+                  jnp.maximum(q * q, 1e-12))
+
+
+def _sggx_sample_vndf(S, wi, sample2):
+    """Sample a visible microflake normal (Heitz 2015 §4.2): build an
+    orthonormal frame around wi, take the Cholesky-like factorization of the
+    projected S, warp a uniform disk sample."""
+    frame = Frame(wi)
+    wk, wj = frame.s, frame.t
+    # projected matrix entries
+    def q(a, b):
+        return jnp.einsum('...i,ij,...j->...', a, S, b)
+    Skk = q(wk, wk)
+    Skj = q(wk, wj)
+    Ski = q(wk, wi)
+    Sjj = q(wj, wj)
+    Sji = q(wj, wi)
+    Sii = q(wi, wi)
+    sqrtDet = m.safe_sqrt(jnp.abs(
+        Skk * Sjj * Sii - Skj * Skj * Sii - Ski * Ski * Sjj -
+        Sji * Sji * Skk + 2.0 * Skj * Ski * Sji))
+    inv_sqrtSii = 1.0 / m.safe_sqrt(jnp.maximum(Sii, 1e-12))
+    tmp = m.safe_sqrt(jnp.maximum(Sjj * Sii - Sji * Sji, 1e-12))
+    Mk = jnp.stack([sqrtDet / tmp, jnp.zeros_like(tmp),
+                    jnp.zeros_like(tmp)], -1)
+    Mj = jnp.stack([-inv_sqrtSii * (Ski * Sji - Skj * Sii) / tmp,
+                    inv_sqrtSii * tmp, jnp.zeros_like(tmp)], -1)
+    Mi = jnp.stack([inv_sqrtSii * Ski, inv_sqrtSii * Sji,
+                    inv_sqrtSii * Sii], -1)
+    # uniform point on the projected disk
+    u1 = m.safe_sqrt(sample2[..., 0])
+    phi = m.TwoPi * sample2[..., 1]
+    u = u1 * jnp.cos(phi)
+    v = u1 * jnp.sin(phi)
+    w = m.safe_sqrt(1.0 - u * u - v * v)
+    wm_kji = u[..., None] * Mk + v[..., None] * Mj + w[..., None] * Mi
+    wm_kji = m.normalize(wm_kji)
+    # back to world
+    return (wm_kji[..., 0:1] * wk + wm_kji[..., 1:2] * wj +
+            wm_kji[..., 2:3] * wi)
+
+
+def _phase_eval_kind(kind, med: Medium, wi, wo, g):
+    if kind == PHASE_ISOTROPIC:
         return jnp.full(wi.shape[:-1], m.InvFourPi)
-    cos_t = m.dot(wi, wo)
-    g = med.g
-    denom = 1.0 + g * g + 2.0 * g * cos_t
-    return m.InvFourPi * (1.0 - g * g) / jnp.maximum(denom * m.safe_sqrt(denom), 1e-8)
+    if kind == PHASE_HG:
+        cos_t = m.dot(wi, wo)
+        denom = 1.0 + g * g + 2.0 * g * cos_t
+        return m.InvFourPi * (1.0 - g * g) / \
+            jnp.maximum(denom * m.safe_sqrt(denom), 1e-8)
+    if kind == PHASE_RAYLEIGH:
+        # rayleigh.cpp: p = 3/(16π) (1 + cos²θ); θ between -wi and wo
+        cos_t = m.dot(-wi, wo)
+        return (3.0 / (16.0 * m.Pi)) * (1.0 + cos_t * cos_t)
+    if kind == PHASE_TABULATED:
+        cos_t = m.dot(-wi, wo)
+        K = med.tab_pdf.shape[0]
+        x = jnp.clip((cos_t + 1.0) * 0.5 * (K - 1), 0.0, K - 1.0)
+        i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, K - 2)
+        f = x - i0
+        return med.tab_pdf[i0] * (1 - f) + med.tab_pdf[i0 + 1] * f
+    if kind == PHASE_SGGX:
+        # specular microflakes (sggx.cpp): p = D(ωh) / (4 σ(wi))
+        h = m.normalize(wi + wo)
+        return _sggx_D(med.sggx_S, h) / \
+            jnp.maximum(4.0 * _sggx_sigma(med.sggx_S, wi), 1e-9)
+    raise ValueError(kind)
+
+
+def _phase_sample_kind(kind, med: Medium, wi, sample2, g):
+    if kind == PHASE_ISOTROPIC:
+        wo = warp.square_to_uniform_sphere(sample2)
+        return wo
+    if kind == PHASE_HG:
+        sqr_term = (1.0 - g * g) / (1.0 - g + 2.0 * g * sample2[..., 0])
+        cos_theta = (1.0 + g * g - sqr_term * sqr_term) / \
+            (2.0 * jnp.maximum(jnp.abs(g), 1e-4))
+        cos_theta = jnp.where(jnp.abs(g) < 1e-3,
+                              1.0 - 2.0 * sample2[..., 0], cos_theta)
+    elif kind == PHASE_RAYLEIGH:
+        # invert CDF of (1+x²): x³ + 3x = 8u - 4  (Cardano; rayleigh.cpp)
+        z = 4.0 * sample2[..., 0] - 2.0
+        A = jnp.cbrt(z + m.safe_sqrt(z * z + 1.0))
+        cos_theta = jnp.clip(A - 1.0 / jnp.where(jnp.abs(A) < 1e-9, 1e-9, A),
+                             -1.0, 1.0)
+    elif kind == PHASE_TABULATED:
+        u = sample2[..., 0]
+        K = med.tab_pdf.shape[0]
+        total = med.tab_cdf[-1]
+        cdf = med.tab_cdf / total
+        i0 = jnp.clip(jnp.searchsorted(cdf, u, side='right'), 0, K - 2)
+        c_lo = jnp.where(i0 > 0, cdf[jnp.maximum(i0 - 1, 0)], 0.0)
+        u_cell = u - c_lo
+        # invert the piecewise-LINEAR pdf inside the cell (quadratic solve,
+        # same as distr_1d ContinuousDistribution::sample)
+        dx = 2.0 / (K - 1)
+        p0 = med.tab_pdf[i0] * (2.0 * m.Pi) / total
+        p1 = med.tab_pdf[i0 + 1] * (2.0 * m.Pi) / total
+        a_ = 0.5 * (p1 - p0) * dx
+        b_ = p0 * dx
+        lin = u_cell / jnp.maximum(b_, 1e-12)
+        quad = (-b_ + m.safe_sqrt(b_ * b_ + 4.0 * a_ * u_cell)) / \
+            jnp.where(jnp.abs(a_) < 1e-12, 1e-12, 2.0 * a_)
+        frac = jnp.clip(jnp.where(jnp.abs(p1 - p0) <
+                                  1e-6 * jnp.maximum(p0, 1e-6), lin, quad),
+                        0.0, 1.0)
+        cos_theta = jnp.clip(-1.0 + (i0 + frac) * dx, -1.0, 1.0)
+    elif kind == PHASE_SGGX:
+        # visible-normal sampling w.r.t. wi (away-from-collision), then
+        # specular microflake reflection: pdf(wo) = D_vis(h)/(4|h·wi|)
+        # = D(h)/(4σ(wi)) == the phase value (exactly consistent)
+        wm = _sggx_sample_vndf(med.sggx_S, wi, sample2)
+        wo = -wi + 2.0 * wm * m.dot(wm, wi, keepdims=True)
+        return m.normalize(wo)
+    else:
+        raise ValueError(kind)
+    sin_theta = m.safe_sqrt(1.0 - cos_theta * cos_theta)
+    phi = m.TwoPi * sample2[..., 1]
+    # direction around -wi (forward scattering continues forward)
+    frame = Frame(-wi)
+    wo_local = jnp.stack([sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi),
+                          cos_theta], -1)
+    return frame.to_world(wo_local)
+
+
+def phase_eval(med: Medium, wi, wo):
+    """Phase value == pdf (both normalized over solid angle).
+    blendphase (src/phase/blendphase.cpp): convex mix of two kinds."""
+    v = _phase_eval_kind(med.phase_kind, med, wi, wo, med.g)
+    if med.phase_kind_b >= 0:
+        vb = _phase_eval_kind(med.phase_kind_b, med, wi, wo, med.g_b)
+        w = med.phase_blend_w
+        v = (1.0 - w) * v + w * vb
+    return v
 
 
 def phase_sample(med: Medium, wi, sample2):
     """Returns (wo, pdf)."""
-    if med.phase_kind == PHASE_ISOTROPIC:
-        wo = warp.square_to_uniform_sphere(sample2)
-        return wo, jnp.full(wi.shape[:-1], m.InvFourPi)
-    g = med.g
-    sqr_term = (1.0 - g * g) / (1.0 - g + 2.0 * g * sample2[..., 0])
-    cos_theta = (1.0 + g * g - sqr_term * sqr_term) / (2.0 * jnp.maximum(jnp.abs(g), 1e-4))
-    cos_theta = jnp.where(jnp.abs(g) < 1e-3,
-                          1.0 - 2.0 * sample2[..., 0], cos_theta)
-    sin_theta = m.safe_sqrt(1.0 - cos_theta * cos_theta)
-    phi = m.TwoPi * sample2[..., 1]
-    # direction around -wi (forward scattering for g>0 continues forward)
-    frame = Frame(-wi)
-    wo_local = jnp.stack([sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi),
-                          cos_theta], -1)
-    wo = frame.to_world(wo_local)
+    if med.phase_kind_b >= 0:
+        # stochastically pick a component, reuse the sample (blendphase.cpp)
+        w = med.phase_blend_w
+        pick_b = sample2[..., 0] < w
+        u0 = jnp.where(pick_b, sample2[..., 0] / jnp.maximum(w, 1e-9),
+                       (sample2[..., 0] - w) / jnp.maximum(1 - w, 1e-9))
+        s2 = jnp.stack([jnp.clip(u0, 0.0, 1.0 - 1e-7), sample2[..., 1]], -1)
+        wo_a = _phase_sample_kind(med.phase_kind, med, wi, s2, med.g)
+        wo_b = _phase_sample_kind(med.phase_kind_b, med, wi, s2, med.g_b)
+        wo = jnp.where(pick_b[..., None], wo_b, wo_a)
+        return wo, phase_eval(med, wi, wo)
+    wo = _phase_sample_kind(med.phase_kind, med, wi, sample2, med.g)
     return wo, phase_eval(med, wi, wo)

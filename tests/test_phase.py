@@ -1,0 +1,91 @@
+"""Phase function tests (reference src/phase/{rayleigh,tabphase,sggx,
+blendphase}.cpp + src/phase/tests/* chi2 strategy)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mitsuba_tpu.render import medium as med_mod
+from mitsuba_tpu.utils.chi2 import ChiSquareTest, SphericalDomain
+
+
+def _medium(phase):
+    return med_mod.build({'type': 'homogeneous', 'sigma_t': 1.0,
+                          'albedo': 0.5, 'phase': phase})
+
+
+def _chi2(phase, wi=(0.2, 0.3, 0.93), n=300_000):
+    med = _medium(phase)
+    wi = np.asarray(wi, np.float32)
+    wi /= np.linalg.norm(wi)
+    wi_b = jnp.broadcast_to(jnp.asarray(wi), (n, 3))
+
+    def sample_fn(u2):
+        wo, pdf = med_mod.phase_sample(med, wi_b[:u2.shape[0]], u2)
+        return wo, jnp.ones(u2.shape[0])
+
+    def pdf_fn(wo):
+        return med_mod.phase_eval(med, wi_b[:wo.shape[0]], wo)
+
+    t = ChiSquareTest(SphericalDomain(), sample_fn, pdf_fn, sample_count=n)
+    return t
+
+
+@pytest.mark.parametrize('phase', [
+    {'type': 'rayleigh'},
+    {'type': 'hg', 'g': 0.5},
+    {'type': 'sggx', 'S': [1.0, 0.35, 0.35, 0.0, 0.0, 0.0]},
+    {'type': 'tabphase', 'values': [0.2, 0.8, 1.5, 0.8, 0.4]},
+])
+def test_phase_chi2(phase):
+    t = _chi2(phase)
+    assert t.run(), t.messages
+
+
+def test_blendphase_chi2():
+    t = _chi2({'type': 'blendphase', 'weight': 0.35,
+               'a': {'type': 'isotropic'},
+               'b': {'type': 'hg', 'g': 0.6}})
+    assert t.run(), t.messages
+
+
+def test_rayleigh_normalized_and_symmetric():
+    med = _medium({'type': 'rayleigh'})
+    # normalization: ∫ p dω = 2π ∫ p(cosθ) dcosθ = 1
+    ct = np.linspace(-1, 1, 20001)
+    p = (3.0 / (16.0 * np.pi)) * (1 + ct ** 2)
+    integral = 2 * np.pi * np.trapezoid(p, ct)
+    assert integral == pytest.approx(1.0, abs=1e-4)
+    # forward/backward symmetry
+    wi = jnp.asarray([[0.0, 0.0, 1.0]])
+    wo_f = jnp.asarray([[0.0, 0.0, -1.0]])   # straight through
+    wo_b = jnp.asarray([[0.0, 0.0, 1.0]])    # backscatter
+    pf = float(med_mod.phase_eval(med, wi, wo_f)[0])
+    pb = float(med_mod.phase_eval(med, wi, wo_b)[0])
+    assert pf == pytest.approx(pb, rel=1e-5)
+
+
+def test_sggx_projected_area():
+    """σ(w) for a spherical SGGX (S=I) equals 1 in every direction, and the
+    phase reduces to D/4 (microflake sphere)."""
+    S = jnp.eye(3)
+    for w in ([1.0, 0, 0], [0, 0, 1.0], [0.6, 0.8, 0]):
+        sig = float(med_mod._sggx_sigma(S, jnp.asarray([w]))[0])
+        assert sig == pytest.approx(1.0, abs=1e-5)
+
+
+def test_volpath_runs_with_new_phases():
+    import mitsuba_tpu as mt
+    for phase in ({'type': 'rayleigh'},
+                  {'type': 'sggx', 'S': [1.0, 0.5, 0.5, 0, 0, 0]}):
+        d = {'type': 'scene',
+             'integrator': {'type': 'volpath', 'max_depth': 4},
+             'sensor': {'type': 'perspective', 'fov': 45.0,
+                        'to_world': mt.ScalarTransform4f.look_at(
+                            origin=[0, 0, 4], target=[0, 0, 0], up=[0, 1, 0]),
+                        'film': {'type': 'hdrfilm', 'width': 16, 'height': 16}},
+             'light': {'type': 'constant', 'radiance': 1.0},
+             'med': {'type': 'homogeneous', 'sigma_t': 0.4, 'albedo': 0.8,
+                     'phase': phase},
+             'sph': {'type': 'sphere', 'bsdf': {'type': 'diffuse'}}}
+        img = np.asarray(mt.render(mt.load_dict(d), spp=8, seed=0))
+        assert np.isfinite(img).all() and img.mean() > 0.05

@@ -23,6 +23,11 @@ class FilmConfig:
     height: int
     rfilter: ReconstructionFilter
     channels: int = 3
+    # specfilm (src/films/specfilm.cpp): spectral binning film. Each band is
+    # (lambda_min, lambda_max, values_tuple) — a piecewise-linear sensor
+    # response; the developed channel b is E[L(lam) resp_b(lam)/pdf] / ∫resp_b.
+    kind: str = 'hdrfilm'
+    bands: tuple = ()
 
     @property
     def border(self):
@@ -38,9 +43,52 @@ def build(props) -> FilmConfig:
     rf = props.get('rfilter', {'type': 'gaussian'})
     if isinstance(rf, dict):
         rf = make_filter(rf)
+    kind = props.get('type', 'hdrfilm')
+    bands = ()
+    channels = 3
+    if kind == 'specfilm':
+        for k, v in props.items():
+            if isinstance(v, dict) and v.get('type') in ('regular',
+                                                         'irregular'):
+                if v['type'] == 'regular':
+                    lo, hi = float(v['lambda_min']), float(v['lambda_max'])
+                    vals = tuple(float(x) for x in v['values'])
+                else:
+                    wls = [float(x) for x in v['wavelengths']]
+                    lo, hi = wls[0], wls[-1]
+                    vals = tuple(float(x) for x in v['values'])
+                bands = bands + ((lo, hi, vals),)
+        if not bands:
+            # default: 4 uniform bands over the visible range
+            edges = np.linspace(360.0, 830.0, 5)
+            bands = tuple((float(edges[i]), float(edges[i + 1]), (1.0, 1.0))
+                          for i in range(4))
+        channels = len(bands)
     return FilmConfig(width=int(props.get('width', 768)),
                       height=int(props.get('height', 576)),
-                      rfilter=rf)
+                      rfilter=rf, channels=channels, kind=kind, bands=bands)
+
+
+def spectral_to_bands(film: FilmConfig, L, wl, inv_pdf):
+    """Spectral MC samples -> per-band sensor responses (specfilm.cpp
+    develop semantics): channel_b = mean_j L_j resp_b(lam_j) invpdf_j / NW,
+    normalized by the band's response integral."""
+    outs = []
+    NW = wl.shape[-1]
+    for (lo, hi, vals) in film.bands:
+        v = jnp.asarray(vals)
+        K = v.shape[0]
+        x = (wl - lo) / max(hi - lo, 1e-9) * (K - 1)
+        i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, K - 2)
+        f = jnp.clip(x - i0, 0.0, 1.0)
+        resp = v[i0] * (1 - f) + v[i0 + 1] * f
+        resp = jnp.where((wl >= lo) & (wl <= hi), resp, 0.0)
+        # response integral (piecewise linear)
+        integral = float(np.trapezoid(np.asarray(vals),
+                                      np.linspace(lo, hi, K)))
+        outs.append(jnp.sum(L * resp * inv_pdf, -1) /
+                    (NW * max(integral, 1e-9)))
+    return jnp.stack(outs, -1)
 
 
 def put(block, film: FilmConfig, pos, values, active=None,

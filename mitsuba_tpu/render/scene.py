@@ -146,7 +146,11 @@ def ray_test(scene: Scene, ray: Ray):
     occluded = jnp.zeros((n,), bool)
     for name in scene.shape_types:
         plugin = SHAPES[name]
-        if 'anyhit' in inspect.signature(plugin.intersect).parameters:
+        params = inspect.signature(plugin.intersect).parameters
+        if 'anyhit' in params and 'maxt' in params:
+            t, _, _ = plugin.intersect(scene.shapes[name], ray.o, ray.d,
+                                       anyhit=True, maxt=ray.maxt)
+        elif 'anyhit' in params:
             t, _, _ = plugin.intersect(scene.shapes[name], ray.o, ray.d,
                                        anyhit=True)
         else:
@@ -194,7 +198,8 @@ def compute_surface_interaction(scene: Scene, ray: Ray,
         prim_index=pi.prim_index,
         bsdf_index=jnp.where(valid, m.small_gather(scene.shape_bsdf, gid), -1),
         emitter_index=jnp.where(valid,
-                                m.small_gather(scene.shape_emitter, gid), -1))
+                                m.small_gather(scene.shape_emitter, gid), -1),
+        prim_uv=pi.prim_uv)
 
 
 def ray_intersect(scene: Scene, ray: Ray) -> SurfaceInteraction:

@@ -1,0 +1,102 @@
+"""Device-side threaded-BVH traversal vs brute-force oracle.
+
+The BVH path (mesh.py:_traverse_bvh, reference analogue kdtree.h /
+scene_embree.inl) must produce bit-identical hit decisions to the chunked
+Möller-Trumbore brute force on the same geometry — same t, same triangle
+(compared by vertex triple: the BVH table stores faces in leaf order).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mitsuba_tpu.plugins.shapes.mesh import mesh
+
+
+def _grid_mesh(res, rng):
+    """Bumpy (res x res) terrain over [0,1]^2 -> 2*(res-1)^2 triangles."""
+    xs = np.linspace(0, 1, res, dtype=np.float32)
+    X, Z = np.meshgrid(xs, xs, indexing='ij')
+    Y = 0.25 * np.sin(6 * X) * np.cos(5 * Z) + 0.02 * rng.standard_normal(X.shape)
+    V = np.stack([X, Y.astype(np.float32), Z], -1).reshape(-1, 3)
+    idx = np.arange(res * res).reshape(res, res)
+    a, b, c, d = idx[:-1, :-1], idx[1:, :-1], idx[:-1, 1:], idx[1:, 1:]
+    F = np.concatenate([np.stack([a, b, d], -1).reshape(-1, 3),
+                        np.stack([a, d, c], -1).reshape(-1, 3)], 0)
+    return V, F.astype(np.int32)
+
+
+def _rand_rays(n, rng):
+    o = np.stack([rng.uniform(0, 1, n), np.full(n, 2.0, np.float64),
+                  rng.uniform(0, 1, n)], -1).astype(np.float32)
+    d = np.stack([rng.uniform(-0.3, 0.3, n), -np.ones(n),
+                  rng.uniform(-0.3, 0.3, n)], -1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+@pytest.fixture(scope='module')
+def tables():
+    rng = np.random.default_rng(7)
+    V, F = _grid_mesh(24, rng)          # 1058 tris
+    tbl_bvh = mesh.build([dict(vertices=V, faces=F, accel='bvh')])
+    tbl_brt = mesh.build([dict(vertices=V, faces=F, accel='brute')])
+    return tbl_bvh, tbl_brt
+
+
+def test_bvh_matches_brute_force(tables):
+    tbl_bvh, tbl_brt = tables
+    assert tbl_bvh.bvh[0] is not None and tbl_brt.bvh[0] is None
+    o, d = _rand_rays(512, np.random.default_rng(3))
+    t_b, uv_b, pr_b = (np.asarray(x[0]) for x in mesh.intersect(tbl_bvh, o, d))
+    t_r, uv_r, pr_r = (np.asarray(x[0]) for x in mesh.intersect(tbl_brt, o, d))
+    hit_b, hit_r = np.isfinite(t_b), np.isfinite(t_r)
+    assert (hit_b == hit_r).all()
+    assert hit_b.sum() > 100   # the scene is actually exercised
+    np.testing.assert_allclose(t_b[hit_b], t_r[hit_r], rtol=1e-5, atol=1e-6)
+    # same triangle: compare vertex triples (BVH faces are leaf-ordered)
+    f_b = np.asarray(tbl_bvh.faces[0])[pr_b[hit_b]]
+    f_r = np.asarray(tbl_brt.faces[0])[pr_r[hit_r]]
+    same = (np.sort(f_b, -1) == np.sort(f_r, -1)).all(-1)
+    # coplanar-edge ties may pick either triangle; require near-total match
+    assert same.mean() > 0.99
+    np.testing.assert_allclose(uv_b[hit_b][same], uv_r[hit_r][same],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_bvh_anyhit_maxt(tables):
+    tbl_bvh, tbl_brt = tables
+    o, d = _rand_rays(256, np.random.default_rng(11))
+    t_r, _, _ = mesh.intersect(tbl_brt, o, d)
+    t_r = np.asarray(t_r[0])
+    for frac in (0.5, 1.5):
+        maxt = jnp.full(o.shape[0], 1.0) * frac
+        t_a, _, _ = mesh.intersect(tbl_bvh, o, d, anyhit=True, maxt=maxt)
+        occ = np.asarray(t_a[0]) < np.asarray(maxt)
+        # any-hit must agree with "closest hit < maxt" exactly: the closest
+        # hit is a witness iff one exists within the segment
+        assert (occ == (t_r < frac)).all()
+
+
+def test_bvh_closesthit_maxt_prunes_to_inf(tables):
+    tbl_bvh, _ = tables
+    o, d = _rand_rays(128, np.random.default_rng(13))
+    t_full, _, _ = mesh.intersect(tbl_bvh, o, d)
+    t_cut, _, _ = mesh.intersect(tbl_bvh, o, d, maxt=jnp.full(o.shape[0], 1.2))
+    t_full = np.asarray(t_full[0])
+    t_cut = np.asarray(t_cut[0])
+    near = np.isfinite(t_full) & (t_full < 1.2)
+    np.testing.assert_allclose(t_cut[near], t_full[near], rtol=1e-6)
+    assert np.isinf(t_cut[~near]).all()
+
+
+def test_bvh_auto_threshold(monkeypatch):
+    # auto mode picks BVH at/above the face threshold, brute below
+    rng = np.random.default_rng(5)
+    V, F = _grid_mesh(8, rng)   # 98 tris < threshold
+    tbl = mesh.build([dict(vertices=V, faces=F)])
+    assert tbl.bvh[0] is None
+    import sys
+    mm = sys.modules['mitsuba_tpu.plugins.shapes.mesh']
+    monkeypatch.setattr(mm, 'BVH_MIN_FACES', 64)
+    tbl2 = mesh.build([dict(vertices=V, faces=F)])
+    assert tbl2.bvh[0] is not None

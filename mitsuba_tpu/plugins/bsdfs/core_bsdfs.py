@@ -105,6 +105,24 @@ def _resolve_texture(props, key, default, texb):
                     data = np.where(data <= 0.04045, data / 12.92,
                                     ((data + 0.055) / 1.055) ** 2.4)
             return texb.add_bitmap(data, nearest=v.get('filter_type') == 'nearest')
+        if t in ('volume', 'gridvolume', 'constvolume'):
+            # 3D texture sampled at the world hit point (volume.h grids)
+            to_world = v.get('to_world')
+            if 'data' in v:
+                grid = v['data']
+            elif 'filename' in v:
+                from ...utils.vol import read_vol, bbox_to_world
+                grid, bmin, bmax = read_vol(v['filename'])
+                if to_world is None:
+                    to_world = bbox_to_world(bmin, bmax)
+            else:   # constvolume
+                grid = np.broadcast_to(
+                    np.asarray(v.get('value', 1.0), np.float32), (1, 1, 1, 3))
+            return texb.add_volume(grid, to_world=to_world,
+                                   scale=v.get('scale', 1.0))
+        if t == 'mesh_attribute':
+            return texb.add_mesh_attribute_by_name(v['name'],
+                                                   scale=v.get('scale', 1.0))
         raise ValueError(f'unsupported texture spec {v}')
     return texb.add_constant(v)
 

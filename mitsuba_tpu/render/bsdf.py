@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from . import bsdf_flags as bf
 from .records import BSDFSample
-from .texture import eval_texture, eval_texture_1
+from .texture import eval_texture, eval_texture_1, with_si
 from ..core import math as m
 from ..core.frame import Frame, coordinate_system
 
@@ -45,7 +45,7 @@ def _perturbed_frame(scene, si):
     scale = scene.bsdf_perturb_scale[bid]
     has = kind > 0
     # normalmap: tangent-space normal from rgb (normalmap.cpp:eval)
-    rgb = eval_texture(scene.textures, tex_id, si.uv)
+    rgb = eval_texture(with_si(scene.textures, si), tex_id, si.uv)
     n_nm = m.normalize(2.0 * rgb - 1.0)
     # bumpmap: finite-difference height gradient (bumpmap.cpp)
     e = 1.0 / 512.0
@@ -90,7 +90,7 @@ def _blend_maps(scene, si):
     tbl = scene.bsdfs[name]
     is_blend = ti == t_idx
     sl = jnp.clip(slot, 0, tbl.weight.shape[0] - 1)
-    w = jnp.clip(eval_texture_1(scene.textures, tbl.weight[sl], si.uv), 0.0, 1.0)
+    w = jnp.clip(eval_texture_1(with_si(scene.textures, si), tbl.weight[sl], si.uv), 0.0, 1.0)
     bid_a = jnp.where(is_blend, tbl.inner_a[sl], bid)
     bid_b = jnp.where(is_blend, tbl.inner_b[sl], bid)
     return is_blend, w, bid_a, bid_b
@@ -100,8 +100,9 @@ def _nch(wl):
     return 3 if wl is None else wl.shape[-1]
 
 
-def _tex_wl(scene, wl):
-    return scene.textures if wl is None else scene.textures.replace(wl=wl)
+def _tex_wl(scene, wl, si=None):
+    tex = scene.textures if wl is None else scene.textures.replace(wl=wl)
+    return with_si(tex, si)
 
 
 def _eval_pdf_ids(scene, si, bids, wi, wo, active, wl=None):
@@ -109,7 +110,7 @@ def _eval_pdf_ids(scene, si, bids, wi, wo, active, wl=None):
     from ..core.math import small_gather
     ti_lane = small_gather(scene.bsdf_type_of, bids)
     slot = small_gather(scene.bsdf_slot_of, bids)
-    tex = _tex_wl(scene, wl)
+    tex = _tex_wl(scene, wl, si)
     n = wo.shape[0]
     val = jnp.zeros((n, _nch(wl)), wo.dtype)
     pdf = jnp.zeros((n,), wo.dtype)
@@ -154,7 +155,7 @@ def _sample_ids(scene, si, bids, wi, sample1, sample2, active, wl=None):
     from ..core.math import small_gather
     ti_lane = small_gather(scene.bsdf_type_of, bids)
     slot = small_gather(scene.bsdf_slot_of, bids)
-    tex = _tex_wl(scene, wl)
+    tex = _tex_wl(scene, wl, si)
     n = sample1.shape[0]
     dt = sample2.dtype
     bs = BSDFSample(wo=jnp.zeros((n, 3), dt), pdf=jnp.zeros((n,), dt),
@@ -233,7 +234,7 @@ def eval_diffuse_reflectance(scene, si, active):
         if attr is None:
             continue
         mask = active & (ti_lane == ti) & (si.bsdf_index >= 0)
-        val = eval_texture(scene.textures, attr[slot], si.uv)
+        val = eval_texture(with_si(scene.textures, si), attr[slot], si.uv)
         out = jnp.where(mask[..., None], val, out)
     return out
 

@@ -245,6 +245,33 @@ def load_dict(d: dict, spectral=None) -> Scene:
         tables[t] = SHAPES[t].build(by_type[t])
         off += len(by_type[t])
 
+    # mesh attributes (mesh.h:add_attribute): register named buffers so
+    # mesh_attribute textures can resolve them. Uses the table's (possibly
+    # BVH-leaf-reordered) faces so primitive indices stay consistent.
+    from ..plugins.shapes.mesh import MeshTable as _MeshTable
+    for _mt_name in [t for t in tables
+                     if isinstance(tables[t], _MeshTable)]:
+        mtbl = tables[_mt_name]
+        for s, props in enumerate(by_type[_mt_name]):
+            attrs = props.get('attributes') or {}
+            if not attrs:
+                continue
+            perm = (mtbl.face_perm[s] if s < len(mtbl.face_perm) else None)
+            if 'faces' in props:    # inline mesh: no device round-trip
+                f_np = np.asarray(props['faces'], np.int32)
+                if perm is not None:
+                    f_np = f_np[np.asarray(perm)]
+            else:                   # file mesh: pull the (reordered) table
+                f_np = np.asarray(mtbl.faces[s])
+            for aname, adata in attrs.items():
+                adata = np.asarray(adata, np.float32)
+                if adata.shape[0] == mtbl.vertices[s].shape[0]:  # per-vertex
+                    texb.attr_sources[aname] = (f_np, adata)
+                else:                           # per-face: follow leaf order
+                    if perm is not None:
+                        adata = adata[np.asarray(perm)]
+                    texb.attr_sources[aname] = (None, adata)
+
     # --- emitters ------------------------------------------------------------
     shape_emitter = [-1] * n_shapes
     for g in range(n_shapes):

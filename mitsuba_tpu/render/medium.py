@@ -75,9 +75,19 @@ def build(props) -> Medium:
         dprops = props.get('density', {})
         if isinstance(dprops, dict):
             data = dprops.get('data')
-            if data is None and 'filename' in dprops:
-                data = np.load(dprops['filename'])
             tw = dprops.get('to_world')
+            if data is None and 'filename' in dprops:
+                fn = dprops['filename']
+                if fn.endswith('.vol'):   # Mitsuba grid container
+                    from ..utils.vol import read_vol, bbox_to_world
+                    data, bmin, bmax = read_vol(fn)
+                    if data.shape[-1] == 1:
+                        data = data[..., 0]
+                    if tw is None:
+                        from ..core.transform import Transform4
+                        tw = Transform4(bbox_to_world(bmin, bmax))
+                else:
+                    data = np.load(fn)
         else:
             data = dprops
             tw = None

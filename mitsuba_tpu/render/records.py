@@ -73,6 +73,7 @@ class SurfaceInteraction:
     prim_index: jnp.ndarray    # (N,) int32
     bsdf_index: jnp.ndarray    # (N,) int32 global bsdf id (-1 none)
     emitter_index: jnp.ndarray  # (N,) int32 global emitter id (-1 none)
+    prim_uv: jnp.ndarray = None  # (N,2) primitive barycentrics (mesh_attribute)
 
     @property
     def is_valid(self):

@@ -28,6 +28,8 @@ from flax import struct
 KIND_CONST = 0
 KIND_CHECKER = 1
 KIND_BITMAP = 2
+KIND_VOLUME = 3      # 3D grid sampled at the world-space hit point
+KIND_MESHATTR = 4    # per-vertex/per-face mesh attribute (mesh.h:add_attribute)
 
 
 @struct.dataclass
@@ -45,6 +47,31 @@ class TextureSet:
     scale1: jnp.ndarray = None   # (T,)
     wl: jnp.ndarray = None       # (N,NW) per-lane wavelengths (set per pass)
     spectral: bool = struct.field(pytree_node=False, default=False)
+    # volume textures (src/textures/volume... via volume.h grids): grid slot
+    # per entry + world->[0,1]^3 transform rows; sampled at `pos`
+    vol_slot: jnp.ndarray = None   # (T,) int32 index into `grids`, -1
+    vol_w2g: jnp.ndarray = None    # (T,3,4) world -> grid-local rows
+    grids: tuple = ()              # tuple of (D,H,W,C) arrays
+    # mesh_attribute textures (src/textures/mesh_attribute.cpp): buffers of
+    # the mesh the texture is bound to, interpolated at (prim, bary)
+    attr_slot: jnp.ndarray = None  # (T,) int32 index into mesh_attrs, -1
+    mesh_attrs: tuple = ()         # tuple of (faces (F,3)|None, data, scale)
+    # per-lane SI context, set via with_si() before evaluation
+    pos: jnp.ndarray = None        # (N,3) world hit point
+    prim: jnp.ndarray = None       # (N,) int32 primitive index
+    bary: jnp.ndarray = None       # (N,2) primitive barycentrics
+    needs_si: bool = struct.field(pytree_node=False, default=False)
+
+
+def with_si(tex: TextureSet, si) -> TextureSet:
+    """Attach the per-lane SI context (hit point / primitive / barycentrics)
+    needed by volume and mesh_attribute textures. No-op for scenes without
+    such textures (reference: Texture::eval takes the full SI,
+    texture.h:40 — the uv-only fast path is the common case on TPU)."""
+    if not tex.needs_si or si is None:
+        return tex
+    return tex.replace(pos=si.p, prim=si.prim_index,
+                       bary=getattr(si, 'prim_uv', None))
 
 
 class TextureBuilder:
@@ -58,6 +85,75 @@ class TextureBuilder:
         self.is_color = []
         self.bitmap_is_color = []
         self.spectral = bool(spectral)
+        self.vol_slot, self.vol_w2g, self.grids = [], [], []
+        self.attr_slot, self.mesh_attrs = [], []
+        self.attr_sources = {}   # name -> (faces|None, data); fed by loader
+
+    def _base_entry(self, kind, c0=None, c1=None, uv_scale=(1, 1),
+                    uv_offset=(0, 0), bitmap_slot=-1, is_color=True):
+        self.kinds.append(kind)
+        self.c0.append(np.zeros(3, np.float32) if c0 is None
+                       else np.broadcast_to(np.asarray(c0, np.float32).reshape(-1), (3,)))
+        self.c1.append(np.zeros(3, np.float32) if c1 is None
+                       else np.broadcast_to(np.asarray(c1, np.float32).reshape(-1), (3,)))
+        self.uv_scale.append(np.asarray(uv_scale, np.float32))
+        self.uv_offset.append(np.asarray(uv_offset, np.float32))
+        self.bitmap_slot.append(bitmap_slot)
+        self.is_color.append(bool(is_color))
+        return len(self.kinds) - 1
+
+    def add_volume(self, grid, to_world=None, scale=1.0):
+        """3D grid texture sampled at the world-space hit point (volume.h
+        grid volumes as surface textures). grid: (D,H,W[,C]); to_world maps
+        the unit cube [0,1]^3 onto the grid's world bbox."""
+        grid = np.asarray(grid, np.float32) * float(scale)
+        if grid.ndim == 3:
+            grid = grid[..., None]
+        if grid.shape[-1] == 1:
+            grid = np.repeat(grid, 3, -1)
+        tid = self._base_entry(KIND_VOLUME, c0=grid.mean(axis=(0, 1, 2)),
+                               is_color=False)
+        w2g = np.eye(4, dtype=np.float32)
+        if to_world is not None:
+            mtx = to_world.matrix if hasattr(to_world, 'matrix') else to_world
+            w2g = np.linalg.inv(np.asarray(mtx, np.float32))
+        self._vol_entry(tid, len(self.grids), w2g[:3])
+        self.grids.append(grid)
+        return tid
+
+    def add_mesh_attribute(self, data, faces=None, scale=1.0):
+        """Mesh attribute texture: data (V,C) with faces (F,3) for vertex
+        interpolation, or (F,C) per-face (mesh_attribute.cpp)."""
+        data = np.asarray(data, np.float32)
+        if data.ndim == 1:
+            data = data[:, None]
+        if data.shape[-1] == 1:
+            data = np.repeat(data, 3, -1)
+        tid = self._base_entry(KIND_MESHATTR, c0=data.mean(0), is_color=False)
+        self._vol_entry(tid, -1, None)
+        self.attr_slot[-1] = len(self.mesh_attrs)
+        self.mesh_attrs.append((None if faces is None else
+                                np.asarray(faces, np.int32),
+                                data * float(scale)))
+        return tid
+
+    def add_mesh_attribute_by_name(self, name, scale=1.0):
+        if name not in self.attr_sources:
+            raise ValueError(
+                f'mesh_attribute "{name}": no mesh in the scene carries it')
+        faces, data = self.attr_sources[name]
+        return self.add_mesh_attribute(data, faces=faces, scale=scale)
+
+    def _vol_entry(self, tid, vol_slot, w2g):
+        # pad the parallel vol/attr columns up to entry `tid`
+        while len(self.vol_slot) < tid:
+            self.vol_slot.append(-1)
+            self.vol_w2g.append(np.eye(4, dtype=np.float32)[:3])
+            self.attr_slot.append(-1)
+        self.vol_slot.append(vol_slot)
+        self.vol_w2g.append(np.eye(4, dtype=np.float32)[:3]
+                            if w2g is None else np.asarray(w2g, np.float32))
+        self.attr_slot.append(-1)
 
     def add_constant(self, rgb, is_color=True):
         rgb = np.broadcast_to(np.asarray(rgb, np.float32).reshape(-1), (3,))
@@ -119,6 +215,11 @@ class TextureBuilder:
                 if bi < len(self.bitmap_is_color) and self.bitmap_is_color[bi]:
                     co, sc = rgb_to_spec_with_scale(img)
                     bitmaps[bi] = np.concatenate([co, sc[..., None]], -1)
+        T = len(self.kinds)
+        while len(self.vol_slot) < T:   # pad lazy vol/attr columns
+            self.vol_slot.append(-1)
+            self.vol_w2g.append(np.eye(4, dtype=np.float32)[:3])
+            self.attr_slot.append(-1)
         return TextureSet(
             kind=jnp.asarray(self.kinds, jnp.int32),
             color0=jnp.asarray(c0),
@@ -131,6 +232,14 @@ class TextureBuilder:
             scale0=jnp.asarray(sc0),
             scale1=jnp.asarray(sc1),
             spectral=self.spectral,
+            vol_slot=jnp.asarray(self.vol_slot, jnp.int32),
+            vol_w2g=jnp.asarray(np.stack(self.vol_w2g)),
+            grids=tuple(jnp.asarray(g) for g in self.grids),
+            attr_slot=jnp.asarray(self.attr_slot, jnp.int32),
+            mesh_attrs=tuple(
+                (None if f is None else jnp.asarray(f), jnp.asarray(d))
+                for f, d in self.mesh_attrs),
+            needs_si=bool(self.grids or self.mesh_attrs),
         )
 
 
@@ -161,6 +270,31 @@ def bilinear_sample(img, uv, nearest=False):
     top = v00 * (1 - fx) + v01 * fx
     bot = v10 * (1 - fx) + v11 * fx
     return top * (1 - fy) + bot * fy
+
+
+def trilinear_sample_3d(grid, g):
+    """Sample (D,H,W,C) grid at g in [0,1]^3 (x->W, y->H, z->D), trilinear,
+    coordinates clamped (volume.h grid volumes, wrap=clamp)."""
+    D, H, W = grid.shape[0], grid.shape[1], grid.shape[2]
+    x = jnp.clip(g[..., 0] * W - 0.5, 0.0, W - 1.0)
+    y = jnp.clip(g[..., 1] * H - 0.5, 0.0, H - 1.0)
+    z = jnp.clip(g[..., 2] * D - 0.5, 0.0, D - 1.0)
+    x0 = jnp.floor(x); y0 = jnp.floor(y); z0 = jnp.floor(z)
+    fx = (x - x0)[..., None]; fy = (y - y0)[..., None]; fz = (z - z0)[..., None]
+    x0i = x0.astype(jnp.int32); x1i = jnp.minimum(x0i + 1, W - 1)
+    y0i = y0.astype(jnp.int32); y1i = jnp.minimum(y0i + 1, H - 1)
+    z0i = z0.astype(jnp.int32); z1i = jnp.minimum(z0i + 1, D - 1)
+    c000 = grid[z0i, y0i, x0i]; c001 = grid[z0i, y0i, x1i]
+    c010 = grid[z0i, y1i, x0i]; c011 = grid[z0i, y1i, x1i]
+    c100 = grid[z1i, y0i, x0i]; c101 = grid[z1i, y0i, x1i]
+    c110 = grid[z1i, y1i, x0i]; c111 = grid[z1i, y1i, x1i]
+    c00 = c000 * (1 - fx) + c001 * fx
+    c01 = c010 * (1 - fx) + c011 * fx
+    c10 = c100 * (1 - fx) + c101 * fx
+    c11 = c110 * (1 - fx) + c111 * fx
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    return c0 * (1 - fz) + c1 * fz
 
 
 def eval_texture(tex: TextureSet, tex_id, uv):
@@ -194,6 +328,39 @@ def eval_texture(tex: TextureSet, tex_id, uv):
         out = jnp.where(sel[..., None], val[..., :3], out)
         if spectral and img.shape[-1] == 4:
             scale = jnp.where(sel, val[..., 3], scale)
+    # volume textures: trilinear grid lookup at the world hit point
+    if tex.grids and tex.pos is not None:
+        vs = small_gather(tex.vol_slot, tex_id)
+        w2g = small_gather(tex.vol_w2g, tex_id)       # (N,3,4)
+        g = jnp.einsum('...ij,...j->...i', w2g[..., :3], tex.pos) + w2g[..., 3]
+        for i, grid in enumerate(tex.grids):
+            val = trilinear_sample_3d(grid, g)
+            sel = (kind == KIND_VOLUME) & (vs == i)
+            out = jnp.where(sel[..., None], val[..., :3], out)
+            if spectral:
+                scale = jnp.where(sel, 1.0, scale)
+    # mesh attributes: barycentric interpolation on the hit primitive
+    if tex.mesh_attrs and tex.prim is not None:
+        asl = small_gather(tex.attr_slot, tex_id)
+        for i, (faces, data) in enumerate(tex.mesh_attrs):
+            if faces is not None:   # per-vertex
+                prim = jnp.clip(tex.prim, 0, faces.shape[0] - 1)
+                f = faces[prim]
+                a0, a1, a2 = data[f[..., 0]], data[f[..., 1]], data[f[..., 2]]
+                if tex.bary is not None:
+                    b1 = tex.bary[..., 0:1]
+                    b2 = tex.bary[..., 1:2]
+                else:
+                    b1 = uv[..., 0:1]
+                    b2 = uv[..., 1:2]
+                val = a0 * (1 - b1 - b2) + a1 * b1 + a2 * b2
+            else:                   # per-face
+                prim = jnp.clip(tex.prim, 0, data.shape[0] - 1)
+                val = data[prim]
+            sel = (kind == KIND_MESHATTR) & (asl == i)
+            out = jnp.where(sel[..., None], val[..., :3], out)
+            if spectral:
+                scale = jnp.where(sel, 1.0, scale)
     if spectral:
         from ..core.spectrum import eval_coeff
         return eval_coeff(out, tex.wl) * scale[..., None]

@@ -41,6 +41,17 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    # honor JAX_PLATFORMS even when a site plugin (axon) overrides it at
+    # import time: re-apply the user's choice via jax.config
+    import os
+    plat = os.environ.get('JAX_PLATFORMS')
+    if plat:
+        import jax
+        try:
+            jax.config.update('jax_platforms', plat)
+        except Exception:
+            pass
+
     import mitsuba_tpu as mt
     from mitsuba_tpu.utils.observability import set_log_level, Log, Info
 

@@ -1,0 +1,56 @@
+"""Mitsuba `.vol` grid-volume container (reference src/core/volumegrid.cpp).
+
+Layout (little-endian): magic 'VOL' + version byte (3), int32 data type
+(1 = float32 — the only type the reference writes), int32 xres/yres/zres,
+int32 channel count, 6 float32 bbox (xmin ymin zmin xmax ymax zmax), then
+xres*yres*zres*channels float32 samples, x fastest (z-major).
+
+Returned as (grid (D,H,W,C) float32, bbox_min (3,), bbox_max (3,)) — the
+(z,y,x) index order the texture/medium samplers use.
+"""
+from __future__ import annotations
+
+import struct as pystruct
+
+import numpy as np
+
+
+def read_vol(path):
+    with open(path, 'rb') as f:
+        data = f.read()
+    if data[:3] != b'VOL':
+        raise ValueError(f'{path}: not a .vol file')
+    version = data[3]
+    if version != 3:
+        raise ValueError(f'{path}: unsupported .vol version {version}')
+    dtype, xres, yres, zres, ch = pystruct.unpack_from('<iiiii', data, 4)
+    if dtype != 1:
+        raise ValueError(f'{path}: only float32 (type 1) grids supported, '
+                         f'got {dtype}')
+    bbox = pystruct.unpack_from('<6f', data, 24)
+    n = xres * yres * zres * ch
+    grid = np.frombuffer(data, '<f4', n, 48).reshape(zres, yres, xres, ch)
+    return (grid.copy(), np.asarray(bbox[:3], np.float32),
+            np.asarray(bbox[3:], np.float32))
+
+
+def write_vol(path, grid, bbox_min=(0, 0, 0), bbox_max=(1, 1, 1)):
+    grid = np.asarray(grid, np.float32)
+    if grid.ndim == 3:
+        grid = grid[..., None]
+    D, H, W, C = grid.shape
+    with open(path, 'wb') as f:
+        f.write(b'VOL' + bytes([3]))
+        f.write(pystruct.pack('<iiiii', 1, W, H, D, C))
+        f.write(pystruct.pack('<6f', *np.asarray(bbox_min, np.float32),
+                              *np.asarray(bbox_max, np.float32)))
+        f.write(grid.astype('<f4').tobytes())
+
+
+def bbox_to_world(bbox_min, bbox_max):
+    """4x4 transform mapping the unit cube [0,1]^3 onto the grid bbox."""
+    t = np.eye(4, dtype=np.float32)
+    ext = np.asarray(bbox_max, np.float32) - np.asarray(bbox_min, np.float32)
+    t[0, 0], t[1, 1], t[2, 2] = ext
+    t[:3, 3] = bbox_min
+    return t

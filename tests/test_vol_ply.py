@@ -1,0 +1,87 @@
+"""`.vol` grid container roundtrip (volumegrid.cpp) and PLY vertex-color
+attributes (ply.cpp -> mesh_attribute)."""
+import numpy as np
+import jax.numpy as jnp
+
+import mitsuba_tpu as mt
+from mitsuba_tpu.utils.vol import read_vol, write_vol, bbox_to_world
+
+
+def test_vol_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    grid = rng.uniform(0, 2, (3, 4, 5, 1)).astype(np.float32)
+    path = str(tmp_path / 'g.vol')
+    write_vol(path, grid, bbox_min=(-1, -1, -1), bbox_max=(2, 2, 2))
+    g2, bmin, bmax = read_vol(path)
+    np.testing.assert_array_equal(g2, grid)
+    np.testing.assert_allclose(bmin, [-1, -1, -1])
+    np.testing.assert_allclose(bmax, [2, 2, 2])
+    t = bbox_to_world(bmin, bmax)
+    np.testing.assert_allclose(t[:3, :3].diagonal(), [3, 3, 3])
+
+
+def test_medium_from_vol(tmp_path):
+    from mitsuba_tpu.render import medium as med
+    grid = np.ones((4, 4, 4), np.float32) * 0.7
+    path = str(tmp_path / 'rho.vol')
+    write_vol(path, grid)
+    m = med.build({'type': 'heterogeneous',
+                   'density': {'filename': path},
+                   'sigma_t': 2.0, 'albedo': 0.5})
+    assert m.density is not None
+    np.testing.assert_allclose(float(m.majorant), 0.7, rtol=1e-6)
+    # density lookup inside the unit cube
+    rho = med.eval_density(m, jnp.asarray([[0.5, 0.5, 0.5]]))
+    np.testing.assert_allclose(np.asarray(rho), [0.7], rtol=1e-5)
+
+
+def _write_ply_with_colors(path):
+    V = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    C = np.asarray([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    with open(path, 'wb') as f:
+        f.write(b'ply\nformat binary_little_endian 1.0\n')
+        f.write(b'element vertex 3\n')
+        for p in (b'x', b'y', b'z'):
+            f.write(b'property float ' + p + b'\n')
+        for p in (b'red', b'green', b'blue'):
+            f.write(b'property uchar ' + p + b'\n')
+        f.write(b'element face 1\nproperty list uchar int vertex_indices\n')
+        f.write(b'end_header\n')
+        for i in range(3):
+            f.write(V[i].astype('<f4').tobytes())
+            f.write(C[i].tobytes())
+        f.write(bytes([3]) + np.asarray([0, 1, 2], '<i4').tobytes())
+
+
+def test_ply_vertex_colors(tmp_path):
+    from mitsuba_tpu.plugins.shapes.mesh import load_ply
+    path = str(tmp_path / 'tri.ply')
+    _write_ply_with_colors(path)
+    v, f, nrm, uv, attrs = load_ply(path)
+    assert v.shape == (3, 3) and f.shape == (1, 3)
+    assert 'vertex_color' in attrs
+    np.testing.assert_allclose(attrs['vertex_color'],
+                               np.eye(3, dtype=np.float32), atol=1e-6)
+
+
+def test_ply_colors_through_scene(tmp_path):
+    path = str(tmp_path / 'tri.ply')
+    _write_ply_with_colors(path)
+    scene = mt.load_dict({
+        'type': 'scene',
+        'integrator': {'type': 'path', 'max_depth': 2},
+        'sensor': {'type': 'perspective', 'fov': 60,
+                   'to_world': mt.Transform4().look_at(
+                       [0.3, 0.3, 1.5], [0.3, 0.3, 0], [0, 1, 0]),
+                   'film': {'type': 'hdrfilm', 'width': 8, 'height': 8}},
+        'light': {'type': 'constant', 'radiance': 1.0},
+        'tri': {'type': 'ply', 'filename': path,
+                'bsdf': {'type': 'diffuse',
+                         'reflectance': {'type': 'mesh_attribute',
+                                         'name': 'vertex_color'}}},
+    })
+    img = np.asarray(mt.render(scene, spp=16, seed=0))
+    assert np.isfinite(img).all()
+    # some pixel must be distinctly colored (not background white)
+    sat = np.abs(img - img.mean(-1, keepdims=True)).max()
+    assert sat > 0.1

@@ -74,12 +74,17 @@ def sample(scene, sampler, ray, max_depth, rr_depth=5, hide_emitters=False):
                                                jax.lax.stop_gradient(s_em),
                                                test_visibility=True,
                                                active=active_em)
-        # attenuate by medium transmittance along the shadow segment
+        # attenuate by medium transmittance along the shadow segment.
+        # Inactive lanes carry si.p = inf so ds.dist = inf; exp(-sigma*inf)
+        # has a 0*inf = NaN backward even under the where-mask — zero the
+        # segment on dead lanes first.
+        dist_sh = jnp.where(active_em & jnp.isfinite(ds.dist), ds.dist, 0.0)
+        p_sh = jnp.where(active_em[..., None], si_evt.p, st['o'])
         if med.density is not None:
-            tr_sh, smpl = med_mod.transmittance_het(med, smpl, si_evt.p, ds.d,
-                                                    ds.dist)
+            tr_sh, smpl = med_mod.transmittance_het(med, smpl, p_sh, ds.d,
+                                                    dist_sh)
         else:
-            tr_sh = med_mod.transmittance(med, ds.dist)
+            tr_sh = med_mod.transmittance(med, dist_sh)
         em_w = em_w * tr_sh
         # scattering value toward the light: phase (medium) or bsdf (surface)
         wo_local = si.to_local(ds.d)

@@ -180,10 +180,17 @@ def sample_interaction_het(med: Medium, smpl_next_1d, o, d, maxt):
     Returns (t (N,), is_medium, weight (N,3), smpl)."""
     import jax
     n = o.shape[0]
-    sig_m = jnp.mean(med.sigma_t) * med.majorant  # scalar majorant extinction
+    # all tracking DECISIONS run on detached quantities; differentiability
+    # comes from attached/detached RATIO weights at every collision (the
+    # reference's null-scattering estimator, volpath.cpp:133-191): a real
+    # collision contributes ext_att/ext_det, a null collision
+    # (sig_m-ext_att)/(sig_m-ext_det). Primal value is exactly 1 per factor.
+    sig_m = jax.lax.stop_gradient(jnp.mean(med.sigma_t) * med.majorant)
+    maj_det = jax.lax.stop_gradient(jnp.asarray(med.majorant))
     t = jnp.zeros((n,))
     done = jnp.zeros((n,), bool)
     is_med = jnp.zeros((n,), bool)
+    weight = jnp.ones((n, 3))
     smpl = smpl_next_1d
     for _ in range(DELTA_STEPS):
         from . import sampler as sa
@@ -192,39 +199,52 @@ def sample_interaction_het(med: Medium, smpl_next_1d, o, d, maxt):
         step = -jnp.log(jnp.maximum(1.0 - u, 1e-12)) / jnp.maximum(sig_m, 1e-9)
         t_new = t + step
         escaped = t_new >= maxt
-        p = o + d * jnp.minimum(t_new, maxt)[..., None]
+        p = o + d * jnp.minimum(t_new, jax.lax.stop_gradient(maxt))[..., None]
         dens = eval_density(med, p)
-        real = u2 < dens / jnp.maximum(med.majorant, 1e-9)
+        ext_att = dens[..., None] * med.sigma_t[None, :]          # (N,3)
+        ext_det = jax.lax.stop_gradient(ext_att)
+        ext_det_mean = jnp.mean(ext_det, -1)
+        dens_det = jax.lax.stop_gradient(dens)
+        real = u2 < dens_det / jnp.maximum(maj_det, 1e-9)
         hit_med = ~done & ~escaped & real
+        is_null = ~done & ~escaped & ~real
+        f_real = ext_att / jnp.maximum(ext_det_mean, 1e-9)[..., None]
+        f_null = (sig_m - ext_att) / \
+            jnp.maximum(sig_m - ext_det_mean, 1e-9)[..., None]
+        weight = jnp.where(hit_med[..., None], weight * f_real, weight)
+        weight = jnp.where(is_null[..., None], weight * f_null, weight)
         newly_done = ~done & (escaped | real)
         t = jnp.where(~done, jnp.minimum(t_new, maxt), t)
         is_med = is_med | hit_med
         done = done | newly_done
-    # weight: delta tracking is unbiased with unit weight (ratio of real to
-    # majorant collisions already folded into the acceptance test)
-    weight = jnp.ones((n, 3))
     return jnp.where(is_med, t, maxt), is_med, weight, smpl
 
 
 def transmittance_het(med: Medium, smpl, o, d, dist, n_rr=DELTA_STEPS):
     """Ratio-tracking transmittance estimate along an unoccluded segment."""
     from . import sampler as sa
+    import jax
     n = o.shape[0]
-    sig_m = jnp.mean(med.sigma_t) * med.majorant
+    # ratio tracking with detached step decisions and per-channel ATTACHED
+    # collision ratios 1 - ext(p)/sig_m (chromatic extinction; reduces to the
+    # grey 1 - dens/majorant when sigma_t is grey)
+    sig_m = jax.lax.stop_gradient(jnp.mean(med.sigma_t) * med.majorant)
     t = jnp.zeros((n,))
-    tr = jnp.ones((n,))
+    tr = jnp.ones((n, 3))
     done = jnp.zeros((n,), bool)
     for _ in range(n_rr):
         u, smpl = sa.next_1d(smpl)
         step = -jnp.log(jnp.maximum(1.0 - u, 1e-12)) / jnp.maximum(sig_m, 1e-9)
         t = jnp.where(done, t, t + step)
         escaped = t >= dist
-        p = o + d * jnp.minimum(t, dist)[..., None]
+        p = o + d * jnp.minimum(t, jax.lax.stop_gradient(dist))[..., None]
         dens = eval_density(med, p)
-        ratio = 1.0 - dens / jnp.maximum(med.majorant, 1e-9)
-        tr = jnp.where(done | escaped, tr, tr * jnp.clip(ratio, 0.0, 1.0))
+        ext_att = dens[..., None] * med.sigma_t[None, :]
+        ratio = 1.0 - ext_att / jnp.maximum(sig_m, 1e-9)
+        tr = jnp.where((done | escaped)[..., None], tr,
+                       tr * jnp.clip(ratio, 0.0, 1.0))
         done = done | escaped
-    return tr[..., None] * jnp.ones((n, 3)), smpl
+    return tr, smpl
 
 
 # ---------------------------------------------------------------------------
@@ -240,18 +260,29 @@ def sample_interaction(med: Medium, u, channel_u, maxt):
       medium event:   sigma_t*Tr(t) / pdf_medium
       surface event:  Tr(maxt) / P[t >= maxt]
     """
+    # DETACHED-SAMPLING estimator (the reference's default AD mode): the
+    # sampled distance and the pdf are decisions — detached — while the
+    # numerator (Tr, sigma_t factor) stays attached. This keeps naive AD and
+    # the PRB replay on the SAME estimator (identical per-sample gradients)
+    # instead of the attached-t reparameterized one, whose position
+    # derivatives a per-bounce replay cannot reproduce.
+    sig_det = jax.lax.stop_gradient(med.sigma_t)
     # pick a channel uniformly, sample exp(sigma_t[c])
     c = jnp.clip((channel_u * 3).astype(jnp.int32), 0, 2)
-    sig_c = med.sigma_t[c]
+    sig_c = sig_det[c]
     t = -jnp.log(jnp.maximum(1.0 - u, 1e-12)) / jnp.maximum(sig_c, 1e-12)
     is_medium = t < maxt
+    # min keeps the attached maxt derivative on surface lanes (geometry moving
+    # through the fog changes Tr) and the detached t on medium lanes
     t_clamped = jnp.minimum(t, maxt)
-    tr = jnp.exp(-med.sigma_t[None, :] * t_clamped[..., None])   # (N,3)
+    tr = jnp.exp(-med.sigma_t[None, :] * t_clamped[..., None])   # (N,3) attached
     # pdf averaged over channel choice (spectral MIS, "balance" over channels)
-    pdf_medium = jnp.mean(med.sigma_t[None, :] *
-                          jnp.exp(-med.sigma_t[None, :] * t_clamped[..., None]),
+    t_det = jax.lax.stop_gradient(t_clamped)
+    maxt_det = jax.lax.stop_gradient(maxt)
+    pdf_medium = jnp.mean(sig_det[None, :] *
+                          jnp.exp(-sig_det[None, :] * t_det[..., None]),
                           axis=-1)
-    pdf_surface = jnp.mean(jnp.exp(-med.sigma_t[None, :] * maxt[..., None]),
+    pdf_surface = jnp.mean(jnp.exp(-sig_det[None, :] * maxt_det[..., None]),
                            axis=-1)
     w_medium = med.sigma_t[None, :] * tr / jnp.maximum(pdf_medium, 1e-20)[..., None]
     w_surface = tr / jnp.maximum(pdf_surface, 1e-20)[..., None]

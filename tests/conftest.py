@@ -23,3 +23,14 @@ import pytest  # noqa: E402
 @pytest.fixture
 def np_rng():
     return np.random.default_rng(seed=12345)
+
+
+# The XLA CPU backend can segfault in backend_compile after a few hundred
+# compiled megakernels accumulate in one process (observed deterministically
+# at ~85% of a full suite run; each module passes in isolation). Dropping the
+# executable caches between modules keeps the JIT code space bounded at the
+# cost of a handful of re-compiles.
+@pytest.fixture(autouse=True, scope='module')
+def _clear_jax_caches_per_module():
+    yield
+    jax.clear_caches()

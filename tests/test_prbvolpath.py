@@ -1,0 +1,115 @@
+"""Replay-based volumetric PRB (reference ad/integrators/prbvolpath.py):
+primal parity with the wavefront volpath and gradient parity with naive AD
+through the same estimator."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import mitsuba_tpu as mt
+from mitsuba_tpu.core.transform import ScalarTransform4f as T
+from mitsuba_tpu.ad.integrators.prbvolpath import render_prbvolpath
+
+
+def _scene_dict(sigma_t=0.6, albedo=0.7, het=False, max_depth=6):
+    d = {
+        'type': 'scene',
+        'integrator': {'type': 'prbvolpath', 'max_depth': max_depth,
+                       'rr_depth': 99},
+        'sensor': {'type': 'perspective', 'fov': 40.0,
+                   'to_world': T.look_at(origin=[0, 0, 3], target=[0, 0, 0],
+                                         up=[0, 1, 0]),
+                   'film': {'type': 'hdrfilm', 'width': 16, 'height': 16,
+                            'rfilter': {'type': 'box'}}},
+        'wall': {'type': 'rectangle',
+                 'to_world': T.translate([0, 0, -1]).scale(4.0),
+                 'bsdf': {'type': 'diffuse', 'reflectance': 0.3},
+                 'emitter': {'type': 'area', 'radiance': 6.0}},
+        'fog': {'type': 'homogeneous', 'sigma_t': sigma_t, 'albedo': albedo},
+    }
+    if het:
+        rho = (0.4 + 0.5 * np.random.default_rng(0)
+               .uniform(size=(4, 4, 4))).astype(np.float32)
+        d['fog'] = {'type': 'heterogeneous', 'sigma_t': sigma_t,
+                    'albedo': albedo,
+                    'density': {'data': rho,
+                                'to_world': T.translate([-2, -2, -2]).scale(4.0)}}
+    return d
+
+
+@pytest.fixture(scope='module')
+def setup():
+    scene = mt.load_dict(_scene_dict())
+    return scene, mt.traverse(scene)
+
+
+def test_prbvolpath_primal_matches_wavefront(setup):
+    scene, _ = setup
+    a = np.asarray(mt.render_wavefront(scene, spp=8, seed=3))
+    b = np.asarray(render_prbvolpath(scene, 8, 3))
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+def test_prbvolpath_grad_sigma_albedo(setup):
+    scene, params = setup
+    keys = [k for k in params.keys()
+            if 'sigma_t' in k or 'albedo' in k]
+    assert keys
+    for key in keys:
+        v0 = params[key]
+
+        def loss_naive(v):
+            return mt.render_wavefront(params.scene_with({key: v}),
+                                       spp=8, seed=3).mean()
+
+        def loss_prb(v):
+            return render_prbvolpath(params.scene_with({key: v}), 8, 3).mean()
+
+        g_n = np.asarray(jax.grad(loss_naive)(v0))
+        g_p = np.asarray(jax.grad(loss_prb)(v0))
+        assert np.isfinite(g_p).all()
+        assert np.abs(g_n).max() > 0
+        np.testing.assert_allclose(g_p, g_n, rtol=2e-2, atol=1e-5)
+
+
+def test_prbvolpath_grad_emitter(setup):
+    scene, params = setup
+    key = [k for k in params.keys()
+           if ('radiance' in k or 'emitter' in k)
+           and jnp.issubdtype(jnp.asarray(params[k]).dtype, jnp.floating)]
+    # emitter radiance is a texture slot: differentiate the texture table
+    key = key[0] if key else 'textures.color0'
+    v0 = params[key]
+
+    def loss_naive(v):
+        return mt.render_wavefront(params.scene_with({key: v}),
+                                   spp=4, seed=1).mean()
+
+    def loss_prb(v):
+        return render_prbvolpath(params.scene_with({key: v}), 4, 1).mean()
+
+    g_n = np.asarray(jax.grad(loss_naive)(v0))
+    g_p = np.asarray(jax.grad(loss_prb)(v0))
+    np.testing.assert_allclose(g_p, g_n, rtol=2e-2, atol=1e-6)
+
+
+def test_prbvolpath_heterogeneous_density_grad():
+    scene = mt.load_dict(_scene_dict(het=True, max_depth=4))
+    params = mt.traverse(scene)
+    key = [k for k in params.keys() if 'density' in k][0]
+    rho0 = params[key]
+
+    def loss_naive(rho):
+        return mt.render_wavefront(params.scene_with({key: rho}),
+                                   spp=4, seed=5).mean()
+
+    def loss_prb(rho):
+        return render_prbvolpath(params.scene_with({key: rho}), 4, 5).mean()
+
+    g_n = np.asarray(jax.grad(loss_naive)(rho0))
+    g_p = np.asarray(jax.grad(loss_prb)(rho0))
+    assert np.isfinite(g_p).all()
+    assert np.abs(g_n).max() > 0
+    # delta-tracking gradients: same estimator, same RNG -> tight match
+    np.testing.assert_allclose(g_p, g_n, rtol=5e-2,
+                               atol=1e-4 * np.abs(g_n).max())

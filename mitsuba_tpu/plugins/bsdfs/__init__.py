@@ -18,9 +18,9 @@ def _extend():
     except ImportError:
         pass
     try:
-        from .principled import principled
+        from .principled import principled, principledthin
         REGISTRY['principled'] = principled
-        REGISTRY['principledthin'] = principled  # thin variant: same lobes
+        REGISTRY['principledthin'] = principledthin
     except ImportError:
         pass
     try:

@@ -179,3 +179,240 @@ class principled:
             sampled_component=jnp.where(sel_diff, 0,
                                         jnp.where(sel_cc, 2, 1)).astype(jnp.int32))
         return bs, weight
+
+
+# ---------------------------------------------------------------------------
+# Thin principled BSDF (reference src/bsdfs/principledthin.cpp; Burley 2015's
+# thin-surface model): a 2D sheet with symmetric front/back response. Four
+# lobes — GGX specular reflection with thin Fresnel, GGX specular transmission
+# at IOR-scaled roughness (Burley 2015 Fig. 15), Burley diffuse+retro(+fake
+# subsurface/sheen) reflection, and Lambertian diffuse transmission — blended
+# by spec_trans and diff_trans (diff_trans input range 0..2 halved, as in the
+# reference principledthin.cpp:283).
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class PrincipledThinTable:
+    base_color: jnp.ndarray    # (S,) int32 tex
+    roughness: jnp.ndarray     # (S,) int32 tex
+    spec_trans: jnp.ndarray    # (S,) int32 tex
+    diff_trans: jnp.ndarray    # (S,) int32 tex (raw 0..2)
+    eta: jnp.ndarray           # (S,)
+    anisotropic: jnp.ndarray   # (S,)
+    spec_tint: jnp.ndarray     # (S,)
+    sheen: jnp.ndarray         # (S,)
+    sheen_tint: jnp.ndarray    # (S,)
+    flatness: jnp.ndarray      # (S,)
+
+
+def _mulsign(v, s):
+    return v * jnp.where(s >= 0, 1.0, -1.0)
+
+
+class principledthin:
+    Table = PrincipledThinTable
+    flags = (bf.GlossyReflection | bf.GlossyTransmission |
+             bf.DiffuseReflection | bf.DiffuseTransmission |
+             bf.FrontSide | bf.BackSide)
+
+    @staticmethod
+    def build(props_list, texb):
+        cols = {k: [] for k in ('base_color', 'roughness', 'spec_trans',
+                                'diff_trans')}
+        scal = {k: [] for k in ('eta', 'anisotropic', 'spec_tint', 'sheen',
+                                'sheen_tint', 'flatness')}
+        for p in props_list:
+            cols['base_color'].append(_resolve_texture(p, 'base_color', [0.5, 0.5, 0.5], texb))
+            cols['roughness'].append(_resolve_texture(p, 'roughness', 0.5, texb))
+            cols['spec_trans'].append(_resolve_texture(p, 'spec_trans', 0.0, texb))
+            cols['diff_trans'].append(_resolve_texture(p, 'diff_trans', 0.0, texb))
+            scal['eta'].append(float(p.get('eta', 1.5)))
+            scal['anisotropic'].append(float(p.get('anisotropic', 0.0)))
+            scal['spec_tint'].append(float(p.get('spec_tint', 0.0)))
+            scal['sheen'].append(float(p.get('sheen', 0.0)))
+            scal['sheen_tint'].append(float(p.get('sheen_tint', 0.0)))
+            scal['flatness'].append(float(p.get('flatness', 0.0)))
+        return PrincipledThinTable(
+            **{k: jnp.asarray(v, jnp.int32) for k, v in cols.items()},
+            **{k: jnp.asarray(v, jnp.float32) for k, v in scal.items()})
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _params(tbl, slot, tex, uv):
+        base = eval_texture(tex, tbl.base_color[slot], uv)
+        rough = jnp.clip(eval_texture_1(tex, tbl.roughness[slot], uv), 0.0, 1.0)
+        st = jnp.clip(eval_texture_1(tex, tbl.spec_trans[slot], uv), 0.0, 1.0)
+        dt = jnp.clip(eval_texture_1(tex, tbl.diff_trans[slot], uv), 0.0, 2.0) / 2.0
+        eta = jnp.maximum(tbl.eta[slot], 1.0 + 1e-3)
+        aspect = jnp.sqrt(1.0 - 0.9 * tbl.anisotropic[slot])
+        a_u = jnp.maximum(rough * rough / aspect, 1e-3)
+        a_v = jnp.maximum(rough * rough * aspect, 1e-3)
+        # IOR-scaled roughness for the transmitted lobe (Burley 2015 Fig. 15)
+        rs = jnp.clip((0.65 * eta - 0.35) * rough, 0.0, 1.0)
+        as_u = jnp.maximum(rs * rs / aspect, 1e-3)
+        as_v = jnp.maximum(rs * rs * aspect, 1e-3)
+        return base, rough, st, dt, eta, a_u, a_v, as_u, as_v
+
+    @staticmethod
+    def _probs(st, dt):
+        p_sr = 0.5 * st
+        p_st = 0.5 * st
+        p_cr = (1.0 - st) * (1.0 - dt)
+        p_ct = (1.0 - st) * dt
+        tot = jnp.maximum(p_sr + p_st + p_cr + p_ct, 1e-9)
+        return p_sr / tot, p_st / tot, p_cr / tot, p_ct / tot
+
+    @staticmethod
+    def _geom(wi, wo):
+        """Flip into the canonical thin frame (the sheet is symmetric)."""
+        cos_i0 = fr.cos_theta(wi)
+        wi_f = _mulsign(wi, cos_i0[..., None])
+        wo_t = _mulsign(wo, cos_i0[..., None])
+        cos_i = jnp.abs(cos_i0)
+        cos_o = fr.cos_theta(wo_t)
+        wo_r = wo_t * jnp.asarray([1.0, 1.0, 0.0]) + \
+            jnp.concatenate([jnp.zeros_like(wo_t[..., :2]),
+                             jnp.abs(wo_t[..., 2:])], -1)
+        wh = m.normalize(wi_f + wo_r)
+        compat_r = (m.dot(wi_f, wh) > 0) & (m.dot(wo_t, wh) > 0)
+        compat_t = (m.dot(wi_f, wh) > 0) & (m.dot(wo_t, wh) < 0)
+        return wi_f, wo_t, cos_i, cos_o, wo_r, wh, compat_r, compat_t
+
+    @staticmethod
+    def eval(tbl, slot, tex, wi, wo, uv):
+        from ...core import fresnel as fre
+        base, rough, st, dt, eta, a_u, a_v, as_u, as_v = \
+            principledthin._params(tbl, slot, tex, uv)
+        wi_f, wo_t, cos_i, cos_o, wo_r, wh, compat_r, compat_t = \
+            principledthin._geom(wi, wo)
+        grazing = jnp.abs(fr.cos_theta(wi)) > 1e-6
+        reflect = cos_o > 0
+        refract = cos_o < 0
+        cos_i_s = jnp.maximum(cos_i, 1e-6)
+
+        value = jnp.zeros_like(base)
+        F_diel, _, _, _ = fre.fresnel(m.dot(wi_f, wh), eta)
+        # -- specular reflection: thin Fresnel (dielectric lerped toward a
+        #    tinted Schlick by spec_tint)
+        lum = jnp.clip(m.dot(base, jnp.asarray([0.2126, 0.7152, 0.0722])),
+                       1e-5, None)
+        c_tint = base / lum[..., None]
+        r0 = ((eta - 1.0) / (eta + 1.0)) ** 2
+        F0_tint = c_tint * r0[..., None]
+        f_h5 = jnp.power(jnp.clip(1.0 - m.dot(wi_f, wh), 0.0, 1.0), 5.0)
+        F_schlick = F0_tint + (1.0 - F0_tint) * f_h5[..., None]
+        F_thin = m.lerp(F_diel[..., None] * jnp.ones_like(base), F_schlick,
+                        tbl.spec_tint[slot][..., None])
+        D_r = mf.eval_ndf(mf.GGX, wh, a_u, a_v)
+        G_r = mf.G(mf.GGX, wi_f, wo_r, wh, a_u, a_v)
+        m_sr = (reflect & compat_r & (st > 0))[..., None]
+        value += jnp.where(m_sr, (st * D_r * G_r /
+                                  (4.0 * cos_i_s))[..., None] * F_thin, 0.0)
+        # -- specular transmission (reflected-then-flipped; base_color tint)
+        D_s = mf.eval_ndf(mf.GGX, wh, as_u, as_v)
+        G_s = mf.G(mf.GGX, wi_f, wo_r, wh, as_u, as_v)
+        m_st = (refract & compat_t & (st > 0))[..., None]
+        value += jnp.where(m_st, base * (st * (1.0 - F_diel) * D_s * G_s /
+                                         (4.0 * cos_i_s))[..., None], 0.0)
+        # -- diffuse reflection: Burley diffuse + retro, flatness-lerped fake
+        #    subsurface, plus sheen
+        Fo = jnp.power(jnp.clip(1.0 - jnp.abs(cos_o), 0, 1), 5.0)
+        Fi = jnp.power(jnp.clip(1.0 - cos_i, 0, 1), 5.0)
+        f_diff = (1.0 - 0.5 * Fi) * (1.0 - 0.5 * Fo)
+        cos_d = m.dot(wh, wo_t)
+        Rr = 2.0 * rough * cos_d * cos_d
+        f_retro = Rr * (Fo + Fi + Fo * Fi * (Rr - 1.0))
+        Fss90 = 0.5 * Rr
+        Fss = m.lerp(1.0, Fss90, Fo) * m.lerp(1.0, Fss90, Fi)
+        f_ss = 1.25 * (Fss * (1.0 / jnp.maximum(jnp.abs(cos_o) + cos_i, 1e-6)
+                              - 0.5) + 0.5)
+        flat = tbl.flatness[slot]
+        diff_resp = m.lerp(f_diff + f_retro, f_ss, flat)
+        m_dr = (reflect & (st < 1) & (dt < 1))[..., None]
+        value += jnp.where(
+            m_dr, base * ((1.0 - st) * (1.0 - dt) * m.InvPi * cos_o *
+                          diff_resp)[..., None], 0.0)
+        Fd = jnp.power(jnp.clip(1.0 - jnp.abs(cos_d), 0, 1), 5.0)
+        c_sheen = m.lerp(jnp.ones_like(base), c_tint,
+                         tbl.sheen_tint[slot][..., None])
+        value += jnp.where(
+            m_dr, c_sheen * (tbl.sheen[slot] * (1.0 - st) * (1.0 - dt) * Fd *
+                             jnp.abs(cos_o))[..., None], 0.0)
+        # -- diffuse Lambertian transmission
+        m_dt = (refract & (st < 1) & (dt > 0))[..., None]
+        value += jnp.where(
+            m_dt, base * ((1.0 - st) * dt * m.InvPi * jnp.abs(cos_o))[..., None],
+            0.0)
+        return jnp.where((grazing & (jnp.abs(cos_o) > 1e-6))[..., None],
+                         value, 0.0)
+
+    @staticmethod
+    def pdf(tbl, slot, tex, wi, wo, uv):
+        base, rough, st, dt, eta, a_u, a_v, as_u, as_v = \
+            principledthin._params(tbl, slot, tex, uv)
+        wi_f, wo_t, cos_i, cos_o, wo_r, wh, compat_r, compat_t = \
+            principledthin._geom(wi, wo)
+        reflect = cos_o > 0
+        refract = cos_o < 0
+        p_sr, p_st, p_cr, p_ct = principledthin._probs(st, dt)
+        dwh_dwo = 1.0 / jnp.maximum(4.0 * jnp.abs(m.dot(wo_r, wh)), 1e-9)
+        pdf = jnp.zeros_like(cos_i)
+        pdf += jnp.where(reflect & compat_r,
+                         p_sr * mf.pdf_visible(mf.GGX, wi_f, wh, a_u, a_v) *
+                         dwh_dwo, 0.0)
+        pdf += jnp.where(refract & compat_t,
+                         p_st * mf.pdf_visible(mf.GGX, wi_f, wh, as_u, as_v) *
+                         dwh_dwo, 0.0)
+        pdf += jnp.where(reflect,
+                         p_cr * warp.square_to_cosine_hemisphere_pdf(wo_r), 0.0)
+        pdf += jnp.where(refract,
+                         p_ct * warp.square_to_cosine_hemisphere_pdf(wo_r), 0.0)
+        active = (jnp.abs(fr.cos_theta(wi)) > 1e-6) & (jnp.abs(cos_o) > 1e-6)
+        return jnp.where(active, pdf, 0.0)
+
+    @staticmethod
+    def sample(tbl, slot, tex, wi, uv, sample1, sample2):
+        n = wi.shape[0]
+        base, rough, st, dt, eta, a_u, a_v, as_u, as_v = \
+            principledthin._params(tbl, slot, tex, uv)
+        cos_i0 = fr.cos_theta(wi)
+        wi_f = _mulsign(wi, cos_i0[..., None])
+        p_sr, p_st, p_cr, p_ct = principledthin._probs(st, dt)
+        sel_sr = sample1 < p_sr
+        sel_st = (sample1 >= p_sr) & (sample1 < p_sr + p_st)
+        sel_ct = sample1 >= (p_sr + p_st + p_cr)
+        h_r, _ = mf.sample_visible(mf.GGX, wi_f, sample2, a_u, a_v)
+        wo_sr = fr.reflect(wi_f, h_r)
+        h_s, _ = mf.sample_visible(mf.GGX, wi_f, sample2, as_u, as_v)
+        wo_st = fr.reflect(wi_f, h_s) * jnp.asarray([1.0, 1.0, -1.0])
+        wo_d = warp.square_to_cosine_hemisphere(sample2)
+        wo = jnp.where(sel_sr[..., None], wo_sr,
+                       jnp.where(sel_st[..., None], wo_st,
+                                 jnp.where(sel_ct[..., None], -wo_d, wo_d)))
+        wo = _mulsign(wo, cos_i0[..., None])
+        pdf = principledthin.pdf(tbl, slot, tex, wi, wo, uv)
+        val = principledthin.eval(tbl, slot, tex, wi, wo, uv)
+        # invalidate lobe samples that land on the wrong side (the
+        # reflect-then-flip transmission trick can emit reflected directions
+        # at grazing microfacets; the reference masks these out)
+        ok_sr = fr.cos_theta(wo_sr) > 0
+        # transmitted side must also stay micro-macro compatible
+        # (dot(wo, wh) < 0 — grazing flips can violate it; the pdf's compat_t
+        # mask excludes that region, so the sample must be killed too)
+        ok_st = (fr.cos_theta(wo_st) < 0) & (m.dot(wo_st, h_s) < 0)
+        lobe_ok = jnp.where(sel_sr, ok_sr, jnp.where(sel_st, ok_st, True))
+        active = (jnp.abs(cos_i0) > 1e-6) & (pdf > 1e-10) & lobe_ok
+        weight = jnp.where(active[..., None],
+                           val / jnp.maximum(pdf, 1e-10)[..., None], 0.0)
+        stype = jnp.where(
+            sel_sr, bf.GlossyReflection,
+            jnp.where(sel_st, bf.GlossyTransmission,
+                      jnp.where(sel_ct, bf.DiffuseTransmission,
+                                bf.DiffuseReflection))).astype(jnp.uint32)
+        comp = jnp.where(sel_sr, 3, jnp.where(sel_st, 2,
+                                              jnp.where(sel_ct, 1, 0)))
+        bs = BSDFSample(wo=wo, pdf=jnp.where(active, pdf, 0.0),
+                        eta=jnp.ones((n,), wi.dtype),
+                        sampled_type=stype,
+                        sampled_component=comp.astype(jnp.int32))
+        return bs, weight

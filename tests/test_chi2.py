@@ -109,3 +109,50 @@ def test_principled_chi2(metal):
                                      'roughness': 0.4, 'metallic': metal}),
                   wi, sample_count=N)
     assert t.run(), t.messages
+
+
+@pytest.mark.parametrize('wi,props', [
+    ([0.3, -0.1, 0.9], {'spec_trans': 0.7, 'roughness': 0.5}),
+    ([0.3, -0.1, 0.9], {'diff_trans': 1.2, 'roughness': 0.4}),
+    ([0.2, 0.1, -0.97], {'spec_trans': 0.5, 'diff_trans': 0.8,
+                         'roughness': 0.6, 'anisotropic': 0.4}),
+])
+def test_principledthin_chi2(wi, props):
+    wi = np.asarray(wi, np.float32)
+    wi /= np.linalg.norm(wi)
+    props = dict(props, base_color={'type': 'rgb', 'value': [0.7, 0.5, 0.3]})
+    t = bsdf_chi2(_mk('principledthin', props), wi, sample_count=N)
+    assert t.run(), t.messages
+
+
+def test_principledthin_symmetry_and_energy():
+    """Thin sheet is front/back symmetric; sampled weights stay bounded
+    (energy conservation up to the microfacet single-scatter deficit)."""
+    import jax.numpy as jnp
+    from mitsuba_tpu.render.texture import TextureBuilder
+    from mitsuba_tpu.plugins.bsdfs import REGISTRY
+    texb = TextureBuilder()
+    plugin = REGISTRY['principledthin']
+    tbl = plugin.build([{'base_color': {'type': 'rgb', 'value': [1.0, 1.0, 1.0]},
+                         'spec_trans': 0.5, 'diff_trans': 1.0,
+                         'roughness': 0.5}], texb)
+    tex = texb.build()
+    rng = np.random.default_rng(3)
+    n = 4096
+    wi = np.asarray([0.4, 0.2, 0.85], np.float32)
+    wi /= np.linalg.norm(wi)
+    wi_b = jnp.broadcast_to(jnp.asarray(wi), (n, 3))
+    slot = jnp.zeros((n,), jnp.int32)
+    uv = jnp.zeros((n, 2))
+    wo = np.asarray(rng.normal(size=(n, 3)), np.float32)
+    wo /= np.linalg.norm(wo, axis=-1, keepdims=True)
+    v_front = np.asarray(plugin.eval(tbl, slot, tex, wi_b, jnp.asarray(wo), uv))
+    v_back = np.asarray(plugin.eval(tbl, slot, tex, -wi_b, jnp.asarray(-wo), uv))
+    np.testing.assert_allclose(v_front, v_back, rtol=1e-5, atol=1e-6)
+    # sampled estimator of total albedo <= 1 + tolerance
+    s1 = jnp.asarray(rng.random(n, np.float32))
+    s2 = jnp.asarray(rng.random((n, 2), np.float32))
+    bs, w = plugin.sample(tbl, slot, tex, wi_b, uv, s1, s2)
+    w = np.asarray(w)
+    assert np.isfinite(w).all()
+    assert w.mean(0).max() < 1.05, w.mean(0)

@@ -29,8 +29,9 @@ def _extend():
     except ImportError:
         pass
     try:
-        from .measured import measured
+        from .measured import measured, measured_polarized
         REGISTRY['measured'] = measured
+        REGISTRY['measured_polarized'] = measured_polarized
     except ImportError:
         pass
     try:

@@ -247,3 +247,222 @@ class measured:
             sampled_type=jnp.full((n,), bf.GlossyReflection, jnp.uint32),
             sampled_component=jnp.zeros((n,), jnp.int32))
         return bs, weight
+
+
+# ---------------------------------------------------------------------------
+# Measured polarized pBSDF (reference src/bsdfs/measured_polarized.cpp:
+# KAIST/Baek-2020 .pbsdf tensor files — a Mueller matrix M tabulated over
+# the isotropic Rusinkiewicz parameterization × wavelength:
+# M[phi_d, theta_d, theta_h, wvl, 4, 4]).
+#
+# TPU redesign: the Marginal2D<4> interpolator collapses into a jnp
+# multilinear fetch over the four (non-uniform) grid axes; importance
+# sampling is the reference's fixed-roughness GGX visible-normal lobe mixed
+# with 10% cosine hemisphere (measured_polarized.cpp:176-211, the
+# COSINE_HEMISPHERE_PDF_WEIGHT scheme), so pdf() is analytic and exactly
+# matches sample().
+# ---------------------------------------------------------------------------
+
+_COS_WEIGHT = 0.1          # COSINE_HEMISPHERE_PDF_WEIGHT
+_RGB_BANDS = (610.0, 550.0, 465.0)   # band centers used when wavelength=-1
+
+
+@struct.dataclass
+class MeasuredPolarizedTable:
+    M: tuple           # per instance (Pd,Td,Th,W,4,4)
+    phi_d: tuple       # per instance (Pd,)
+    theta_d: tuple     # per instance (Td,)
+    theta_h: tuple     # per instance (Th,)
+    wvls: tuple        # per instance (W,)
+    alpha_sample: jnp.ndarray   # (S,)
+    wavelength: jnp.ndarray     # (S,) — -1 selects the RGB band centers
+
+
+def _rusinkiewicz(wi, wo):
+    """Isotropic Rusinkiewicz angles (phi_d, theta_d, theta_h) of a local
+    direction pair (both pointing away from the surface)."""
+    h = m.normalize(wi + wo)
+    theta_h = jnp.arccos(jnp.clip(h[..., 2], -1.0, 1.0))
+    phi_h = jnp.arctan2(h[..., 1], h[..., 0])
+    c, s = jnp.cos(-phi_h), jnp.sin(-phi_h)
+    wx = c * wi[..., 0] - s * wi[..., 1]
+    wy = s * wi[..., 0] + c * wi[..., 1]
+    wz = wi[..., 2]
+    ct, st = jnp.cos(-theta_h), jnp.sin(-theta_h)
+    dx = ct * wx + st * wz
+    dz = -st * wx + ct * wz
+    theta_d = jnp.arccos(jnp.clip(dz, -1.0, 1.0))
+    phi_d = jnp.mod(jnp.arctan2(wy, dx), 2 * jnp.pi)
+    return phi_d, theta_d, theta_h
+
+
+def _axis_locate(grid, x):
+    """Non-uniform 1D locate: cell index i and fraction f with
+    grid[i] <= x < grid[i+1] (clamped)."""
+    K = grid.shape[0]
+    if K == 1:
+        z = jnp.zeros_like(x)
+        return z.astype(jnp.int32), z
+    i = jnp.clip(jnp.searchsorted(grid, x, side='right') - 1, 0, K - 2)
+    g0 = grid[i]
+    g1 = grid[i + 1]
+    f = jnp.clip((x - g0) / jnp.maximum(g1 - g0, 1e-9), 0.0, 1.0)
+    return i.astype(jnp.int32), f
+
+
+def _interp4(Mtab, grids, pd, td, th, lam):
+    """Quadrilinear fetch of the (4,4) Mueller at (phi_d,theta_d,theta_h,λ)."""
+    gp, gt, gh, gw = grids
+    # fold phi_d into the tabulated range (reciprocity: many tables cover π)
+    pd = jnp.where(pd > gp[-1] + 1e-6, 2 * jnp.pi - pd, pd)
+    ip, fp = _axis_locate(gp, pd)
+    it, ft = _axis_locate(gt, td)
+    ih, fh = _axis_locate(gh, th)
+    iw, fw = _axis_locate(gw, lam)
+
+    def g(dp, dt_, dh, dw):
+        Pd, Td, Th, W = (gp.shape[0], gt.shape[0], gh.shape[0], gw.shape[0])
+        return Mtab[jnp.minimum(ip + dp, Pd - 1),
+                    jnp.minimum(it + dt_, Td - 1),
+                    jnp.minimum(ih + dh, Th - 1),
+                    jnp.minimum(iw + dw, W - 1)]        # (N,4,4)
+
+    def lerp_w(dp, dt_, dh):
+        return g(dp, dt_, dh, 0) * (1 - fw)[..., None, None] + \
+            g(dp, dt_, dh, 1) * fw[..., None, None]
+
+    def lerp_h(dp, dt_):
+        return lerp_w(dp, dt_, 0) * (1 - fh)[..., None, None] + \
+            lerp_w(dp, dt_, 1) * fh[..., None, None]
+
+    def lerp_t(dp):
+        return lerp_h(dp, 0) * (1 - ft)[..., None, None] + \
+            lerp_h(dp, 1) * ft[..., None, None]
+
+    out = lerp_t(0) * (1 - fp)[..., None, None] + \
+        lerp_t(1) * fp[..., None, None]
+    # invalid configurations are stored as NaN in the datasets
+    return jnp.nan_to_num(out)
+
+
+class measured_polarized:
+    Table = MeasuredPolarizedTable
+    flags = bf.GlossyReflection | bf.FrontSide
+
+    @staticmethod
+    def build(props_list, texb):
+        Ms, pds, tds, ths, wls, alphas, lams = [], [], [], [], [], [], []
+        for p in props_list:
+            if 'filename' in p:
+                from ...utils.tensorfile import read_tensor_file
+                f = read_tensor_file(p['filename'])
+                M = np.asarray(f['M'], np.float32)
+                pd = np.asarray(f['phi_d'], np.float32).reshape(-1)
+                td = np.asarray(f['theta_d'], np.float32).reshape(-1)
+                th = np.asarray(f['theta_h'], np.float32).reshape(-1)
+                wl = np.asarray(f['wvls'], np.float32).reshape(-1)
+            else:
+                d = p['data']
+                M = np.asarray(d['M'], np.float32)
+                pd = np.asarray(d['phi_d'], np.float32).reshape(-1)
+                td = np.asarray(d['theta_d'], np.float32).reshape(-1)
+                th = np.asarray(d['theta_h'], np.float32).reshape(-1)
+                wl = np.asarray(d['wvls'], np.float32).reshape(-1)
+            assert M.shape == (pd.size, td.size, th.size, wl.size, 4, 4), \
+                f'pbsdf M shape {M.shape} inconsistent with grids'
+            Ms.append(jnp.asarray(M))
+            pds.append(jnp.asarray(pd))
+            tds.append(jnp.asarray(td))
+            ths.append(jnp.asarray(th))
+            wls.append(jnp.asarray(wl))
+            alphas.append(float(p.get('alpha_sample', 0.1)))
+            lams.append(float(p.get('wavelength', -1.0)))
+        return MeasuredPolarizedTable(
+            M=tuple(Ms), phi_d=tuple(pds), theta_d=tuple(tds),
+            theta_h=tuple(ths), wvls=tuple(wls),
+            alpha_sample=jnp.asarray(alphas, jnp.float32),
+            wavelength=jnp.asarray(lams, jnp.float32))
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _mueller_one(tbl, s, wi, wo, nch=3):
+        """Full interpolated Mueller (N,nch,4,4) for instance s."""
+        pd, td, th = _rusinkiewicz(wi, wo)
+        grids = (tbl.phi_d[s], tbl.theta_d[s], tbl.theta_h[s], tbl.wvls[s])
+        lam_cfg = tbl.wavelength[s]
+        outs = []
+        bands = _RGB_BANDS[:nch] if nch <= 3 else \
+            tuple(np.linspace(460, 620, nch))
+        for b in bands:
+            lam = jnp.where(lam_cfg > 0, lam_cfg, b) * jnp.ones_like(pd)
+            outs.append(_interp4(tbl.M[s], grids, pd, td, th, lam))
+        Mv = jnp.stack(outs, -3)                       # (N,nch,4,4)
+        # non-negative intensity term
+        m00 = jnp.maximum(Mv[..., 0:1, 0:1], 0.0)
+        Mv = jnp.concatenate([
+            jnp.concatenate([m00, Mv[..., 0:1, 1:]], -1),
+            Mv[..., 1:, :]], -2)
+        return Mv
+
+    @staticmethod
+    def mueller(tbl, slot, tex, wi, wo, uv):
+        """(N,3,4,4) tabulated Mueller (reflection-plane Stokes frames);
+        consumed by the stokes integrator."""
+        n = wi.shape[0]
+        out = jnp.zeros((n, 3, 4, 4), wi.dtype)
+        active = (fr.cos_theta(wi) > 0) & (fr.cos_theta(wo) > 0)
+        for s in range(len(tbl.M)):
+            Mv = measured_polarized._mueller_one(tbl, s, wi, wo, 3)
+            out = jnp.where(((slot == s) & active)[..., None, None, None],
+                            Mv, out)
+        return out
+
+    @staticmethod
+    def eval(tbl, slot, tex, wi, wo, uv):
+        n = wi.shape[0]
+        nch = _nch(tex)
+        out = jnp.zeros((n, nch), wi.dtype)
+        active = (fr.cos_theta(wi) > 0) & (fr.cos_theta(wo) > 0)
+        cos_o = jnp.maximum(fr.cos_theta(wo), 0.0)
+        for s in range(len(tbl.M)):
+            Mv = measured_polarized._mueller_one(tbl, s, wi, wo, nch)
+            v = Mv[..., 0, 0] * cos_o[..., None]
+            out = jnp.where(((slot == s) & active)[..., None], v, out)
+        return out
+
+    @staticmethod
+    def pdf(tbl, slot, tex, wi, wo, uv):
+        from ...core import microfacet as mf
+        from ...core import warp
+        alpha = jnp.maximum(tbl.alpha_sample[slot], 1e-3)
+        h = m.normalize(wi + wo)
+        pdf_spec = mf.pdf_visible(mf.GGX, wi, h, alpha, alpha) / \
+            jnp.maximum(4.0 * m.dot(wo, h), 1e-9)
+        pdf_cos = warp.square_to_cosine_hemisphere_pdf(wo)
+        pdf = _COS_WEIGHT * pdf_cos + (1.0 - _COS_WEIGHT) * pdf_spec
+        active = (fr.cos_theta(wi) > 0) & (fr.cos_theta(wo) > 0)
+        return jnp.where(active, pdf, 0.0)
+
+    @staticmethod
+    def sample(tbl, slot, tex, wi, uv, sample1, sample2):
+        from ...core import microfacet as mf
+        from ...core import warp
+        n = wi.shape[0]
+        alpha = jnp.maximum(tbl.alpha_sample[slot], 1e-3)
+        sel_cos = sample1 < _COS_WEIGHT
+        wo_cos = warp.square_to_cosine_hemisphere(sample2)
+        h, _ = mf.sample_visible(mf.GGX, wi, sample2, alpha, alpha)
+        wo_spec = fr.reflect(wi, h)
+        wo = jnp.where(sel_cos[..., None], wo_cos, wo_spec)
+        pdf = measured_polarized.pdf(tbl, slot, tex, wi, wo, uv)
+        val = measured_polarized.eval(tbl, slot, tex, wi, wo, uv)
+        active = (fr.cos_theta(wi) > 0) & (fr.cos_theta(wo) > 0) & \
+            (pdf > 1e-10)
+        weight = jnp.where(active[..., None],
+                           val / jnp.maximum(pdf, 1e-10)[..., None], 0.0)
+        bs = BSDFSample(
+            wo=wo, pdf=jnp.where(active, pdf, 0.0),
+            eta=jnp.ones((n,), wi.dtype),
+            sampled_type=jnp.full((n,), bf.GlossyReflection, jnp.uint32),
+            sampled_component=jnp.zeros((n,), jnp.int32))
+        return bs, weight

@@ -114,6 +114,17 @@ def _interaction_mueller(scene, si, dir_in, dir_out, active):
             M = jnp.where(sel[..., None, None, None], Mf, M)
             out_b_in = jnp.where(sel[..., None], b_in_fres, out_b_in)
             out_b_out = jnp.where(sel[..., None], b_out_fres, out_b_out)
+        elif name == 'measured_polarized':
+            # tabulated pBSDF: full Mueller in the reflection-plane frames
+            from ..bsdfs import REGISTRY
+            wi_l = si.to_local(-dir_in)
+            wo_l = si.to_local(dir_out)
+            Mt = REGISTRY[name].mueller(tbl, slot, scene.textures,
+                                        wi_l, wo_l, si.uv)
+            m00 = jnp.maximum(Mt[..., 0:1, 0:1], 1e-12)
+            M = jnp.where(sel[..., None, None, None], Mt / m00, M)
+            out_b_in = jnp.where(sel[..., None], b_in_fres, out_b_in)
+            out_b_out = jnp.where(sel[..., None], b_out_fres, out_b_out)
         elif name in ('polarizer', 'retarder', 'circular'):
             from ..bsdfs import REGISTRY
             Me = REGISTRY[name].mueller(tbl, slot, scene.textures,

@@ -1,0 +1,79 @@
+"""Reader for Mitsuba's binary tensor-file container (reference
+src/core/tensor.cpp:7-52): a ``tensor_file`` header, a field count, then per
+field {name, ndim, dtype, absolute offset, shape}. Used by the measured
+(.bsdf, RGL) and measured_polarized (.pbsdf, KAIST) BSDF datasets.
+
+Host-side I/O only — returns numpy arrays.
+"""
+from __future__ import annotations
+
+import struct as _struct
+
+import numpy as np
+
+# reference include/mitsuba/core/struct.h:25 Struct::Type order
+_DTYPES = {
+    1: np.uint8, 2: np.int8,
+    3: np.uint16, 4: np.int16,
+    5: np.uint32, 6: np.int32,
+    7: np.uint64, 8: np.int64,
+    9: np.float16, 10: np.float32, 11: np.float64,
+}
+
+
+def read_tensor_file(path):
+    """Parse a tensor_file container into {name: np.ndarray}."""
+    with open(path, 'rb') as f:
+        raw = f.read()
+    if raw[:12] != b'tensor_file\x00':
+        raise ValueError(f'{path}: not a tensor_file (bad magic)')
+    pos = 14  # 12-byte magic + 2-byte version
+    (n_fields,) = _struct.unpack_from('<I', raw, pos)
+    pos += 4
+    fields = {}
+    for _ in range(n_fields):
+        (name_len,) = _struct.unpack_from('<H', raw, pos)
+        pos += 2
+        name = raw[pos:pos + name_len].decode('utf-8')
+        pos += name_len
+        ndim, dtype = _struct.unpack_from('<HB', raw, pos)
+        pos += 3
+        (offset,) = _struct.unpack_from('<Q', raw, pos)
+        pos += 8
+        shape = _struct.unpack_from('<' + 'Q' * ndim, raw, pos)
+        pos += 8 * ndim
+        if dtype not in _DTYPES:
+            raise ValueError(f'{path}: field {name}: unknown dtype {dtype}')
+        np_dtype = _DTYPES[dtype]
+        count = int(np.prod(shape)) if ndim else 1
+        arr = np.frombuffer(raw, dtype=np_dtype, count=count,
+                            offset=offset).reshape(shape)
+        fields[name] = arr
+    return fields
+
+
+def write_tensor_file(path, fields):
+    """Write {name: np.ndarray} as a tensor_file (for tests/tooling)."""
+    rev = {np.dtype(v): k for k, v in _DTYPES.items()}
+    header = bytearray()
+    header += b'tensor_file\x00' + bytes([1, 0])
+    header += _struct.pack('<I', len(fields))
+    # first pass to size the header
+    hsize = len(header)
+    metas = []
+    for name, arr in fields.items():
+        name_b = name.encode('utf-8')
+        hsize += 2 + len(name_b) + 3 + 8 + 8 * arr.ndim
+        metas.append((name_b, np.ascontiguousarray(arr)))
+    offset = hsize
+    body = bytearray()
+    for name_b, arr in metas:
+        header += _struct.pack('<H', len(name_b)) + name_b
+        header += _struct.pack('<HB', arr.ndim, rev[arr.dtype])
+        header += _struct.pack('<Q', offset)
+        header += _struct.pack('<' + 'Q' * arr.ndim, *arr.shape)
+        data = arr.tobytes()
+        body += data
+        offset += len(data)
+    with open(path, 'wb') as f:
+        f.write(bytes(header) + bytes(body))

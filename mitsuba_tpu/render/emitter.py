@@ -137,8 +137,10 @@ def build_envmap(props, spectral=False):
     import numpy as np
     data = props.get('data')
     if data is None:
-        import imageio.v3 as iio
-        data = np.asarray(iio.imread(props['filename']), np.float32)
+        # linear-light read: EXR/HDR/PFM stay linear, PNG/JPG are
+        # sRGB-decoded (envmap.cpp converts to linear on load)
+        from ..utils.bitmap import read as _bitmap_read
+        data = np.asarray(_bitmap_read(props['filename']), np.float32)
         if data.ndim == 2:
             data = np.repeat(data[..., None], 3, -1)
         data = data[..., :3]

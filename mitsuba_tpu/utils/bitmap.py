@@ -41,6 +41,8 @@ def write(path, img, gamma=None):
         iio.imwrite(path, enc)
     elif ext == '.ppm':
         write_ppm(path, img)
+    elif ext in ('.hdr', '.rgbe'):
+        write_rgbe(path, img)
     elif ext == '.npy':
         np.save(path, img)
     else:
@@ -55,6 +57,8 @@ def read(path, gamma=None):
         return img[..., 0] if img.ndim == 3 and img.shape[-1] == 1 else img
     if ext == '.pfm':
         return read_pfm(path)
+    if ext in ('.hdr', '.rgbe'):
+        return read_rgbe(path)
     if ext == '.npy':
         return np.load(path)
     import imageio.v3 as iio
@@ -92,6 +96,110 @@ def write_ppm(path, img):
     with open(path, 'wb') as f:
         f.write(f'P6\n{enc.shape[1]} {enc.shape[0]}\n255\n'.encode())
         f.write(enc.tobytes())
+
+
+def write_rgbe(path, img):
+    """Radiance RGBE (.hdr) writer (reference bitmap.cpp RGBE codec):
+    shared-exponent 4-byte pixels, adaptive-RLE scanlines."""
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, -1)
+    h, w = img.shape[:2]
+    v = np.maximum(img[..., :3], 0.0)
+    mx = v.max(-1)
+    e = np.zeros((h, w), np.int32)
+    nz = mx >= 1e-32
+    # frexp: mx = frac * 2^e with frac in [0.5, 1)
+    frac, ee = np.frexp(np.where(nz, mx, 1.0))
+    scale = frac * 256.0 / np.where(nz, mx, 1.0)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.where(nz[..., None],
+                             np.clip(v * scale[..., None], 0, 255), 0
+                             ).astype(np.uint8)
+    rgbe[..., 3] = np.where(nz, ee + 128, 0).astype(np.uint8)
+    with open(path, 'wb') as f:
+        f.write(b'#?RGBE\nFORMAT=32-bit_rle_rgbe\n\n')
+        f.write(f'-Y {h} +X {w}\n'.encode())
+        if w < 8 or w > 32767:
+            f.write(rgbe.tobytes())
+            return
+        for y in range(h):
+            # adaptive RLE: per-channel scanline, 2-byte magic header
+            f.write(bytes([2, 2, (w >> 8) & 0xFF, w & 0xFF]))
+            for c in range(4):
+                row = rgbe[y, :, c]
+                out = bytearray()
+                i = 0
+                while i < w:
+                    # find a run of >= 4 equal bytes
+                    run = 1
+                    while i + run < w and run < 127 and row[i + run] == row[i]:
+                        run += 1
+                    if run >= 4:
+                        out += bytes([128 + run, int(row[i])])
+                        i += run
+                    else:
+                        # literal span up to the next long run
+                        j = i
+                        while j < w and j - i < 128:
+                            k = 1
+                            while j + k < w and k < 4 and row[j + k] == row[j]:
+                                k += 1
+                            if k >= 4:
+                                break
+                            j += k
+                        out += bytes([j - i]) + row[i:j].tobytes()
+                        i = j
+                f.write(bytes(out))
+
+
+def read_rgbe(path):
+    """Radiance RGBE (.hdr) reader: flat and adaptive-RLE scanlines."""
+    with open(path, 'rb') as f:
+        raw = f.read()
+    if not raw.startswith(b'#?'):
+        raise ValueError(f'{path}: not a Radiance RGBE file')
+    pos = 0
+    # header: lines until the blank one
+    while True:
+        nl = raw.index(b'\n', pos)
+        line = raw[pos:nl]
+        pos = nl + 1
+        if line == b'':
+            break
+    nl = raw.index(b'\n', pos)
+    res = raw[pos:nl].split()
+    pos = nl + 1
+    if len(res) != 4 or res[0] != b'-Y' or res[2] != b'+X':
+        raise ValueError(f'{path}: unsupported orientation {res}')
+    h, w = int(res[1]), int(res[3])
+    data = np.frombuffer(raw, np.uint8, offset=pos)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    di = 0
+    rle = 8 <= w <= 32767 and data.size >= 4 and \
+        data[0] == 2 and data[1] == 2 and ((int(data[2]) << 8) | int(data[3])) == w
+    if not rle:
+        rgbe = data[:h * w * 4].reshape(h, w, 4).copy()
+    else:
+        for y in range(h):
+            assert data[di] == 2 and data[di + 1] == 2, 'bad RLE scanline'
+            di += 4
+            for c in range(4):
+                x = 0
+                while x < w:
+                    n = int(data[di]); di += 1
+                    if n > 128:                      # run
+                        rgbe[y, x:x + n - 128, c] = data[di]
+                        di += 1
+                        x += n - 128
+                    else:                            # literal
+                        rgbe[y, x:x + n, c] = data[di:di + n]
+                        di += n
+                        x += n
+    e = rgbe[..., 3].astype(np.int32)
+    scale = np.where(e > 0, np.ldexp(1.0, e - (128 + 8)), 0.0)
+    return (rgbe[..., :3].astype(np.float32) *
+            scale[..., None].astype(np.float32))
 
 
 def convert_to_bitmap(img, uint8=True):

@@ -160,3 +160,46 @@ def test_small_gather_matches_gather():
     idx = jnp.asarray(rngs.integers(0, 11, 64), jnp.int32)
     assert np.array_equal(np.asarray(m.small_gather(tbl, idx)),
                           np.asarray(tbl)[np.asarray(idx)])
+
+
+# ---------------------------------------------------------------------------
+# Radiance RGBE (.hdr) codec (reference bitmap.cpp RGBE support)
+# ---------------------------------------------------------------------------
+
+def test_rgbe_roundtrip(tmp_path):
+    from mitsuba_tpu.utils.bitmap import write_rgbe, read_rgbe
+    rng = np.random.default_rng(0)
+    # wide dynamic range incl. zeros and a constant region (exercises RLE runs)
+    img = (rng.random((24, 33, 3)) ** 4 * 1000.0).astype(np.float32)
+    img[3:7] = 0.25
+    img[10, :5] = 0.0
+    p = str(tmp_path / 'x.hdr')
+    write_rgbe(p, img)
+    back = read_rgbe(p)
+    assert back.shape == img.shape
+    # shared 8-bit mantissa: ~1% relative accuracy on the max channel
+    mx = img.max(-1, keepdims=True)
+    err = np.abs(back - img) / np.maximum(mx, 1e-9)
+    assert err.max() < 0.01, err.max()
+
+
+def test_rgbe_flat_scanlines(tmp_path):
+    from mitsuba_tpu.utils.bitmap import write_rgbe, read_rgbe
+    img = np.asarray([[[2.0, 0.5, 8.0], [0.01, 0.02, 0.03],
+                       [100.0, 1.0, 0.0]]], np.float32)   # w=3 < 8: no RLE
+    p = str(tmp_path / 'flat.hdr')
+    write_rgbe(p, img)
+    back = read_rgbe(p)
+    err = np.abs(back - img) / np.maximum(img.max(-1, keepdims=True), 1e-9)
+    assert err.max() < 0.01
+
+
+def test_rgbe_via_generic_read_write(tmp_path):
+    from mitsuba_tpu.utils.bitmap import write, read
+    img = np.abs(np.random.default_rng(1).normal(size=(9, 16, 3)) * 10
+                 ).astype(np.float32)
+    p = str(tmp_path / 'env.hdr')
+    write(p, img)
+    back = read(p)
+    err = np.abs(back - img) / np.maximum(img.max(-1, keepdims=True), 1e-9)
+    assert err.max() < 0.01

@@ -1,0 +1,173 @@
+"""AI-free TPU-native denoiser (parity for the reference's OptixDenoiser,
+include/mitsuba/render/optixdenoiser.h:45-92 — albedo/normal guides,
+optional temporal blending).
+
+The OptiX denoiser is a vendor neural network; the TPU-native equivalent
+here is an edge-avoiding À-trous wavelet filter (Dammertz et al. 2010,
+"Edge-Avoiding À-Trous Wavelet Transform for fast Global Illumination
+Filtering") with joint bilateral guide weights from albedo and (sensor-frame)
+normals — the same auxiliary inputs the reference consumes. Everything is
+pure jnp (depthwise 5x5 dilated convolutions), jits to a handful of fused
+TPU kernels, and is differentiable.
+
+API mirrors the reference surface:
+
+    den = Denoiser(input_size=(W, H), albedo=True, normals=True,
+                   temporal=False)
+    img = den(noisy, albedo=alb, normals=n, to_sensor=T,
+              flow=flow, previous_denoised=prev)
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# B3-spline kernel of the à-trous transform
+_H = np.asarray([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0
+_KERNEL = (_H[:, None] * _H[None, :]).astype(np.float32)   # (5,5)
+
+
+def _shift2d(x, dy, dx):
+    """Edge-clamped 2D shift of an (H,W,C) image."""
+    H, W = x.shape[:2]
+    ys = jnp.clip(jnp.arange(H) + dy, 0, H - 1)
+    xs = jnp.clip(jnp.arange(W) + dx, 0, W - 1)
+    return x[ys][:, xs]
+
+
+def _atrous_pass(img, lum_var, albedo, normal, depth, step,
+                 sigma_l, sigma_a, sigma_n, sigma_d):
+    """One edge-avoiding à-trous iteration at dilation `step`."""
+    lum = img @ jnp.asarray([0.2126, 0.7152, 0.0722], img.dtype)
+    acc = jnp.zeros_like(img)
+    wacc = jnp.zeros(img.shape[:2], img.dtype)
+    var_acc = jnp.zeros(img.shape[:2], img.dtype)
+    for i in range(5):
+        for j in range(5):
+            dy, dx = (i - 2) * step, (j - 2) * step
+            k = float(_KERNEL[i, j])
+            img_s = _shift2d(img, dy, dx)
+            lum_s = lum if (dy == 0 and dx == 0) else \
+                img_s @ jnp.asarray([0.2126, 0.7152, 0.0722], img.dtype)
+            # luminance edge stop, normalized by the local noise estimate
+            denom = sigma_l * jnp.sqrt(jnp.maximum(lum_var, 1e-10)) + 1e-6
+            w = jnp.exp(-jnp.abs(lum - lum_s) / denom)
+            if albedo is not None:
+                a_s = _shift2d(albedo, dy, dx)
+                da = jnp.abs(albedo - a_s).sum(-1)
+                w = w * jnp.exp(-da / jnp.maximum(sigma_a, 1e-6))
+            if normal is not None:
+                n_s = _shift2d(normal, dy, dx)
+                dn = jnp.maximum(1.0 - (normal * n_s).sum(-1), 0.0)
+                w = w * jnp.exp(-dn / jnp.maximum(sigma_n, 1e-6))
+            if depth is not None:
+                d_s = _shift2d(depth, dy, dx)
+                dd = jnp.abs(depth - d_s)
+                w = w * jnp.exp(-dd / jnp.maximum(
+                    sigma_d * (abs(dy) + abs(dx) + 1.0), 1e-6))
+            w = w * k
+            acc = acc + img_s * w[..., None]
+            wacc = wacc + w
+            var_acc = var_acc + _shift2d(lum_var[..., None], dy, dx)[..., 0] \
+                * w * w
+    out = acc / jnp.maximum(wacc, 1e-8)[..., None]
+    out_var = var_acc / jnp.maximum(wacc * wacc, 1e-12)
+    return out, out_var
+
+
+@functools.partial(jax.jit, static_argnames=('iterations', 'use_albedo',
+                                             'use_normals', 'use_depth'))
+def _denoise_impl(noisy, albedo, normal, depth, lum_var, iterations,
+                  use_albedo, use_normals, use_depth,
+                  sigma_l, sigma_a, sigma_n, sigma_d):
+    img = noisy
+    var = lum_var
+    for it in range(iterations):
+        img, var = _atrous_pass(
+            img, var,
+            albedo if use_albedo else None,
+            normal if use_normals else None,
+            depth if use_depth else None,
+            1 << it, sigma_l, sigma_a, sigma_n, sigma_d)
+    return img
+
+
+def denoise(noisy, albedo=None, normals=None, depth=None, variance=None,
+            iterations=4, sigma_l=4.0, sigma_a=0.15, sigma_n=0.25,
+            sigma_d=0.5):
+    """Edge-avoiding à-trous denoise of an (H,W,3) radiance image.
+
+    `albedo` (H,W,3), `normals` (H,W,3) and `depth` (H,W) are optional
+    guides (e.g. from the `aov` integrator). `variance` (H,W) is the
+    per-pixel luminance variance (e.g. from the `moment` integrator); if
+    absent a local 3x3 estimate is used."""
+    noisy = jnp.asarray(noisy)
+    if variance is None:
+        lum = noisy @ jnp.asarray([0.2126, 0.7152, 0.0722], noisy.dtype)
+        mu = sum(_shift2d(lum[..., None], dy, dx)[..., 0]
+                 for dy in (-1, 0, 1) for dx in (-1, 0, 1)) / 9.0
+        mu2 = sum(_shift2d((lum * lum)[..., None], dy, dx)[..., 0]
+                  for dy in (-1, 0, 1) for dx in (-1, 0, 1)) / 9.0
+        variance = jnp.maximum(mu2 - mu * mu, 0.0)
+    nrm = None
+    if normals is not None:
+        nrm = jnp.asarray(normals)
+        nrm = nrm / jnp.maximum(
+            jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-8)
+    return _denoise_impl(
+        noisy,
+        jnp.zeros_like(noisy) if albedo is None else jnp.asarray(albedo),
+        jnp.zeros_like(noisy) if nrm is None else nrm,
+        jnp.zeros(noisy.shape[:2], noisy.dtype) if depth is None
+        else jnp.asarray(depth),
+        jnp.asarray(variance), int(iterations),
+        albedo is not None, normals is not None, depth is not None,
+        float(sigma_l), float(sigma_a), float(sigma_n), float(sigma_d))
+
+
+class Denoiser:
+    """Stateful wrapper mirroring mitsuba.OptixDenoiser's call surface
+    (optixdenoiser.h:45: input_size, albedo, normals, temporal)."""
+
+    def __init__(self, input_size, albedo=True, normals=True,
+                 temporal=False, iterations=4):
+        self.input_size = tuple(input_size)
+        self.use_albedo = bool(albedo)
+        self.use_normals = bool(normals)
+        self.temporal = bool(temporal)
+        self.iterations = int(iterations)
+
+    def __call__(self, noisy, albedo=None, normals=None, to_sensor=None,
+                 flow=None, previous_denoised=None, denoise_alpha=True,
+                 depth=None, variance=None):
+        noisy = jnp.asarray(noisy)
+        alpha = None
+        if noisy.shape[-1] == 4:
+            noisy, alpha = noisy[..., :3], noisy[..., 3:]
+        if normals is not None and to_sensor is not None:
+            # rotate world-frame normals into the sensor frame
+            Mrot = jnp.asarray(to_sensor)[..., :3, :3]
+            normals = jnp.einsum('ij,hwj->hwi', Mrot, jnp.asarray(normals))
+        out = denoise(noisy,
+                      albedo=albedo if self.use_albedo else None,
+                      normals=normals if self.use_normals else None,
+                      depth=depth, variance=variance,
+                      iterations=self.iterations)
+        if self.temporal and previous_denoised is not None:
+            prev = jnp.asarray(previous_denoised)[..., :3]
+            if flow is not None:
+                H, W = prev.shape[:2]
+                yy, xx = jnp.meshgrid(jnp.arange(H), jnp.arange(W),
+                                      indexing='ij')
+                fy = jnp.clip((yy - jnp.asarray(flow)[..., 1]).astype(jnp.int32),
+                              0, H - 1)
+                fx = jnp.clip((xx - jnp.asarray(flow)[..., 0]).astype(jnp.int32),
+                              0, W - 1)
+                prev = prev[fy, fx]
+            out = 0.8 * out + 0.2 * prev
+        if alpha is not None:
+            out = jnp.concatenate([out, alpha], -1)
+        return out

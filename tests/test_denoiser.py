@@ -1,0 +1,90 @@
+"""Denoiser tests (TPU-native equivalent of the reference OptixDenoiser,
+optixdenoiser.h:45-92): edge-avoiding à-trous with albedo/normal guides."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import mitsuba_tpu as mt
+from mitsuba_tpu.core.transform import ScalarTransform4f as T
+from mitsuba_tpu.utils.denoiser import Denoiser, denoise
+
+
+def _scene(spp_aov=False):
+    return {
+        'type': 'scene',
+        'integrator': {'type': 'path', 'max_depth': 4},
+        'sensor': {'type': 'perspective', 'fov': 45.0,
+                   'to_world': T.look_at(origin=[0, 1, 3.5], target=[0, 0, 0],
+                                         up=[0, 1, 0]),
+                   'film': {'type': 'hdrfilm', 'width': 48, 'height': 48,
+                            'rfilter': {'type': 'box'}}},
+        'floor': {'type': 'rectangle',
+                  'to_world': T.rotate([1, 0, 0], -90).scale(4.0),
+                  'bsdf': {'type': 'diffuse',
+                           'reflectance': {'type': 'checkerboard',
+                                           'color0': [0.7, 0.2, 0.2],
+                                           'color1': [0.2, 0.2, 0.7]}}},
+        'ball': {'type': 'sphere',
+                 'to_world': T.translate([0, 0.5, 0]).scale(0.5),
+                 'bsdf': {'type': 'diffuse', 'reflectance': 0.6}},
+        'light': {'type': 'rectangle',
+                  'to_world': T.translate([0, 3, 0]).rotate([1, 0, 0], 90),
+                  'emitter': {'type': 'area', 'radiance': 12.0}},
+    }
+
+
+@pytest.fixture(scope='module')
+def renders():
+    scene = mt.load_dict(_scene())
+    noisy = np.asarray(mt.render(scene, spp=4, seed=1))
+    clean = np.asarray(mt.render(scene, spp=256, seed=2))
+    aov_scene = mt.load_dict({**_scene(),
+                              'integrator': {'type': 'aov',
+                                             'aovs': 'albedo:albedo,'
+                                                     'n:sh_normal,'
+                                                     'd:depth',
+                                             'integrator': {'type': 'path',
+                                                            'max_depth': 4}}})
+    aovs = np.asarray(mt.render(aov_scene, spp=16, seed=3))
+    return noisy, clean, aovs
+
+
+def test_denoise_reduces_mse(renders):
+    noisy, clean, aovs = renders
+    albedo = aovs[..., 3:6]
+    normal = aovs[..., 6:9]
+    depth = aovs[..., 9]
+    out = np.asarray(denoise(noisy, albedo=albedo, normals=normal,
+                             depth=depth))
+    assert np.isfinite(out).all()
+    mse_in = float(((noisy - clean) ** 2).mean())
+    mse_out = float(((out - clean) ** 2).mean())
+    # the filter must remove a solid chunk of the Monte-Carlo noise
+    assert mse_out < 0.5 * mse_in, (mse_in, mse_out)
+
+
+def test_denoise_preserves_flat_regions():
+    """A constant image is a fixed point of the filter."""
+    img = np.full((32, 32, 3), 0.25, np.float32)
+    out = np.asarray(denoise(jnp.asarray(img)))
+    np.testing.assert_allclose(out, img, rtol=1e-5, atol=1e-6)
+
+
+def test_denoiser_class_surface(renders):
+    """The OptixDenoiser-like stateful wrapper: alpha passthrough, sensor
+    transform, temporal blend."""
+    noisy, clean, aovs = renders
+    H, W = noisy.shape[:2]
+    den = Denoiser((W, H), albedo=True, normals=True, temporal=True)
+    rgba = np.concatenate([noisy, np.ones((H, W, 1), np.float32)], -1)
+    prev = np.asarray(denoise(noisy))
+    out = np.asarray(den(rgba, albedo=aovs[..., 3:6], normals=aovs[..., 6:9],
+                         to_sensor=np.eye(4, dtype=np.float32),
+                         flow=np.zeros((H, W, 2), np.float32),
+                         previous_denoised=prev))
+    assert out.shape == (H, W, 4)
+    np.testing.assert_allclose(out[..., 3], 1.0)
+    assert np.isfinite(out).all()
+    mse_out = float(((out[..., :3] - clean) ** 2).mean())
+    mse_in = float(((noisy - clean) ** 2).mean())
+    assert mse_out < 0.6 * mse_in

@@ -33,7 +33,11 @@ class FilmConfig:
     def border(self):
         return self.rfilter.border_size
 
-    def new_block(self, dtype=jnp.float32):
+    def new_block(self, dtype=None):
+        if dtype is None:
+            # canonical float dtype: f64 under jax_enable_x64 (double variant)
+            import jax as _jax
+            dtype = _jax.dtypes.canonicalize_dtype(jnp.float64)
         b = self.border
         return jnp.zeros((self.height + 2 * b, self.width + 2 * b,
                           self.channels + 1), dtype)

@@ -83,6 +83,12 @@ def load_dict(d: dict, spectral=None) -> Scene:
         import mitsuba_tpu as _mt
         spectral = bool(d.get('spectral', False)) or \
             ('spectral' in getattr(_mt, '_variant', ''))
+    # double-precision variant: variants collapse into a pytree dtype cast
+    # (SURVEY §1 TPU mapping); requires jax_enable_x64
+    import mitsuba_tpu as _mt2
+    double = bool(d.get('double', False)) or \
+        ('double' in getattr(_mt2, '_variant', ''))
+    d = {k: v for k, v in d.items() if k != 'double'}
     # specfilm only exists in spectral variants (specfilm.cpp)
     for v in d.values():
         if isinstance(v, dict) and v.get('type') in _SENSOR_TYPES:
@@ -390,7 +396,7 @@ def load_dict(d: dict, spectral=None) -> Scene:
         pt = np.full(1, -1, np.int32)
         ps = np.ones(1, np.float32)
 
-    return Scene(
+    scene = Scene(
         shapes=tables,
         shape_types=tuple(order),
         type_offsets=tuple(type_offsets),
@@ -421,3 +427,15 @@ def load_dict(d: dict, spectral=None) -> Scene:
         medium=(None if medium_props is None else _build_medium(medium_props)),
         spectral=spectral,
     )
+    if double:
+        import jax as _jax
+        if not _jax.config.jax_enable_x64:
+            raise ValueError("double-precision variant needs "
+                             "jax.config.update('jax_enable_x64', True) "
+                             "before loading the scene")
+        import jax.tree_util as _jtu
+        scene = _jtu.tree_map(
+            lambda x: x.astype(jnp.float64)
+            if hasattr(x, 'dtype') and jnp.issubdtype(x.dtype, jnp.floating)
+            else x, scene)
+    return scene

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import math as pymath
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -315,6 +316,8 @@ def next_1d(s: SamplerState):
         v = _orthogonal_1d(s)
     else:
         v = _iid(s)
+    # canonical float dtype: f64 under jax_enable_x64 (double variant)
+    v = v.astype(jax.dtypes.canonicalize_dtype(jnp.float64))
     return v, s.replace(ctr=s.ctr + U32(1))
 
 
@@ -332,6 +335,7 @@ def next_2d(s: SamplerState):
         v = _orthogonal_2d(s)
     else:
         v = jnp.stack([_iid(s, 0), _iid(s, 1)], -1)
+    v = v.astype(jax.dtypes.canonicalize_dtype(jnp.float64))
     return v, s.replace(ctr=s.ctr + U32(2))
 
 

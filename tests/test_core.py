@@ -203,3 +203,62 @@ def test_rgbe_via_generic_read_write(tmp_path):
     back = read(p)
     err = np.abs(back - img) / np.maximum(img.max(-1, keepdims=True), 1e-9)
     assert err.max() < 0.01
+
+
+# ---------------------------------------------------------------------------
+# double-precision variant (SURVEY §1: variants collapse into dtype choice;
+# reference single/double precision axis, mitsuba.conf.template:9-75)
+# ---------------------------------------------------------------------------
+
+def test_double_precision_variant(tmp_path):
+    """The 'double' scene flag + jax_enable_x64 renders end-to-end in f64
+    and matches the f32 render of this process to fp32 accuracy. x64 is a
+    process-global switch, so the f64 render runs in a subprocess."""
+    import subprocess, sys, json
+    scene_src = '''
+import jax
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', True)
+import sys, json
+sys.path.insert(0, %r)
+import numpy as np
+import mitsuba_tpu as mt
+from mitsuba_tpu.core.transform import ScalarTransform4f as T
+d = {
+    'type': 'scene', 'double': True,
+    'integrator': {'type': 'path', 'max_depth': 3},
+    'sensor': {'type': 'perspective', 'fov': 45.0,
+               'to_world': T.look_at(origin=[0,0,3], target=[0,0,0], up=[0,1,0]),
+               'film': {'type': 'hdrfilm', 'width': 16, 'height': 16,
+                        'rfilter': {'type': 'gaussian'}}},
+    'ball': {'type': 'sphere', 'bsdf': {'type': 'diffuse', 'reflectance': 0.5}},
+    'light': {'type': 'constant', 'radiance': 1.0},
+}
+scene = mt.load_dict(d)
+img = np.asarray(mt.render(scene, spp=8))
+assert img.dtype == np.float64, img.dtype
+print(json.dumps({'mean': float(img.mean()), 'dtype': str(img.dtype)}))
+''' % str(__import__('pathlib').Path(__file__).resolve().parents[1])
+    out = subprocess.run([sys.executable, '-c', scene_src],
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res['dtype'] == 'float64'
+
+    # f32 render of the same scene in this process
+    import mitsuba_tpu as mt
+    from mitsuba_tpu.core.transform import ScalarTransform4f as T
+    d = {
+        'type': 'scene',
+        'integrator': {'type': 'path', 'max_depth': 3},
+        'sensor': {'type': 'perspective', 'fov': 45.0,
+                   'to_world': T.look_at(origin=[0, 0, 3], target=[0, 0, 0],
+                                         up=[0, 1, 0]),
+                   'film': {'type': 'hdrfilm', 'width': 16, 'height': 16,
+                            'rfilter': {'type': 'gaussian'}}},
+        'ball': {'type': 'sphere',
+                 'bsdf': {'type': 'diffuse', 'reflectance': 0.5}},
+        'light': {'type': 'constant', 'radiance': 1.0},
+    }
+    img32 = np.asarray(mt.render(mt.load_dict(d), spp=8))
+    assert abs(res['mean'] - float(img32.mean())) < 1e-4

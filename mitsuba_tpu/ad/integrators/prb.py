@@ -179,7 +179,9 @@ def _primal_scan(scene, sampler, ray, max_depth, rr_depth):
         beta_n = beta_n * jnp.where(rr_act, 1.0 / jnp.maximum(rr_prob, 1e-8),
                                     1.0)[..., None]
         active_n = out['active_n'] & rr_cont & (out['bs'].pdf > 0) & (beta_max > 0)
-        carry = (out['new_o'], out['new_d'], L, beta_n, eta_n, active_n,
+        new_o, new_d = sc.deaden_ray(scene, out['new_o'], out['new_d'],
+                                     active_n)
+        carry = (new_o, new_d, L, beta_n, eta_n, active_n,
                  out['bs'].pdf, out['prev_delta_n'], out['si'].p, smpl)
         return carry, None
 
@@ -264,7 +266,9 @@ def _replay_backward(scene, sampler, ray, delta_L, L_total, max_depth, rr_depth)
         # remaining radiance also absorbs the rr compensation
         L_next = L_next * jnp.where(rr_act & rr_cont,
                                     jnp.maximum(rr_prob, 1e-8), 1.0)[..., None]
-        carry = (out['new_o'], out['new_d'], L_next, beta_n, eta_n, active_n,
+        new_o, new_d = sc.deaden_ray(scene_det, out['new_o'], out['new_d'],
+                                     active_n)
+        carry = (new_o, new_d, L_next, beta_n, eta_n, active_n,
                  out['bs'].pdf, out['prev_delta_n'], out['si'].p, smpl_next, cot)
         return carry, None
 

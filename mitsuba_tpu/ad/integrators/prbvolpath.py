@@ -154,7 +154,9 @@ def _primal_scan(scene, sampler, ray, max_depth, rr_depth, hide_emitters):
                                 prev_delta, active, depth, hide_emitters)
         L = L + beta * (out['emit'] + out['dir'])
         beta_n, active_n, _ = _advance(out, beta, depth, rr_depth)
-        carry = (out['new_o'], out['new_d'], L, beta_n, active_n,
+        new_o, new_d = sc.deaden_ray(scene, out['new_o'], out['new_d'],
+                                     active_n)
+        carry = (new_o, new_d, L, beta_n, active_n,
                  out['pdf_new'], out['delta_new'], out['evt_p'], smpl)
         return carry, None
 
@@ -200,7 +202,9 @@ def _replay_backward(scene, sampler, ray, delta_L, L_total, max_depth,
         beta_n, active_n, rr_comp = _advance(out, beta, depth, rr_depth)
         # the remaining radiance absorbs the rr compensation like prb.py
         L_next = L_next / rr_comp[..., None]
-        carry = (out['new_o'], out['new_d'], L_next, beta_n, active_n,
+        new_o, new_d = sc.deaden_ray(scene_det, out['new_o'], out['new_d'],
+                                     active_n)
+        carry = (new_o, new_d, L_next, beta_n, active_n,
                  out['pdf_new'], out['delta_new'], out['evt_p'], smpl_next,
                  cot)
         return carry, None

@@ -128,8 +128,12 @@ def sample(scene: sc.Scene, sampler: sa.SamplerState, ray: Ray,
 
         active = active & rr_continue & (bs.pdf > 0) & (beta_max > 0)
 
+        # deaden inactive lanes (garbage origins tax the worst-lane-gated
+        # traversal loops; see sc.deaden_ray)
+        new_o, new_d = sc.deaden_ray(scene, new_ray.o, new_ray.d, active)
+
         new_state = PathState(
-            o=new_ray.o, d=new_ray.d, L=L, beta=beta, eta=eta, active=active,
+            o=new_o, d=new_d, L=L, beta=beta, eta=eta, active=active,
             prev_pdf=bs.pdf, prev_delta=prev_delta, prev_p=si.p,
             sampler=smpl, valid=valid)
         return new_state, None

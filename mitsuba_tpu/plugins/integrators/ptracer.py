@@ -168,6 +168,7 @@ def render_ptracer(scene, spp: int, seed: int = 0, max_depth: int = 8,
         cont = ~rr_act | (u_rr < rr_prob)
         beta = beta * jnp.where(rr_act, 1.0 / jnp.maximum(rr_prob, 1e-8), 1.0)[..., None]
         active = active & cont & (bs.pdf > 0) & (beta_max > 0)
+        o_new, d_new = sc.deaden_ray(scene, o_new, d_new, active)
         return (o_new, d_new, beta, active, smpl, block), None
 
     carry = (o, d, beta, jnp.ones((n,), bool), smpl, block)

@@ -246,7 +246,8 @@ def sample(scene, cfg, sampler, ray):
                           1.0)[..., None, None, None]
         active = active & cont & (bs.pdf > 0) & (t00 > 0)
 
-        return dict(o=new_ray.o, d=wo_world, T=T, basis=basis, L=L,
+        new_o, new_d = sc.deaden_ray(scene, new_ray.o, wo_world, active)
+        return dict(o=new_o, d=new_d, T=T, basis=basis, L=L,
                     active=active, prev_pdf=bs.pdf, prev_delta=prev_delta,
                     prev_p=si.p, valid=valid, sampler=smpl), None
 

@@ -124,6 +124,8 @@ def sample(scene, sampler, ray, max_depth, rr_depth=5, hide_emitters=False):
         beta = beta * jnp.where(rr_act, 1.0 / jnp.maximum(rr_prob, 1e-8), 1.0)[..., None]
         active = active & rr_cont & (pdf_new > 0) & (beta_max > 0)
 
+        # deaden inactive lanes (worst-lane-gated traversal; sc.deaden_ray)
+        o_new, d_new = sc.deaden_ray(scene, o_new, d_new, active)
         new_st = dict(o=o_new, d=d_new, L=L, beta=beta, active=active,
                       prev_pdf=pdf_new, prev_delta=delta_new,
                       prev_p=si_evt.p, valid=valid, sampler=smpl)

@@ -319,6 +319,11 @@ class heightfield:
         smaller program (ray_test doesn't need the nearest hit)."""
         o = jax.lax.stop_gradient(o)
         d = jax.lax.stop_gradient(d)
+        # materialize the ray inputs before the march: when intersect() is
+        # composed with upstream work (NEE warp, bounce shading) in one jit,
+        # XLA otherwise fuses/rematerializes those producers INTO the while
+        # body and recomputes them every DDA iteration (~6x slower bounce)
+        o, d = jax.lax.optimization_barrier((o, d))
         ts, uvs, prims = [], [], []
         for s in range(len(tbl.heights)):
             h = jax.lax.stop_gradient(tbl.heights[s])

@@ -202,6 +202,19 @@ def compute_surface_interaction(scene: Scene, ray: Ray,
         prim_uv=pi.prim_uv)
 
 
+def deaden_ray(scene: Scene, o, d, active):
+    """Replace inactive lanes' rays with a trivially-missing ray (straight up
+    from far above the scene). Dead lanes carry garbage-but-finite origins
+    (e.g. si.p of an escaped ray) whose march traverses the entire accel
+    structure; TPU while_loops gate on the WORST lane, so a few garbage
+    lanes tax every traversal (measured 5-7x on the heightfield bench)."""
+    dead_o = scene.bbox_center + jnp.asarray([0.0, 1.0, 0.0], o.dtype) * \
+        (4.0 * scene.bbox_radius)
+    up = jnp.asarray([0.0, 1.0, 0.0], d.dtype)
+    return (jnp.where(active[..., None], o, dead_o),
+            jnp.where(active[..., None], d, up))
+
+
 def ray_intersect(scene: Scene, ray: Ray) -> SurfaceInteraction:
     return compute_surface_interaction(scene, ray, ray_intersect_preliminary(scene, ray))
 
@@ -466,6 +479,10 @@ def sample_emitter_direction(scene: Scene, si: SurfaceInteraction, sample2,
     active_s = active & (pdf_out > 0)
     if test_visibility:
         shadow_ray, _ = si.spawn_ray_to(ds.p)
+        # deaden inactive lanes before the march (worst-lane gating;
+        # see deaden_ray) — measured 7x on the heightfield bench
+        so, sd = deaden_ray(scene, shadow_ray.o, shadow_ray.d, active_s)
+        shadow_ray = shadow_ray.replace(o=so, d=sd)
         occluded = ray_test(scene, shadow_ray)
         active_s = active_s & ~occluded
     value = jnp.where(active_s[..., None], val_out, 0.0)

@@ -64,6 +64,18 @@ def build_max_mip(heights):
 
 class heightfield:
     Table = HeightfieldTable
+    # wavefront-compaction cascade: (iteration cap, lane-width divisor) per
+    # stage; the last stage must cap at max_steps (exactness backstop runs
+    # after it regardless)
+    # tuned on-chip, in-render, on the BASELINE config (512^2 grid, 65k
+    # lanes, full path-tracer ray mix): the landscape is cliffy — when a
+    # stage's survivors overflow its slot count, the overflow lanes fall
+    # through to the next stage, so the cascade ends with progressively
+    # WIDER catcher stages; without them overflow hits the full-width
+    # max-cap backstop (measured 1.5x whole-pass regression). This set
+    # measured 3.0s/pass vs 5.1s for 64/320@4/inf@16 (and 27.6s before
+    # lane deadening).
+    CASCADE = ((32, 1), (320, 4), (10 ** 9, 16), (10 ** 9, 8), (10 ** 9, 2))
 
     @staticmethod
     def build(props_list):
@@ -292,9 +304,14 @@ class heightfield:
             return tuple(merged) + (jnp.asarray(0, jnp.int32),)
 
         if compact and n >= 256:
-            state = run_loop(lane_full, state, min(64, max_steps))
-            state = compact_stage(state, 4, min(320, max_steps))
-            state = compact_stage(state, 16, max_steps)
+            # cascade: (cap, width_fraction) stages; tuned empirically on the
+            # BASELINE heightfield config (camera + envmap-shadow rays, 512^2
+            # grid, 65k lanes) where >94% of lanes finish within 16 iterations
+            cascade = heightfield.CASCADE
+            first_cap, _ = cascade[0]
+            state = run_loop(lane_full, state, min(first_cap, max_steps))
+            for cap, frac in cascade[1:]:
+                state = compact_stage(state, frac, min(cap, max_steps))
         else:
             state = run_loop(lane_full, state, max_steps)
 

@@ -61,7 +61,7 @@ def _watchdog(total_budget_s=480.0):
     return t
 
 
-def main():
+def main(deadline):
     import mitsuba_tpu as mt
     from mitsuba_tpu.render.integrator import render_pass
     from mitsuba_tpu.render import film as film_mod
@@ -69,10 +69,12 @@ def main():
     backend = jax.default_backend()
     RESULT["detail"]["backend"] = backend
 
-    # ---- stage 0: tiny probe (catches device faults early & cheaply) ----
+    # ---- stage 0: tiny probe (catches device faults early & cheaply).
+    # The first compile on a cold axon tunnel has been observed to take
+    # minutes (remote compile service warmup), so keep the probe minimal.
     t0 = time.time()
-    probe = mt.load_dict(mt.cornell_box(spp=2, res=32, max_depth=2))
-    img = mt.render(probe, spp=2)
+    probe = mt.load_dict(mt.cornell_box(spp=1, res=16, max_depth=1))
+    img = mt.render(probe, spp=1)
     np.asarray(img)
     RESULT["detail"]["probe_s"] = round(time.time() - t0, 2)
     RESULT["detail"]["stage"] = "probe_ok"
@@ -103,6 +105,9 @@ def main():
         grad_ok = bool(np.isfinite(np.asarray(g0)).all()) and \
             float(jnp.abs(g0).max()) > 0
         RESULT["detail"]["grad_finite_nonzero"] = grad_ok
+        # measurement budget = whatever remains before the watchdog, minus
+        # a margin for the final emit (compile already happened above)
+        budget_s = min(budget_s, deadline - time.time() - 30.0)
         n_passes = spp // spp_pass
         t0 = time.time()
         acc = jnp.zeros_like(h0)
@@ -127,15 +132,22 @@ def main():
         })
 
     # mid-scale first: its number is banked if the full config trips the
-    # device; then the BASELINE-scale config overwrites on success
-    measure(128, 128, 2, 45.0, "mid")
-    measure(512, 256, 1, 90.0, "full")
+    # device; then the BASELINE-scale config overwrites on success. The full
+    # stage gets whatever time remains before the watchdog (compiles on the
+    # cold tunnel can eat minutes of the budget).
+    measure(128, 128, 2, 30.0, "mid")
+    if deadline - time.time() > 90.0:
+        measure(512, 256, 1, 120.0, "full")
+    else:
+        RESULT["detail"]["full_skipped"] = "budget exhausted by compiles"
 
 
 if __name__ == '__main__':
-    _watchdog()
+    _BUDGET_S = 480.0
+    _watchdog(_BUDGET_S)
+    _deadline = time.time() + _BUDGET_S
     try:
-        main()
+        main(_deadline)
     except Exception as e:  # noqa: BLE001 — always emit a JSON line
         RESULT["detail"]["error"] = f'{type(e).__name__}: {e}'[:300]
     emit()

@@ -102,21 +102,12 @@ class heightfield:
         return jax.lax.complex(h[:, :-1], h[:, 1:])   # (R, C-1)
 
     @staticmethod
-    def _patch_hit(h_pairs, ix, iz, o, d, t0, t1, R, C):
+    def _patch_hit_vals(h00, h01, h10, h11, ixc, izc, o, d, t0, t1, R, C):
         """Quadratic solve of y(t) = h_bilinear(x(t), z(t)) within cell
-        (ix, iz) over t in [t0, t1]. Returns (hit, t).
-        h_pairs: complex-packed adjacent pairs from _pack_pairs."""
+        (ixc, izc) over t in [t0, t1], corner heights given in-register.
+        Returns (hit, t)."""
         W = C - 1
         H = R - 1
-        ixc = jnp.clip(ix, 0, W - 1)
-        izc = jnp.clip(iz, 0, H - 1)
-        flat = h_pairs.reshape(-1)
-        top = flat[izc * W + ixc]
-        bot = flat[(izc + 1) * W + ixc]
-        h00 = jnp.real(top)
-        h01 = jnp.imag(top)
-        h10 = jnp.real(bot)
-        h11 = jnp.imag(bot)
         # local coords: u = x*W - ix in [0,1], v = z*H - iz
         u0 = o[..., 0] * W - ixc
         v0 = o[..., 2] * H - izc
@@ -137,6 +128,20 @@ class heightfield:
         t = jnp.where(ok0, r0, jnp.where(ok1, r1, jnp.inf))
         return jnp.isfinite(t), t
 
+    @staticmethod
+    def _patch_hit(h_pairs, ix, iz, o, d, t0, t1, R, C):
+        """Gathering wrapper around _patch_hit_vals (compute_si path)."""
+        W = C - 1
+        H = R - 1
+        ixc = jnp.clip(ix, 0, W - 1)
+        izc = jnp.clip(iz, 0, H - 1)
+        flat = h_pairs.reshape(-1)
+        top = flat[izc * W + ixc]
+        bot = flat[(izc + 1) * W + ixc]
+        return heightfield._patch_hit_vals(
+            jnp.real(top), jnp.imag(top), jnp.real(bot), jnp.imag(bot),
+            ixc, izc, o, d, t0, t1, R, C)
+
     # ------------------------------------------------------------------
     # traversal for a single instance
     # ------------------------------------------------------------------
@@ -151,7 +156,15 @@ class heightfield:
         h_max = jnp.max(mips[-1]) + 1.0
         h_min = -jnp.max(-h) - 1.0
 
-        h_pairs = heightfield._pack_pairs(h)
+        h_pairs = heightfield._pack_pairs(h)    # (R, C-1) complex pairs
+        # gather-economy tables (2 scalar-core loads per DDA iteration):
+        #   gather 1 — combo: level-0 slots hold the cell's TOP corner pair
+        #   (h00,h01); interior-level slots hold complex(cmax, 0). The leaf
+        #   cmax is recomputed in-register from the four corners (level-0
+        #   mip == corner max by construction, build_max_mip above).
+        #   gather 2 — bot: the cell's BOTTOM corner pair (h10,h11).
+        top_pairs = h_pairs[:-1]                 # (R-1, C-1)
+        bot_flat = h_pairs[1:].reshape(-1)       # (R-1)*(C-1)
         # entry into the bounding box [0,1] x [hmin,hmax] x [0,1]
         inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-9,
                                 jnp.where(d < 0, -1e-9, 1e-9), d)
@@ -173,7 +186,10 @@ class heightfield:
         # a select-chain over the static level list). Only 1 mip gather (+2
         # packed corner gathers at the leaf) remain per iteration.
         import numpy as _np
-        mip_flat = jnp.concatenate([mp.ravel() for mp in mips])
+        combo_flat = jnp.concatenate(
+            [top_pairs.ravel()] +
+            [jax.lax.complex(mp, jnp.zeros_like(mp)).ravel()
+             for mp in mips[1:]])
         sizes = [mp.size for mp in mips]
         offsets_np = _np.cumsum([0] + sizes[:-1]).astype(_np.int32)
 
@@ -190,12 +206,12 @@ class heightfield:
                 off = jnp.where(lvl >= k, jnp.int32(offsets_np[k]), off)
             return off
 
-        def mip_lookup_batch(lvl, iz, ix):
+        def combo_lookup_batch(lvl, iz, ix):
             w_l = ncells(lvl, W)
             h_l = ncells(lvl, H)
             izc = jnp.clip(iz, 0, h_l - 1)
             ixc = jnp.clip(ix, 0, w_l - 1)
-            return mip_flat[offset_of(lvl) + izc * w_l + ixc]
+            return combo_flat[offset_of(lvl) + izc * w_l + ixc]
 
         step_ix_full = jnp.where(d[..., 0] >= 0, 1, -1).astype(jnp.int32)
         step_iz_full = jnp.where(d[..., 2] >= 0, 1, -1).astype(jnp.int32)
@@ -220,18 +236,30 @@ class heightfield:
             tx = (bx - o[..., 0]) * inv_d[..., 0]
             tz = (bz - o[..., 2]) * inv_d[..., 2]
             t_exit = jnp.minimum(jnp.minimum(tx, tz), t_far)
-            # column max at this level
-            cmax = mip_lookup_batch(lvl, iz, ix)
+            # gather 1: cmax at interior levels / top corner pair at leaf
+            g1 = combo_lookup_batch(lvl, iz, ix)
+            at_leaf = lvl == 0
+            ixc0 = jnp.clip(ix, 0, W - 1)
+            izc0 = jnp.clip(iz, 0, H - 1)
+            # gather 2: bottom corner pair (leaf only; interior lanes load a
+            # clamped dummy — the load happens anyway on a SIMD machine)
+            bot = bot_flat[izc0 * W + ixc0]
+            h00 = jnp.real(g1)
+            h01 = jnp.imag(g1)
+            h10 = jnp.real(bot)
+            h11 = jnp.imag(bot)
+            cmax_leaf = jnp.maximum(jnp.maximum(h00, h01),
+                                    jnp.maximum(h10, h11))
+            cmax = jnp.where(at_leaf, cmax_leaf, h00)
             y_a = o[..., 1] + d[..., 1] * t
             y_b = o[..., 1] + d[..., 1] * t_exit
             overlap = (jnp.minimum(y_a, y_b) <= cmax) & (t <= t_exit + eps_t)
 
-            at_leaf = lvl == 0
             # -- leaf: exact patch test (unconditional: a lax.cond inside the
             # while body explodes XLA compile time)
-            hit_leaf, t_leaf = heightfield._patch_hit(
-                h_pairs, ix, iz, o, d, jnp.maximum(t, t_enter) - 2e-5,
-                t_exit, R, C)
+            hit_leaf, t_leaf = heightfield._patch_hit_vals(
+                h00, h01, h10, h11, ixc0, izc0, o, d,
+                jnp.maximum(t, t_enter) - 2e-5, t_exit, R, C)
             leaf_hit = at_leaf & overlap & hit_leaf & active
             t_hit = jnp.where(leaf_hit & (t_leaf < t_hit), t_leaf, t_hit)
 

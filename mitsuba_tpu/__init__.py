@@ -12,6 +12,14 @@ loops, Pallas kernels for the hot ops, and shard_map scale-out.
 """
 from __future__ import annotations
 
+import jax as _jax
+
+# A renderer's matmuls are tiny 4x4/3x3 geometry and Mueller/color contractions
+# — TPU's default bf16 matmul precision injects ~1e-3 coordinate error (false
+# self-shadowing, hit-t drift; see core/transform.py). Full f32 everywhere;
+# there is no MXU-bound workload here that would benefit from bf16.
+_jax.config.update('jax_default_matmul_precision', 'highest')
+
 __version__ = '0.1.0'
 
 from .core.transform import Transform4, ScalarTransform4f  # noqa: F401

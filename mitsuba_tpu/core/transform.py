@@ -12,6 +12,7 @@ Two layers:
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -153,16 +154,26 @@ ScalarTransform4f = _TMeta()
 # jnp application helpers (device-side). mat: (...,4,4); p/v/n: (...,3)
 # ---------------------------------------------------------------------------
 
+# CRITICAL: einsum/matmul on TPU defaults to bf16 multiplication — ~1e-3
+# relative error in transformed coordinates, which showed up as false
+# self-shadowing (ray origins landing BELOW the surface they spawned from)
+# and per-mille hit-t drift. Geometry transforms must run at full f32.
+_HI = jax.lax.Precision.HIGHEST
+
+
 def apply_point(mat, p):
-    r = jnp.einsum('...ij,...j->...i', mat[..., :3, :3], p) + mat[..., :3, 3]
-    w = jnp.einsum('...j,...j->...', mat[..., 3, :3], p) + mat[..., 3, 3]
+    r = jnp.einsum('...ij,...j->...i', mat[..., :3, :3], p,
+                   precision=_HI) + mat[..., :3, 3]
+    w = jnp.einsum('...j,...j->...', mat[..., 3, :3], p,
+                   precision=_HI) + mat[..., 3, 3]
     return r / w[..., None]
 
 
 def apply_vector(mat, v):
-    return jnp.einsum('...ij,...j->...i', mat[..., :3, :3], v)
+    return jnp.einsum('...ij,...j->...i', mat[..., :3, :3], v, precision=_HI)
 
 
 def apply_normal(inv_mat, n):
     """Apply inverse-transpose: pass the INVERSE matrix; contraction transposes."""
-    return jnp.einsum('...ji,...j->...i', inv_mat[..., :3, :3], n)
+    return jnp.einsum('...ji,...j->...i', inv_mat[..., :3, :3], n,
+                      precision=_HI)

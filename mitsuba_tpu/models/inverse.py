@@ -46,8 +46,13 @@ def laplacian(h):
 
 def recover_heights(target_heights, init_heights, n_views=4, iterations=64,
                     lr=0.02, spp=8, res_img=64, seed=0, use_prb=False,
-                    smooth_weight=2e-3, callback=None):
-    """Returns (optimized heights, loss history)."""
+                    smooth_weight=2e-3, callback=None, coarse_to_fine=False):
+    """Returns (optimized heights, loss history).
+
+    coarse_to_fine: optimize a resolution pyramid (res/4 -> res/2 -> res).
+    Worth enabling for large grids (>=128^2) where the fine-scale problem is
+    ill-conditioned; at small test scales the Adam restarts cost more than
+    the conditioning helps, so it is opt-in."""
     import mitsuba_tpu as mt
 
     res_hf = np.asarray(target_heights).shape[0]
@@ -66,11 +71,15 @@ def recover_heights(target_heights, init_heights, n_views=4, iterations=64,
     if use_prb:
         from ..ad.integrators.prb import render_prb
 
-    def make_loss(i):
+    def make_loss(i, cres):
         pv = params_per_view[i]
         tgt = targets[i]
 
-        def loss(h, it):
+        def loss(hc, it):
+            # parameterize the full grid as a bilinear upsample of the
+            # stage-resolution grid (gradient flows through the resize)
+            h = hc if cres == res_hf else jax.image.resize(
+                hc, (res_hf, res_hf), 'linear')
             s2 = pv.scene_with({key: h})
             if use_prb:
                 img = render_prb(s2, spp, 0)
@@ -78,27 +87,43 @@ def recover_heights(target_heights, init_heights, n_views=4, iterations=64,
                 # per-iteration seed: decorrelated gradient noise instead of
                 # overfitting one realization (util.py:515-520 decorrelation)
                 img = mt.render_wavefront(s2, spp=spp, seed=it)
-            reg = smooth_weight * (laplacian(h) ** 2).mean()
+            reg = smooth_weight * (laplacian(hc) ** 2).mean()
             return ((img - tgt) ** 2).mean() + reg
         return jax.jit(jax.value_and_grad(loss))
 
-    loss_fns = [make_loss(i) for i in range(n_views)]
+    if coarse_to_fine and res_hf >= 16:
+        stage_res = [max(res_hf // 4, 8), max(res_hf // 2, 8), res_hf]
+        stage_res = sorted(set(stage_res))
+        per_stage = max(iterations // len(stage_res), 1)
+    else:
+        stage_res = [res_hf]
+        per_stage = iterations
 
-    opt = Adam(lr=lr, params={'h': jnp.asarray(init_heights)})
+    h_cur = jnp.asarray(init_heights)
     history = []
-    for it in range(iterations):
-        # exponential lr decay damps gradient-noise drift once converged
-        opt.set_learning_rate(lr * (0.985 ** it))
-        total = 0.0
-        g_acc = jnp.zeros_like(opt['h'])
-        for i in range(n_views):
-            l, g = loss_fns[i](opt['h'], it)
-            total += float(l)
-            g_acc = g_acc + g
-        opt.step({'h': g_acc / n_views})
-        # keep elevations in a sane band (terrain prior)
-        opt.params['h'] = jnp.clip(opt.params['h'], 0.0, 1.0)
-        history.append(total / n_views)
-        if callback:
-            callback(it, history[-1], opt['h'])
-    return opt['h'], history
+    it_global = 0
+    for cres in stage_res:
+        hc = h_cur if cres == res_hf and h_cur.shape[0] == res_hf else \
+            jax.image.resize(h_cur, (cres, cres), 'linear')
+        loss_fns = [make_loss(i, cres) for i in range(n_views)]
+        opt = Adam(lr=lr, params={'h': hc})
+        for it in range(per_stage):
+            # exponential lr decay damps gradient-noise drift once converged
+            opt.set_learning_rate(lr * (0.985 ** it))
+            total = 0.0
+            g_acc = jnp.zeros_like(opt['h'])
+            for i in range(n_views):
+                l, g = loss_fns[i](opt['h'], it_global)
+                total += float(l)
+                g_acc = g_acc + g
+            opt.step({'h': g_acc / n_views})
+            # keep elevations in a sane band (terrain prior)
+            opt.params['h'] = jnp.clip(opt.params['h'], 0.0, 1.0)
+            history.append(total / n_views)
+            if callback:
+                callback(it_global, history[-1], opt['h'])
+            it_global += 1
+        h_cur = opt['h']
+    if h_cur.shape[0] != res_hf:
+        h_cur = jax.image.resize(h_cur, (res_hf, res_hf), 'linear')
+    return h_cur, history

@@ -131,15 +131,20 @@ def main(deadline):
             "res_img": res_img, "spp_config": spp, "max_depth": max_depth,
         })
 
-    # mid-scale first: its number is banked if the full config trips the
-    # device; then the BASELINE-scale config overwrites on success. The full
-    # stage gets whatever time remains before the watchdog (compiles on the
-    # cold tunnel can eat minutes of the budget).
-    measure(128, 128, 2, 30.0, "mid")
-    if deadline - time.time() > 90.0:
-        measure(512, 256, 1, 120.0, "full")
-    else:
-        RESULT["detail"]["full_skipped"] = "budget exhausted by compiles"
+    # The axon tunnel warmup + first compile can eat minutes of the budget
+    # (observed 100-400s), so measure the BASELINE-scale config FIRST — it is
+    # the headline metric — and add the mid-scale point only if time remains.
+    measure(512, 256, 1, 120.0, "full")
+    if deadline - time.time() > 75.0:
+        full_value = RESULT["value"]
+        full_detail = dict(RESULT["detail"])
+        measure(128, 128, 2, 30.0, "mid")
+        RESULT["detail"]["mid_mrays"] = RESULT["value"]
+        # the headline stays the full-config number
+        RESULT["value"] = full_value
+        RESULT["detail"].update({k: full_detail[k] for k in
+                                 ("stage", "scale", "seconds", "spp_measured",
+                                  "res_hf", "res_img")})
 
 
 if __name__ == '__main__':

@@ -202,10 +202,37 @@ def read_rgbe(path):
             scale[..., None].astype(np.float32))
 
 
-def convert_to_bitmap(img, uint8=True):
-    """util.py:527 convert_to_bitmap: linear -> sRGB uint8."""
+def _bayer(n):
+    """Recursive Bayer ordered-dither matrix, values in [0,1)."""
+    m = np.zeros((1, 1))
+    while m.shape[0] < n:
+        k = m.shape[0]
+        m = np.block([[4 * m + 0, 4 * m + 2],
+                      [4 * m + 3, 4 * m + 1]])
+    return ((m + 0.5) / (m.size)).astype(np.float32)
+
+
+# 256x256 ordered-dither matrix (reference src/core/dither-matrix256.cpp: a
+# precomputed matrix consumed by StructConverter during quantization; the
+# TPU build generates a Bayer matrix of the same size at import)
+DITHER_MATRIX_256 = _bayer(256)
+
+
+def convert_to_bitmap(img, uint8=True, dither=False):
+    """util.py:527 convert_to_bitmap: linear -> sRGB uint8; optional ordered
+    dithering before quantization (bitmap.cpp dither path)."""
     out = _srgb_encode(np.asarray(img, np.float32))
-    return (out * 255 + 0.5).astype(np.uint8) if uint8 else out
+    if not uint8:
+        return out
+    if dither:
+        H, W = out.shape[:2]
+        ty = np.arange(H) % 256
+        tx = np.arange(W) % 256
+        noise = DITHER_MATRIX_256[np.ix_(ty, tx)] - 0.5
+        if out.ndim == 3:
+            noise = noise[..., None]
+        return np.clip(out * 255 + 0.5 + noise, 0, 255).astype(np.uint8)
+    return (out * 255 + 0.5).astype(np.uint8)
 
 
 def write_bitmap(path, img):

@@ -262,3 +262,24 @@ print(json.dumps({'mean': float(img.mean()), 'dtype': str(img.dtype)}))
     }
     img32 = np.asarray(mt.render(mt.load_dict(d), spp=8))
     assert abs(res['mean'] - float(img32.mean())) < 1e-4
+
+
+def test_dither_matrix_and_quantization():
+    """Ordered dithering (reference dither-matrix256.cpp path): the matrix is
+    a uniform permutation, and dithered quantization of a constant gray
+    reproduces the gray in expectation with sub-LSB error."""
+    from mitsuba_tpu.utils.bitmap import DITHER_MATRIX_256, convert_to_bitmap
+    m = DITHER_MATRIX_256
+    assert m.shape == (256, 256)
+    # every value appears exactly once (a permutation of k/65536 + 1/131072)
+    assert abs(float(m.mean()) - 0.5) < 1e-6
+    assert np.unique(m).size == 256 * 256
+    # a constant that falls between two 8-bit levels
+    g = np.full((256, 256, 3), 0.5019, np.float32)   # ~128.3/255 in sRGB? use linear
+    q = convert_to_bitmap(g, dither=True).astype(np.float64)
+    q0 = convert_to_bitmap(g, dither=False).astype(np.float64)
+    # dithered mean is closer to the exact encoded value than hard rounding
+    from mitsuba_tpu.utils.bitmap import _srgb_encode
+    exact = float(_srgb_encode(np.float32(0.5019))) * 255
+    assert abs(q.mean() - exact) <= abs(q0.mean() - exact) + 1e-9
+    assert abs(q.mean() - exact) < 0.05

@@ -19,14 +19,28 @@ from ...render.records import Ray
 from .path import mis_weight
 
 
-def sample(scene, sampler, ray, max_depth, rr_depth=5, hide_emitters=False):
+def sample(scene, sampler, ray, max_depth, rr_depth=5, hide_emitters=False,
+           wl=None):
+    """wl: (N, C) hero wavelengths (spectral variant) or None (rgb). In
+    spectral mode the medium's rgb sigma_t/albedo are upsampled to the hero
+    wavelengths (load-time sigmoid-polynomial fit) and the free-flight /
+    transmittance estimators run per wavelength."""
     med = scene.medium
     n = ray.o.shape[0]
     dt = ray.o.dtype
+    C = 3 if wl is None else wl.shape[-1]
+    if wl is None:
+        sig_lane = jnp.broadcast_to(med.sigma_t[None, :], (n, 3))
+        alb_lane = jnp.broadcast_to(med.albedo[None, :], (n, 3))
+        sig_m = jax.lax.stop_gradient(jnp.mean(med.sigma_t) * med.majorant)
+    else:
+        sig_lane, alb_lane = med_mod.spectral_sigmas(med, wl)
+        # the tracking majorant must bound sigma over the whole spectrum
+        sig_m = jax.lax.stop_gradient(med.sigma_t_max * med.majorant)
 
     state = dict(
         o=ray.o, d=ray.d,
-        L=jnp.zeros((n, 3), dt), beta=jnp.ones((n, 3), dt),
+        L=jnp.zeros((n, C), dt), beta=jnp.ones((n, C), dt),
         active=jnp.ones((n,), bool),
         prev_pdf=jnp.ones((n,), dt), prev_delta=jnp.ones((n,), bool),
         prev_p=ray.o, valid=jnp.zeros((n,), bool), sampler=sampler)
@@ -39,12 +53,13 @@ def sample(scene, sampler, ray, max_depth, rr_depth=5, hide_emitters=False):
 
         if med.density is not None:
             # heterogeneous: delta tracking against the global majorant
-            t_med, is_medium, w_tr, smpl = med_mod.sample_interaction_het(
-                med, smpl, st['o'], st['d'], maxt)
+            t_med, is_medium, w_tr, smpl = med_mod.sample_interaction_het_sig(
+                med, sig_lane, sig_m, smpl, st['o'], st['d'], maxt)
         else:
             u_t, smpl = sa.next_1d(smpl)
             u_c, smpl = sa.next_1d(smpl)
-            t_med, is_medium, w_tr = med_mod.sample_interaction(med, u_t, u_c, maxt)
+            t_med, is_medium, w_tr = med_mod.sample_interaction_sig(
+                sig_lane, u_t, u_c, maxt)
         is_medium = is_medium & st['active']
         beta = st['beta'] * w_tr
 
@@ -52,13 +67,13 @@ def sample(scene, sampler, ray, max_depth, rr_depth=5, hide_emitters=False):
 
         # ---- emission on surface path (attenuated, MIS vs prev bounce) ----
         hit_em = st['active'] & ~is_medium & (si.emitter_index >= 0)
-        Le = sc.eval_emitter_hit(scene, si, hit_em)
+        Le = sc.eval_emitter_hit(scene, si, hit_em, wl=wl)
         pdf_light = sc.pdf_emitter_direction(scene, st['prev_p'], si, hit_em)
         mis_b = jnp.where(st['prev_delta'], 1.0, mis_weight(st['prev_pdf'], pdf_light))
         show = jnp.where(depth == 0, not hide_emitters, True)
         L = st['L'] + beta * Le * (mis_b * show)[..., None]
         escaped = st['active'] & ~is_medium & ~si.is_valid
-        Lenv = sc.eval_environment(scene, st['d'], escaped)
+        Lenv = sc.eval_environment(scene, st['d'], escaped, wl=wl)
         pdf_env = sc.pdf_env_direction(scene, st['d'], escaped)
         mis_e = jnp.where(st['prev_delta'], 1.0, mis_weight(st['prev_pdf'], pdf_env))
         L = L + beta * Lenv * (mis_e * show)[..., None]
@@ -73,7 +88,7 @@ def sample(scene, sampler, ray, max_depth, rr_depth=5, hide_emitters=False):
         ds, em_w = sc.sample_emitter_direction(scene, si_evt,
                                                jax.lax.stop_gradient(s_em),
                                                test_visibility=True,
-                                               active=active_em)
+                                               active=active_em, wl=wl)
         # attenuate by medium transmittance along the shadow segment.
         # Inactive lanes carry si.p = inf so ds.dist = inf; exp(-sigma*inf)
         # has a 0*inf = NaN backward even under the where-mask — zero the
@@ -81,15 +96,17 @@ def sample(scene, sampler, ray, max_depth, rr_depth=5, hide_emitters=False):
         dist_sh = jnp.where(active_em & jnp.isfinite(ds.dist), ds.dist, 0.0)
         p_sh = jnp.where(active_em[..., None], si_evt.p, st['o'])
         if med.density is not None:
-            tr_sh, smpl = med_mod.transmittance_het(med, smpl, p_sh, ds.d,
-                                                    dist_sh)
+            tr_sh, smpl = med_mod.transmittance_het_sig(med, sig_lane, sig_m,
+                                                        smpl, p_sh, ds.d,
+                                                        dist_sh)
         else:
-            tr_sh = med_mod.transmittance(med, dist_sh)
+            tr_sh = med_mod.transmittance_sig(sig_lane, dist_sh)
         em_w = em_w * tr_sh
         # scattering value toward the light: phase (medium) or bsdf (surface)
         wo_local = si.to_local(ds.d)
-        b_val, b_pdf = bsdf_mod.eval_pdf(scene, si, wo_local, active_em & ~is_medium)
-        ph_val3 = med.albedo[None, :] * med_mod.phase_eval(med, -st['d'], ds.d)[..., None]
+        b_val, b_pdf = bsdf_mod.eval_pdf(scene, si, wo_local,
+                                         active_em & ~is_medium, wl=wl)
+        ph_val3 = alb_lane * med_mod.phase_eval(med, -st['d'], ds.d)[..., None]
         scat_val = jnp.where(is_medium[..., None], ph_val3, b_val)
         scat_pdf = jnp.where(is_medium,
                              med_mod.phase_eval(med, -st['d'], ds.d), b_pdf)
@@ -104,12 +121,12 @@ def sample(scene, sampler, ray, max_depth, rr_depth=5, hide_emitters=False):
         s2, smpl = sa.next_2d(smpl)
         bs, b_weight = bsdf_mod.sample(scene, si, jax.lax.stop_gradient(s1),
                                        jax.lax.stop_gradient(s2),
-                                       active & ~is_medium)
+                                       active & ~is_medium, wl=wl)
         wo_ph, pdf_ph = med_mod.phase_sample(med, -st['d'], jax.lax.stop_gradient(s2))
         d_new = jnp.where(is_medium[..., None], wo_ph, si.to_world(bs.wo))
         o_surf = si.spawn_ray(si.to_world(bs.wo)).o
         o_new = jnp.where(is_medium[..., None], p_evt, o_surf)
-        w_new = jnp.where(is_medium[..., None], med.albedo[None, :], b_weight)
+        w_new = jnp.where(is_medium[..., None], alb_lane, b_weight)
         beta = beta * w_new
         pdf_new = jnp.where(is_medium, pdf_ph, bs.pdf)
         delta_new = jnp.where(is_medium, False,

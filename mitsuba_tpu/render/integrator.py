@@ -46,10 +46,17 @@ def _sample_radiance(scene, cfg, sampler, ray, wl=None):
             emitter_samples=int(cfg.get('emitter_samples', 1)),
             bsdf_samples=int(cfg.get('bsdf_samples', 1)),
             hide_emitters=bool(cfg.get('hide_emitters', False)), wl=wl)
+    if kind in ('volpath', 'volpathmis', 'prbvolpath'):
+        from ..plugins.integrators import volpath as vol_mod
+        return vol_mod.sample(scene, sampler, ray,
+                              max_depth=int(cfg.get('max_depth', 8)),
+                              rr_depth=int(cfg.get('rr_depth', 5)),
+                              hide_emitters=bool(cfg.get('hide_emitters', False)),
+                              wl=wl)
     if wl is not None:
         raise NotImplementedError(
             f'integrator {kind!r} does not support the spectral variant yet '
-            '(supported: path/prb/direct/depth)')
+            '(supported: path/prb/direct/depth/volpath)')
     if kind == 'depth':
         si = sc.ray_intersect(scene, ray)
         d = jnp.where(si.is_valid, si.t, 0.0)
@@ -62,12 +69,6 @@ def _sample_radiance(scene, cfg, sampler, ray, wl=None):
         return stokes_mod.sample(scene, cfg, sampler, ray)
     if kind in CUSTOM_INTEGRATORS:
         return CUSTOM_INTEGRATORS[kind](scene, cfg, sampler, ray)
-    if kind in ('volpath', 'volpathmis', 'prbvolpath'):
-        from ..plugins.integrators import volpath as vol_mod
-        return vol_mod.sample(scene, sampler, ray,
-                              max_depth=int(cfg.get('max_depth', 8)),
-                              rr_depth=int(cfg.get('rr_depth', 5)),
-                              hide_emitters=bool(cfg.get('hide_emitters', False)))
     raise ValueError(f'unknown integrator {kind}')
 
 

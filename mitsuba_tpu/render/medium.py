@@ -49,6 +49,15 @@ class Medium:
     density: jnp.ndarray = None        # (D,H,W) or None
     majorant: jnp.ndarray = 1.0        # () max density
     to_object: jnp.ndarray = None      # (4,4) world -> medium local
+    # spectral variant: sigmoid-polynomial upsampling coefficients of the rgb
+    # sigma_t/albedo (core/spectrum.py rgb_to_spec_with_scale), evaluated at
+    # the hero wavelengths; sigma_t_max bounds sigma over the whole spectrum
+    # (majorant for delta/ratio tracking)
+    sigma_t_coeff: jnp.ndarray = None  # (3,)
+    sigma_t_scale: jnp.ndarray = None  # ()
+    albedo_coeff: jnp.ndarray = None   # (3,)
+    albedo_scale: jnp.ndarray = None   # ()
+    sigma_t_max: jnp.ndarray = None    # () max_lambda sigma_t
 
 
 def build(props) -> Medium:
@@ -97,9 +106,20 @@ def build(props) -> Medium:
         from ..core.transform import Transform4
         tw = tw if tw is not None else props.get('to_world', Transform4())
         to_object = jnp.asarray(tw.inverse_matrix, jnp.float32)
+    sig3 = jnp.broadcast_to(jnp.asarray(sigma_t, jnp.float32).reshape(-1), (3,))
+    alb3 = jnp.broadcast_to(jnp.asarray(albedo, jnp.float32).reshape(-1), (3,))
+    # spectral upsampling (load-time fit; used only by the spectral variant)
+    from ..core import spectrum as spec_mod
+    sc_c, sc_s = spec_mod.rgb_to_spec_with_scale(sig3[None])
+    al_c, al_s = spec_mod.rgb_to_spec_with_scale(alb3[None])
+    lam_grid = jnp.linspace(380.0, 750.0, 64)
+    sig_spectrum = spec_mod.eval_coeff(sc_c[0], lam_grid) * sc_s[0]
     return Medium(
-        sigma_t=jnp.broadcast_to(jnp.asarray(sigma_t, jnp.float32).reshape(-1), (3,)),
-        albedo=jnp.broadcast_to(jnp.asarray(albedo, jnp.float32).reshape(-1), (3,)),
+        sigma_t=sig3,
+        albedo=alb3,
+        sigma_t_coeff=sc_c[0], sigma_t_scale=sc_s[0],
+        albedo_coeff=al_c[0], albedo_scale=al_s[0],
+        sigma_t_max=jnp.maximum(jnp.max(sig_spectrum), jnp.max(sig3)),
         phase_kind=kind, g=jnp.asarray(g, jnp.float32),
         density=density, majorant=jnp.asarray(majorant, jnp.float32),
         to_object=to_object,
@@ -173,24 +193,44 @@ def eval_density(med: Medium, p_world):
 DELTA_STEPS = 32  # fixed-trip null-collision loop (reverse-differentiable)
 
 
+def spectral_sigmas(med: Medium, wl):
+    """Per-lane spectral extinction/albedo at the hero wavelengths.
+    wl: (N, C) nm -> (sig (N,C), alb (N,C))."""
+    from ..core import spectrum as spec_mod
+    sig = spec_mod.eval_coeff(med.sigma_t_coeff, wl) * med.sigma_t_scale
+    alb = jnp.clip(spec_mod.eval_coeff(med.albedo_coeff, wl) *
+                   med.albedo_scale, 0.0, 1.0)
+    return sig, alb
+
+
 def sample_interaction_het(med: Medium, smpl_next_1d, o, d, maxt):
     """Delta (Woodcock) tracking against the global majorant
     (heterogeneous.cpp free-flight). Fixed DELTA_STEPS trip count with masks
     so the loop stays a lax-scan (differentiable, static shapes).
     Returns (t (N,), is_medium, weight (N,3), smpl)."""
+    sig = jnp.broadcast_to(med.sigma_t[None, :], (o.shape[0], 3))
+    sig_m = jax.lax.stop_gradient(jnp.mean(med.sigma_t) * med.majorant)
+    return sample_interaction_het_sig(med, sig, sig_m, smpl_next_1d, o, d,
+                                      maxt)
+
+
+def sample_interaction_het_sig(med: Medium, sig, sig_m, smpl_next_1d, o, d,
+                               maxt):
+    """Delta tracking with explicit per-lane extinction sig (N,C) (attached)
+    and a DETACHED scalar majorant extinction sig_m >= max dens*sig."""
     import jax
     n = o.shape[0]
+    C = sig.shape[-1]
     # all tracking DECISIONS run on detached quantities; differentiability
     # comes from attached/detached RATIO weights at every collision (the
     # reference's null-scattering estimator, volpath.cpp:133-191): a real
     # collision contributes ext_att/ext_det, a null collision
     # (sig_m-ext_att)/(sig_m-ext_det). Primal value is exactly 1 per factor.
-    sig_m = jax.lax.stop_gradient(jnp.mean(med.sigma_t) * med.majorant)
     maj_det = jax.lax.stop_gradient(jnp.asarray(med.majorant))
     t = jnp.zeros((n,))
     done = jnp.zeros((n,), bool)
     is_med = jnp.zeros((n,), bool)
-    weight = jnp.ones((n, 3))
+    weight = jnp.ones((n, C))
     smpl = smpl_next_1d
     for _ in range(DELTA_STEPS):
         from . import sampler as sa
@@ -201,7 +241,7 @@ def sample_interaction_het(med: Medium, smpl_next_1d, o, d, maxt):
         escaped = t_new >= maxt
         p = o + d * jnp.minimum(t_new, jax.lax.stop_gradient(maxt))[..., None]
         dens = eval_density(med, p)
-        ext_att = dens[..., None] * med.sigma_t[None, :]          # (N,3)
+        ext_att = dens[..., None] * sig                            # (N,C)
         ext_det = jax.lax.stop_gradient(ext_att)
         ext_det_mean = jnp.mean(ext_det, -1)
         dens_det = jax.lax.stop_gradient(dens)
@@ -222,15 +262,21 @@ def sample_interaction_het(med: Medium, smpl_next_1d, o, d, maxt):
 
 def transmittance_het(med: Medium, smpl, o, d, dist, n_rr=DELTA_STEPS):
     """Ratio-tracking transmittance estimate along an unoccluded segment."""
+    sig = jnp.broadcast_to(med.sigma_t[None, :], (o.shape[0], 3))
+    sig_m = jax.lax.stop_gradient(jnp.mean(med.sigma_t) * med.majorant)
+    return transmittance_het_sig(med, sig, sig_m, smpl, o, d, dist, n_rr)
+
+
+def transmittance_het_sig(med: Medium, sig, sig_m, smpl, o, d, dist,
+                          n_rr=DELTA_STEPS):
     from . import sampler as sa
     import jax
     n = o.shape[0]
     # ratio tracking with detached step decisions and per-channel ATTACHED
     # collision ratios 1 - ext(p)/sig_m (chromatic extinction; reduces to the
     # grey 1 - dens/majorant when sigma_t is grey)
-    sig_m = jax.lax.stop_gradient(jnp.mean(med.sigma_t) * med.majorant)
     t = jnp.zeros((n,))
-    tr = jnp.ones((n, 3))
+    tr = jnp.ones((n, sig.shape[-1]))
     done = jnp.zeros((n,), bool)
     for _ in range(n_rr):
         u, smpl = sa.next_1d(smpl)
@@ -239,7 +285,7 @@ def transmittance_het(med: Medium, smpl, o, d, dist, n_rr=DELTA_STEPS):
         escaped = t >= dist
         p = o + d * jnp.minimum(t, jax.lax.stop_gradient(dist))[..., None]
         dens = eval_density(med, p)
-        ext_att = dens[..., None] * med.sigma_t[None, :]
+        ext_att = dens[..., None] * sig
         ratio = 1.0 - ext_att / jnp.maximum(sig_m, 1e-9)
         tr = jnp.where((done | escaped)[..., None], tr,
                        tr * jnp.clip(ratio, 0.0, 1.0))
@@ -260,31 +306,38 @@ def sample_interaction(med: Medium, u, channel_u, maxt):
       medium event:   sigma_t*Tr(t) / pdf_medium
       surface event:  Tr(maxt) / P[t >= maxt]
     """
-    # DETACHED-SAMPLING estimator (the reference's default AD mode): the
-    # sampled distance and the pdf are decisions — detached — while the
-    # numerator (Tr, sigma_t factor) stays attached. This keeps naive AD and
-    # the PRB replay on the SAME estimator (identical per-sample gradients)
-    # instead of the attached-t reparameterized one, whose position
-    # derivatives a per-bounce replay cannot reproduce.
-    sig_det = jax.lax.stop_gradient(med.sigma_t)
+    n = u.shape[0]
+    sig = jnp.broadcast_to(med.sigma_t[None, :], (n, 3))
+    return sample_interaction_sig(sig, u, channel_u, maxt)
+
+
+def sample_interaction_sig(sig, u, channel_u, maxt):
+    """Homogeneous free flight with explicit per-lane extinction sig (N,C).
+
+    DETACHED-SAMPLING estimator (the reference's default AD mode): the
+    sampled distance and the pdf are decisions — detached — while the
+    numerator (Tr, sigma_t factor) stays attached. This keeps naive AD and
+    the PRB replay on the SAME estimator (identical per-sample gradients)
+    instead of the attached-t reparameterized one, whose position
+    derivatives a per-bounce replay cannot reproduce."""
+    C = sig.shape[-1]
+    sig_det = jax.lax.stop_gradient(sig)
     # pick a channel uniformly, sample exp(sigma_t[c])
-    c = jnp.clip((channel_u * 3).astype(jnp.int32), 0, 2)
-    sig_c = sig_det[c]
+    c = jnp.clip((channel_u * C).astype(jnp.int32), 0, C - 1)
+    sig_c = jnp.take_along_axis(sig_det, c[..., None], -1)[..., 0]
     t = -jnp.log(jnp.maximum(1.0 - u, 1e-12)) / jnp.maximum(sig_c, 1e-12)
     is_medium = t < maxt
     # min keeps the attached maxt derivative on surface lanes (geometry moving
     # through the fog changes Tr) and the detached t on medium lanes
     t_clamped = jnp.minimum(t, maxt)
-    tr = jnp.exp(-med.sigma_t[None, :] * t_clamped[..., None])   # (N,3) attached
+    tr = jnp.exp(-sig * t_clamped[..., None])                 # (N,C) attached
     # pdf averaged over channel choice (spectral MIS, "balance" over channels)
     t_det = jax.lax.stop_gradient(t_clamped)
     maxt_det = jax.lax.stop_gradient(maxt)
-    pdf_medium = jnp.mean(sig_det[None, :] *
-                          jnp.exp(-sig_det[None, :] * t_det[..., None]),
+    pdf_medium = jnp.mean(sig_det * jnp.exp(-sig_det * t_det[..., None]),
                           axis=-1)
-    pdf_surface = jnp.mean(jnp.exp(-sig_det[None, :] * maxt_det[..., None]),
-                           axis=-1)
-    w_medium = med.sigma_t[None, :] * tr / jnp.maximum(pdf_medium, 1e-20)[..., None]
+    pdf_surface = jnp.mean(jnp.exp(-sig_det * maxt_det[..., None]), axis=-1)
+    w_medium = sig * tr / jnp.maximum(pdf_medium, 1e-20)[..., None]
     w_surface = tr / jnp.maximum(pdf_surface, 1e-20)[..., None]
     weight = jnp.where(is_medium[..., None], w_medium, w_surface)
     return t_clamped, is_medium, weight
@@ -293,6 +346,11 @@ def sample_interaction(med: Medium, u, channel_u, maxt):
 def transmittance(med: Medium, dist):
     """Tr along an unoccluded segment (homogeneous Beer-Lambert)."""
     return jnp.exp(-med.sigma_t[None, :] * dist[..., None])
+
+
+def transmittance_sig(sig, dist):
+    """Beer-Lambert with explicit per-lane extinction sig (N,C)."""
+    return jnp.exp(-sig * dist[..., None])
 
 
 # ---------------------------------------------------------------------------

@@ -53,7 +53,7 @@ def test_prbvolpath_primal_matches_wavefront(setup):
 def test_prbvolpath_grad_sigma_albedo(setup):
     scene, params = setup
     keys = [k for k in params.keys()
-            if 'sigma_t' in k or 'albedo' in k]
+            if k.endswith('medium.sigma_t') or k.endswith('medium.albedo')]
     assert keys
     for key in keys:
         v0 = params[key]

@@ -162,3 +162,82 @@ def test_specfilm_bands():
     bg = img[1, 1]
     assert bg[2] > 2.5 * bg[0] and bg[2] > 2.5 * bg[1]
     assert np.isfinite(img).all()
+
+
+def test_spectral_volpath_neutral_matches_rgb():
+    """Spectral (hero-wavelength) volumetric transport: a grey medium renders
+    the same in spectral and rgb modes (the sigmoid fit of grey is flat)."""
+    from mitsuba_tpu.core.transform import ScalarTransform4f as T
+    d = {
+        'type': 'scene',
+        'integrator': {'type': 'volpath', 'max_depth': 6, 'rr_depth': 99},
+        'sensor': {'type': 'perspective', 'fov': 40.0,
+                   'to_world': T.look_at(origin=[0, 0, 3], target=[0, 0, 0],
+                                         up=[0, 1, 0]),
+                   'film': {'type': 'hdrfilm', 'width': 16, 'height': 16,
+                            'rfilter': {'type': 'box'}}},
+        'wall': {'type': 'rectangle',
+                 'to_world': T.translate([0, 0, -1]).scale(4.0),
+                 'bsdf': {'type': 'diffuse', 'reflectance': 0.4},
+                 'emitter': {'type': 'area', 'radiance': 5.0}},
+        'fog': {'type': 'homogeneous', 'sigma_t': 0.5, 'albedo': 0.7},
+    }
+    img_rgb = np.asarray(mt.render(mt.load_dict(dict(d)), spp=128, seed=2))
+    img_sp = np.asarray(mt.render(mt.load_dict(dict(d), spectral=True),
+                                  spp=256, seed=3))
+    assert np.isfinite(img_sp).all()
+    # mean-level agreement (different estimators/noise)
+    assert abs(img_sp.mean() - img_rgb.mean()) < 0.06 * max(img_rgb.mean(), 1e-6), \
+        (img_rgb.mean(), img_sp.mean())
+
+
+def test_spectral_volpath_chromatic_fog():
+    """A chromatic medium shifts color between thin and thick paths; the
+    spectral render must be finite and show the expected tint (red-passing
+    fog -> background reddens)."""
+    from mitsuba_tpu.core.transform import ScalarTransform4f as T
+    d = {
+        'type': 'scene', 'spectral': True,
+        'integrator': {'type': 'volpath', 'max_depth': 6},
+        'sensor': {'type': 'perspective', 'fov': 40.0,
+                   'to_world': T.look_at(origin=[0, 0, 3], target=[0, 0, 0],
+                                         up=[0, 1, 0]),
+                   'film': {'type': 'hdrfilm', 'width': 16, 'height': 16,
+                            'rfilter': {'type': 'box'}}},
+        'wall': {'type': 'rectangle',
+                 'to_world': T.translate([0, 0, -1]).scale(4.0),
+                 'emitter': {'type': 'area', 'radiance': 5.0}},
+        # extinction strong in blue/green, weak in red
+        'fog': {'type': 'homogeneous',
+                'sigma_t': {'type': 'rgb', 'value': [0.1, 0.8, 0.9]},
+                'albedo': 0.3},
+    }
+    img = np.asarray(mt.render(mt.load_dict(d), spp=192, seed=4))
+    assert np.isfinite(img).all()
+    c = img[6:10, 6:10].mean((0, 1))
+    assert c[0] > c[2] * 1.3, c   # red passes through, blue attenuated
+
+
+def test_spectral_volpath_heterogeneous_smoke():
+    from mitsuba_tpu.core.transform import ScalarTransform4f as T
+    rho = (0.4 + 0.5 * np.random.default_rng(0)
+           .uniform(size=(4, 4, 4))).astype(np.float32)
+    d = {
+        'type': 'scene', 'spectral': True,
+        'integrator': {'type': 'volpath', 'max_depth': 4},
+        'sensor': {'type': 'perspective', 'fov': 40.0,
+                   'to_world': T.look_at(origin=[0, 0, 3], target=[0, 0, 0],
+                                         up=[0, 1, 0]),
+                   'film': {'type': 'hdrfilm', 'width': 12, 'height': 12,
+                            'rfilter': {'type': 'box'}}},
+        'wall': {'type': 'rectangle',
+                 'to_world': T.translate([0, 0, -1]).scale(4.0),
+                 'bsdf': {'type': 'diffuse', 'reflectance': 0.3},
+                 'emitter': {'type': 'area', 'radiance': 6.0}},
+        'fog': {'type': 'heterogeneous', 'sigma_t': 0.6, 'albedo': 0.6,
+                'density': {'data': rho,
+                            'to_world': T.translate([-2, -2, -2]).scale(4.0)}},
+    }
+    img = np.asarray(mt.render(mt.load_dict(d), spp=64, seed=5))
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.05

@@ -28,7 +28,7 @@ def _build_medium(props):
 
 _SHAPE_TYPES = ('rectangle', 'cube', 'sphere', 'disk', 'cylinder',
                 'heightfield', 'obj', 'ply', 'mesh', 'serialized',
-                'linearcurve', 'bsplinecurve')
+                'blender', 'linearcurve', 'bsplinecurve')
 _EMITTER_TYPES = ('area', 'point', 'constant', 'envmap', 'directional',
                   'spot', 'projector', 'directionalarea')
 _SENSOR_TYPES = ('perspective', 'thinlens', 'orthographic', 'radiancemeter',
@@ -115,7 +115,13 @@ def load_dict(d: dict, spectral=None) -> Scene:
         if key == 'type' or not isinstance(val, dict):
             continue
         t = val.get('type')
-        if t in _SHAPE_TYPES:
+        if t == 'blender':
+            # Blender in-memory mesh: pointer buffers -> mesh props at load
+            # (src/shapes/blender.cpp; host-side conversion, device path is
+            # the ordinary mesh plugin)
+            from ..plugins.shapes.blender_mesh import blender_to_mesh_props
+            shapes_raw.append(('mesh', blender_to_mesh_props(val), key))
+        elif t in _SHAPE_TYPES:
             shapes_raw.append((t, val, key))
         elif t in BSDFS or t in ('twosided', 'normalmap', 'bumpmap', 'blendbsdf'):
             named_bsdfs[key] = val

@@ -1,0 +1,140 @@
+"""Blender in-memory mesh loader (reference src/shapes/blender.cpp).
+
+Synthetic Blender-layout buffers (MLoop/MLoopTri/MPoly/MVert/...) are built
+in numpy and passed as raw pointers, exactly like the mitsuba-blender
+exporter add-on does.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+import mitsuba_tpu as mt
+from mitsuba_tpu.plugins.shapes import blender_mesh as bm
+
+
+def _quad_buffers(smooth=(True, True), mats=(0, 0), blender3=True,
+                  with_uv=True, with_col=False):
+    """Two triangles over a unit quad in the XZ plane (y=0).
+    Returns (props, keepalive list)."""
+    co = np.array([[0, 0, 0], [1, 0, 0], [1, 0, 1], [0, 0, 1]], np.float32)
+    no = np.tile(np.array([0, 1, 0], np.float32), (4, 1))
+    keep = []
+
+    if blender3:
+        verts = np.zeros(4, bm.MVERT3)
+        verts['co'] = co
+        normals = np.zeros(4, bm.MVERTNORMAL)
+        normals['no'] = no
+        keep.append(normals)
+        normals_ptr = normals.ctypes.data
+    else:
+        verts = np.zeros(4, bm.MVERT2)
+        verts['co'] = co
+        verts['no'] = (no * 32767).astype(np.int16)
+        normals_ptr = 0
+    keep.append(verts)
+
+    # loops: two triangles (0,1,2) and (0,2,3)
+    loops = np.zeros(6, bm.MLOOP)
+    loops['v'] = [0, 1, 2, 0, 2, 3]
+    tris = np.zeros(2, bm.MLOOPTRI)
+    tris['tri'] = [[0, 1, 2], [3, 4, 5]]
+    tris['poly'] = [0, 1]
+    polys = np.zeros(2, bm.MPOLY)
+    polys['loopstart'] = [0, 3]
+    polys['totloop'] = [3, 3]
+    polys['mat_nr'] = mats
+    polys['flag'] = [bm.ME_SMOOTH if s else 0 for s in smooth]
+    keep += [loops, tris, polys]
+
+    props = {
+        'type': 'blender', 'name': 'quad', 'mat_nr': 0,
+        'vert_count': 4, 'loop_tri_count': 2,
+        'loops': loops.ctypes.data, 'loop_tris': tris.ctypes.data,
+        'polys': polys.ctypes.data, 'verts': verts.ctypes.data,
+        'normals': normals_ptr,
+    }
+    if with_uv:
+        uvs = np.zeros(6, bm.MLOOPUV)
+        uvs['uv'] = [[0, 1], [1, 1], [1, 0], [0, 1], [1, 0], [0, 0]]
+        keep.append(uvs)
+        props['uvs'] = uvs.ctypes.data
+    if with_col:
+        cols = np.zeros(6, bm.MLOOPCOL)
+        cols['r'] = 255
+        cols['g'] = 128
+        cols['b'] = 0
+        cols['a'] = 255
+        keep.append(cols)
+        props['vertex_Col'] = cols.ctypes.data
+    return props, keep
+
+
+def test_smooth_quad_dedups_shared_vertices():
+    props, keep = _quad_buffers(smooth=(True, True))
+    out = bm.blender_to_mesh_props(props)
+    # 6 corners, 2 shared smooth vertices with identical (v, normal, uv) keys
+    assert out['vertices'].shape == (4, 3)
+    assert out['faces'].shape == (2, 3)
+    assert np.allclose(np.sort(out['vertices'], 0),
+                       np.sort(np.array([[0, 0, 0], [1, 0, 0],
+                                         [1, 0, 1], [0, 0, 1]]), 0))
+    assert np.allclose(out['normals'], [[0, 1, 0]] * 4)
+    # UVs flipped in V (blender.cpp:301-303)
+    v_of = {tuple(np.round(p, 4)): uv for p, uv in
+            zip(out['vertices'], out['uvs'])}
+    assert np.allclose(v_of[(0, 0, 0)], [0, 0])
+    assert np.allclose(v_of[(1, 0, 1)], [1, 1])
+
+
+def test_mixed_flat_smooth_duplicates_flat_corners():
+    props, keep = _quad_buffers(smooth=(True, False))
+    out = bm.blender_to_mesh_props(props)
+    # flat corners keyed by poly => no sharing with the smooth triangle
+    assert out['vertices'].shape == (6, 3)
+    assert 'normals' in out
+
+
+def test_globally_flat_drops_normals():
+    props, keep = _quad_buffers(smooth=(False, False))
+    out = bm.blender_to_mesh_props(props)
+    assert 'normals' not in out          # face normals (blender.cpp:160-169)
+    assert out['faces'].shape == (2, 3)
+
+
+def test_material_slot_filter():
+    props, keep = _quad_buffers(mats=(0, 1))
+    out = bm.blender_to_mesh_props(props)
+    assert out['faces'].shape == (1, 3)
+    assert out['vertices'].shape == (3, 3)
+
+
+def test_blender2_short_normals():
+    props, keep = _quad_buffers(blender3=False)
+    out = bm.blender_to_mesh_props(props)
+    assert np.allclose(out['normals'], [[0, 1, 0]] * 4, atol=1e-4)
+
+
+def test_vertex_colors_linearized():
+    props, keep = _quad_buffers(with_col=True)
+    out = bm.blender_to_mesh_props(props)
+    col = out['attributes']['vertex_Col']
+    assert col.shape == (4, 3)
+    assert np.allclose(col[0], [1.0, 0.2158605, 0.0], atol=1e-4)
+
+
+def test_end_to_end_render():
+    props, keep = _quad_buffers(smooth=(True, True))
+    scene = mt.load_dict({
+        'type': 'scene',
+        'integrator': {'type': 'depth'},
+        'sensor': {'type': 'perspective', 'fov': 60,
+                   'to_world': mt.Transform4().look_at(
+                       [0.5, 2.0, 0.5], [0.5, 0.0, 0.5], [0, 0, 1]),
+                   'film': {'type': 'hdrfilm', 'width': 16, 'height': 16},
+                   'sampler': {'type': 'independent', 'sample_count': 1}},
+        'quad': dict(props, bsdf={'type': 'diffuse'}),
+    })
+    img = np.asarray(mt.render(scene, spp=1))
+    center = img[8, 8]
+    assert np.isfinite(img).all()
+    assert abs(float(center[0]) - 2.0) < 0.05   # camera 2 units above plane

@@ -8,6 +8,13 @@ any backend use.
 """
 import os
 
+# keep the test processes OFF the axon tunnel entirely: the relay serves ONE
+# client — a CPU-only pytest handshaking at import can boot a concurrently
+# running TPU bench (observed: bench.py died mid-measure when another python
+# started). Without the pool-IPs var sitecustomize skips register().
+os.environ.pop('PALLAS_AXON_POOL_IPS', None)
+os.environ['JAX_PLATFORMS'] = 'cpu'
+
 os.environ.setdefault('XLA_FLAGS', '--xla_force_host_platform_device_count=8')
 if 'xla_force_host_platform_device_count' not in os.environ.get('XLA_FLAGS', ''):
     os.environ['XLA_FLAGS'] += ' --xla_force_host_platform_device_count=8'

@@ -1,0 +1,123 @@
+"""March optimization decision experiments (run on the real TPU, true-sync
+via host fetch — block_until_ready has been observed to no-op on some axon
+array types).
+
+ 1. gather element-size scaling: f32 vs complex64 vs int32 (does packing
+    more bytes per element cost anything? gather cost is suspected
+    per-ELEMENT on the scalar core)
+ 2. argsort vs cumsum-partition cost at 65k (the compaction reorder)
+ 3. march iteration counts per cascade stage (how much does each cost)
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+sys.path.insert(0, '/root/repo')
+
+N = 65536
+T = 30
+TAB = 512 * 511
+
+
+def timeit(label, f, *args, reps=5):
+    out = np.asarray(f(*args))           # warmup + fetch
+    t0 = time.time()
+    for _ in range(reps):
+        out = np.asarray(f(*args))
+    dt = (time.time() - t0) / reps
+    print(f'{label}: {dt*1e3:.2f} ms', flush=True)
+    return dt
+
+
+def gather_loop(dtype_tag):
+    key = jax.random.PRNGKey(0)
+    if dtype_tag == 'f32':
+        table = jax.random.uniform(key, (TAB,), jnp.float32)
+        red = lambda g: g
+    elif dtype_tag == 'c64':
+        t1 = jax.random.uniform(key, (TAB,), jnp.float32)
+        table = jax.lax.complex(t1, t1)
+        red = lambda g: jnp.real(g) + jnp.imag(g)
+    elif dtype_tag == 'i32':
+        table = jnp.arange(TAB, dtype=jnp.int32)
+        red = lambda g: g.astype(jnp.float32) * 1e-6
+
+    @jax.jit
+    def run(table, idx):
+        def body(st):
+            acc, ix, i = st
+            acc = acc + red(table[ix])
+            ix = (ix * 1103515245 + 12345) % TAB
+            return acc, ix, i + 1
+        return jax.lax.while_loop(
+            lambda st: st[2] < T, body,
+            (jnp.zeros((N,), jnp.float32), idx, jnp.asarray(0, jnp.int32)))[0]
+
+    idx0 = jax.random.randint(jax.random.PRNGKey(1), (N,), 0, TAB, jnp.int32)
+    dt = timeit(f'gather loop {dtype_tag} ({T} iters, {N} lanes)', run,
+                table, idx0)
+    print(f'   -> {dt/T*1e3:.3f} ms per {N}-lane gather', flush=True)
+
+
+def reorders():
+    act = jax.random.uniform(jax.random.PRNGKey(2), (N,)) < 0.2
+
+    @jax.jit
+    def argsort_sel(active):
+        return jnp.argsort(~active)
+
+    @jax.jit
+    def cumsum_sel(active):
+        # stable partition via prefix sums (no sort)
+        na = jnp.cumsum(active)
+        rank = jnp.where(active, na - 1, na[-1] + jnp.cumsum(~active) - 1)
+        return jnp.zeros((N,), jnp.int32).at[rank].set(jnp.arange(N, dtype=jnp.int32))
+
+    timeit('argsort(~active) 65k', argsort_sel, act)
+    timeit('cumsum-partition 65k', cumsum_sel, act)
+
+
+def march_stage_cost():
+    import mitsuba_tpu as mt
+    import importlib
+    hf = importlib.import_module('mitsuba_tpu.plugins.shapes.heightfield')
+    from mitsuba_tpu.render import sensor as sensor_mod
+    from mitsuba_tpu.core.transform import apply_point, apply_vector
+
+    scene = mt.load_dict(mt.heightfield_scene(res_hf=512, res_img=256, spp=1,
+                                              max_depth=2))
+    n = 256 * 256
+    u = (jnp.arange(n) % 256 + 0.5) / 256
+    v = (jnp.arange(n) // 256 + 0.5) / 256
+    ray = sensor_mod.sample_ray(scene.sensor, jnp.stack([u, v], -1),
+                                jnp.zeros((n, 2)))
+    tbl = scene.shapes['heightfield']
+    o = apply_point(tbl.to_object[0], ray.o)
+    d = apply_vector(tbl.to_object[0], ray.d)
+    h = tbl.heights[0]
+
+    for cascade in [hf.heightfield.CASCADE,
+                    ((32, 1), (320, 4), (10**9, 16), (10**9, 8), (10**9, 2)),
+                    ((48, 1), (10**9, 8)),
+                    ((32, 1), (10**9, 4)),
+                    ((10**9, 1),)]:
+        hf.heightfield.CASCADE = cascade
+        f = jax.jit(lambda o, d: hf.heightfield._march(
+            h, tbl.mips[0], o, d, 512, 512, compact=True)[0])
+        timeit(f'march cascade={cascade}', f, o, d, reps=3)
+
+
+if __name__ == '__main__':
+    which = sys.argv[1] if len(sys.argv) > 1 else 'all'
+    if which in ('all', 'gather'):
+        for tag in ('f32', 'c64', 'i32'):
+            gather_loop(tag)
+    if which in ('all', 'reorder'):
+        reorders()
+    if which in ('all', 'march'):
+        march_stage_cost()

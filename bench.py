@@ -157,3 +157,6 @@ if __name__ == '__main__':
     except Exception as e:  # noqa: BLE001 — always emit a JSON line
         RESULT["detail"]["error"] = f'{type(e).__name__}: {e}'[:300]
     emit()
+    # jax atexit backend teardown has been observed to hang on the axon
+    # tunnel after a long session; the JSON line is out — exit hard
+    os._exit(0)

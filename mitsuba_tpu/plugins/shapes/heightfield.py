@@ -128,20 +128,6 @@ class heightfield:
         t = jnp.where(ok0, r0, jnp.where(ok1, r1, jnp.inf))
         return jnp.isfinite(t), t
 
-    @staticmethod
-    def _patch_hit(h_pairs, ix, iz, o, d, t0, t1, R, C):
-        """Gathering wrapper around _patch_hit_vals (compute_si path)."""
-        W = C - 1
-        H = R - 1
-        ixc = jnp.clip(ix, 0, W - 1)
-        izc = jnp.clip(iz, 0, H - 1)
-        flat = h_pairs.reshape(-1)
-        top = flat[izc * W + ixc]
-        bot = flat[(izc + 1) * W + ixc]
-        return heightfield._patch_hit_vals(
-            jnp.real(top), jnp.imag(top), jnp.real(bot), jnp.imag(bot),
-            ixc, izc, o, d, t0, t1, R, C)
-
     # ------------------------------------------------------------------
     # traversal for a single instance
     # ------------------------------------------------------------------
@@ -157,14 +143,16 @@ class heightfield:
         h_min = -jnp.max(-h) - 1.0
 
         h_pairs = heightfield._pack_pairs(h)    # (R, C-1) complex pairs
-        # gather-economy tables (2 scalar-core loads per DDA iteration):
-        #   gather 1 — combo: level-0 slots hold the cell's TOP corner pair
-        #   (h00,h01); interior-level slots hold complex(cmax, 0). The leaf
-        #   cmax is recomputed in-register from the four corners (level-0
-        #   mip == corner max by construction, build_max_mip above).
-        #   gather 2 — bot: the cell's BOTTOM corner pair (h10,h11).
+        # gather-economy table (ONE row-gather per DDA iteration): TPU gather
+        # cost is per INDEX, nearly independent of row width (measured on
+        # v5e: f32x1 1.9ms / c64x2 2.3ms per 65k-lane gather), so each slot
+        # is a (2,) c64 row:
+        #   level-0 rows:   [complex(h00,h01), complex(h10,h11)]  (4 corners)
+        #   interior rows:  [complex(cmax, 0), 0]
+        # The leaf cmax is recomputed in-register from the four corners
+        # (level-0 mip == corner max by construction, build_max_mip above).
         top_pairs = h_pairs[:-1]                 # (R-1, C-1)
-        bot_flat = h_pairs[1:].reshape(-1)       # (R-1)*(C-1)
+        bot_pairs = h_pairs[1:]                  # (R-1, C-1)
         # entry into the bounding box [0,1] x [hmin,hmax] x [0,1]
         inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-9,
                                 jnp.where(d < 0, -1e-9, 1e-9), d)
@@ -186,10 +174,12 @@ class heightfield:
         # a select-chain over the static level list). Only 1 mip gather (+2
         # packed corner gathers at the leaf) remain per iteration.
         import numpy as _np
-        combo_flat = jnp.concatenate(
-            [top_pairs.ravel()] +
-            [jax.lax.complex(mp, jnp.zeros_like(mp)).ravel()
-             for mp in mips[1:]])
+        zero = jnp.zeros((), jnp.complex64)
+        combo_rows = jnp.concatenate(
+            [jnp.stack([top_pairs.ravel(), bot_pairs.ravel()], -1)] +
+            [jnp.stack([jax.lax.complex(mp, jnp.zeros_like(mp)).ravel(),
+                        jnp.broadcast_to(zero, (mp.size,))], -1)
+             for mp in mips[1:]])            # (TOTAL, 2) c64
         sizes = [mp.size for mp in mips]
         offsets_np = _np.cumsum([0] + sizes[:-1]).astype(_np.int32)
 
@@ -211,7 +201,7 @@ class heightfield:
             h_l = ncells(lvl, H)
             izc = jnp.clip(iz, 0, h_l - 1)
             ixc = jnp.clip(ix, 0, w_l - 1)
-            return combo_flat[offset_of(lvl) + izc * w_l + ixc]
+            return combo_rows[offset_of(lvl) + izc * w_l + ixc]   # (N, 2)
 
         step_ix_full = jnp.where(d[..., 0] >= 0, 1, -1).astype(jnp.int32)
         step_iz_full = jnp.where(d[..., 2] >= 0, 1, -1).astype(jnp.int32)
@@ -236,18 +226,16 @@ class heightfield:
             tx = (bx - o[..., 0]) * inv_d[..., 0]
             tz = (bz - o[..., 2]) * inv_d[..., 2]
             t_exit = jnp.minimum(jnp.minimum(tx, tz), t_far)
-            # gather 1: cmax at interior levels / top corner pair at leaf
-            g1 = combo_lookup_batch(lvl, iz, ix)
+            # THE gather: one (2,) c64 row — 4 corners at the leaf, cmax at
+            # interior levels
+            g = combo_lookup_batch(lvl, iz, ix)
             at_leaf = lvl == 0
             ixc0 = jnp.clip(ix, 0, W - 1)
             izc0 = jnp.clip(iz, 0, H - 1)
-            # gather 2: bottom corner pair (leaf only; interior lanes load a
-            # clamped dummy — the load happens anyway on a SIMD machine)
-            bot = bot_flat[izc0 * W + ixc0]
-            h00 = jnp.real(g1)
-            h01 = jnp.imag(g1)
-            h10 = jnp.real(bot)
-            h11 = jnp.imag(bot)
+            h00 = jnp.real(g[..., 0])
+            h01 = jnp.imag(g[..., 0])
+            h10 = jnp.real(g[..., 1])
+            h11 = jnp.imag(g[..., 1])
             cmax_leaf = jnp.maximum(jnp.maximum(h00, h01),
                                     jnp.maximum(h10, h11))
             cmax = jnp.where(at_leaf, cmax_leaf, h00)

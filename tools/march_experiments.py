@@ -64,6 +64,35 @@ def gather_loop(dtype_tag):
     print(f'   -> {dt/T*1e3:.3f} ms per {N}-lane gather', flush=True)
 
 
+def row_gather(width, dtype_tag):
+    """Cost of gathering a ROW of `width` elements per lane: if a (T, k)
+    row-gather costs ~1 element-gather, the march can fetch all 4 cell
+    corners (and the BVH node record) in ONE op."""
+    key = jax.random.PRNGKey(0)
+    if dtype_tag == 'f32':
+        table = jax.random.uniform(key, (TAB, width), jnp.float32)
+        red = lambda g: jnp.sum(g, -1)
+    else:
+        t1 = jax.random.uniform(key, (TAB, width), jnp.float32)
+        table = jax.lax.complex(t1, t1)
+        red = lambda g: jnp.sum(jnp.real(g) + jnp.imag(g), -1)
+
+    @jax.jit
+    def run(table, idx):
+        def body(st):
+            acc, ix, i = st
+            acc = acc + red(table[ix])
+            ix = (ix * 1103515245 + 12345) % TAB
+            return acc, ix, i + 1
+        return jax.lax.while_loop(
+            lambda st: st[2] < T, body,
+            (jnp.zeros((N,), jnp.float32), idx, jnp.asarray(0, jnp.int32)))[0]
+
+    idx0 = jax.random.randint(jax.random.PRNGKey(1), (N,), 0, TAB, jnp.int32)
+    dt = timeit(f'row-gather {dtype_tag}x{width} ({T} iters)', run, table, idx0)
+    print(f'   -> {dt/T*1e3:.3f} ms per {N}-lane row', flush=True)
+
+
 def reorders():
     act = jax.random.uniform(jax.random.PRNGKey(2), (N,)) < 0.2
 
@@ -101,11 +130,11 @@ def march_stage_cost():
     d = apply_vector(tbl.to_object[0], ray.d)
     h = tbl.heights[0]
 
-    for cascade in [hf.heightfield.CASCADE,
-                    ((32, 1), (320, 4), (10**9, 16), (10**9, 8), (10**9, 2)),
+    for cascade in [((32, 1), (320, 4), (10**9, 16), (10**9, 8), (10**9, 2)),
                     ((48, 1), (10**9, 8)),
                     ((32, 1), (10**9, 4)),
-                    ((10**9, 1),)]:
+                    ((64, 1), (10**9, 8)),
+                    ((32, 1), (256, 8), (10**9, 2))]:
         hf.heightfield.CASCADE = cascade
         f = jax.jit(lambda o, d: hf.heightfield._march(
             h, tbl.mips[0], o, d, 512, 512, compact=True)[0])
@@ -117,6 +146,10 @@ if __name__ == '__main__':
     if which in ('all', 'gather'):
         for tag in ('f32', 'c64', 'i32'):
             gather_loop(tag)
+    if which in ('all', 'row'):
+        for tag in ('f32', 'c64'):
+            for w in (2, 4):
+                row_gather(w, tag)
     if which in ('all', 'reorder'):
         reorders()
     if which in ('all', 'march'):

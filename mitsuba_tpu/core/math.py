@@ -198,3 +198,42 @@ def morton_encode2(x, y):
         v = (v | (v << 1)) & 0x55555555
         return v
     return part(x) | (part(y) << 1)
+
+
+def prefix_count(x_bool):
+    """Inclusive prefix count of a boolean vector via MXU triangular
+    matmuls — XLA:TPU lowers 65k-element cumsum/sort poorly (~30 ms
+    measured for argsort; the wavefront-compaction reorder was eating
+    ~135 ms per march). Two small matmuls instead: within-row prefix
+    (n/128, 128) @ upper-tri(128) and an exclusive row-offset scan.
+    Returns int32, same shape."""
+    n = x_bool.shape[0]
+    cols = 128
+    rows = (n + cols - 1) // cols
+    pad = rows * cols - n
+    xf = jnp.pad(x_bool.astype(jnp.float32), (0, pad)).reshape(rows, cols)
+    upper = jnp.triu(jnp.ones((cols, cols), jnp.float32))        # k <= j
+    within = jax.lax.dot_general(
+        xf, upper, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                      # (rows, cols)
+    row_tot = within[:, -1]                                      # (rows,)
+    lower = jnp.tril(jnp.ones((rows, rows), jnp.float32), -1)    # strict
+    row_off = jax.lax.dot_general(
+        lower, row_tot, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                      # (rows,)
+    total = (within + row_off[:, None]).reshape(-1)[:n]
+    return total.astype(jnp.int32)
+
+
+def partition_actives(active, k):
+    """Indices of the first k lanes in (actives-first, stable) order —
+    drop-in for jnp.argsort(~active)[:k] at ~10x lower cost on TPU.
+    Inactive lanes follow the actives, also in stable order."""
+    n = active.shape[0]
+    pc = prefix_count(active)
+    n_act = pc[-1]
+    rank = jnp.where(active, pc - 1,
+                     n_act + (jnp.arange(n, dtype=jnp.int32) + 1 - pc) - 1)
+    sel = jnp.zeros((k,), jnp.int32).at[rank].set(
+        jnp.arange(n, dtype=jnp.int32), mode='drop')
+    return sel

@@ -308,9 +308,9 @@ class heightfield:
         # full-width backstop keeps the result exact (normally 0 iterations).
         def compact_stage(state, frac, cap):
             k = max(16, n // frac)
-            active1 = state[5]
-            order = jnp.argsort(~active1)        # active lanes first (stable)
-            sel = order[:k]
+            # actives-first stable partition (MXU prefix count, ~10x cheaper
+            # than the 65k argsort it replaces)
+            sel = m.partition_actives(state[5], k)
             lane_sub = tuple(x[sel] for x in lane_full)
             state_sub = tuple(x[sel] for x in state[:6]) + \
                 (jnp.asarray(0, jnp.int32),)

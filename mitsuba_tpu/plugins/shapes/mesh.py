@@ -559,8 +559,9 @@ class mesh:
         # survivor population thins, exactness backstop at full width)
         def compact_stage(state, frac, cap):
             k = max(16, n // frac)
-            order = jnp.argsort(~state[4])       # active lanes first (stable)
-            sel = order[:k]
+            # actives-first stable partition (MXU prefix count; see
+            # core.math.partition_actives)
+            sel = m.partition_actives(state[4], k)
             lane_sub = tuple(x[sel] for x in lane_full)
             state_sub = tuple(x[sel] for x in state[:5]) + \
                 (jnp.asarray(0, jnp.int32),)

@@ -283,3 +283,20 @@ def test_dither_matrix_and_quantization():
     exact = float(_srgb_encode(np.float32(0.5019))) * 255
     assert abs(q.mean() - exact) <= abs(q0.mean() - exact) + 1e-9
     assert abs(q.mean() - exact) < 0.05
+
+
+def test_partition_actives_matches_argsort():
+    """MXU prefix-count partition == stable argsort(~active)[:k]
+    (wavefront-compaction reorder, core.math.partition_actives)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mitsuba_tpu.core import math as m
+
+    rng = np.random.default_rng(7)
+    for n in (16, 100, 129, 4096):
+        for p in (0.0, 0.2, 1.0):
+            act = jnp.asarray(rng.random(n) < p)
+            ref = np.argsort(~np.asarray(act), kind='stable')
+            for k in (16, max(16, n // 3), n):
+                sel = np.asarray(m.partition_actives(act, k))
+                assert (sel == ref[:k]).all()

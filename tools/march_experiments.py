@@ -150,6 +150,9 @@ if __name__ == '__main__':
         for tag in ('f32', 'c64'):
             for w in (2, 4):
                 row_gather(w, tag)
+    if which == 'wide':
+        for w in (5, 8, 16, 20, 32):
+            row_gather(w, 'c64')
     if which in ('all', 'reorder'):
         reorders()
     if which in ('all', 'march'):

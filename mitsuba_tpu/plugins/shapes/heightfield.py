@@ -293,11 +293,17 @@ class heightfield:
                 return jnp.any(st[5]) & (st[6] < cap)
             return jax.lax.while_loop(cond, body, state)
 
-        sx0 = float(W / (1 << start_lvl))
-        sz0 = float(H / (1 << start_lvl))
+        # secondary rays start ON the surface: lanes whose origin is inside
+        # the bbox enter the DDA at LEVEL 0 in their origin cell instead of
+        # descending from the pyramid apex (~log2(R) saved iterations per
+        # bounce/shadow ray); ascent to coarser levels happens naturally on
+        # the first parent-crossing advance
+        inside = t_near < eps_t
+        lvl0 = jnp.where(inside, 0, start_lvl).astype(jnp.int32)
+        sx0 = scale_of(lvl0, W)
+        sz0 = scale_of(lvl0, H)
         cx0 = jnp.floor((o[..., 0] + d[..., 0] * (t_enter + eps_t)) * sx0).astype(jnp.int32)
         cz0 = jnp.floor((o[..., 2] + d[..., 2] * (t_enter + eps_t)) * sz0).astype(jnp.int32)
-        lvl0 = jnp.full((n,), start_lvl, jnp.int32)
         lane_full = (o, d, inv_d, step_ix_full, step_iz_full, t_far, t_enter)
         state = (t_enter, lvl0, cx0, cz0, jnp.full((n,), jnp.inf), valid,
                  jnp.asarray(0, jnp.int32))

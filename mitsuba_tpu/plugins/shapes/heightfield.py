@@ -44,22 +44,51 @@ class HeightfieldTable:
     to_object: jnp.ndarray  # (S,4,4)
 
 
+BK = 4          # leaf BLOCK is BK x BK cells; one (13,)c64 row holds its
+                # (BK+1)^2 corners — see _march
+
+
+def _pool(cur, k):
+    """k x k max-pool with -inf padding."""
+    ph = (cur.shape[0] + k - 1) // k * k
+    pw = (cur.shape[1] + k - 1) // k * k
+    pad = jnp.full((ph, pw), NEG_INF, cur.dtype)
+    pad = pad.at[:cur.shape[0], :cur.shape[1]].set(cur)
+    out = pad[0::k, 0::k]
+    for dz in range(k):
+        for dx in range(k):
+            if dz or dx:
+                out = jnp.maximum(out, pad[dz::k, dx::k])
+    return out
+
+
 def build_max_mip(heights):
-    """Level 0: per-cell max of 4 corners ((R-1, C-1)); each higher level is a
-    2x2 max-pool padded with -inf."""
+    """Level 0: per-BLOCK max over BK x BK cells (cell = max of 4 corners);
+    each higher level is a 2x2 max-pool padded with -inf."""
     h = heights
     cell = jnp.maximum(jnp.maximum(h[:-1, :-1], h[:-1, 1:]),
                        jnp.maximum(h[1:, :-1], h[1:, 1:]))
-    levels = [cell]
+    levels = [_pool(cell, BK)]
     while levels[-1].shape[0] > 1 or levels[-1].shape[1] > 1:
-        cur = levels[-1]
-        ph = (cur.shape[0] + 1) // 2 * 2
-        pw = (cur.shape[1] + 1) // 2 * 2
-        pad = jnp.full((ph, pw), NEG_INF, cur.dtype)
-        pad = pad.at[:cur.shape[0], :cur.shape[1]].set(cur)
-        levels.append(jnp.maximum(jnp.maximum(pad[0::2, 0::2], pad[0::2, 1::2]),
-                                  jnp.maximum(pad[1::2, 0::2], pad[1::2, 1::2])))
+        levels.append(_pool(levels[-1], 2))
     return tuple(levels)
+
+
+def _block_corner_rows(h):
+    """(H_B, W_B, 13) c64: the (BK+1)^2 = 25 corners of every BK x BK cell
+    block, edge-replicated at partial border blocks, packed 2-per-c64."""
+    R, C = h.shape
+    W, H = C - 1, R - 1
+    W_B = (W + BK - 1) // BK
+    H_B = (H + BK - 1) // BK
+    hpad = jnp.pad(h, ((0, H_B * BK + 1 - R), (0, W_B * BK + 1 - C)),
+                   mode='edge')
+    slabs = [hpad[dz:dz + H_B * BK:BK, dx:dx + W_B * BK:BK]
+             for dz in range(BK + 1) for dx in range(BK + 1)]
+    v = jnp.stack(slabs, -1)                      # (H_B, W_B, 25) row-major
+    odd = jnp.concatenate([v[..., 1::2],
+                           jnp.zeros(v.shape[:-1] + (1,), v.dtype)], -1)
+    return jax.lax.complex(v[..., 0::2], odd)     # (H_B, W_B, 13)
 
 
 class heightfield:
@@ -92,43 +121,6 @@ class heightfield:
                                 to_world=jnp.asarray(tw), to_object=jnp.asarray(to))
 
     # ------------------------------------------------------------------
-    # leaf test: bilinear patch vs ray segment, closed form
-    # ------------------------------------------------------------------
-    @staticmethod
-    def _pack_pairs(h):
-        """Pack horizontally adjacent height pairs as complex64 so each cell
-        corner-row is ONE gather (TPU gathers are per-element scalar-core
-        work; this halves the leaf test's gather count)."""
-        return jax.lax.complex(h[:, :-1], h[:, 1:])   # (R, C-1)
-
-    @staticmethod
-    def _patch_hit_vals(h00, h01, h10, h11, ixc, izc, o, d, t0, t1, R, C):
-        """Quadratic solve of y(t) = h_bilinear(x(t), z(t)) within cell
-        (ixc, izc) over t in [t0, t1], corner heights given in-register.
-        Returns (hit, t)."""
-        W = C - 1
-        H = R - 1
-        # local coords: u = x*W - ix in [0,1], v = z*H - iz
-        u0 = o[..., 0] * W - ixc
-        v0 = o[..., 2] * H - izc
-        du = d[..., 0] * W
-        dv = d[..., 2] * H
-        # h(u,v) = h00 + (h01-h00)u + (h10-h00)v + (h11-h10-h01+h00)uv
-        A = h01 - h00
-        B = h10 - h00
-        Cc = h11 - h10 - h01 + h00
-        # f(t) = oy + t dy - [h00 + A(u0+t du) + B(v0+t dv) + C(u0+t du)(v0+t dv)]
-        a = -Cc * du * dv
-        b = d[..., 1] - A * du - B * dv - Cc * (u0 * dv + v0 * du)
-        c = o[..., 1] - h00 - A * u0 - B * v0 - Cc * u0 * v0
-        found, r0, r1 = m.solve_quadratic(a, b, c)
-        eps = 1e-6
-        ok0 = found & (r0 >= t0 - eps) & (r0 <= t1 + eps)
-        ok1 = found & (r1 >= t0 - eps) & (r1 <= t1 + eps)
-        t = jnp.where(ok0, r0, jnp.where(ok1, r1, jnp.inf))
-        return jnp.isfinite(t), t
-
-    # ------------------------------------------------------------------
     # traversal for a single instance
     # ------------------------------------------------------------------
     @staticmethod
@@ -138,21 +130,21 @@ class heightfield:
         n = o.shape[0]
         W = C - 1
         H = R - 1
+        W_B = (W + BK - 1) // BK
+        H_B = (H + BK - 1) // BK
         n_levels = len(mips)
         h_max = jnp.max(mips[-1]) + 1.0
         h_min = -jnp.max(-h) - 1.0
 
-        h_pairs = heightfield._pack_pairs(h)    # (R, C-1) complex pairs
         # gather-economy table (ONE row-gather per DDA iteration): TPU gather
-        # cost is per INDEX, nearly independent of row width (measured on
-        # v5e: f32x1 1.9ms / c64x2 2.3ms per 65k-lane gather), so each slot
-        # is a (2,) c64 row:
-        #   level-0 rows:   [complex(h00,h01), complex(h10,h11)]  (4 corners)
-        #   interior rows:  [complex(cmax, 0), 0]
-        # The leaf cmax is recomputed in-register from the four corners
-        # (level-0 mip == corner max by construction, build_max_mip above).
-        top_pairs = h_pairs[:-1]                 # (R-1, C-1)
-        bot_pairs = h_pairs[1:]                  # (R-1, C-1)
+        # cost is per INDEX, nearly independent of row width — FLAT to at
+        # least 32 c64 = 256 B/lane (measured on v5e: f32x1 1.9ms, c64x2
+        # 2.3ms, c64x13 ~2.6ms, c64x32 2.6ms per 65k-lane gather; PERF.md).
+        # Vector math is ~free by comparison (60 ops on 65k lanes = 4us).
+        # So the DDA walks BLOCKS of BK x BK cells: each level-0 row holds a
+        # block's (BK+1)^2 = 25 corners (13 c64) and ONE iteration tests all
+        # 16 bilinear patches in-register; interior rows hold
+        # [complex(cmax, 0), 0 x12].
         # entry into the bounding box [0,1] x [hmin,hmax] x [0,1]
         inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-9,
                                 jnp.where(d < 0, -1e-9, 1e-9), d)
@@ -174,16 +166,20 @@ class heightfield:
         # a select-chain over the static level list). Only 1 mip gather (+2
         # packed corner gathers at the leaf) remain per iteration.
         import numpy as _np
+        NROW = (BK + 1) ** 2 // 2 + 1        # 13 c64 per row
         zero = jnp.zeros((), jnp.complex64)
+        block_rows = _block_corner_rows(h).reshape(-1, NROW)
         combo_rows = jnp.concatenate(
-            [jnp.stack([top_pairs.ravel(), bot_pairs.ravel()], -1)] +
-            [jnp.stack([jax.lax.complex(mp, jnp.zeros_like(mp)).ravel(),
-                        jnp.broadcast_to(zero, (mp.size,))], -1)
-             for mp in mips[1:]])            # (TOTAL, 2) c64
+            [block_rows] +
+            [jnp.concatenate(
+                [jax.lax.complex(mp, jnp.zeros_like(mp)).reshape(-1, 1),
+                 jnp.broadcast_to(zero, (mp.size, NROW - 1))], -1)
+             for mp in mips[1:]])            # (TOTAL, NROW) c64
         sizes = [mp.size for mp in mips]
         offsets_np = _np.cumsum([0] + sizes[:-1]).astype(_np.int32)
 
         def scale_of(lvl, base):
+            # base is in BLOCKS (possibly fractional: W/BK) per unit
             return base * jnp.exp2(-lvl.astype(jnp.float32))
 
         def ncells(lvl, base):
@@ -197,16 +193,27 @@ class heightfield:
             return off
 
         def combo_lookup_batch(lvl, iz, ix):
-            w_l = ncells(lvl, W)
-            h_l = ncells(lvl, H)
+            w_l = ncells(lvl, W_B)
+            h_l = ncells(lvl, H_B)
             izc = jnp.clip(iz, 0, h_l - 1)
             ixc = jnp.clip(ix, 0, w_l - 1)
-            return combo_rows[offset_of(lvl) + izc * w_l + ixc]   # (N, 2)
+            return combo_rows[offset_of(lvl) + izc * w_l + ixc]   # (N, NROW)
 
         step_ix_full = jnp.where(d[..., 0] >= 0, 1, -1).astype(jnp.int32)
         step_iz_full = jnp.where(d[..., 2] >= 0, 1, -1).astype(jnp.int32)
 
-        max_steps = 3 * (W + H) + 16 * n_levels
+        max_steps = 3 * (W_B + H_B) + 16 * n_levels
+
+        # static per-sub-cell corner indices into the unpacked 25-vector
+        # (row-major (BK+1)x(BK+1) corner grid)
+        sub_sz, sub_sx = _np.divmod(_np.arange(BK * BK), BK)   # (16,)
+        i00 = (sub_sz * (BK + 1) + sub_sx).astype(_np.int32)
+        idx00 = jnp.asarray(i00)
+        idx01 = jnp.asarray(i00 + 1)
+        idx10 = jnp.asarray(i00 + (BK + 1))
+        idx11 = jnp.asarray(i00 + (BK + 2))
+        sub_sx_j = jnp.asarray(sub_sx.astype(_np.int32))
+        sub_sz_j = jnp.asarray(sub_sz.astype(_np.int32))
 
         def make_body(o, d, inv_d, step_ix, step_iz, t_far, t_enter):
             def body(state):
@@ -216,8 +223,8 @@ class heightfield:
 
         def _body_impl(state, o, d, inv_d, step_ix, step_iz, t_far, t_enter):
             t, lvl, ix, iz, t_hit, active, steps = state
-            sx = scale_of(lvl, W)
-            sz = scale_of(lvl, H)
+            sx = scale_of(lvl, W / BK)
+            sz = scale_of(lvl, H / BK)
             # exit crossing per axis in the travel direction (exact DDA —
             # the cell identity is tracked by INTEGER index stepping, never
             # by re-flooring the ray point, so no epsilon creep)
@@ -226,37 +233,72 @@ class heightfield:
             tx = (bx - o[..., 0]) * inv_d[..., 0]
             tz = (bz - o[..., 2]) * inv_d[..., 2]
             t_exit = jnp.minimum(jnp.minimum(tx, tz), t_far)
-            # THE gather: one (2,) c64 row — 4 corners at the leaf, cmax at
-            # interior levels
+            # THE gather: one (NROW,) c64 row — the 25 block corners at the
+            # leaf level, cmax at interior levels
             g = combo_lookup_batch(lvl, iz, ix)
             at_leaf = lvl == 0
-            ixc0 = jnp.clip(ix, 0, W - 1)
-            izc0 = jnp.clip(iz, 0, H - 1)
-            h00 = jnp.real(g[..., 0])
-            h01 = jnp.imag(g[..., 0])
-            h10 = jnp.real(g[..., 1])
-            h11 = jnp.imag(g[..., 1])
-            cmax_leaf = jnp.maximum(jnp.maximum(h00, h01),
-                                    jnp.maximum(h10, h11))
-            cmax = jnp.where(at_leaf, cmax_leaf, h00)
+            cmax = jnp.real(g[..., 0])
             y_a = o[..., 1] + d[..., 1] * t
             y_b = o[..., 1] + d[..., 1] * t_exit
             overlap = (jnp.minimum(y_a, y_b) <= cmax) & (t <= t_exit + eps_t)
 
-            # -- leaf: exact patch test (unconditional: a lax.cond inside the
-            # while body explodes XLA compile time)
-            hit_leaf, t_leaf = heightfield._patch_hit_vals(
-                h00, h01, h10, h11, ixc0, izc0, o, d,
-                jnp.maximum(t, t_enter) - 2e-5, t_exit, R, C)
-            leaf_hit = at_leaf & overlap & hit_leaf & active
+            # -- leaf: exact bilinear-patch tests for ALL BKxBK block cells
+            # in-register (unconditional: a lax.cond inside the while body
+            # explodes XLA compile time; vector math is ~free vs the gather)
+            cv = jnp.concatenate(
+                [jnp.real(g)[..., :, None],
+                 jnp.imag(g)[..., :, None]], -1).reshape(g.shape[0], -1)[:, :25]
+            bx0 = jnp.clip(ix, 0, W_B - 1)
+            bz0 = jnp.clip(iz, 0, H_B - 1)
+            ix_c = bx0[:, None] * BK + sub_sx_j[None, :]
+            iz_c = bz0[:, None] * BK + sub_sz_j[None, :]
+            h00 = jnp.take(cv, idx00, axis=1)
+            h01 = jnp.take(cv, idx01, axis=1)
+            h10 = jnp.take(cv, idx10, axis=1)
+            h11 = jnp.take(cv, idx11, axis=1)
+            # per-cell ray interval from the cell's x/z slab planes
+            ox = o[..., 0:1]
+            oz = o[..., 2:3]
+            ixf = ix_c.astype(jnp.float32)
+            izf = iz_c.astype(jnp.float32)
+            txa = (ixf / W - ox) * inv_d[..., 0:1]
+            txb = ((ixf + 1) / W - ox) * inv_d[..., 0:1]
+            tza = (izf / H - oz) * inv_d[..., 2:3]
+            tzb = ((izf + 1) / H - oz) * inv_d[..., 2:3]
+            blk_in = (jnp.maximum(t, t_enter) - 2e-5)[:, None]
+            c_in = jnp.maximum(jnp.maximum(jnp.minimum(txa, txb),
+                                           jnp.minimum(tza, tzb)), blk_in)
+            c_out = jnp.minimum(jnp.minimum(jnp.maximum(txa, txb),
+                                            jnp.maximum(tza, tzb)),
+                                t_exit[:, None])
+            cell_ok = (c_in <= c_out + eps_t) & (ix_c < W) & (iz_c < H)
+            # quadratic y(t) = h_bilinear(x(t), z(t)) per cell
+            u0 = ox * W - ixf
+            v0 = oz * H - izf
+            du = d[..., 0:1] * W
+            dv = d[..., 2:3] * H
+            A = h01 - h00
+            B = h10 - h00
+            Cc = h11 - h10 - h01 + h00
+            qa = -Cc * du * dv
+            qb = d[..., 1:2] - A * du - B * dv - Cc * (u0 * dv + v0 * du)
+            qc = o[..., 1:2] - h00 - A * u0 - B * v0 - Cc * u0 * v0
+            found, r0, r1 = m.solve_quadratic(qa, qb, qc)
+            eps = 1e-6
+            ok0 = found & cell_ok & (r0 >= c_in - eps) & (r0 <= c_out + eps)
+            ok1 = found & cell_ok & (r1 >= c_in - eps) & (r1 <= c_out + eps)
+            t_cells = jnp.where(ok0, r0, jnp.where(ok1, r1, jnp.inf))
+            t_leaf = jnp.min(t_cells, -1)
+            hit_leaf = jnp.isfinite(t_leaf)
+            leaf_hit = at_leaf & hit_leaf & active
             t_hit = jnp.where(leaf_hit & (t_leaf < t_hit), t_leaf, t_hit)
 
             # -- descend: potential hit at interior level; child located by
             # the ray point at t, clamped into the parent's 2x2 children
             descend = overlap & ~at_leaf & active
             lvl_d = jnp.maximum(lvl - 1, 0)
-            sxd = scale_of(lvl_d, W)
-            szd = scale_of(lvl_d, H)
+            sxd = scale_of(lvl_d, W / BK)
+            szd = scale_of(lvl_d, H / BK)
             tq = jnp.maximum(t, t_enter)
             cx_d = jnp.floor((o[..., 0] + d[..., 0] * tq) * sxd).astype(jnp.int32)
             cz_d = jnp.floor((o[..., 2] + d[..., 2] * tq) * szd).astype(jnp.int32)
@@ -265,7 +307,7 @@ class heightfield:
 
             # -- advance: integer-step the crossed axis; ascend one level
             # only when the step leaves the current parent (alignment ascent)
-            advance = (~overlap | (at_leaf & ~hit_leaf)) & active
+            advance = ((~overlap & ~at_leaf) | (at_leaf & ~hit_leaf)) & active
             xfirst = tx <= tz
             ix_a = ix + jnp.where(xfirst, step_ix, 0)
             iz_a = iz + jnp.where(xfirst, 0, step_iz)
@@ -281,8 +323,8 @@ class heightfield:
             new_t = jnp.where(advance, t_exit, jnp.maximum(t, t_enter))
 
             # termination: out of the level's index range or past t_far
-            in_range = (new_ix >= 0) & (new_ix < ncells(new_lvl, W)) & \
-                (new_iz >= 0) & (new_iz < ncells(new_lvl, H))
+            in_range = (new_ix >= 0) & (new_ix < ncells(new_lvl, W_B)) & \
+                (new_iz >= 0) & (new_iz < ncells(new_lvl, H_B))
             still = active & ~leaf_hit & (new_t <= t_far + eps_t) & in_range
             return (new_t, new_lvl, new_ix, new_iz, t_hit, still, steps + 1)
 
@@ -300,8 +342,8 @@ class heightfield:
         # the first parent-crossing advance
         inside = t_near < eps_t
         lvl0 = jnp.where(inside, 0, start_lvl).astype(jnp.int32)
-        sx0 = scale_of(lvl0, W)
-        sz0 = scale_of(lvl0, H)
+        sx0 = scale_of(lvl0, W / BK)
+        sz0 = scale_of(lvl0, H / BK)
         cx0 = jnp.floor((o[..., 0] + d[..., 0] * (t_enter + eps_t)) * sx0).astype(jnp.int32)
         cz0 = jnp.floor((o[..., 2] + d[..., 2] * (t_enter + eps_t)) * sz0).astype(jnp.int32)
         lane_full = (o, d, inv_d, step_ix_full, step_iz_full, t_far, t_enter)

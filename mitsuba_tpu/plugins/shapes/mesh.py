@@ -19,12 +19,12 @@ kd-tree / Embree backends, src/render/scene_native.inl, scene_embree.inl):
       next = hit_box ? (leaf ? miss : left=node+1) : miss
 
   Each ray visits a node at most once, so the loop is bounded by the node
-  count. TPU gather economy (gathers run per-element on the scalar core):
-  node bboxes are packed as (N,3) complex64 (min+i*max), the triangle soup
-  as (P,5) complex64, and {hit,miss,leaf_start<<4|count} as one (N,3) int32
-  row — ~26 gathered elements per iteration instead of ~46. The same
-  wavefront-compaction cascade as the heightfield march halves the width as
-  lanes finish.
+  count. TPU gather economy (gather cost is per INDEX, flat in row width —
+  PERF.md): a traversal step is exactly TWO row-gathers — the (5,)c64 node
+  record [bbox min+i*max x3 | complex(hit,miss) | complex(chunk,count)] and
+  the leaf's (20,)c64 prim chunk (leaves are BVH_LEAF-row aligned; pad rows
+  are degenerate faces). The same wavefront-compaction cascade as the
+  heightfield march halves the width as lanes finish.
 
 Differentiability: detached traversal; `compute_si` re-derives the
 interaction attached via the barycentric hit on gathered (differentiable)
@@ -52,9 +52,8 @@ class MeshTable:
     face_pmf_cdf: tuple  # tuple of (F,) float32 area cdf (detached)
     total_area: jnp.ndarray  # (S,)
     # per-mesh BVH (None -> brute force): dict with
-    #   nodes_c (N,3) complex64  bbox min + i*max
-    #   nodes_i (N,3) int32      [hit_next, miss_next, leaf_start<<4 | count]
-    #   soup_c  (P,5) complex64  packed (p0, e1, e2) per face, leaf order
+    #   nodes5 (N,5) complex64   bbox min+i*max x3 | hit+i*miss | chunk+i*count
+    #   soup20 (NL,20) complex64 per-leaf chunk of BVH_LEAF packed faces
     bvh: tuple = ()
     # face permutation applied at build (leaf reorder); None if identity.
     # NOT a pytree leaf concern: ints, but kept as arrays for uniformity.
@@ -90,28 +89,47 @@ def _bvh_skip_links(nodes_i):
 
 def _build_bvh_arrays(v_w, f_arr):
     """Host-side BVH build + packing. Returns (bvh_dict, face_order) where
-    face_order permutes faces into leaf-contiguous order."""
+    face_order permutes faces into leaf-CHUNK order: every leaf owns a
+    BVH_LEAF-row aligned chunk of the face/soup buffers (pad rows are
+    degenerate [0,0,0] faces that can never intersect), so a traversal step
+    is exactly TWO row-gathers — the (5,)c64 node record and the (20,)c64
+    prim chunk. TPU gather cost is per INDEX, flat in row width (PERF.md)."""
     from ...utils import native as _native
     nodes_f, nodes_i, order = _native.bvh_build(v_w, f_arr, leaf_size=BVH_LEAF)
     hit, miss = _bvh_skip_links(nodes_i)
     is_leaf = nodes_i[:, 2] != 0
-    # prim_order positions are already leaf-contiguous; after reordering the
-    # faces by `order`, a leaf's primitives are rows [start, start+count)
-    start = np.where(is_leaf, nodes_i[:, 0], 0).astype(np.int32)
-    count = np.where(is_leaf, nodes_i[:, 1], 0).astype(np.int32)
-    assert count.max(initial=0) <= 15
-    leafpack = (start << 4) | count
-    nodes_c = (nodes_f[:, :3] + 1j * nodes_f[:, 3:]).astype(np.complex64)
-    ni = np.stack([hit, miss, leafpack], -1).astype(np.int32)
-    f_ord = f_arr[order]
+    leaf_ids = np.flatnonzero(is_leaf)
+    starts = nodes_i[leaf_ids, 0].astype(np.int64)
+    counts = nodes_i[leaf_ids, 1].astype(np.int64)
+    assert counts.max(initial=0) <= BVH_LEAF
+    n_leaf = len(leaf_ids)
+    # chunk-aligned face order (-1 = degenerate pad)
+    order_pad = np.full(n_leaf * BVH_LEAF, -1, np.int64)
+    for j, (s, c) in enumerate(zip(starts, counts)):
+        order_pad[j * BVH_LEAF: j * BVH_LEAF + c] = order[s:s + c]
+    pads = order_pad < 0
+    f_ord = f_arr[np.clip(order_pad, 0, None)]
+    f_ord[pads] = 0                              # p0=e1=e2 -> det 0, no hit
+    # node record: 3x bbox(min + i*max) | complex(hit, miss) | complex(chunk, count)
+    chunk_of = np.zeros(len(nodes_i), np.float32)
+    count_of = np.zeros(len(nodes_i), np.float32)
+    chunk_of[leaf_ids] = np.arange(n_leaf, dtype=np.float32)
+    count_of[leaf_ids] = counts.astype(np.float32)
+    assert len(nodes_i) < (1 << 24) and n_leaf < (1 << 24)
+    nodes5 = np.concatenate([
+        (nodes_f[:, :3] + 1j * nodes_f[:, 3:]).astype(np.complex64),
+        (hit.astype(np.float32) + 1j * miss.astype(np.float32))[:, None]
+        .astype(np.complex64),
+        (chunk_of + 1j * count_of)[:, None].astype(np.complex64),
+    ], -1)                                        # (N, 5)
     p0 = v_w[f_ord[:, 0]]
     e1 = v_w[f_ord[:, 1]] - p0
     e2 = v_w[f_ord[:, 2]] - p0
     soup = np.concatenate([p0, e1, e2, np.zeros_like(p0[:, :1])], -1)
     soup_c = (soup[:, 0::2] + 1j * soup[:, 1::2]).astype(np.complex64)
-    bvh = dict(nodes_c=jnp.asarray(nodes_c), nodes_i=jnp.asarray(ni),
-               soup_c=jnp.asarray(soup_c))
-    return bvh, order
+    soup20 = soup_c.reshape(n_leaf, BVH_LEAF * 5)  # (n_leaf, 20)
+    bvh = dict(nodes5=jnp.asarray(nodes5), soup20=jnp.asarray(soup20))
+    return bvh, np.clip(order_pad, 0, None), pads
 
 
 def load_obj(path):
@@ -379,9 +397,10 @@ class mesh:
             use_bvh = accel == 'bvh' or (
                 accel == 'auto' and f_arr.shape[0] >= BVH_MIN_FACES)
             if use_bvh and f_arr.shape[0] > 0:
-                bvh_d, order = _build_bvh_arrays(v_w.astype(np.float32),
-                                                 f_arr)
-                f_arr = f_arr[order]   # leaf order: hit prim == soup row
+                bvh_d, order, pads = _build_bvh_arrays(
+                    v_w.astype(np.float32), f_arr)
+                f_arr = f_arr[order]   # leaf-chunk order: prim == soup row
+                f_arr[pads] = 0        # degenerate pad rows (zero area)
             else:
                 bvh_d = None
                 order = None
@@ -472,9 +491,9 @@ class mesh:
         a hit beyond the shadow segment proves nothing)."""
         o = jax.lax.stop_gradient(o)
         d = jax.lax.stop_gradient(d)
-        nodes_c, nodes_i, soup_c = bvh['nodes_c'], bvh['nodes_i'], bvh['soup_c']
-        Nn = nodes_c.shape[0]
-        P = soup_c.shape[0]
+        nodes5, soup20 = bvh['nodes5'], bvh['soup20']
+        Nn = nodes5.shape[0]
+        NL = soup20.shape[0]
         n = o.shape[0]
         eps = 1e-5
         lane_arange = jnp.arange(BVH_LEAF)
@@ -483,19 +502,21 @@ class mesh:
             def body(state):
                 node, t_best, uv_best, prim_best, active, steps = state
                 nd = jnp.clip(node, 0, Nn - 1)
-                nc = nodes_c[nd]                      # (n,3) complex64
+                g = nodes5[nd]                        # (n,5) complex64
+                nc = g[..., :3]
                 t0 = (jnp.real(nc) - o) * inv_d
                 t1 = (jnp.imag(nc) - o) * inv_d
                 tn = jnp.max(jnp.minimum(t0, t1), -1)
                 tf = jnp.min(jnp.maximum(t0, t1), -1)
                 hit_box = (tf >= jnp.maximum(tn, eps)) & (tn < t_best)
-                ni = nodes_i[nd]                      # (n,3) int32
-                hitn, missn, leafpack = ni[..., 0], ni[..., 1], ni[..., 2]
-                count = leafpack & 15
-                start = leafpack >> 4
+                hitn = jnp.real(g[..., 3]).astype(jnp.int32)
+                missn = jnp.imag(g[..., 3]).astype(jnp.int32)
+                chunk = jnp.real(g[..., 4]).astype(jnp.int32)
+                count = jnp.imag(g[..., 4]).astype(jnp.int32)
+                start = chunk * BVH_LEAF
                 do_leaf = active & hit_box & (count > 0)
-                rows = jnp.clip(start[:, None] + lane_arange[None], 0, P - 1)
-                sc = soup_c[rows]                     # (n,L,5) complex64
+                sc = soup20[jnp.clip(chunk, 0, NL - 1)].reshape(
+                    (-1, BVH_LEAF, 5))                # (n,L,5) complex64
                 P0 = jnp.stack([jnp.real(sc[..., 0]), jnp.imag(sc[..., 0]),
                                 jnp.real(sc[..., 1])], -1)
                 E1 = jnp.stack([jnp.imag(sc[..., 1]), jnp.real(sc[..., 2]),

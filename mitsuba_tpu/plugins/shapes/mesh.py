@@ -20,10 +20,11 @@ kd-tree / Embree backends, src/render/scene_native.inl, scene_embree.inl):
 
   Each ray visits a node at most once, so the loop is bounded by the node
   count. TPU gather economy (gather cost is per INDEX, flat in row width —
-  PERF.md): a traversal step is exactly TWO row-gathers — the (5,)c64 node
-  record [bbox min+i*max x3 | complex(hit,miss) | complex(chunk,count)] and
-  the leaf's (20,)c64 prim chunk (leaves are BVH_LEAF-row aligned; pad rows
-  are degenerate faces). The same wavefront-compaction cascade as the
+  PERF.md): a traversal step is exactly TWO row-gathers — the (10,)f32 node
+  record [bbox min xyz | max xyz | hit | miss | chunk | count] and the
+  leaf's (36,)f32 prim chunk (leaves are BVH_LEAF-row aligned; pad rows are
+  degenerate faces). Plain f32 rows: complex64 cannot cross the PJRT
+  boundary on the axon TPU backend, and row-gather cost is per index. The same wavefront-compaction cascade as the
   heightfield march halves the width as lanes finish.
 
 Differentiability: detached traversal; `compute_si` re-derives the
@@ -52,8 +53,8 @@ class MeshTable:
     face_pmf_cdf: tuple  # tuple of (F,) float32 area cdf (detached)
     total_area: jnp.ndarray  # (S,)
     # per-mesh BVH (None -> brute force): dict with
-    #   nodes5 (N,5) complex64   bbox min+i*max x3 | hit+i*miss | chunk+i*count
-    #   soup20 (NL,20) complex64 per-leaf chunk of BVH_LEAF packed faces
+    #   nodes10 (N,10) f32   bbox min xyz | max xyz | hit | miss | chunk | count
+    #   soup36 (NL,36) f32   per-leaf chunk of BVH_LEAF (p0,e1,e2) faces
     bvh: tuple = ()
     # face permutation applied at build (leaf reorder); None if identity.
     # NOT a pytree leaf concern: ints, but kept as arrays for uniformity.
@@ -92,7 +93,7 @@ def _build_bvh_arrays(v_w, f_arr):
     face_order permutes faces into leaf-CHUNK order: every leaf owns a
     BVH_LEAF-row aligned chunk of the face/soup buffers (pad rows are
     degenerate [0,0,0] faces that can never intersect), so a traversal step
-    is exactly TWO row-gathers — the (5,)c64 node record and the (20,)c64
+    is exactly TWO row-gathers — the (10,)f32 node record and the (36,)f32
     prim chunk. TPU gather cost is per INDEX, flat in row width (PERF.md)."""
     from ...utils import native as _native
     nodes_f, nodes_i, order = _native.bvh_build(v_w, f_arr, leaf_size=BVH_LEAF)
@@ -110,25 +111,25 @@ def _build_bvh_arrays(v_w, f_arr):
     pads = order_pad < 0
     f_ord = f_arr[np.clip(order_pad, 0, None)]
     f_ord[pads] = 0                              # p0=e1=e2 -> det 0, no hit
-    # node record: 3x bbox(min + i*max) | complex(hit, miss) | complex(chunk, count)
+    # node record row (f32 — complex64 cannot cross the PJRT boundary on
+    # the axon backend, and row-gather cost is per index anyway):
+    # [bbox_min xyz | bbox_max xyz | hit | miss | chunk | count]
     chunk_of = np.zeros(len(nodes_i), np.float32)
     count_of = np.zeros(len(nodes_i), np.float32)
     chunk_of[leaf_ids] = np.arange(n_leaf, dtype=np.float32)
     count_of[leaf_ids] = counts.astype(np.float32)
     assert len(nodes_i) < (1 << 24) and n_leaf < (1 << 24)
-    nodes5 = np.concatenate([
-        (nodes_f[:, :3] + 1j * nodes_f[:, 3:]).astype(np.complex64),
-        (hit.astype(np.float32) + 1j * miss.astype(np.float32))[:, None]
-        .astype(np.complex64),
-        (chunk_of + 1j * count_of)[:, None].astype(np.complex64),
-    ], -1)                                        # (N, 5)
+    nodes10 = np.concatenate([
+        nodes_f[:, :3], nodes_f[:, 3:],
+        hit.astype(np.float32)[:, None], miss.astype(np.float32)[:, None],
+        chunk_of[:, None], count_of[:, None],
+    ], -1).astype(np.float32)                     # (N, 10)
     p0 = v_w[f_ord[:, 0]]
     e1 = v_w[f_ord[:, 1]] - p0
     e2 = v_w[f_ord[:, 2]] - p0
-    soup = np.concatenate([p0, e1, e2, np.zeros_like(p0[:, :1])], -1)
-    soup_c = (soup[:, 0::2] + 1j * soup[:, 1::2]).astype(np.complex64)
-    soup20 = soup_c.reshape(n_leaf, BVH_LEAF * 5)  # (n_leaf, 20)
-    bvh = dict(nodes5=jnp.asarray(nodes5), soup20=jnp.asarray(soup20))
+    soup = np.concatenate([p0, e1, e2], -1).astype(np.float32)  # (F', 9)
+    soup36 = soup.reshape(n_leaf, BVH_LEAF * 9)   # (n_leaf, 36)
+    bvh = dict(nodes10=jnp.asarray(nodes10), soup36=jnp.asarray(soup36))
     return bvh, np.clip(order_pad, 0, None), pads
 
 
@@ -491,9 +492,9 @@ class mesh:
         a hit beyond the shadow segment proves nothing)."""
         o = jax.lax.stop_gradient(o)
         d = jax.lax.stop_gradient(d)
-        nodes5, soup20 = bvh['nodes5'], bvh['soup20']
-        Nn = nodes5.shape[0]
-        NL = soup20.shape[0]
+        nodes10, soup36 = bvh['nodes10'], bvh['soup36']
+        Nn = nodes10.shape[0]
+        NL = soup36.shape[0]
         n = o.shape[0]
         eps = 1e-5
         lane_arange = jnp.arange(BVH_LEAF)
@@ -502,27 +503,23 @@ class mesh:
             def body(state):
                 node, t_best, uv_best, prim_best, active, steps = state
                 nd = jnp.clip(node, 0, Nn - 1)
-                g = nodes5[nd]                        # (n,5) complex64
-                nc = g[..., :3]
-                t0 = (jnp.real(nc) - o) * inv_d
-                t1 = (jnp.imag(nc) - o) * inv_d
+                g = nodes10[nd]                       # (n,10) f32
+                t0 = (g[..., 0:3] - o) * inv_d
+                t1 = (g[..., 3:6] - o) * inv_d
                 tn = jnp.max(jnp.minimum(t0, t1), -1)
                 tf = jnp.min(jnp.maximum(t0, t1), -1)
                 hit_box = (tf >= jnp.maximum(tn, eps)) & (tn < t_best)
-                hitn = jnp.real(g[..., 3]).astype(jnp.int32)
-                missn = jnp.imag(g[..., 3]).astype(jnp.int32)
-                chunk = jnp.real(g[..., 4]).astype(jnp.int32)
-                count = jnp.imag(g[..., 4]).astype(jnp.int32)
+                hitn = g[..., 6].astype(jnp.int32)
+                missn = g[..., 7].astype(jnp.int32)
+                chunk = g[..., 8].astype(jnp.int32)
+                count = g[..., 9].astype(jnp.int32)
                 start = chunk * BVH_LEAF
                 do_leaf = active & hit_box & (count > 0)
-                sc = soup20[jnp.clip(chunk, 0, NL - 1)].reshape(
-                    (-1, BVH_LEAF, 5))                # (n,L,5) complex64
-                P0 = jnp.stack([jnp.real(sc[..., 0]), jnp.imag(sc[..., 0]),
-                                jnp.real(sc[..., 1])], -1)
-                E1 = jnp.stack([jnp.imag(sc[..., 1]), jnp.real(sc[..., 2]),
-                                jnp.imag(sc[..., 2])], -1)
-                E2 = jnp.stack([jnp.real(sc[..., 3]), jnp.imag(sc[..., 3]),
-                                jnp.real(sc[..., 4])], -1)
+                sc = soup36[jnp.clip(chunk, 0, NL - 1)].reshape(
+                    (-1, BVH_LEAF, 9))                # (n,L,9) f32
+                P0 = sc[..., 0:3]
+                E1 = sc[..., 3:6]
+                E2 = sc[..., 6:9]
                 dL, oL = d[:, None], o[:, None]
                 pvec = jnp.cross(dL, E2)
                 det = jnp.sum(E1 * pvec, -1)

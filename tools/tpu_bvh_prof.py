@@ -1,0 +1,32 @@
+"""Mesh BVH traversal timing on TPU (65k rays, ~131k-face sphere)."""
+import sys, time
+import numpy as np, jax, jax.numpy as jnp
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+sys.path.insert(0, '/root/repo')
+from mitsuba_tpu.plugins.shapes.mesh import mesh, _build_bvh_arrays
+
+u = np.linspace(0, np.pi, 129); v = np.linspace(0, 2*np.pi, 257)
+uu, vv = np.meshgrid(u, v, indexing='ij')
+verts = np.stack([np.sin(uu)*np.cos(vv), np.cos(uu), np.sin(uu)*np.sin(vv)], -1).reshape(-1,3).astype(np.float32)
+idx = np.arange(129*257).reshape(129,257)
+quads = np.stack([idx[:-1,:-1], idx[1:,:-1], idx[1:,1:], idx[:-1,1:]], -1).reshape(-1,4)
+faces = np.concatenate([quads[:,[0,1,2]], quads[:,[0,2,3]]]).astype(np.int32)
+print('faces', faces.shape[0], flush=True)
+bvh, order, pads = _build_bvh_arrays(verts, faces)
+
+n = 65536
+rng = np.random.default_rng(1)
+o = np.tile(np.array([[0,0,3]],np.float32),(n,1))
+tgt = rng.normal(size=(n,3)).astype(np.float32)*0.5
+d = (tgt - o); d /= np.linalg.norm(d,axis=-1,keepdims=True)
+o_j, d_j = jnp.asarray(o), jnp.asarray(d)
+
+f = jax.jit(lambda bvh, o, d: mesh._traverse_bvh(bvh, o, d)[0])
+import functools
+f = functools.partial(f, jax.tree_util.tree_map(jnp.asarray, bvh))
+t0=time.time(); out=np.asarray(f(o_j,d_j)); print(f'compile+run {time.time()-t0:.1f}s hits {np.isfinite(out).sum()}', flush=True)
+t0=time.time()
+for _ in range(5): out = f(o_j, d_j)
+np.asarray(out)
+print(f'bvh traverse 65k rays vs 262k faces: {(time.time()-t0)/5:.3f}s', flush=True)

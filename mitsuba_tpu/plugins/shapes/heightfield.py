@@ -44,7 +44,7 @@ class HeightfieldTable:
     to_object: jnp.ndarray  # (S,4,4)
 
 
-BK = 4          # leaf BLOCK is BK x BK cells; one (13,)c64 row holds its
+BK = 8          # leaf BLOCK is BK x BK cells; one ((BK+1)^2/2,)c64 row holds its
                 # (BK+1)^2 corners — see _march
 
 
@@ -75,7 +75,7 @@ def build_max_mip(heights):
 
 
 def _block_corner_rows(h):
-    """(H_B, W_B, 13) c64: the (BK+1)^2 = 25 corners of every BK x BK cell
+    """(H_B, W_B, ceil((BK+1)^2/2)) c64: the (BK+1)^2 corners of every BK x BK cell
     block, edge-replicated at partial border blocks, packed 2-per-c64."""
     R, C = h.shape
     W, H = C - 1, R - 1
@@ -142,9 +142,9 @@ class heightfield:
         # 2.3ms, c64x13 ~2.6ms, c64x32 2.6ms per 65k-lane gather; PERF.md).
         # Vector math is ~free by comparison (60 ops on 65k lanes = 4us).
         # So the DDA walks BLOCKS of BK x BK cells: each level-0 row holds a
-        # block's (BK+1)^2 = 25 corners (13 c64) and ONE iteration tests all
-        # 16 bilinear patches in-register; interior rows hold
-        # [complex(cmax, 0), 0 x12].
+        # block's (BK+1)^2 corners and ONE iteration tests all
+        # BK^2 bilinear patches in-register; interior rows hold
+        # [complex(cmax, 0), 0 ...].
         # entry into the bounding box [0,1] x [hmin,hmax] x [0,1]
         inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-9,
                                 jnp.where(d < 0, -1e-9, 1e-9), d)
@@ -247,7 +247,8 @@ class heightfield:
             # explodes XLA compile time; vector math is ~free vs the gather)
             cv = jnp.concatenate(
                 [jnp.real(g)[..., :, None],
-                 jnp.imag(g)[..., :, None]], -1).reshape(g.shape[0], -1)[:, :25]
+                 jnp.imag(g)[..., :, None]], -1).reshape(
+                g.shape[0], -1)[:, :(BK + 1) ** 2]
             bx0 = jnp.clip(ix, 0, W_B - 1)
             bz0 = jnp.clip(iz, 0, H_B - 1)
             ix_c = bx0[:, None] * BK + sub_sx_j[None, :]

@@ -4,7 +4,8 @@ Brand-new implementation of the capability set of the reference
 Jentuuh/mitsuba3-differentiable-heightfield-rendering (Mitsuba 3.3.0 fork +
 heightfield north star), re-architected for TPU: jax.jit megakernels,
 struct-of-arrays plugin tables with masked-merge dispatch, lax.scan path
-loops, Pallas kernels for the hot ops, and shard_map scale-out.
+loops, row-gather traversal kernels tuned to the measured TPU cost model
+(PERF.md), and shard_map scale-out.
 
     import mitsuba_tpu as mt
     scene = mt.load_dict(mt.cornell_box())

@@ -1,0 +1,23 @@
+"""Device fast-path ops (the hot kernels, re-exported in one namespace).
+
+Design note: the traversal kernels are XLA programs shaped by the measured
+TPU cost model (PERF.md) — per-lane gather cost is per INDEX and flat in
+row width, vector math is ~free by comparison — rather than Pallas
+kernels: Mosaic cannot store scalars to VMEM, so a scalar-loop gather
+kernel cannot beat XLA's own dynamic-gather lowering here.
+
+- `heightfield_march`: maximum-mipmap DDA over fat cell blocks
+  (one row-gather + BK^2 in-register bilinear-patch solves per iteration)
+- `bvh_traverse`: stackless threaded-BVH walk (2 row-gathers per step)
+- `partition_actives` / `prefix_count`: MXU wavefront compaction
+- `small_gather`: VPU select-chain lookup for small tables
+"""
+from ..plugins.shapes.heightfield import heightfield as _hf
+from ..plugins.shapes.mesh import mesh as _mesh
+from ..core.math import partition_actives, prefix_count, small_gather
+
+heightfield_march = _hf._march
+bvh_traverse = _mesh._traverse_bvh
+
+__all__ = ['heightfield_march', 'bvh_traverse', 'partition_actives',
+           'prefix_count', 'small_gather']

@@ -131,10 +131,10 @@ def march_stage_cost():
     h = tbl.heights[0]
 
     for cascade in [((32, 1), (320, 4), (10**9, 16), (10**9, 8), (10**9, 2)),
-                    ((48, 1), (10**9, 8)),
-                    ((32, 1), (10**9, 4)),
-                    ((64, 1), (10**9, 8)),
-                    ((32, 1), (256, 8), (10**9, 2))]:
+                    ((12, 1), (64, 4), (10**9, 8)),
+                    ((16, 1), (10**9, 4)),
+                    ((8, 1), (48, 8), (10**9, 2)),
+                    ((16, 1), (96, 8), (10**9, 2))]:
         hf.heightfield.CASCADE = cascade
         f = jax.jit(lambda o, d: hf.heightfield._march(
             h, tbl.mips[0], o, d, 512, 512, compact=True)[0])

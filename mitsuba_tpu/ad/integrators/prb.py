@@ -162,7 +162,7 @@ def _bounce_detached(scene, smpl, o, d, prev_p, prev_pdf, prev_delta, active,
 
 def _primal_scan(scene, sampler, ray, max_depth, rr_depth):
     """Fully detached primal estimate (stop_gradient on everything)."""
-    scene = jax.lax.stop_gradient(scene)
+    scene = sc.prepare(jax.lax.stop_gradient(scene))
     n = ray.o.shape[0]
 
     def body(carry, depth):
@@ -196,7 +196,7 @@ def _replay_backward(scene, sampler, ray, delta_L, L_total, max_depth, rr_depth)
     """Replay the path; per bounce, vjp the attached local shading and
     accumulate scene (float-leaf) cotangents."""
     float_leaves, combine, meta = _partition(scene)
-    scene_det = jax.lax.stop_gradient(scene)
+    scene_det = sc.prepare(jax.lax.stop_gradient(scene))
     n = ray.o.shape[0]
     cot0 = [jnp.zeros_like(l) for l in float_leaves]
 
@@ -218,7 +218,7 @@ def _replay_backward(scene, sampler, ray, delta_L, L_total, max_depth, rr_depth)
 
         # ---- local attached shading (replays THIS bounce attached) ----
         def local(fl):
-            s_att = combine(fl)
+            s_att = sc.prepare(combine(fl))
             ray_b = Ray.make(o, d)
             pi = sc.ray_intersect_preliminary(jax.lax.stop_gradient(s_att), ray_b)
             si_a = sc.compute_surface_interaction(s_att, ray_b, pi)

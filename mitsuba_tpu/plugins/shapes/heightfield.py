@@ -42,6 +42,10 @@ class HeightfieldTable:
     mips: tuple             # tuple of tuples of 2D max-pyramid levels (fine->coarse), detached at build
     to_world: jnp.ndarray   # (S,4,4)
     to_object: jnp.ndarray  # (S,4,4)
+    # ATTACHED per-cell corner rows ((R-1)(C-1), 4) = [h00,h01,h10,h11],
+    # packed by scene.prepare() so compute_si is ONE row-gather per lane
+    # (transpose = one scatter + free slice-adds back to heights)
+    corner_rows: tuple = None
 
 
 BK = 8          # leaf BLOCK is BK x BK cells; one ((BK+1)^2/2,)c64 row holds its
@@ -89,6 +93,14 @@ def _block_corner_rows(h):
     odd = jnp.concatenate([v[..., 1::2],
                            jnp.zeros(v.shape[:-1] + (1,), v.dtype)], -1)
     return jax.lax.complex(v[..., 0::2], odd)     # (H_B, W_B, 13)
+
+
+def pack_cell_corners(h):
+    """(R, C) heights -> ((R-1)(C-1), 4) ATTACHED per-cell corner rows
+    [h00, h01, h10, h11]; built from slices so the transpose is free
+    (pad-adds), unlike a gather-based pack."""
+    return jnp.stack([h[:-1, :-1], h[:-1, 1:], h[1:, :-1], h[1:, 1:]],
+                     -1).reshape(-1, 4)
 
 
 class heightfield:
@@ -442,10 +454,15 @@ class heightfield:
             iz = jax.lax.stop_gradient(prim_index) // jnp.int32(max(W, 1))
             ix = jnp.clip(ix, 0, W - 1)
             iz = jnp.clip(iz, 0, H - 1)
-            h00 = h[iz, ix]
-            h01 = h[iz, ix + 1]
-            h10 = h[iz + 1, ix]
-            h11 = h[iz + 1, ix + 1]
+            if tbl.corner_rows is not None:
+                g = tbl.corner_rows[s][iz * W + ix]    # one row-gather
+                h00, h01, h10, h11 = (g[..., 0], g[..., 1],
+                                      g[..., 2], g[..., 3])
+            else:
+                h00 = h[iz, ix]
+                h01 = h[iz, ix + 1]
+                h10 = h[iz + 1, ix]
+                h11 = h[iz + 1, ix + 1]
             A = h01 - h00
             B = h10 - h00
             Cc = h11 - h10 - h01 + h00

@@ -9,6 +9,7 @@ tables and the per-type math.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -91,15 +92,33 @@ class DirectionalAreaTable:
 
 @struct.dataclass
 class EnvmapTable:
-    """envmap.cpp: equirectangular radiance map + hierarchical luminance warp."""
+    """envmap.cpp: equirectangular radiance map + hierarchical luminance warp.
+
+    Gather-economy layout (PERF.md: TPU gather cost is per INDEX, flat in row
+    width): the hierarchical warp's per-level 2x2 children are packed as ONE
+    (Hp*Wp, 4) row per parent cell — 1 row-gather per descent level instead
+    of 4 scalar gathers — and an alias table gives O(1)-gather sampling for
+    the independent sampler (stratification-preserving hierarchical descent
+    is kept for stratified/LD samplers)."""
     bitmap: jnp.ndarray        # (H, W, 3), differentiable
     scale: jnp.ndarray         # ()
     to_world: jnp.ndarray      # (4,4)
     to_object: jnp.ndarray     # (4,4)
-    # flattened Hierarchical2D (coarse->fine level sums); tuple of 2D arrays
-    levels: tuple
+    # hierarchical warp, packed: level_rows[s] is (Hp*Wp, 4) child quads of
+    # every parent cell at descent step s (coarse->fine); level_shapes[s] is
+    # the static (Hp, Wp) parent grid shape
+    level_rows: tuple
     pdf_grid: jnp.ndarray      # (H, W) normalized luminance / texel
+    lum_total: jnp.ndarray     # () sum of sin-weighted luminance
+    # Vose alias table over texels: (H*W, 4) f32 rows
+    # [q, bitcast<int32->f32>(alias), pdf_texel, pdf_alias_texel]
+    alias_rows: jnp.ndarray
+    level_shapes: tuple = struct.field(pytree_node=False, default=())
     spec_bitmap: jnp.ndarray = None  # (H, W, 4) per-texel [coeff, scale]
+    # packed bilinear corners (H*W, 4C), built per-program by scene.prepare()
+    # so radiance eval is ONE row-gather; None outside a render program
+    corner_rows: jnp.ndarray = None
+    spec_corner_rows: jnp.ndarray = None
 
 
 @struct.dataclass
@@ -166,22 +185,104 @@ def build_envmap(props, spectral=False):
         from ..core.spectrum import rgb_to_spec_with_scale
         co, sc = rgb_to_spec_with_scale(data)
         spec_bitmap = jnp.asarray(np.concatenate([co, sc[..., None]], -1))
+    # packed hierarchical-warp steps (coarse->fine): one (Hp*Wp, 4) row of
+    # child values per parent cell; out-of-range children are zero padding
+    level_rows, level_shapes = [], []
+    for i in range(len(levels) - 1, 0, -1):
+        parent, child = levels[i], levels[i - 1]
+        Hp, Wp = parent.shape
+        pad = np.zeros((2 * Hp, 2 * Wp), np.float32)
+        pad[:child.shape[0], :child.shape[1]] = child
+        rows = np.stack([pad[0::2, 0::2], pad[0::2, 1::2],
+                         pad[1::2, 0::2], pad[1::2, 1::2]],
+                        -1).reshape(Hp * Wp, 4)
+        level_rows.append(jnp.asarray(rows))
+        level_shapes.append((Hp, Wp))
+    pdf_grid = lum / total
     return EnvmapTable(
         bitmap=jnp.asarray(data),
         scale=jnp.asarray(float(props.get('scale', 1.0)), jnp.float32),
         to_world=jnp.asarray(tw.matrix, jnp.float32),
         to_object=jnp.asarray(tw.inverse_matrix, jnp.float32),
-        levels=tuple(jnp.asarray(l) for l in levels[::-1]),
-        pdf_grid=jnp.asarray(lum / total),
+        level_rows=tuple(level_rows),
+        level_shapes=tuple(level_shapes),
+        pdf_grid=jnp.asarray(pdf_grid),
+        lum_total=jnp.asarray(total, jnp.float32),
+        alias_rows=jnp.asarray(_vose_alias_rows(pdf_grid.reshape(-1))),
         spec_bitmap=spec_bitmap,
     )
 
 
+def _vose_alias_rows(p):
+    """Vose alias table over texel pmf `p` (sums to 1). Returns (N, 4) f32
+    rows [q, bitcast(alias int32), pdf_self, pdf_alias] — envmap direction
+    sampling becomes ONE row-gather (+ the packed-bilinear radiance gather)."""
+    import numpy as np
+    N = p.shape[0]
+    q = np.asarray(p, np.float64) * N
+    alias = np.arange(N, dtype=np.int32)
+    small = list(np.nonzero(q < 1.0)[0])
+    large = list(np.nonzero(q >= 1.0)[0])
+    while small and large:
+        s = small.pop()
+        l = large.pop()
+        alias[s] = l
+        q[l] = q[l] - (1.0 - q[s])
+        (small if q[l] < 1.0 else large).append(l)
+    for i in small + large:   # numerical leftovers
+        q[i] = 1.0
+    rows = np.empty((N, 4), np.float32)
+    rows[:, 0] = q.astype(np.float32)
+    rows[:, 1] = alias.view(np.float32)
+    rows[:, 2] = p
+    rows[:, 3] = p[alias]
+    return rows
+
+
+def pack_bilinear_corners(img):
+    """(H, W, C) -> (H*W, 4C) rows holding the 4 wrap-mode bilinear corners
+    of every base texel: sampling becomes ONE row-gather (PERF.md gather
+    cost model). Differentiable w.r.t. img (transpose = one scatter-add)."""
+    r1 = jnp.roll(img, -1, 1)
+    r2 = jnp.roll(img, -1, 0)
+    r3 = jnp.roll(r2, -1, 1)
+    H, W = img.shape[0], img.shape[1]
+    return jnp.concatenate([img, r1, r2, r3], -1).reshape(H * W, -1)
+
+
+def _bilinear_packed(rows, H, W, uv):
+    """bilinear_sample semantics (wrap=repeat, half-texel centers) off a
+    packed corner-rows table; one gather per lane."""
+    u = uv[..., 0] - jnp.floor(uv[..., 0])
+    v = uv[..., 1] - jnp.floor(uv[..., 1])
+    x = u * W - 0.5
+    y = v * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), W)
+    y0i = jnp.mod(y0.astype(jnp.int32), H)
+    g = rows[y0i * W + x0i]                       # (N, 4C)
+    C = g.shape[-1] // 4
+    v00, v01, v10, v11 = (g[..., :C], g[..., C:2 * C],
+                          g[..., 2 * C:3 * C], g[..., 3 * C:])
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return top * (1 - fy) + bot * fy
+
+
 def _envmap_radiance(tbl: EnvmapTable, uv, wl):
     from .texture import bilinear_sample
+    H, W = tbl.pdf_grid.shape
     if wl is not None and tbl.spec_bitmap is not None:
-        cs = bilinear_sample(tbl.spec_bitmap, uv)
+        if tbl.spec_corner_rows is not None:
+            cs = _bilinear_packed(tbl.spec_corner_rows, H, W, uv)
+        else:
+            cs = bilinear_sample(tbl.spec_bitmap, uv)
         return emit_spectrum(cs[..., :3], cs[..., 3], wl) * tbl.scale
+    if tbl.corner_rows is not None:
+        return _bilinear_packed(tbl.corner_rows, H, W, uv) * tbl.scale
     return bilinear_sample(tbl.bitmap, uv) * tbl.scale
 
 
@@ -193,52 +294,68 @@ def envmap_eval(tbl: EnvmapTable, slot, d_world, wl=None):
     return _envmap_radiance(tbl, uv, wl)
 
 
-def envmap_sample_direction(tbl: EnvmapTable, sample2, wl=None):
-    """Hierarchical warp descent (distr_2d.h:Hierarchical2D::sample).
-    Returns (d_world, pdf_solid_angle, radiance)."""
-    ux, uy = sample2[..., 0], sample2[..., 1]
-    row = jnp.zeros(ux.shape, jnp.int32)
-    col = jnp.zeros(ux.shape, jnp.int32)
-    for lvl in tbl.levels[1:]:
-        row = row * 2
-        col = col * 2
-        H, W = lvl.shape
+def envmap_sample_direction(tbl: EnvmapTable, sample2, wl=None, alias=False):
+    """Importance-sample a direction from the luminance distribution.
 
-        def tex(r, c):
-            # out-of-range children are the zero PADDING cells of the
-            # pooled pyramid — clamping would fabricate duplicate mass
-            inb = (r < H) & (c < W)
-            return jnp.where(inb,
-                             lvl[jnp.clip(r, 0, H - 1), jnp.clip(c, 0, W - 1)],
-                             0.0)
-        v00 = tex(row, col)
-        v01 = tex(row, col + 1)
-        v10 = tex(row + 1, col)
-        v11 = tex(row + 1, col + 1)
-        top = v00 + v01
-        bot = v10 + v11
-        p_bot = bot / jnp.maximum(top + bot, 1e-12)
-        go_down = uy < p_bot
-        uy = jnp.where(go_down, uy / jnp.maximum(p_bot, 1e-12),
-                       (uy - p_bot) / jnp.maximum(1 - p_bot, 1e-12))
-        left = jnp.where(go_down, v10, v00)
-        right = jnp.where(go_down, v11, v01)
-        p_left = left / jnp.maximum(left + right, 1e-12)
-        go_left = ux < p_left
-        ux = jnp.where(go_left, ux / jnp.maximum(p_left, 1e-12),
-                       (ux - p_left) / jnp.maximum(1 - p_left, 1e-12))
-        row = jnp.where(go_down, row + 1, row)
-        col = jnp.where(go_left, col, col + 1)
+    alias=False: hierarchical warp descent (distr_2d.h:Hierarchical2D::
+    sample) — a smooth, stratification-preserving map; one packed row-gather
+    per level. alias=True: Vose alias table — ONE gather total, used for the
+    independent sampler where stratification is moot.
+    Returns (d_world, pdf_solid_angle, radiance)."""
     Hf, Wf = tbl.pdf_grid.shape
-    row = jnp.clip(row, 0, Hf - 1)
-    col = jnp.clip(col, 0, Wf - 1)
+    if alias:
+        ux, uy = sample2[..., 0], sample2[..., 1]
+        N = Hf * Wf
+        scaled = jnp.clip(ux, 0.0, 1.0 - 1e-7) * N
+        k = jnp.clip(scaled.astype(jnp.int32), 0, N - 1)
+        frac = scaled - k
+        g = tbl.alias_rows[k]                      # (N, 4) one gather
+        q = g[..., 0]
+        alias_i = jax.lax.bitcast_convert_type(g[..., 1], jnp.int32)
+        keep = frac < q
+        sel = jnp.where(keep, k, alias_i)
+        pdf_texel = jnp.where(keep, g[..., 2], g[..., 3])
+        # remap the in-bin residual to a fresh uniform for sub-texel x
+        u_sub = jnp.where(keep, frac / jnp.maximum(q, 1e-12),
+                          (frac - q) / jnp.maximum(1.0 - q, 1e-12))
+        row = sel // Wf
+        col = sel - row * Wf
+        ux, uy = u_sub, uy
+        pdf_uv = pdf_texel * N
+    else:
+        ux, uy = sample2[..., 0], sample2[..., 1]
+        row = jnp.zeros(ux.shape, jnp.int32)
+        col = jnp.zeros(ux.shape, jnp.int32)
+        chosen = jnp.zeros(ux.shape, jnp.float32)
+        for (Hp, Wp), rows_l in zip(tbl.level_shapes, tbl.level_rows):
+            g = rows_l[row * Wp + col]             # (N, 4) one gather/level
+            v00, v01, v10, v11 = (g[..., 0], g[..., 1], g[..., 2], g[..., 3])
+            top = v00 + v01
+            bot = v10 + v11
+            p_bot = bot / jnp.maximum(top + bot, 1e-12)
+            go_down = uy < p_bot
+            uy = jnp.where(go_down, uy / jnp.maximum(p_bot, 1e-12),
+                           (uy - p_bot) / jnp.maximum(1 - p_bot, 1e-12))
+            left = jnp.where(go_down, v10, v00)
+            right = jnp.where(go_down, v11, v01)
+            p_left = left / jnp.maximum(left + right, 1e-12)
+            go_left = ux < p_left
+            ux = jnp.where(go_left, ux / jnp.maximum(p_left, 1e-12),
+                           (ux - p_left) / jnp.maximum(1 - p_left, 1e-12))
+            row = row * 2 + go_down
+            col = col * 2 + (1 - go_left)
+            chosen = jnp.where(go_left, left, right)
+        row = jnp.clip(row, 0, Hf - 1)
+        col = jnp.clip(col, 0, Wf - 1)
+        # the descent's selected leaf value IS the texel's sin-weighted
+        # luminance: pdf needs no extra gather
+        pdf_uv = chosen / tbl.lum_total * (Hf * Wf)
     u = (col + jnp.clip(ux, 0.0, 1.0 - 1e-6)) / Wf
     v = (row + jnp.clip(uy, 0.0, 1.0 - 1e-6)) / Hf
     uv = jnp.stack([u, v], -1)
     d_local = warp.square_to_uniform_spherical(uv)
     d_world = apply_vector(tbl.to_world, d_local)
     d_world = d_world / jnp.maximum(m.norm(d_world, keepdims=True), 1e-12)
-    pdf_uv = tbl.pdf_grid[row, col] * (Hf * Wf)
     sin_theta = jnp.maximum(jnp.sin(v * m.Pi), 1e-8)
     pdf_sa = pdf_uv / (2.0 * m.Pi * m.Pi * sin_theta)
     rad = _envmap_radiance(tbl, uv, wl)

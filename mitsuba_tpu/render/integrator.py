@@ -80,6 +80,8 @@ def render_pass(scene, block, pass_seed, spp_pass: int, spp_total: int,
     W, H = film.width, film.height
     n = W * H * spp_pass
     cfg = cfg or integrator_config(scene)
+    # pack gather-economy tables once, outside the path loop
+    scene = sc.prepare(scene)
 
     lane = jnp.arange(n, dtype=jnp.uint32)
     pix = (lane // spp_pass).astype(jnp.int32)

@@ -219,6 +219,40 @@ def ray_intersect(scene: Scene, ray: Ray) -> SurfaceInteraction:
     return compute_surface_interaction(scene, ray, ray_intersect_preliminary(scene, ray))
 
 
+def prepare(scene: Scene) -> Scene:
+    """Materialize per-program gather-economy tables (packed bilinear corner
+    rows for the envmap) ONCE at wavefront entry, outside the path loop.
+    Behind an optimization_barrier so XLA cannot re-fuse the pack into the
+    per-bounce gathers (the rematerialization failure mode documented at
+    heightfield.intersect). Differentiable: grads flow through the pack back
+    to the envmap bitmap (transpose = one scatter-add per program)."""
+    es = scene.emitters
+    if es is not None and es.types and 'envmap' in es.types:
+        tbl = es.tables['envmap']
+        if tbl.corner_rows is None:
+            rows = em.pack_bilinear_corners(tbl.bitmap)
+            srows = None
+            if tbl.spec_bitmap is not None:
+                srows = em.pack_bilinear_corners(tbl.spec_bitmap)
+                rows, srows = jax.lax.optimization_barrier((rows, srows))
+            else:
+                rows = jax.lax.optimization_barrier(rows)
+            tables = dict(es.tables)
+            tables['envmap'] = tbl.replace(corner_rows=rows,
+                                           spec_corner_rows=srows)
+            scene = scene.replace(emitters=es.replace(tables=tables))
+    if 'heightfield' in scene.shape_types:
+        from ..plugins.shapes.heightfield import pack_cell_corners
+        tbl = scene.shapes['heightfield']
+        if tbl.corner_rows is None:
+            rows = tuple(jax.lax.optimization_barrier(pack_cell_corners(h))
+                         for h in tbl.heights)
+            shapes = dict(scene.shapes)
+            shapes['heightfield'] = tbl.replace(corner_rows=rows)
+            scene = scene.replace(shapes=shapes)
+    return scene
+
+
 # ===========================================================================
 # Shape position sampling (for area emitters)
 # ===========================================================================
@@ -461,7 +495,10 @@ def sample_emitter_direction(scene: Scene, si: SurfaceInteraction, sample2,
         elif name == 'directionalarea':
             pass   # DeltaDirection: zero direct-sampling measure
         elif name == 'envmap':
-            d, pdf_sl, rad = em.envmap_sample_direction(tbl, s2, wl=wl)
+            # alias-table O(1)-gather path for the independent sampler;
+            # stratified/LD samplers keep the hierarchical warp (smooth map)
+            d, pdf_sl, rad = em.envmap_sample_direction(
+                tbl, s2, wl=wl, alias=scene.sampler_kind == 'independent')
             far = 2.0 * scene.bbox_radius
             v = rad / jnp.maximum(pdf_sl, 1e-12)[..., None]
             ok = pdf_sl > 0

@@ -45,6 +45,52 @@ def test_envmap_importance_sampling_chi2():
     assert abs(integral - 1.0) < 0.02
 
 
+def test_envmap_alias_sampling_chi2():
+    """Alias-table fast path (O(1) gathers; used with the independent
+    sampler) must follow the same texel pdf as the hierarchical warp."""
+    from mitsuba_tpu.utils.chi2 import PlanarDomain
+    from mitsuba_tpu.core import warp
+    rng = np.random.default_rng(1)
+    H, W = 32, 64
+    img = rng.random((H, W, 3)).astype(np.float32) ** 3 * 5
+    tbl = em.build_envmap({'data': img})
+
+    def sample_fn(u):
+        d, pdf, rad = em.envmap_sample_direction(tbl, u, alias=True)
+        return warp.direction_to_spherical_uv(d), None
+
+    def pdf_fn(uv):
+        Hf, Wf = tbl.pdf_grid.shape
+        col = jnp.clip((uv[..., 0] * Wf).astype(jnp.int32), 0, Wf - 1)
+        row = jnp.clip((uv[..., 1] * Hf).astype(jnp.int32), 0, Hf - 1)
+        inside = ((uv[..., 0] >= 0) & (uv[..., 0] <= 1) &
+                  (uv[..., 1] >= 0) & (uv[..., 1] <= 1))
+        return jnp.where(inside, tbl.pdf_grid[row, col] * (Hf * Wf), 0.0)
+
+    t = ChiSquareTest(PlanarDomain(bounds=((0, 1), (0, 1)), res=(32, 16)),
+                      sample_fn, pdf_fn, sample_count=300_000, seed=5)
+    assert t.run(), t.messages
+    # the per-sample pdf reported by the alias path must match the grid pdf
+    u = jnp.asarray(rng.random((4096, 2), np.float32))
+    d, pdf, rad = em.envmap_sample_direction(tbl, u, alias=True)
+    pdf_ref = em.envmap_pdf_direction(tbl, d)
+    assert np.allclose(np.asarray(pdf), np.asarray(pdf_ref), rtol=2e-3)
+
+
+def test_envmap_packed_bilinear_matches_fallback():
+    """scene.prepare()'s packed corner rows must reproduce bilinear_sample
+    exactly (same wrap semantics)."""
+    rng = np.random.default_rng(2)
+    img = rng.random((16, 32, 3)).astype(np.float32)
+    tbl = em.build_envmap({'data': img})
+    rows = em.pack_bilinear_corners(tbl.bitmap)
+    uv = jnp.asarray(rng.random((8192, 2), np.float32) * 1.4 - 0.2)
+    from mitsuba_tpu.render.texture import bilinear_sample
+    a = np.asarray(em._bilinear_packed(rows, 16, 32, uv))
+    b = np.asarray(bilinear_sample(tbl.bitmap, uv))
+    assert np.allclose(a, b, atol=1e-6)
+
+
 def test_envmap_eval_matches_bitmap():
     H, W = 16, 32
     img = np.zeros((H, W, 3), np.float32)

@@ -1,0 +1,83 @@
+"""Per-bounce cost decomposition via depth scaling (real TPU).
+
+Times the forward pass at max_depth = 1,2,4 with shadow rays on/off and
+reps=8; the slope gives the marginal cost of one bounce (closest march +
+shading) and of one shadow march, separating tunnel dispatch noise from
+actual per-iteration work.
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+sys.path.insert(0, '/root/repo')
+
+import mitsuba_tpu as mt  # noqa: E402
+from mitsuba_tpu.render.integrator import render_pass  # noqa: E402
+from mitsuba_tpu.render import film as film_mod  # noqa: E402
+from mitsuba_tpu.render import scene as sc  # noqa: E402
+
+
+def timeit(label, f, *args, reps=8):
+    t0 = time.time()
+    np.asarray(f(*args))
+    compile_s = time.time() - t0
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        np.asarray(f(*args))
+        ts.append(time.time() - t0)
+    ts = np.asarray(ts) * 1e3
+    print(f'{label}: med {np.median(ts):.1f} ms  min {ts.min():.1f}  '
+          f'max {ts.max():.1f}  (compile {compile_s:.1f}s)', flush=True)
+    return float(np.median(ts))
+
+
+def main():
+    print('backend:', jax.default_backend(), flush=True)
+
+    orig = sc.sample_emitter_direction
+
+    def no_vis(scene_, si, s2_, test_visibility=True, active=None, wl=None):
+        return orig(scene_, si, s2_, test_visibility=False, active=active,
+                    wl=wl)
+
+    results = {}
+    for depth in (1, 2, 4):
+        scene = mt.load_dict(mt.heightfield_scene(
+            res_hf=512, res_img=256, spp=256, max_depth=depth))
+
+        def fwd(s2):
+            block = s2.film.new_block()
+            block = render_pass(s2, block, jnp.asarray(0, jnp.uint32), 1, 256,
+                                sample_offset=0)
+            return film_mod.develop(block, s2.film).mean()
+
+        results[(depth, True)] = timeit(f'fwd d={depth} shadow=1',
+                                        jax.jit(fwd), scene)
+        sc.sample_emitter_direction = no_vis
+        try:
+            results[(depth, False)] = timeit(f'fwd d={depth} shadow=0',
+                                             jax.jit(fwd), scene)
+        finally:
+            sc.sample_emitter_direction = orig
+
+    for sh in (True, False):
+        d1, d2, d4 = results[(1, sh)], results[(2, sh)], results[(4, sh)]
+        print(f'shadow={int(sh)}: per-bounce marginal (d2-d1)={d2-d1:.1f} ms '
+              f'(d4-d2)/2={(d4-d2)/2:.1f} ms', flush=True)
+    for depth in (1, 2, 4):
+        print(f'd={depth}: shadow cost total '
+              f'{results[(depth, True)] - results[(depth, False)]:.1f} ms',
+              flush=True)
+
+
+if __name__ == '__main__':
+    main()
+    import os
+    os._exit(0)

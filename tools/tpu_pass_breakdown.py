@@ -1,0 +1,100 @@
+"""Decompose the headline bench pass (512^2 heightfield, 256^2 img, depth 4)
+into march / shading / backward components on the real TPU.
+
+Variants timed (all 65k lanes, spp_pass=1):
+  fwd            : full forward render_pass
+  fwd_bwd        : value_and_grad wrt heights (the bench program)
+  fwd_noshadow   : forward with NEE visibility test disabled (no shadow march)
+  depth1         : max_depth=1 (camera march + 1x shading + 1 shadow march)
+  cam_march      : camera-ray march alone (depth integrator)
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+sys.path.insert(0, '/root/repo')
+
+import mitsuba_tpu as mt  # noqa: E402
+from mitsuba_tpu.render.integrator import render_pass  # noqa: E402
+from mitsuba_tpu.render import film as film_mod  # noqa: E402
+
+
+def _fetch(out):
+    """True sync: host-fetch every array leaf (block_until_ready can no-op
+    on axon array types; PERF.md)."""
+    import jax.tree_util as jtu
+    return [np.asarray(x) for x in jtu.tree_leaves(out)]
+
+
+def timeit(label, f, *args, reps=3):
+    t0 = time.time()
+    _fetch(f(*args))  # warmup/compile + fetch
+    print(f'{label}: compile+1st {time.time()-t0:.1f}s', flush=True)
+    t0 = time.time()
+    for _ in range(reps):
+        _fetch(f(*args))
+    dt = (time.time() - t0) / reps
+    print(f'{label}: {dt*1e3:.1f} ms', flush=True)
+    return dt
+
+
+def main():
+    print('backend:', jax.default_backend(), flush=True)
+    max_depth = 4
+    scene = mt.load_dict(mt.heightfield_scene(
+        res_hf=512, res_img=256, spp=256, max_depth=max_depth))
+    params = mt.traverse(scene)
+    key = [k for k in params.keys() if 'heights' in k][0]
+    h0 = params[key]
+
+    def fwd(h):
+        s2 = params.scene_with({key: h})
+        block = s2.film.new_block()
+        block = render_pass(s2, block, jnp.asarray(0, jnp.uint32), 1, 256,
+                            sample_offset=0)
+        return film_mod.develop(block, s2.film).mean()
+
+    def loss(h):
+        return fwd(h)
+
+    timeit('fwd', jax.jit(fwd), h0)
+    timeit('fwd_bwd', jax.jit(jax.value_and_grad(loss)), h0)
+
+    # no-shadow variant: monkeypatch sample_emitter_direction visibility off
+    from mitsuba_tpu.render import scene as sc
+    orig = sc.sample_emitter_direction
+
+    def no_vis(scene_, si, s2_, test_visibility=True, active=None, wl=None):
+        return orig(scene_, si, s2_, test_visibility=False, active=active,
+                    wl=wl)
+    sc.sample_emitter_direction = no_vis
+    try:
+        timeit('fwd_noshadow', jax.jit(fwd), h0)
+        timeit('fwd_bwd_noshadow', jax.jit(jax.value_and_grad(loss)), h0)
+    finally:
+        sc.sample_emitter_direction = orig
+
+    # depth-only: camera march alone
+    scene_d = mt.load_dict(mt.heightfield_scene(
+        res_hf=512, res_img=256, spp=256, max_depth=1))
+    scene_d = scene_d.replace(integrator={'type': 'depth'})
+
+    def fwd_depth(s2):
+        block = s2.film.new_block()
+        block = render_pass(s2, block, jnp.asarray(0, jnp.uint32), 1, 256,
+                            sample_offset=0)
+        return film_mod.develop(block, s2.film).mean()
+
+    timeit('cam_march(depth integrator)', jax.jit(fwd_depth), scene_d)
+
+
+if __name__ == '__main__':
+    main()
+    import os
+    os._exit(0)

@@ -1,3 +1,4 @@
 from . import math, frame, transform, rng, warp, distr, rfilter, spectrum  # noqa: F401
+from . import quad, spline  # noqa: F401
 from .transform import Transform4, ScalarTransform4f  # noqa: F401
 from .frame import Frame  # noqa: F401

@@ -1,0 +1,98 @@
+"""Quadrature rules (reference include/mitsuba/core/quad.h).
+
+Host-side node/weight construction (numpy, like the reference's scalar
+builders) returning jnp arrays ready for on-device integration. All rules
+are over the canonical interval [-1, 1]; weights of each rule sum to 2.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def gauss_legendre(n: int):
+    """n-point Gauss-Legendre rule (quad.h:26-109): exact for polynomials of
+    degree <= 2n-1. Returns (nodes, weights) on [-1, 1]."""
+    if n < 1:
+        raise ValueError('gauss_legendre: n must be >= 1')
+    x, w = np.polynomial.legendre.leggauss(n)
+    return jnp.asarray(x, jnp.float32), jnp.asarray(w, jnp.float32)
+
+
+def _legendre_pd(n: int, x):
+    """(P_n(x), P_n'(x)) by the three-term recurrence."""
+    p0 = np.ones_like(x)
+    p1 = x.copy()
+    for k in range(2, n + 1):
+        p0, p1 = p1, ((2 * k - 1) * x * p1 - (k - 1) * p0) / k
+    if n == 0:
+        return np.ones_like(x), np.zeros_like(x)
+    if n == 1:
+        return x, np.ones_like(x)
+    with np.errstate(invalid='ignore', divide='ignore'):
+        d = n * (x * p1 - p0) / (x * x - 1.0)  # nan at ±1 (derivative unused there)
+    return p1, d
+
+
+def gauss_lobatto(n: int):
+    """n-point Gauss-Lobatto rule (quad.h:111-185): includes both endpoints,
+    exact for degree <= 2n-3. Returns (nodes, weights) on [-1, 1]."""
+    if n < 2:
+        raise ValueError('gauss_lobatto: n must be >= 2')
+    # interior nodes = roots of P'_{n-1}; seed with Chebyshev-ish guesses and
+    # polish by Newton on P'_{n-1} (derivative via the Legendre ODE)
+    m = n - 2
+    x = np.zeros(n, np.float64)
+    x[0], x[-1] = -1.0, 1.0
+    if m > 0:
+        guess = np.cos(np.pi * (np.arange(1, m + 1)) / (n - 1))[::-1]
+        xi = guess.copy()
+        for _ in range(100):
+            p, dp = _legendre_pd(n - 1, xi)
+            # P''_{n-1} from the Legendre ODE: (1-x^2)P'' = 2xP' - n(n-1)P
+            d2 = (2.0 * xi * dp - (n - 1) * n * p) / (1.0 - xi * xi)
+            step = dp / d2
+            xi = xi - step
+            if np.max(np.abs(step)) < 1e-15:
+                break
+        x[1:-1] = np.sort(xi)
+    p, _ = _legendre_pd(n - 1, x)
+    w = 2.0 / (n * (n - 1) * p * p)
+    w[0] = w[-1] = 2.0 / (n * (n - 1))
+    return jnp.asarray(x, jnp.float32), jnp.asarray(w, jnp.float32)
+
+
+def composite_simpson(n: int):
+    """Composite Simpson rule over n nodes (odd n >= 3; quad.h:187-233):
+    (n-1)/2 sub-intervals, exact for cubics on each. Returns (nodes, weights)
+    on [-1, 1]."""
+    if n < 3 or n % 2 != 1:
+        raise ValueError('composite_simpson: n must be odd and >= 3')
+    x = np.linspace(-1.0, 1.0, n)
+    h = 2.0 / (n - 1)
+    w = np.full(n, 2.0, np.float64)
+    w[1::2] = 4.0
+    w[0] = w[-1] = 1.0
+    w *= h / 3.0
+    return jnp.asarray(x, jnp.float32), jnp.asarray(w, jnp.float32)
+
+
+def composite_simpson_38(n: int):
+    """Composite Simpson 3/8 rule over n nodes (n = 3k+1 >= 4;
+    quad.h:235-276). Returns (nodes, weights) on [-1, 1]."""
+    if n < 4 or (n - 1) % 3 != 0:
+        raise ValueError('composite_simpson_38: n must be 3k+1 and >= 4')
+    x = np.linspace(-1.0, 1.0, n)
+    h = 2.0 / (n - 1)
+    w = np.full(n, 3.0, np.float64)
+    w[3::3] = 2.0
+    w[0] = w[-1] = 1.0
+    w *= 3.0 * h / 8.0
+    return jnp.asarray(x, jnp.float32), jnp.asarray(w, jnp.float32)
+
+
+def chebyshev(n: int):
+    """Chebyshev nodes (roots of T_n) on [-1, 1] (quad.h:278-284)."""
+    eps = 1.0 / (2.0 * n)
+    u = np.linspace(eps, 1.0 - eps, n)
+    return jnp.asarray(-np.cos(u * np.pi), jnp.float32)

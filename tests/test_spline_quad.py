@@ -1,0 +1,170 @@
+"""core/spline.py + core/quad.py vs their analytic properties
+(reference src/core/tests/test_spline.py / test_quad.py strategy:
+polynomial-exactness and round-trip identities)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mitsuba_tpu.core import quad, spline
+
+
+# ---------------------------------------------------------------------------
+# quadrature: each rule integrates polynomials up to its exactness degree
+# ---------------------------------------------------------------------------
+
+def _integrate(nodes, weights, f):
+    return float(jnp.sum(weights * f(nodes)))
+
+
+@pytest.mark.parametrize('n', [1, 2, 5, 8])
+def test_gauss_legendre_exactness(n):
+    x, w = quad.gauss_legendre(n)
+    assert np.isclose(float(jnp.sum(w)), 2.0, atol=1e-5)
+    deg = 2 * n - 1
+    # ∫_{-1}^{1} x^d dx = 0 (odd) or 2/(d+1) (even)
+    for d in range(deg + 1):
+        ref = 0.0 if d % 2 else 2.0 / (d + 1)
+        assert np.isclose(_integrate(x, w, lambda t: t ** d), ref,
+                          atol=3e-5), d
+
+
+@pytest.mark.parametrize('n', [2, 3, 5, 8])
+def test_gauss_lobatto_exactness(n):
+    x, w = quad.gauss_lobatto(n)
+    assert np.isclose(float(x[0]), -1.0) and np.isclose(float(x[-1]), 1.0)
+    for d in range(2 * n - 3 + 1 if n > 2 else 2):
+        ref = 0.0 if d % 2 else 2.0 / (d + 1)
+        assert np.isclose(_integrate(x, w, lambda t: t ** d), ref,
+                          atol=3e-5), d
+
+
+@pytest.mark.parametrize('n', [3, 5, 9])
+def test_composite_simpson_cubic_exact(n):
+    x, w = quad.composite_simpson(n)
+    for d in range(4):
+        ref = 0.0 if d % 2 else 2.0 / (d + 1)
+        assert np.isclose(_integrate(x, w, lambda t: t ** d), ref, atol=2e-6)
+
+
+@pytest.mark.parametrize('n', [4, 7, 10])
+def test_composite_simpson_38_cubic_exact(n):
+    x, w = quad.composite_simpson_38(n)
+    for d in range(4):
+        ref = 0.0 if d % 2 else 2.0 / (d + 1)
+        assert np.isclose(_integrate(x, w, lambda t: t ** d), ref, atol=2e-6)
+
+
+def test_chebyshev_nodes():
+    x = np.asarray(quad.chebyshev(5))
+    ref = -np.cos(np.pi * (np.arange(5) + 0.5) / 5)
+    assert np.allclose(x, ref, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# splines
+# ---------------------------------------------------------------------------
+
+def test_eval_spline_interpolates():
+    # t=0 -> f0, t=1 -> f1; derivative endpoints match d0/d1
+    v0 = spline.eval_spline(1.0, 3.0, -2.0, 5.0, jnp.asarray(0.0))
+    v1 = spline.eval_spline(1.0, 3.0, -2.0, 5.0, jnp.asarray(1.0))
+    assert np.isclose(float(v0), 1.0) and np.isclose(float(v1), 3.0)
+    _, dv0 = spline.eval_spline_d(1.0, 3.0, -2.0, 5.0, jnp.asarray(0.0))
+    _, dv1 = spline.eval_spline_d(1.0, 3.0, -2.0, 5.0, jnp.asarray(1.0))
+    assert np.isclose(float(dv0), -2.0) and np.isclose(float(dv1), 5.0)
+
+
+def _quadratic(x):
+    return 0.5 * x * x - 0.3 * x + 0.7
+
+
+def test_eval_1d_reproduces_quadratic():
+    # Catmull-Rom with central differences reproduces quadratics exactly on
+    # INTERIOR intervals (boundary intervals use one-sided derivatives, like
+    # the reference — exact only for linears there)
+    nodes = np.linspace(0.0, 2.0, 9, dtype=np.float32)
+    values = _quadratic(nodes)
+    x = jnp.asarray(np.random.default_rng(0).uniform(0.25, 1.75, 64)
+                    .astype(np.float32))
+    y = spline.eval_1d(0.0, 2.0, values, x)
+    assert np.allclose(np.asarray(y), _quadratic(np.asarray(x)), atol=1e-5)
+    # linear functions are exact everywhere incl. boundary intervals
+    lin = (1.5 * nodes - 0.2).astype(np.float32)
+    xf = jnp.asarray(np.linspace(0.0, 2.0, 41, dtype=np.float32))
+    yl = spline.eval_1d(0.0, 2.0, lin, xf)
+    assert np.allclose(np.asarray(yl), 1.5 * np.asarray(xf) - 0.2, atol=1e-5)
+    # out-of-domain -> 0
+    assert float(spline.eval_1d(0.0, 2.0, values, jnp.asarray(2.5))) == 0.0
+
+
+def test_eval_1d_nonuniform_matches_uniform():
+    nodes = np.linspace(0.0, 2.0, 9, dtype=np.float32)
+    values = _quadratic(nodes)
+    x = jnp.asarray(np.linspace(0.05, 1.95, 23, dtype=np.float32))
+    yu = spline.eval_1d(0.0, 2.0, values, x)
+    yn = spline.eval_1d_nonuniform(nodes, values, x)
+    assert np.allclose(np.asarray(yu), np.asarray(yn), atol=1e-5)
+
+
+def test_integrate_1d_quadratic():
+    nodes = np.linspace(0.0, 2.0, 9, dtype=np.float32)
+    values = _quadratic(nodes)
+    cdf = np.asarray(spline.integrate_1d(0.0, 2.0, values))
+    # analytic: ∫0^x (0.5t^2 - 0.3t + 0.7) dt — exact on interior segments
+    # (one-sided boundary derivatives like the reference)
+    ref = nodes ** 3 / 6 - 0.15 * nodes ** 2 + 0.7 * nodes
+    seg = np.diff(cdf)
+    seg_ref = np.diff(ref)
+    assert np.allclose(seg[1:-1], seg_ref[1:-1], atol=1e-5)
+    assert np.allclose(seg, seg_ref, atol=2e-3)  # boundary close, not exact
+    cdf_n = np.asarray(spline.integrate_1d_nonuniform(nodes, values))
+    assert np.allclose(cdf_n, cdf, atol=1e-5)
+    # linear density: exact everywhere
+    lin = (0.5 * nodes + 0.1).astype(np.float32)
+    cdf_l = np.asarray(spline.integrate_1d(0.0, 2.0, lin))
+    ref_l = 0.25 * nodes ** 2 + 0.1 * nodes
+    assert np.allclose(cdf_l, ref_l, atol=1e-5)
+
+
+def test_invert_1d_roundtrip():
+    nodes = np.linspace(0.0, 1.0, 16, dtype=np.float32)
+    values = (nodes ** 2 + 0.1 * nodes).astype(np.float32)  # monotonic
+    x = jnp.asarray(np.linspace(0.02, 0.98, 31, dtype=np.float32))
+    y = spline.eval_1d(0.0, 1.0, values, x)
+    x_rec = spline.invert_1d(0.0, 1.0, values, y)
+    assert np.allclose(np.asarray(x_rec), np.asarray(x), atol=1e-4)
+    x_rec_n = spline.invert_1d_nonuniform(nodes, values, y)
+    assert np.allclose(np.asarray(x_rec_n), np.asarray(x), atol=1e-4)
+
+
+def test_sample_1d_inverts_cdf():
+    # density f(x) = x on [0,1]: cdf x^2/2, sampling u -> sqrt(u)
+    values = np.linspace(0.0, 1.0, 32, dtype=np.float32)
+    cdf = spline.integrate_1d(0.0, 1.0, values)
+    u = jnp.asarray(np.linspace(0.01, 0.99, 41, dtype=np.float32))
+    pos, fval, pdf = spline.sample_1d(0.0, 1.0, values, cdf, u)
+    assert np.allclose(np.asarray(pos), np.sqrt(np.asarray(u)), atol=1e-3)
+    assert np.allclose(np.asarray(fval), np.asarray(pos), atol=1e-3)
+    # pdf integrates the density: f/total with total=1/2
+    assert np.allclose(np.asarray(pdf), 2.0 * np.asarray(pos), atol=3e-3)
+
+
+def test_eval_spline_weights_matches_eval_1d():
+    values = np.asarray(_quadratic(np.linspace(0, 2, 9)), np.float32)
+    x = jnp.asarray(np.linspace(0.0, 2.0, 37, dtype=np.float32))
+    valid, idx, w = spline.eval_spline_weights(0.0, 2.0, 9, x)
+    via_w = jnp.sum(w * jnp.asarray(values)[idx], -1)
+    direct = spline.eval_1d(0.0, 2.0, values, x)
+    assert np.allclose(np.asarray(via_w), np.asarray(direct), atol=1e-5)
+    assert bool(valid.all())
+
+
+def test_eval_2d_separable_quadratic():
+    nx = np.linspace(0.0, 1.0, 11, dtype=np.float32)
+    ny = np.linspace(0.0, 2.0, 9, dtype=np.float32)
+    grid = _quadratic(ny)[:, None] * _quadratic(nx)[None, :]
+    x = jnp.asarray(np.random.default_rng(1).uniform(0.1, 0.9, 32).astype(np.float32))
+    y = jnp.asarray(np.random.default_rng(2).uniform(0.25, 1.75, 32).astype(np.float32))
+    r = spline.eval_2d(nx, ny, grid, x, y)
+    ref = _quadratic(np.asarray(x)) * _quadratic(np.asarray(y))
+    assert np.allclose(np.asarray(r), ref, atol=1e-4)

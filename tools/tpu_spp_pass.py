@@ -1,0 +1,64 @@
+"""Wavefront-size sweep: fwd+bwd throughput per ray at spp_pass = 1,2,4
+on the BASELINE config (512^2 heightfield, 256^2 image, depth 4).
+
+Larger wavefronts amortize the while_loop worst-lane gating, the compaction
+cascade's fixed stages, and per-dispatch tunnel latency; gathers scale
+linearly. This sweep decides bench.py's spp_pass.
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+sys.path.insert(0, '/root/repo')
+
+import mitsuba_tpu as mt  # noqa: E402
+from mitsuba_tpu.render.integrator import render_pass  # noqa: E402
+from mitsuba_tpu.render import film as film_mod  # noqa: E402
+
+
+def main():
+    print('backend:', jax.default_backend(), flush=True)
+    max_depth = 4
+    spp = 256
+    scene = mt.load_dict(mt.heightfield_scene(
+        res_hf=512, res_img=256, spp=spp, max_depth=max_depth))
+    params = mt.traverse(scene)
+    key = [k for k in params.keys() if 'heights' in k][0]
+    h0 = params[key]
+
+    for spp_pass in (1, 2, 4):
+        def loss(h, offset):
+            s2 = params.scene_with({key: h})
+            block = s2.film.new_block()
+            block = render_pass(s2, block, jnp.asarray(0, jnp.uint32),
+                                spp_pass, spp, sample_offset=offset)
+            return film_mod.develop(block, s2.film).mean()
+
+        g = jax.jit(jax.value_and_grad(loss))
+        t0 = time.time()
+        _, g0 = g(h0, jnp.asarray(0, jnp.int32))
+        np.asarray(g0)
+        print(f'spp_pass={spp_pass}: compile+1st {time.time()-t0:.1f}s',
+              flush=True)
+        ts = []
+        for r in range(5):
+            t0 = time.time()
+            _, gr = g(h0, jnp.asarray(r, jnp.int32))
+            np.asarray(gr)
+            ts.append(time.time() - t0)
+        med = float(np.median(ts))
+        rays = 256 * 256 * spp_pass * max_depth * 2
+        print(f'spp_pass={spp_pass}: med {med*1e3:.1f} ms  '
+              f'{rays/med/1e6:.2f} Mrays/s', flush=True)
+
+
+if __name__ == '__main__':
+    main()
+    import os
+    os._exit(0)

@@ -1,1 +1,2 @@
 from . import prb  # noqa: F401
+from . import prb_reparam  # noqa: F401

@@ -1,0 +1,224 @@
+"""Path Replay Backpropagation with per-bounce ray reparameterization
+(reference src/python/python/ad/integrators/prb_reparam.py:252-609).
+
+Detached PRB (ad/integrators/prb.py) differentiates every CONTINUOUS term of
+the path integrand but silently drops boundary terms: a silhouette that
+sweeps across a secondary segment (an occluder seen via a bounce, a shadow
+edge from NEE at depth >= 1) produces a zero/naive-AD gradient. This
+integrator re-attaches those terms by warping ray directions with the
+Bangaru-2020 velocity field (ad/reparam.py) inside the replay:
+
+  * the INCOMING ray of every bounce >= 1 is reparameterized
+    (prb_reparam.py:341-358): the attached surface interaction is computed
+    from the warped direction and the bounce's whole contribution is
+    multiplied by the divergence factor `det_ray`;
+  * every NEE shadow ray is reparameterized (prb_reparam.py:262-285
+    em_ray_det): its det multiplies the direct term, and the BSDF is
+    re-evaluated with the warped direction;
+  * PRIMARY-ray silhouettes enter through the warped splat position
+    (common.py:383-400), exactly as in the validated emission/direct_reparam
+    formulation (reparam_integrators._warped_pos) — the depth-0 warp's det
+    is therefore disabled, matching that formulation.
+
+Scope note (honest deltas vs the reference):
+  * the reference's `extra` adjacent-vertex coupling
+    (prb_reparam.py:515-546: the warped hit point changes the BSDF values at
+    the previous/next vertices) is NOT yet reproduced; for the canonical
+    moving-occluder cases (NEE shadow edges, occluders crossing a bounce
+    segment) the det + warped-interaction terms implemented here carry the
+    full boundary gradient (see tests/test_prb_reparam.py FD checks);
+  * ray ORIGINS stay detached (the reference attaches them to the previous
+    shape via FollowShape) — origin attachment only matters when the
+    PREVIOUS hit shape itself moves.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ...render import scene as sc
+from ...render import bsdf as bsdf_mod
+from ...render import sampler as sa
+from ...render import film as film_mod
+from ...render.records import Ray
+from ...render.integrator import integrator_config
+from ..reparam import reparameterize_ray, follow_p
+from .prb import (_partition, _full_cotangent, _gen_rays, _bounce_detached,
+                  _primal_image)
+from .reparam_integrators import _warped_pos
+
+
+def _replay_backward_reparam(scene, sampler, ray, delta_L, L_total, max_depth,
+                             rr_depth, reparam_max_depth, num_aux, kappa,
+                             antithetic):
+    """PRB replay with reparameterized secondary/NEE rays; accumulates scene
+    float-leaf cotangents (structure mirrors prb._replay_backward)."""
+    float_leaves, combine, meta = _partition(scene)
+    scene_det = sc.prepare(jax.lax.stop_gradient(scene))
+    n = ray.o.shape[0]
+    cot0 = [jnp.zeros_like(l) for l in float_leaves]
+
+    def body(carry, depth):
+        (o, d, L_rem, beta, eta, active, prev_pdf, prev_delta, prev_p, smpl,
+         cot) = carry
+        out, smpl_next = _bounce_detached(scene_det, smpl, o, d, prev_p,
+                                          prev_pdf, prev_delta, active, depth,
+                                          rr_depth)
+        Le_w_det = out['Le_w']
+        Ldir_det = out['Ldir']
+        w_det = out['bsdf_weight']
+        L_next = (L_rem - Le_w_det - Ldir_det) / \
+            jnp.where(jnp.abs(w_det) < 1e-9, 1.0, w_det)
+        L_next = jnp.where((jnp.abs(w_det) < 1e-9) | ~out['active_n'][..., None],
+                           0.0, L_next)
+
+        # decorrelated aux-ray streams, distinct per bounce because `smpl`
+        # has advanced (the reference's _ReparamWrapper PCG32,
+        # common.py:1201-1204) and per purpose via the salt
+        rs_ray = sa.fork(smpl, salt=0x8f1bbcdc)
+        rs_em = sa.fork(smpl, salt=0x5be0cd19)
+        warp_ray_act = active & (depth > 0) & (depth < reparam_max_depth)
+        warp_em_act = out['active_em'] & (depth + 1 < reparam_max_depth)
+
+        def local(fl):
+            s_att = sc.prepare(combine(fl))
+            # --- incoming-ray reparameterization (prb_reparam.py:341-358)
+            d_w, det_ray, _ = reparameterize_ray(
+                s_att, rs_ray, Ray.make(o, d), warp_ray_act,
+                num_aux=num_aux, kappa=kappa, antithetic=antithetic)
+            ray_b = Ray.make(o, d_w)
+            pi = sc.ray_intersect_preliminary(jax.lax.stop_gradient(s_att),
+                                              ray_b)
+            si_a = sc.compute_surface_interaction(s_att, ray_b, pi)
+            hit_em = active & (si_a.emitter_index >= 0)
+            Le_a = sc.eval_emitter_hit(s_att, si_a, hit_em)
+            Le_term = Le_a * jax.lax.stop_gradient(out['mis_bsdf'])[..., None]
+            # escaped radiance attached through the warped direction: envmap
+            # silhouette gradients of the horizon enter here
+            Lenv_a = sc.eval_environment(s_att, d_w, out['escaped'])
+            Le_term = Le_term + Lenv_a * \
+                jax.lax.stop_gradient(out['mis_env'])[..., None]
+
+            # --- emitter sampling with a reparameterized shadow ray
+            # (prb_reparam.py:262-285): detached emitter sample, attached
+            # re-evaluation, warped direction, em det factor
+            ds_a, em_w_a = sc.sample_emitter_direction(
+                s_att, si_a, jax.lax.stop_gradient(out['s_em']),
+                test_visibility=True, active=out['active_em'])
+            # shadow-ray origin follows the current shape (si_cur_follow,
+            # prb_reparam.py:268-273)
+            p_foll = follow_p(s_att, si_a)
+            d_em_det = jax.lax.stop_gradient(out['ds'].d)
+            d_sh, det_sh, _ = reparameterize_ray(
+                s_att, rs_em, Ray.make(p_foll, d_em_det), warp_em_act,
+                num_aux=num_aux, kappa=kappa, antithetic=antithetic)
+            wo_l = si_a.to_local(d_sh)
+            b_val, _ = bsdf_mod.eval_pdf(s_att, si_a, wo_l, out['active_em'])
+            Ldir_a = jnp.where(
+                out['active_em'][..., None],
+                b_val * em_w_a * (jax.lax.stop_gradient(out['mis_em'])
+                                  * det_sh)[..., None], 0.0)
+
+            # --- indirect: attached re-eval of the detached BSDF sample
+            wo_det = jax.lax.stop_gradient(out['bs'].wo)
+            f_att = bsdf_mod.eval(s_att, si_a, wo_det, out['active_n'])
+            pdf_det = jax.lax.stop_gradient(out['bs'].pdf)
+            w_att = f_att / jnp.maximum(pdf_det, 1e-9)[..., None]
+            delta_lobe = jax.lax.stop_gradient(out['prev_delta_n'])
+            w_att = jnp.where(delta_lobe[..., None],
+                              jax.lax.stop_gradient(w_det), w_att)
+            O = (Le_term + Ldir_a + w_att * jax.lax.stop_gradient(L_next)) \
+                * det_ray[..., None]
+            return jnp.where(active[..., None], O * beta, 0.0)
+
+        _, vjp_fn = jax.vjp(local, jax.lax.stop_gradient(float_leaves))
+        (g,) = vjp_fn(delta_L)
+        cot = [c + gi for c, gi in zip(cot, g)]
+
+        # advance detached state exactly like the primal
+        beta_n = beta * w_det
+        eta_n = eta * out['bs'].eta
+        beta_max = jnp.max(beta_n, -1) * eta_n * eta_n
+        rr_prob = jnp.minimum(beta_max, 0.95)
+        rr_act = depth >= rr_depth
+        rr_cont = ~rr_act | (out['u_rr'] < rr_prob)
+        beta_n = beta_n * jnp.where(rr_act, 1.0 / jnp.maximum(rr_prob, 1e-8),
+                                    1.0)[..., None]
+        active_n = out['active_n'] & rr_cont & (out['bs'].pdf > 0) & (beta_max > 0)
+        L_next = L_next * jnp.where(rr_act & rr_cont,
+                                    jnp.maximum(rr_prob, 1e-8), 1.0)[..., None]
+        new_o, new_d = sc.deaden_ray(scene_det, out['new_o'], out['new_d'],
+                                     active_n)
+        carry = (new_o, new_d, L_next, beta_n, eta_n, active_n,
+                 out['bs'].pdf, out['prev_delta_n'], out['si'].p, smpl_next, cot)
+        return carry, None
+
+    init = (ray.o, ray.d, L_total, jnp.ones((n, 3)), jnp.ones((n,)),
+            jnp.ones((n,), bool), jnp.ones((n,)), jnp.ones((n,), bool),
+            ray.o, sampler, cot0)
+    carry, _ = jax.lax.scan(body, init, jnp.arange(max_depth))
+    return carry[-1], meta
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
+def render_prb_reparam(scene, spp: int, seed: int, num_aux: int = 4,
+                       kappa: float = 1e5, reparam_max_depth: int = 8,
+                       antithetic: bool = False):
+    """Differentiable render; geometry gradients through indirect
+    illumination (moving occluders seen via a bounce) included."""
+    return _primal_image(scene, spp, seed)[0]
+
+
+def _fwd(scene, spp, seed, num_aux, kappa, reparam_max_depth, antithetic):
+    img, L = _primal_image(scene, spp, seed)
+    return img, (scene, L)
+
+
+def _bwd(spp, seed, num_aux, kappa, reparam_max_depth, antithetic, res, g_img):
+    scene, L_total = res
+    cfg = integrator_config(scene)
+    ray, sampler, pos_f = _gen_rays(scene, spp, spp, seed)
+    n = ray.o.shape[0]
+    float_leaves, combine, meta = _partition(scene)
+
+    # adjoint image: per-sample δL (splat cotangent w.r.t. L)
+    def splat(Ls):
+        block = scene.film.new_block()
+        block = film_mod.put(block, scene.film, pos_f, Ls)
+        return film_mod.develop(block, scene.film)
+
+    _, vjp_splat = jax.vjp(splat, jnp.zeros_like(L_total))
+    (delta_L,) = vjp_splat(g_img)
+
+    # primary-ray silhouettes: warped splat POSITION term (the reference
+    # reparameterizes camera rays in sample_rays, common.py:383-400; the
+    # image-space warp of the splat carries the boundary gradient)
+    act0 = jnp.ones((n,), bool)
+    rs0 = sa.fork(sampler, salt=0x6a09e667)
+
+    def splat_pos(fl):
+        s_att = sc.prepare(combine(fl))
+        d_w0, _det0, _ = reparameterize_ray(s_att, rs0, ray, act0,
+                                            num_aux=num_aux, kappa=kappa,
+                                            antithetic=antithetic)
+        pos = _warped_pos(s_att, pos_f, d_w0, act0)
+        block = scene.film.new_block()
+        block = film_mod.put(block, scene.film, pos,
+                             jax.lax.stop_gradient(L_total),
+                             weight_pos=jax.lax.stop_gradient(pos_f))
+        return film_mod.develop(block, scene.film)
+
+    _, vjp_pos = jax.vjp(splat_pos, jax.lax.stop_gradient(float_leaves))
+    (g_pos,) = vjp_pos(g_img)
+
+    cots, meta = _replay_backward_reparam(
+        scene, sampler, ray, delta_L, L_total,
+        int(cfg.get('max_depth', 8)), int(cfg.get('rr_depth', 5)),
+        reparam_max_depth, num_aux, kappa, antithetic)
+    cots = [c + gp for c, gp in zip(cots, g_pos)]
+    return (_full_cotangent(meta, cots),)
+
+
+render_prb_reparam.defvjp(_fwd, _bwd)

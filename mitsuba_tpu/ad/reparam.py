@@ -109,7 +109,7 @@ def follow_p(scene, si):
 
 def reparameterize_ray(scene, smpl: sa.SamplerState, ray: Ray, active,
                        num_aux: int = 4, kappa: float = 1e5,
-                       exponent: float = 3.0):
+                       exponent: float = 3.0, antithetic: bool = False):
     """Returns (d_warped, det, sampler).
 
     d_warped equals ray.d in VALUE but carries the warp-field derivative
@@ -117,10 +117,17 @@ def reparameterize_ray(scene, smpl: sa.SamplerState, ray: Ray, active,
     derivative 1 + (divV - detach(divV)). The spherical divergence is
     computed with two forward-mode tangent probes of the warp field —
     the JAX equivalent of reparam.py's dual-number div tracking (:173-204).
+
+    antithetic: mirror every second auxiliary sample about the lobe axis
+    (reparam.py:436-441) — halves the variance of the vMF average for
+    near-symmetric weight fields at no extra sample cost.
     """
     n = ray.o.shape[0]
     us = []
-    for _ in range(num_aux):
+    for i in range(num_aux):
+        if antithetic and i % 2 == 1:
+            us.append(None)      # mirror of the previous draw
+            continue
         u, smpl = sa.next_2d(smpl)
         us.append(jax.lax.stop_gradient(u))
     o_det = jax.lax.stop_gradient(ray.o)
@@ -129,8 +136,13 @@ def reparameterize_ray(scene, smpl: sa.SamplerState, ray: Ray, active,
         frame = Frame(d / jnp.maximum(m.norm(d, keepdims=True), 1e-12))
         V = jnp.zeros((n, 3))
         Z = jnp.zeros((n,))
+        prev_local = None
         for u in us:
-            d_local = warp_mod.square_to_von_mises_fisher(u, kappa)
+            if u is None:        # antithetic pair: rotate 180° about the axis
+                d_local = prev_local * jnp.asarray([-1.0, -1.0, 1.0])
+            else:
+                d_local = warp_mod.square_to_von_mises_fisher(u, kappa)
+            prev_local = d_local
             d_aux = frame.to_world(d_local)
             si = sc.ray_intersect(scene, Ray.make(o_det, d_aux))
             B = boundary_test(scene, si, d_aux)

@@ -46,23 +46,28 @@ class HeightfieldTable:
     # packed by scene.prepare() so compute_si is ONE row-gather per lane
     # (transpose = one scatter + free slice-adds back to heights)
     corner_rows: tuple = None
+    # MIN-pyramid (same level shapes as `mips`), detached: powers the
+    # ray_test early-occlusion ("the segment dipped below the surface
+    # minimum of this cell, so it crossed") — the TPU counterpart of
+    # ray_test != ray_intersect (reference scene.h:171-207)
+    min_mips: tuple = None
 
 
 BK = 8          # leaf BLOCK is BK x BK cells; one ((BK+1)^2/2,)c64 row holds its
                 # (BK+1)^2 corners — see _march
 
 
-def _pool(cur, k):
-    """k x k max-pool with -inf padding."""
+def _pool(cur, k, op=jnp.maximum, pad_val=NEG_INF):
+    """k x k reduce-pool with `pad_val` padding (max by default)."""
     ph = (cur.shape[0] + k - 1) // k * k
     pw = (cur.shape[1] + k - 1) // k * k
-    pad = jnp.full((ph, pw), NEG_INF, cur.dtype)
+    pad = jnp.full((ph, pw), pad_val, cur.dtype)
     pad = pad.at[:cur.shape[0], :cur.shape[1]].set(cur)
     out = pad[0::k, 0::k]
     for dz in range(k):
         for dx in range(k):
             if dz or dx:
-                out = jnp.maximum(out, pad[dz::k, dx::k])
+                out = op(out, pad[dz::k, dx::k])
     return out
 
 
@@ -75,6 +80,20 @@ def build_max_mip(heights):
     levels = [_pool(cell, BK)]
     while levels[-1].shape[0] > 1 or levels[-1].shape[1] > 1:
         levels.append(_pool(levels[-1], 2))
+    return tuple(levels)
+
+
+def build_min_mip(heights):
+    """MIN pyramid with the exact level shapes of build_max_mip: per-block
+    min over the block's (BK+1)^2 corners at level 0, 2x2 min-pools above.
+    Used only by the any-hit early-occlusion test (conservative: padding is
+    +inf, edge blocks use real boundary heights)."""
+    h = heights
+    cell = jnp.minimum(jnp.minimum(h[:-1, :-1], h[:-1, 1:]),
+                       jnp.minimum(h[1:, :-1], h[1:, 1:]))
+    levels = [_pool(cell, BK, op=jnp.minimum, pad_val=-NEG_INF)]
+    while levels[-1].shape[0] > 1 or levels[-1].shape[1] > 1:
+        levels.append(_pool(levels[-1], 2, op=jnp.minimum, pad_val=-NEG_INF))
     return tuple(levels)
 
 
@@ -117,36 +136,53 @@ class heightfield:
     # measured 3.0s/pass vs 5.1s for 64/320@4/inf@16 (and 27.6s before
     # lane deadening).
     CASCADE = ((32, 1), (320, 4), (10 ** 9, 16), (10 ** 9, 8), (10 ** 9, 2))
+    # shadow rays either occlude within a few cells (min-mip early-out) or
+    # escape; their trip-count tail is much shorter than closest-hit rays'
+    SHADOW_CASCADE = ((16, 1), (10 ** 9, 8), (10 ** 9, 2))
 
     @staticmethod
     def build(props_list):
-        hs, mips, tws = [], [], []
+        hs, mips, mins, tws = [], [], [], []
         for p in props_list:
             h = jnp.asarray(np.asarray(p['heights'], np.float32))
             hs.append(h)
             mips.append(tuple(jax.lax.stop_gradient(l)
                               for l in build_max_mip(h)))
+            mins.append(tuple(jax.lax.stop_gradient(l)
+                              for l in build_min_mip(h)))
             tws.append({'to_world': p.get('to_world', Transform4())})
         tw = np.stack([p['to_world'].matrix for p in tws]).astype(np.float32)
         to = np.stack([p['to_world'].inverse_matrix for p in tws]).astype(np.float32)
         return HeightfieldTable(heights=tuple(hs), mips=tuple(mips),
+                                min_mips=tuple(mins),
                                 to_world=jnp.asarray(tw), to_object=jnp.asarray(to))
 
     # ------------------------------------------------------------------
     # traversal for a single instance
     # ------------------------------------------------------------------
     @staticmethod
-    def _march(h, mips, o, d, R, C, compact=True):
+    def _march(h, mips, o, d, R, C, compact=True, anyhit=False, maxt=None,
+               min_mips=None):
         """Object-space maximum-mipmap DDA. o,d: (N,3) DETACHED.
-        Returns (t_hit (N,), cell_ix, cell_iz)."""
+        Returns (t_hit (N,), cell_ix, cell_iz).
+
+        anyhit=True is the ray_test fast path (reference scene.h:171-207):
+        the min-pyramid rides the free imaginary slots of the combo rows, so
+        a lane that has provably crossed the surface ("was above a cell max,
+        now entirely below a cell min") terminates at a COARSE level without
+        descending — exact, because the bilinear surface is continuous."""
         n = o.shape[0]
         W = C - 1
         H = R - 1
         W_B = (W + BK - 1) // BK
         H_B = (H + BK - 1) // BK
         n_levels = len(mips)
-        h_max = jnp.max(mips[-1]) + 1.0
-        h_min = -jnp.max(-h) - 1.0
+        # tight slabs: padding the roof/floor only lengthens grazing escape
+        # walks (every extra height unit is extra DDA cells before t > t_far)
+        h_max = jnp.max(mips[-1]) + 1e-3
+        h_min = -jnp.max(-h) - 1e-3
+        if anyhit and min_mips is None:
+            min_mips = tuple(jax.lax.stop_gradient(l) for l in build_min_mip(h))
 
         # gather-economy table (ONE row-gather per DDA iteration): TPU gather
         # cost is per INDEX, nearly independent of row width — FLAT to at
@@ -166,6 +202,10 @@ class heightfield:
         t_hi = (hi - o) * inv_d
         t_near = jnp.max(jnp.minimum(t_lo, t_hi), -1)
         t_far = jnp.min(jnp.maximum(t_lo, t_hi), -1)
+        if maxt is not None:
+            # occlusion segment end (ray_test): march no further than the
+            # light sample — t is in world-ray units by construction
+            t_far = jnp.minimum(t_far, maxt)
         t_enter = jnp.maximum(t_near, 1e-5)
         valid = (t_enter <= t_far)
 
@@ -178,15 +218,32 @@ class heightfield:
         # a select-chain over the static level list). Only 1 mip gather (+2
         # packed corner gathers at the leaf) remain per iteration.
         import numpy as _np
-        NROW = (BK + 1) ** 2 // 2 + 1        # 13 c64 per row
+        NROW = (BK + 1) ** 2 // 2 + 1        # c64 slots per row (41 @ BK=8)
+        assert BK % 2 == 0, "odd (BK+1)^2 keeps the last imag slot free"
         zero = jnp.zeros((), jnp.complex64)
         block_rows = _block_corner_rows(h).reshape(-1, NROW)
-        combo_rows = jnp.concatenate(
-            [block_rows] +
-            [jnp.concatenate(
-                [jax.lax.complex(mp, jnp.zeros_like(mp)).reshape(-1, 1),
-                 jnp.broadcast_to(zero, (mp.size, NROW - 1))], -1)
-             for mp in mips[1:]])            # (TOTAL, NROW) c64
+        if anyhit:
+            # ride the otherwise-zero imaginary slots with the MIN pyramid:
+            # leaf rows carry the block min in the last slot's imag (the
+            # (BK+1)^2-th corner occupies its real), interior rows carry
+            # (cmax, cmin) in slot 0 — zero extra gather cost
+            blk_min = min_mips[0].reshape(-1)
+            last = block_rows[:, -1]
+            block_rows = block_rows.at[:, -1].set(
+                jax.lax.complex(jnp.real(last), blk_min))
+            combo_rows = jnp.concatenate(
+                [block_rows] +
+                [jnp.concatenate(
+                    [jax.lax.complex(mp, mn).reshape(-1, 1),
+                     jnp.broadcast_to(zero, (mp.size, NROW - 1))], -1)
+                 for mp, mn in zip(mips[1:], min_mips[1:])])
+        else:
+            combo_rows = jnp.concatenate(
+                [block_rows] +
+                [jnp.concatenate(
+                    [jax.lax.complex(mp, jnp.zeros_like(mp)).reshape(-1, 1),
+                     jnp.broadcast_to(zero, (mp.size, NROW - 1))], -1)
+                 for mp in mips[1:]])         # (TOTAL, NROW) c64
         sizes = [mp.size for mp in mips]
         offsets_np = _np.cumsum([0] + sizes[:-1]).astype(_np.int32)
 
@@ -234,7 +291,7 @@ class heightfield:
             return body
 
         def _body_impl(state, o, d, inv_d, step_ix, step_iz, t_far, t_enter):
-            t, lvl, ix, iz, t_hit, active, steps = state
+            t, lvl, ix, iz, t_hit, active, was_above, steps = state
             sx = scale_of(lvl, W / BK)
             sz = scale_of(lvl, H / BK)
             # exit crossing per axis in the travel direction (exact DDA —
@@ -253,6 +310,22 @@ class heightfield:
             y_a = o[..., 1] + d[..., 1] * t
             y_b = o[..., 1] + d[..., 1] * t_exit
             overlap = (jnp.minimum(y_a, y_b) <= cmax) & (t <= t_exit + eps_t)
+
+            # any-hit early occlusion: the lane was provably above the
+            # surface earlier ("whole segment above a cell max") and is now
+            # provably below it ("whole segment below this cell's min") —
+            # the continuous bilinear surface was crossed in between, so the
+            # segment is occluded; terminate without descending to the leaf
+            early_occ = jnp.zeros_like(active)
+            if anyhit:
+                cmin = jnp.where(at_leaf, jnp.imag(g[..., -1]),
+                                 jnp.imag(g[..., 0]))
+                seg_min = jnp.minimum(y_a, y_b)
+                seg_max = jnp.maximum(y_a, y_b)
+                # at the leaf real(g[0]) is corner h00, not the block max,
+                # so the above-update only fires at interior levels
+                was_above = was_above | (~at_leaf & (seg_min > cmax) & active)
+                early_occ = active & was_above & (seg_max < cmin)
 
             # -- leaf: exact bilinear-patch tests for ALL BKxBK block cells
             # in-register (unconditional: a lax.cond inside the while body
@@ -338,14 +411,18 @@ class heightfield:
             # termination: out of the level's index range or past t_far
             in_range = (new_ix >= 0) & (new_ix < ncells(new_lvl, W_B)) & \
                 (new_iz >= 0) & (new_iz < ncells(new_lvl, H_B))
-            still = active & ~leaf_hit & (new_t <= t_far + eps_t) & in_range
-            return (new_t, new_lvl, new_ix, new_iz, t_hit, still, steps + 1)
+            t_hit = jnp.where(early_occ, jnp.minimum(t_hit, jnp.maximum(t, t_enter)),
+                              t_hit)
+            still = active & ~leaf_hit & ~early_occ & \
+                (new_t <= t_far + eps_t) & in_range
+            return (new_t, new_lvl, new_ix, new_iz, t_hit, still, was_above,
+                    steps + 1)
 
         def run_loop(lane, state, cap):
             body = make_body(*lane)
 
             def cond(st):
-                return jnp.any(st[5]) & (st[6] < cap)
+                return jnp.any(st[5]) & (st[7] < cap)
             return jax.lax.while_loop(cond, body, state)
 
         # secondary rays start ON the surface: lanes whose origin is inside
@@ -360,8 +437,11 @@ class heightfield:
         cx0 = jnp.floor((o[..., 0] + d[..., 0] * (t_enter + eps_t)) * sx0).astype(jnp.int32)
         cz0 = jnp.floor((o[..., 2] + d[..., 2] * (t_enter + eps_t)) * sz0).astype(jnp.int32)
         lane_full = (o, d, inv_d, step_ix_full, step_iz_full, t_far, t_enter)
+        # rays entering through the roof slab are born provably-above
+        above0 = ((o[..., 1] + d[..., 1] * t_enter) >= h_max - 1e-4) \
+            if anyhit else jnp.zeros((n,), bool)
         state = (t_enter, lvl0, cx0, cz0, jnp.full((n,), jnp.inf), valid,
-                 jnp.asarray(0, jnp.int32))
+                 above0, jnp.asarray(0, jnp.int32))
 
         # --- compaction cascade: the while gates on the WORST lane, and idle
         # lanes still pay the scalar-core gathers, so width is halved as the
@@ -373,18 +453,19 @@ class heightfield:
             # than the 65k argsort it replaces)
             sel = m.partition_actives(state[5], k)
             lane_sub = tuple(x[sel] for x in lane_full)
-            state_sub = tuple(x[sel] for x in state[:6]) + \
+            state_sub = tuple(x[sel] for x in state[:7]) + \
                 (jnp.asarray(0, jnp.int32),)
             state_sub = run_loop(lane_sub, state_sub, cap)
             merged = [full_x.at[sel].set(sub_x)
-                      for full_x, sub_x in zip(state[:6], state_sub[:6])]
+                      for full_x, sub_x in zip(state[:7], state_sub[:7])]
             return tuple(merged) + (jnp.asarray(0, jnp.int32),)
 
         if compact and n >= 256:
             # cascade: (cap, width_fraction) stages; tuned empirically on the
             # BASELINE heightfield config (camera + envmap-shadow rays, 512^2
             # grid, 65k lanes) where >94% of lanes finish within 16 iterations
-            cascade = heightfield.CASCADE
+            cascade = heightfield.SHADOW_CASCADE if anyhit \
+                else heightfield.CASCADE
             first_cap, _ = cascade[0]
             state = run_loop(lane_full, state, min(first_cap, max_steps))
             for cap, frac in cascade[1:]:
@@ -407,17 +488,22 @@ class heightfield:
     # Shape interface
     # ------------------------------------------------------------------
     @staticmethod
-    def intersect(tbl: HeightfieldTable, o, d, anyhit=False):
+    def intersect(tbl: HeightfieldTable, o, d, anyhit=False, maxt=None):
         """(S,N) brute layout like the analytic shapes; S = #instances.
-        anyhit=True (shadow rays): single-stage march, no compaction — a
-        smaller program (ray_test doesn't need the nearest hit)."""
+        anyhit=True (shadow rays, scene.h:ray_test): min-mip early
+        occlusion, maxt-clamped segment, shadow-tuned cascade — returned t
+        only answers `t < maxt`, it is not the nearest hit."""
         o = jax.lax.stop_gradient(o)
         d = jax.lax.stop_gradient(d)
         # materialize the ray inputs before the march: when intersect() is
         # composed with upstream work (NEE warp, bounce shading) in one jit,
         # XLA otherwise fuses/rematerializes those producers INTO the while
         # body and recomputes them every DDA iteration (~6x slower bounce)
-        o, d = jax.lax.optimization_barrier((o, d))
+        if maxt is not None:
+            maxt = jax.lax.stop_gradient(maxt)
+            o, d, maxt = jax.lax.optimization_barrier((o, d, maxt))
+        else:
+            o, d = jax.lax.optimization_barrier((o, d))
         ts, uvs, prims = [], [], []
         for s in range(len(tbl.heights)):
             h = jax.lax.stop_gradient(tbl.heights[s])
@@ -425,9 +511,12 @@ class heightfield:
             to = jax.lax.stop_gradient(tbl.to_object[s])
             o_obj = apply_point(to, o)
             d_obj = apply_vector(to, d)
+            mn = tbl.min_mips[s] if tbl.min_mips is not None else None
             # note: d_obj NOT normalized -> t is in world-ray units
             t_hit, hx, hz = heightfield._march(h, tbl.mips[s], o_obj, d_obj,
-                                               R, C, compact=True)
+                                               R, C, compact=True,
+                                               anyhit=anyhit, maxt=maxt,
+                                               min_mips=mn)
             ts.append(t_hit)
             px = o_obj[..., 0] + d_obj[..., 0] * jnp.where(jnp.isfinite(t_hit), t_hit, 0.0)
             pz = o_obj[..., 2] + d_obj[..., 2] * jnp.where(jnp.isfinite(t_hit), t_hit, 0.0)

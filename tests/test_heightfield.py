@@ -153,3 +153,71 @@ def test_dpixel_dheights_interior(hf_scene):
         if abs(fd - ad) < 0.25 * max(abs(fd), abs(ad), 1e-6):
             good += 1
     assert good >= 6, good
+
+
+# ---------------------------------------------------------------------------
+# any-hit (ray_test) fast path — must agree exactly with the full march
+# (reference scene.h:171-207: ray_test is a cheaper but EXACT occlusion query)
+# ---------------------------------------------------------------------------
+
+def _rugged(res=65, seed=7, amp=0.3):
+    rng = np.random.default_rng(seed)
+    x = np.linspace(0, 1, res, dtype=np.float32)
+    h = (0.3 + amp * np.sin(x * 11)[None, :] * np.cos(x * 9)[:, None]
+         + 0.05 * rng.standard_normal((res, res))).astype(np.float32)
+    return h
+
+
+def _random_rays(n, seed, origin_above=True):
+    """Rays from random scene points in/above the terrain, random directions
+    (the shadow-ray population: origins on the surface, directions anywhere)."""
+    rng = np.random.default_rng(seed)
+    o = rng.random((n, 3)).astype(np.float32)
+    o[:, 1] = o[:, 1] * 1.2 + (0.62 if origin_above else -0.5)
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+@pytest.mark.parametrize("maxt_val", [np.inf, 0.7])
+def test_anyhit_matches_full_march(maxt_val):
+    from mitsuba_tpu.plugins.shapes.heightfield import build_min_mip
+    h = _rugged()
+    tbl = _table(h)
+    tbl = tbl.replace(min_mips=(build_min_mip(jnp.asarray(h)),))
+    o, d = _random_rays(512, seed=11)
+    t_full, _, _ = heightfield.intersect(tbl, o, d)
+    maxt = jnp.full((512,), maxt_val, jnp.float32)
+    t_any, _, _ = heightfield.intersect(tbl, o, d, anyhit=True, maxt=maxt)
+    occ_full = np.asarray(t_full[0]) < maxt_val
+    occ_any = np.asarray(t_any[0]) < maxt_val
+    np.testing.assert_array_equal(occ_any, occ_full)
+
+
+def test_anyhit_surface_origin_rays():
+    """Shadow-ray population: origins ON the surface + normal offset, random
+    upper-hemisphere directions (the envmap NEE mix)."""
+    from mitsuba_tpu.plugins.shapes.heightfield import build_min_mip
+    h = _rugged(seed=3)
+    tbl = _table(h)
+    tbl = tbl.replace(min_mips=(build_min_mip(jnp.asarray(h)),))
+    rng = np.random.default_rng(5)
+    n = 1024
+    xz = rng.random((n, 2)).astype(np.float32)
+    W = h.shape[0] - 1
+    ix = np.clip((xz[:, 0] * W).astype(int), 0, W - 1)
+    iz = np.clip((xz[:, 1] * W).astype(int), 0, W - 1)
+    u = xz[:, 0] * W - ix
+    v = xz[:, 1] * W - iz
+    y = (h[iz, ix] * (1 - u) * (1 - v) + h[iz, ix + 1] * u * (1 - v)
+         + h[iz + 1, ix] * (1 - u) * v + h[iz + 1, ix + 1] * u * v)
+    o = np.stack([xz[:, 0], y + 1e-4, xz[:, 1]], -1).astype(np.float32)
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d[:, 1] = np.abs(d[:, 1]) * (0.2 + rng.random(n))   # biased upward, grazing-heavy
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    t_full, _, _ = heightfield.intersect(tbl, o, d)
+    maxt = jnp.full((n,), 10.0, jnp.float32)
+    t_any, _, _ = heightfield.intersect(tbl, o, d, anyhit=True, maxt=maxt)
+    np.testing.assert_array_equal(np.asarray(t_any[0]) < 10.0,
+                                  np.asarray(t_full[0]) < 10.0)

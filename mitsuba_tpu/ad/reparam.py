@@ -107,59 +107,103 @@ def follow_p(scene, si):
     return out
 
 
+def _sample_warp_field(scene, u, o_det, frame, kappa, exponent):
+    """One auxiliary-ray term of the Bangaru-2020 warp field (reference
+    reparam.py:17-125 _sample_warp_field).
+
+    The crucial estimator structure (the round-1 two-jvp version missed it
+    and produced ~zero boundary gradients): the d-dependence of the
+    divergence is carried by an ANALYTIC gradient of the harmonic weight
+    w.r.t. tangential lobe rotation (`d_w_omega`, detached), while the
+    θ-dependence is carried by the FollowShape-attached hit direction
+    `V_direct`. div V̇ is then assembled by the quotient rule
+    (reparam.py:216-221): (Σ dw·V - V̄·Σdw) / Z.
+
+    Returns (w, d_w_omega, w·V_direct, dot(d_w_omega, V_direct)):
+    w/Z detached, the last two attached through scene parameters only.
+    """
+    d_local = warp_mod.square_to_von_mises_fisher(u, kappa)
+    d_aux = frame.to_world(d_local)
+    si = sc.ray_intersect(scene, Ray.make(o_det, d_aux))
+    hit = si.is_valid
+    # direction to the shape-following hit point: value == d_aux, derivative
+    # = the shape's motion projected to the unit sphere at o
+    p_f = follow_p(scene, si)
+    t_det = jax.lax.stop_gradient(
+        jnp.where(hit, m.norm(p_f - o_det), 1.0))
+    V_direct = jnp.where(hit[..., None],
+                         (p_f - o_det) / jnp.maximum(t_det, 1e-8)[..., None],
+                         d_aux)
+
+    # --- detached harmonic weight + its analytic tangential gradient ----
+    B = jax.lax.stop_gradient(
+        jnp.where(hit, boundary_test(scene, si, d_aux), 1.0))
+    # inverse vMF density without the normalization constant (1 at the lobe
+    # center): exp(kappa * (1 - cos))
+    inv_vmf_density = jnp.exp(jnp.minimum(
+        kappa * (1.0 - jax.lax.stop_gradient(d_local[..., 2])), 60.0))
+    w_denom = inv_vmf_density - 1.0 + B
+    w_denom_rcp = jnp.where(w_denom > 1e-4, 1.0 / jnp.maximum(w_denom, 1e-4),
+                            0.0)
+    w = jnp.power(w_denom_rcp, exponent) * inv_vmf_density
+    tmp1 = jnp.clip(inv_vmf_density * w * w_denom_rcp * kappa * exponent,
+                    -1e10, 1e10)
+    tangent = frame.to_world(
+        jnp.stack([d_local[..., 0], d_local[..., 1],
+                   jnp.zeros_like(d_local[..., 0])], -1))
+    d_w_omega = tmp1[..., None] * jax.lax.stop_gradient(tangent)
+    return w, d_w_omega, w[..., None] * V_direct, m.dot(d_w_omega, V_direct)
+
+
 def reparameterize_ray(scene, smpl: sa.SamplerState, ray: Ray, active,
                        num_aux: int = 4, kappa: float = 1e5,
                        exponent: float = 3.0, antithetic: bool = False):
-    """Returns (d_warped, det, sampler).
+    """Returns (d_warped, det, sampler) — reference reparam.py:126-463.
 
     d_warped equals ray.d in VALUE but carries the warp-field derivative
-    (d + V - detach(V)); det equals 1 in value and carries the divergence
-    derivative 1 + (divV - detach(divV)). The spherical divergence is
-    computed with two forward-mode tangent probes of the warp field —
-    the JAX equivalent of reparam.py's dual-number div tracking (:173-204).
+    (d + V̄ - detach(V̄)); det equals 1 in value and carries the divergence
+    derivative 1 + (divV̄ - detach(divV̄)), with the divergence assembled
+    from analytic weight gradients (see _sample_warp_field).
 
     antithetic: mirror every second auxiliary sample about the lobe axis
     (reparam.py:436-441) — halves the variance of the vMF average for
     near-symmetric weight fields at no extra sample cost.
     """
     n = ray.o.shape[0]
-    us = []
+    o_det = jax.lax.stop_gradient(ray.o)
+    d0 = jax.lax.stop_gradient(ray.d)
+    frame = Frame(d0)
+    Z = jnp.zeros((n,))
+    dZ = jnp.zeros((n, 3))
+    V = jnp.zeros((n, 3))
+    div_lhs = jnp.zeros((n,))
+    u_prev = None
     for i in range(num_aux):
         if antithetic and i % 2 == 1:
-            us.append(None)      # mirror of the previous draw
-            continue
-        u, smpl = sa.next_2d(smpl)
-        us.append(jax.lax.stop_gradient(u))
-    o_det = jax.lax.stop_gradient(ray.o)
-
-    def warp_V(d):
-        frame = Frame(d / jnp.maximum(m.norm(d, keepdims=True), 1e-12))
-        V = jnp.zeros((n, 3))
-        Z = jnp.zeros((n,))
-        prev_local = None
-        for u in us:
-            if u is None:        # antithetic pair: rotate 180° about the axis
-                d_local = prev_local * jnp.asarray([-1.0, -1.0, 1.0])
-            else:
-                d_local = warp_mod.square_to_von_mises_fisher(u, kappa)
-            prev_local = d_local
-            d_aux = frame.to_world(d_local)
-            si = sc.ray_intersect(scene, Ray.make(o_det, d_aux))
-            B = boundary_test(scene, si, d_aux)
-            w = 1.0 / jnp.power(B + 5e-2, exponent)
-            v_att = m.normalize(follow_p(scene, si) - o_det)
-            v_i = jnp.where(si.is_valid[..., None], v_att, d_aux)
-            V = V + w[..., None] * v_i
-            Z = Z + w
-        return V / jnp.maximum(Z, 1e-8)[..., None]
-
-    d0 = jax.lax.stop_gradient(ray.d)
-    t1, t2 = coordinate_system(d0)
-    V0, dV1 = jax.jvp(warp_V, (d0,), (t1,))
-    _, dV2 = jax.jvp(warp_V, (d0,), (t2,))
-    div = m.dot(t1, dV1) + m.dot(t2, dV2)
+            u = u_prev  # same variate, mirrored below via the local frame
+            mirror = True
+        else:
+            u, smpl = sa.next_2d(smpl)
+            u = jax.lax.stop_gradient(u)
+            mirror = False
+        u_prev = u
+        if mirror:
+            # rotate the aux direction 180° about the lobe axis: the vMF
+            # z-component (and hence the weight) is unchanged
+            frame_i = Frame(n=frame.n, s=-frame.s, t=-frame.t)
+        else:
+            frame_i = frame
+        w_i, dw_i, wV_i, dl_i = _sample_warp_field(scene, u, o_det, frame_i,
+                                                   kappa, exponent)
+        Z = Z + w_i
+        dZ = dZ + dw_i
+        V = V + wV_i
+        div_lhs = div_lhs + dl_i
+    inv_Z = 1.0 / jnp.maximum(Z, 1e-8)
+    V_bar = V * inv_Z[..., None]
+    div = (div_lhs - m.dot(V_bar, dZ)) * inv_Z
     d_warp = ray.d + jnp.where(active[..., None],
-                               V0 - jax.lax.stop_gradient(V0), 0.0)
+                               V_bar - jax.lax.stop_gradient(V_bar), 0.0)
     d_warp = d_warp / jnp.maximum(m.norm(d_warp, keepdims=True), 1e-12)
     det = jnp.where(active,
                     1.0 + (div - jax.lax.stop_gradient(div)), 1.0)

@@ -104,7 +104,8 @@ def _resolve_texture(props, key, default, texb):
                 if not v.get('raw', False):
                     data = np.where(data <= 0.04045, data / 12.92,
                                     ((data + 0.055) / 1.055) ** 2.4)
-            return texb.add_bitmap(data, nearest=v.get('filter_type') == 'nearest')
+            return texb.add_bitmap(data, nearest=v.get('filter_type') == 'nearest',
+                                   mipmap=bool(v.get('mipmap', False)))
         if t in ('volume', 'gridvolume', 'constvolume'):
             # 3D texture sampled at the world hit point (volume.h grids)
             to_world = v.get('to_world')

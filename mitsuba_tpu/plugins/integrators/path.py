@@ -43,9 +43,14 @@ class PathState:
 
 def sample(scene: sc.Scene, sampler: sa.SamplerState, ray: Ray,
            max_depth: int, rr_depth: int = 5, hide_emitters: bool = False,
-           wl=None):
+           wl=None, ray_diff=None):
     """Returns (L (N,C), valid (N,), sampler). C=3 rgb; C=NW when `wl`
-    carries per-lane hero wavelengths (spectral variant)."""
+    carries per-lane hero wavelengths (spectral variant).
+
+    ray_diff: optional (ray_dx, ray_dy) camera-ray differentials — at the
+    PRIMARY hit they become texture-space duv footprints feeding the bitmap
+    mip chain (interaction.h:322-355 si.bsdf(ray); secondary bounces sample
+    the base level, like the reference's non-differential secondary rays)."""
     n = ray.o.shape[0]
     dt = ray.o.dtype
     C = 3 if wl is None else wl.shape[-1]
@@ -66,10 +71,17 @@ def sample(scene: sc.Scene, sampler: sa.SamplerState, ray: Ray,
         si = sc.ray_intersect(scene, cur_ray)
         first = depth == 0
         active = state.active
+        if ray_diff is not None:
+            duv_dx, duv_dy = sc.uv_partials(si, cur_ray, *ray_diff)
+            mag = jnp.maximum(m.norm(duv_dx), m.norm(duv_dy))
+            mag = jnp.where(first & si.is_valid, mag, 0.0)
+            scene_b = scene.replace(textures=scene.textures.replace(duv_mag=mag))
+        else:
+            scene_b = scene
 
         # ---- direct emission at the hit (path.cpp:158-174) ----
         hit_em = active & (si.emitter_index >= 0)
-        Le = sc.eval_emitter_hit(scene, si, hit_em, wl=wl)
+        Le = sc.eval_emitter_hit(scene_b, si, hit_em, wl=wl)
         pdf_light = sc.pdf_emitter_direction(scene, state.prev_p, si, hit_em)
         mis_bsdf = jnp.where(state.prev_delta, 1.0,
                              mis_weight(state.prev_pdf, pdf_light))
@@ -78,7 +90,7 @@ def sample(scene: sc.Scene, sampler: sa.SamplerState, ray: Ray,
 
         # ---- environment for escaped rays ----
         escaped = active & ~si.is_valid
-        Lenv = sc.eval_environment(scene, state.d, escaped, wl=wl)
+        Lenv = sc.eval_environment(scene_b, state.d, escaped, wl=wl)
         pdf_env = sc.pdf_env_direction(scene, state.d, escaped)
         mis_env = jnp.where(state.prev_delta, 1.0,
                             mis_weight(state.prev_pdf, pdf_env))
@@ -90,12 +102,12 @@ def sample(scene: sc.Scene, sampler: sa.SamplerState, ray: Ray,
         # ---- emitter sampling (path.cpp:193-233) ----
         smpl = state.sampler
         s_em, smpl = sa.next_2d(smpl)
-        active_em = active & bsdf_mod.has_smooth(scene, si)
+        active_em = active & bsdf_mod.has_smooth(scene_b, si)
         ds, em_weight = sc.sample_emitter_direction(
-            scene, si, jax.lax.stop_gradient(s_em), test_visibility=True,
+            scene_b, si, jax.lax.stop_gradient(s_em), test_visibility=True,
             active=active_em, wl=wl)
         wo_local = si.to_local(ds.d)
-        bsdf_val, bsdf_pdf = bsdf_mod.eval_pdf(scene, si, wo_local, active_em,
+        bsdf_val, bsdf_pdf = bsdf_mod.eval_pdf(scene_b, si, wo_local, active_em,
                                                wl=wl)
         mis_em = jnp.where(ds.delta, 1.0, mis_weight(
             jax.lax.stop_gradient(ds.pdf), jax.lax.stop_gradient(bsdf_pdf)))
@@ -106,7 +118,7 @@ def sample(scene: sc.Scene, sampler: sa.SamplerState, ray: Ray,
         s1, smpl = sa.next_1d(smpl)
         s2, smpl = sa.next_2d(smpl)
         bs, bsdf_weight = bsdf_mod.sample(
-            scene, si, jax.lax.stop_gradient(s1), jax.lax.stop_gradient(s2),
+            scene_b, si, jax.lax.stop_gradient(s1), jax.lax.stop_gradient(s2),
             active, wl=wl)
         wo_world = si.to_world(bs.wo)
         new_ray = si.spawn_ray(wo_world)

@@ -24,7 +24,18 @@ def sample(scene, sampler, ray, max_depth, rr_depth=5, hide_emitters=False,
     """wl: (N, C) hero wavelengths (spectral variant) or None (rgb). In
     spectral mode the medium's rgb sigma_t/albedo are upsampled to the hero
     wavelengths (load-time sigmoid-polynomial fit) and the free-flight /
-    transmittance estimators run per wavelength."""
+    transmittance estimators run per wavelength.
+
+    Scenes whose shapes carry interior/exterior media (scene.media table)
+    take the medium-transition path below; the scene-global-medium fast path
+    is unchanged."""
+    if scene.media:
+        if wl is not None:
+            raise NotImplementedError(
+                'spectral volpath with per-shape media is not implemented '
+                'yet (rgb per-shape media + spectral global medium are)')
+        return _sample_media(scene, sampler, ray, max_depth, rr_depth,
+                             hide_emitters)
     med = scene.medium
     n = ray.o.shape[0]
     dt = ray.o.dtype
@@ -149,4 +160,277 @@ def sample(scene, sampler, ray, max_depth, rr_depth=5, hide_emitters=False,
         return new_st, None
 
     state, _ = jax.lax.scan(body, state, jnp.arange(max_depth))
+    return state['L'], state['valid'], state['sampler']
+
+
+# ===========================================================================
+# Per-shape media: medium transitions at interfaces (reference
+# include/mitsuba/render/shape.h:20-26 interior/exterior media;
+# src/integrators/volpath.cpp:133-191 null-interface handling)
+# ===========================================================================
+
+MAX_NULL_CROSSINGS = 4   # unrolled shadow-segment walk depth
+
+
+def target_medium(scene, si, d, cur_med):
+    """Medium on the far side of an interface crossed along d
+    (interaction.h target_medium: leaving along the normal -> exterior,
+    entering against it -> interior). Shapes without media keep cur_med."""
+    gid = jnp.maximum(si.shape_index, 0)
+    m_in = m.small_gather(scene.shape_medium_in, gid)
+    m_ex = m.small_gather(scene.shape_medium_ex, gid)
+    has_tr = (m_in >= 0) | (m_ex >= 0)
+    entering = m.dot(d, si.n) < 0
+    tgt = jnp.where(entering, m_in, m_ex)
+    return jnp.where(si.is_valid & has_tr, tgt, cur_med)
+
+
+def _per_medium_sigmas(scene, med_id, n):
+    """Masked-merge per-lane sigma_t / albedo of each lane's current medium
+    (vacuum lanes: 0 / 1)."""
+    sig = jnp.zeros((n, 3))
+    alb = jnp.ones((n, 3))
+    for k, med in enumerate(scene.media):
+        msk = (med_id == k)[..., None]
+        sig = jnp.where(msk, jnp.broadcast_to(med.sigma_t[None], (n, 3)), sig)
+        alb = jnp.where(msk, jnp.broadcast_to(med.albedo[None], (n, 3)), alb)
+    return sig, alb
+
+
+def _free_flight(scene, smpl, med_id, o, d, maxt, active):
+    """Dispatch free-flight sampling over the media table. Every medium's
+    sampler consumes from its own FORKED stream so the main replay stream
+    stays identical across lanes in different media (the functional
+    counterpart of volpath.cpp's per-lane medium vcall)."""
+    n = o.shape[0]
+    t_med = jnp.asarray(maxt)
+    is_medium = jnp.zeros((n,), bool)
+    w_tr = jnp.ones((n, 3))
+    for k, med in enumerate(scene.media):
+        msk = active & (med_id == k)
+        rs = sa.fork(smpl, salt=0xA11C0 + k)
+        sigL = jnp.broadcast_to(med.sigma_t[None], (n, 3))
+        if med.density is not None:
+            sig_m = jax.lax.stop_gradient(jnp.mean(med.sigma_t) * med.majorant)
+            t_m, is_m, w_m, _ = med_mod.sample_interaction_het_sig(
+                med, sigL, sig_m, rs, o, d, maxt)
+        else:
+            u_t, rs = sa.next_1d(rs)
+            u_c, rs = sa.next_1d(rs)
+            t_m, is_m, w_m = med_mod.sample_interaction_sig(sigL, u_t, u_c,
+                                                            maxt)
+        t_med = jnp.where(msk, t_m, t_med)
+        is_medium = jnp.where(msk, is_m, is_medium)
+        w_tr = jnp.where(msk[..., None], w_m, w_tr)
+    return t_med, is_medium & active, w_tr
+
+
+def _segment_transmittance(scene, smpl, med_id, o, d, dist, active, salt):
+    """Transmittance of one shadow segment in each lane's current medium."""
+    n = o.shape[0]
+    tr = jnp.ones((n, 3))
+    dist = jnp.where(active, dist, 0.0)
+    for k, med in enumerate(scene.media):
+        msk = active & (med_id == k)
+        sigL = jnp.broadcast_to(med.sigma_t[None], (n, 3))
+        if med.density is not None:
+            sig_m = jax.lax.stop_gradient(jnp.mean(med.sigma_t) * med.majorant)
+            rs = sa.fork(smpl, salt=salt + k)
+            tr_k, _ = med_mod.transmittance_het_sig(
+                med, sigL, sig_m, rs, o, d, jnp.where(msk, dist, 0.0))
+        else:
+            tr_k = med_mod.transmittance_sig(sigL, jnp.where(msk, dist, 0.0))
+        tr = jnp.where(msk[..., None], tr_k, tr)
+    return tr
+
+
+def _transmittance_walk(scene, smpl, med0, ray0, dist, active):
+    """NEE visibility through null interfaces: walk the shadow path segment
+    by segment, switching media at null boundaries, occluding at anything
+    else (volpath.cpp's null-scattering shadow loop, statically unrolled to
+    MAX_NULL_CROSSINGS crossings)."""
+    n = dist.shape[0]
+    Tr = jnp.ones((n, 3))
+    occ = jnp.zeros((n,), bool)
+    cur = med0
+    o_cur = ray0.o
+    d = ray0.d
+    rem = jnp.where(active, dist, 0.0)
+    act = active
+    for seg in range(MAX_NULL_CROSSINGS):
+        ro, rd = sc.deaden_ray(scene, o_cur, d, act)
+        si2 = sc.ray_intersect(scene, Ray.make(ro, rd))
+        seg_len = jnp.minimum(jnp.where(si2.is_valid, si2.t, jnp.inf), rem)
+        seg_len = jnp.where(act & jnp.isfinite(seg_len), seg_len, 0.0)
+        Tr = Tr * _segment_transmittance(scene, smpl, cur, ro, rd, seg_len,
+                                         act, salt=0x5E90 + 64 * seg)
+        hit_before = act & si2.is_valid & (si2.t < rem * (1.0 - 1e-4))
+        is_null = (bsdf_mod.lane_flags(scene, si2) & jnp.uint32(bf.Null)) != 0
+        occ = occ | (hit_before & ~is_null)
+        cont = hit_before & is_null
+        cur = jnp.where(cont, target_medium(scene, si2, rd, cur), cur)
+        o_cur = jnp.where(cont[..., None], si2.spawn_ray(rd).o, o_cur)
+        rem = jnp.where(cont, rem - si2.t, rem)
+        act = cont
+    # crossings beyond the unroll budget count as occluded (conservative)
+    occ = occ | act
+    return jnp.where(occ[..., None], 0.0, Tr)
+
+
+def _phase_merge_eval(scene, med_id, wi, wo):
+    ph = jnp.zeros(med_id.shape)
+    for k, med in enumerate(scene.media):
+        ph = jnp.where(med_id == k, med_mod.phase_eval(med, wi, wo), ph)
+    return ph
+
+
+def _phase_merge_sample(scene, med_id, wi, s2):
+    n = med_id.shape[0]
+    wo = jnp.zeros((n, 3)).at[..., 2].set(1.0)
+    pdf = jnp.zeros((n,))
+    for k, med in enumerate(scene.media):
+        wo_k, pdf_k = med_mod.phase_sample(med, wi, s2)
+        msk = med_id == k
+        wo = jnp.where(msk[..., None], wo_k, wo)
+        pdf = jnp.where(msk, pdf_k, pdf)
+    return wo, pdf
+
+
+def _sample_media(scene, sampler, ray, max_depth, rr_depth=5,
+                  hide_emitters=False):
+    """Volumetric path tracing with per-shape interior/exterior media and
+    medium transitions at transmission/null events (rgb)."""
+    n = ray.o.shape[0]
+    dt = ray.o.dtype
+    state = dict(
+        o=ray.o, d=ray.d,
+        L=jnp.zeros((n, 3), dt), beta=jnp.ones((n, 3), dt),
+        active=jnp.ones((n,), bool),
+        med_id=jnp.full((n,), scene.camera_medium, jnp.int32),
+        # REAL vertex count: null-interface crossings do not consume path
+        # depth (volpath.cpp: depth only advances at scattering vertices)
+        vdepth=jnp.zeros((n,), jnp.int32),
+        prev_pdf=jnp.ones((n,), dt), prev_delta=jnp.ones((n,), bool),
+        prev_p=ray.o, valid=jnp.zeros((n,), bool), sampler=sampler)
+
+    def body(st, depth):
+        smpl = st['sampler']
+        med_id = st['med_id']
+        cur_ray = Ray.make(st['o'], st['d'])
+        si = sc.ray_intersect(scene, cur_ray)
+        maxt = jnp.where(si.is_valid, si.t, 4.0 * scene.bbox_radius)
+
+        t_med, is_medium, w_tr = _free_flight(scene, smpl, med_id, st['o'],
+                                              st['d'], maxt, st['active'])
+        beta = st['beta'] * w_tr
+        p_evt = st['o'] + st['d'] * t_med[..., None]
+        sig_lane, alb_lane = _per_medium_sigmas(scene, med_id, n)
+
+        # ---- emission on surface path ----
+        hit_em = st['active'] & ~is_medium & (si.emitter_index >= 0)
+        Le = sc.eval_emitter_hit(scene, si, hit_em)
+        pdf_light = sc.pdf_emitter_direction(scene, st['prev_p'], si, hit_em)
+        mis_b = jnp.where(st['prev_delta'], 1.0,
+                          mis_weight(st['prev_pdf'], pdf_light))
+        show = jnp.where(depth == 0, not hide_emitters, True)
+        L = st['L'] + beta * Le * (mis_b * show)[..., None]
+        escaped = st['active'] & ~is_medium & ~si.is_valid
+        Lenv = sc.eval_environment(scene, st['d'], escaped)
+        pdf_env = sc.pdf_env_direction(scene, st['d'], escaped)
+        mis_e = jnp.where(st['prev_delta'], 1.0,
+                          mis_weight(st['prev_pdf'], pdf_env))
+        L = L + beta * Lenv * (mis_e * show)[..., None]
+
+        valid = st['valid'] | (st['active'] & (si.is_valid | is_medium))
+        active = st['active'] & (si.is_valid | is_medium)
+
+        # ---- emitter sampling ----
+        s_em, smpl = sa.next_2d(smpl)
+        si_evt = si.replace(p=jnp.where(is_medium[..., None], p_evt, si.p))
+        # a null interface is not a scattering vertex: no NEE from it
+        null_hit = ~is_medium & \
+            ((bsdf_mod.lane_flags(scene, si) & jnp.uint32(bf.Null)) != 0)
+        active_em = active & ~null_hit & \
+            (is_medium | bsdf_mod.has_smooth(scene, si))
+        ds, em_w = sc.sample_emitter_direction(scene, si_evt,
+                                               jax.lax.stop_gradient(s_em),
+                                               test_visibility=False,
+                                               active=active_em)
+        # the medium on the light side of the event point
+        med_sh = jnp.where(is_medium, med_id,
+                           target_medium(scene, si, ds.d, med_id))
+        sh_ray_surf, _ = si.spawn_ray_to(ds.p)
+        sh_o = jnp.where(is_medium[..., None], p_evt, sh_ray_surf.o)
+        dist_sh = jnp.where(active_em & jnp.isfinite(ds.dist), ds.dist, 0.0)
+        tr_sh = _transmittance_walk(scene, smpl, med_sh,
+                                    Ray.make(sh_o, ds.d), dist_sh, active_em)
+        em_w = em_w * tr_sh
+        wo_local = si.to_local(ds.d)
+        b_val, b_pdf = bsdf_mod.eval_pdf(scene, si, wo_local,
+                                         active_em & ~is_medium)
+        ph = _phase_merge_eval(scene, med_id, -st['d'], ds.d)
+        ph_val3 = alb_lane * ph[..., None]
+        scat_val = jnp.where(is_medium[..., None], ph_val3, b_val)
+        scat_pdf = jnp.where(is_medium, ph, b_pdf)
+        mis_em = jnp.where(ds.delta, 1.0,
+                           mis_weight(jax.lax.stop_gradient(ds.pdf),
+                                      jax.lax.stop_gradient(scat_pdf)))
+        L = L + jnp.where(active_em[..., None],
+                          beta * scat_val * em_w * mis_em[..., None], 0.0)
+
+        # ---- scattering: phase or bsdf sampling ----
+        s1, smpl = sa.next_1d(smpl)
+        s2, smpl = sa.next_2d(smpl)
+        bs, b_weight = bsdf_mod.sample(scene, si, jax.lax.stop_gradient(s1),
+                                       jax.lax.stop_gradient(s2),
+                                       active & ~is_medium)
+        wo_ph, pdf_ph = _phase_merge_sample(scene, med_id, -st['d'],
+                                            jax.lax.stop_gradient(s2))
+        d_new = jnp.where(is_medium[..., None], wo_ph, si.to_world(bs.wo))
+        o_surf = si.spawn_ray(si.to_world(bs.wo)).o
+        o_new = jnp.where(is_medium[..., None], p_evt, o_surf)
+        w_new = jnp.where(is_medium[..., None], alb_lane, b_weight)
+        beta = beta * w_new
+        pdf_new = jnp.where(is_medium, pdf_ph, bs.pdf)
+        delta_new = jnp.where(is_medium, False,
+                              (bs.sampled_type & jnp.uint32(bf.Delta)) != 0)
+        # a null passage is NOT a scattering vertex: the MIS bookkeeping of
+        # the last REAL vertex must survive it (volpath.cpp keeps the
+        # previous scatter pdf across null interfaces), otherwise
+        # phase-sampled rays escaping through the boundary get MIS weight 1
+        # and double-count with NEE
+        null_cross = active & ~is_medium & null_hit
+        pdf_new = jnp.where(null_cross, st['prev_pdf'], pdf_new)
+        delta_new = jnp.where(null_cross, st['prev_delta'], delta_new)
+        prev_p_new = jnp.where(null_cross[..., None], st['prev_p'], si_evt.p)
+
+        # ---- medium transition at transmission/null surface events ----
+        transmitted = active & ~is_medium & \
+            ((bs.sampled_type & jnp.uint32(bf.Transmission)) != 0)
+        med_new = jnp.where(transmitted,
+                            target_medium(scene, si, d_new, med_id), med_id)
+
+        # ---- russian roulette & real-vertex depth ----
+        vdepth = st['vdepth'] + \
+            jnp.where(active & (is_medium | ~null_hit), 1, 0)
+        u_rr, smpl = sa.next_1d(smpl)
+        beta_max = jnp.max(beta, -1)
+        rr_prob = jax.lax.stop_gradient(jnp.minimum(beta_max, 0.95))
+        rr_act = vdepth >= rr_depth
+        rr_cont = ~rr_act | (u_rr < rr_prob)
+        beta = beta * jnp.where(rr_act, 1.0 / jnp.maximum(rr_prob, 1e-8),
+                                1.0)[..., None]
+        active = active & rr_cont & (pdf_new > 0) & (beta_max > 0) & \
+            (vdepth < max_depth)
+
+        o_new, d_new = sc.deaden_ray(scene, o_new, d_new, active)
+        new_st = dict(o=o_new, d=d_new, L=L, beta=beta, active=active,
+                      med_id=med_new, vdepth=vdepth,
+                      prev_pdf=pdf_new, prev_delta=delta_new,
+                      prev_p=prev_p_new, valid=valid, sampler=smpl)
+        return new_st, None
+
+    # scan budget: max_depth real vertices + headroom for null crossings
+    n_iters = max_depth + 2 * MAX_NULL_CROSSINGS
+    state, _ = jax.lax.scan(body, state, jnp.arange(n_iters))
     return state['L'], state['valid'], state['sampler']

@@ -28,9 +28,10 @@ def integrator_config(scene) -> dict:
     return dict(scene.integrator)
 
 
-def _sample_radiance(scene, cfg, sampler, ray, wl=None):
+def _sample_radiance(scene, cfg, sampler, ray, wl=None, ray_diff=None):
     """Dispatch to the integrator plugin (SamplingIntegrator::sample).
-    `wl`: per-lane hero wavelengths (spectral variant) or None (rgb)."""
+    `wl`: per-lane hero wavelengths (spectral variant) or None (rgb);
+    `ray_diff`: optional (ray_dx, ray_dy) camera differentials (mip LOD)."""
     kind = cfg.get('type', 'path')
     if kind in ('path', 'prb', 'prb_basic'):
         from ..plugins.integrators import path as path_mod
@@ -38,7 +39,7 @@ def _sample_radiance(scene, cfg, sampler, ray, wl=None):
                                max_depth=int(cfg.get('max_depth', 8)),
                                rr_depth=int(cfg.get('rr_depth', 5)),
                                hide_emitters=bool(cfg.get('hide_emitters', False)),
-                               wl=wl)
+                               wl=wl, ray_diff=ray_diff)
     if kind == 'direct':
         from ..plugins.integrators import direct as direct_mod
         return direct_mod.sample(
@@ -105,7 +106,14 @@ def render_pass(scene, block, pass_seed, spp_pass: int, spp_total: int,
     pos_f = jnp.stack([px + jitter[..., 0], py + jitter[..., 1]], -1)
     pos01 = pos_f / jnp.asarray([W, H], jnp.float32)
     aperture, sampler = sa.next_2d(sampler)
-    ray = sensor_mod.sample_ray(scene.sensor, pos01, aperture)
+    ray_diff = None
+    if scene.textures is not None and scene.textures.use_mips:
+        # ray differentials feed the bitmap mip chain (sensor.h:62)
+        ray, ray_dx, ray_dy = sensor_mod.sample_ray_differential(
+            scene.sensor, pos01, aperture, (W, H), spp=spp_total)
+        ray_diff = (ray_dx, ray_dy)
+    else:
+        ray = sensor_mod.sample_ray(scene.sensor, pos01, aperture)
 
     # spectral variant: hero-wavelength sampling (Endpoint::sample_wavelengths,
     # integrator.cpp render_sample wavelength draw)
@@ -115,7 +123,8 @@ def render_pass(scene, block, pass_seed, spp_pass: int, spp_total: int,
         u_wl, sampler = sa.next_1d(sampler)
         wl, winv = spec_mod.sample_wavelengths(u_wl)
 
-    L, valid, sampler = _sample_radiance(scene, cfg, sampler, ray, wl=wl)
+    L, valid, sampler = _sample_radiance(scene, cfg, sampler, ray, wl=wl,
+                                         ray_diff=ray_diff)
     if wl is not None:
         from ..core import spectrum as spec_mod
         if film.kind == 'specfilm':

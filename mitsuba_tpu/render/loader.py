@@ -105,6 +105,27 @@ def load_dict(d: dict, spectral=None) -> Scene:
     integrator_props = {'type': 'path', 'max_depth': 8}
     env_emitters = []
     medium_props = None
+    named_media = {}      # top-level named media (referencable by shapes/sensor)
+    media_entries = []    # media table props (reference shape.h:20-26)
+    media_ids = {}        # name -> media table id
+    referenced_media = set()
+
+    def _medium_id(spec):
+        """Resolve an 'interior'/'exterior'/sensor-'medium' spec — a nested
+        medium dict, a name string, or {'type':'ref','id':name} — to a media
+        table id."""
+        if isinstance(spec, str) or (isinstance(spec, dict) and
+                                     spec.get('type') == 'ref'):
+            name = spec if isinstance(spec, str) else spec['id']
+            if name not in media_ids:
+                if name not in named_media:
+                    raise ValueError(f"unresolved medium ref '{name}'")
+                media_ids[name] = len(media_entries)
+                media_entries.append(named_media[name])
+            referenced_media.add(name)
+            return media_ids[name]
+        media_entries.append(spec)
+        return len(media_entries) - 1
 
     # flatten instancing (instance/shapegroup, src/shapes/instance.cpp):
     # each <instance> of a <shapegroup> becomes concrete shapes with the
@@ -133,6 +154,7 @@ def load_dict(d: dict, spectral=None) -> Scene:
             env_emitters.append(val)   # scene-level (infinite/delta) emitter
         elif t in ('homogeneous', 'heterogeneous'):
             medium_props = val
+            named_media[key] = val
         else:
             raise ValueError(f"unknown scene object '{key}' of type '{t}'")
 
@@ -198,7 +220,7 @@ def load_dict(d: dict, spectral=None) -> Scene:
     default_bsdf = None  # lazily-created diffuse 0.5
 
     # --- shapes -------------------------------------------------------------
-    shape_entries = []   # (type_name, props, bsdf_gid, emitter_gid)
+    shape_entries = []   # (type_name, props, bsdf_gid, emitter_props, m_in, m_ex)
     for t, props, name in shapes_raw:
         props = dict(props)
         if 'to_world' in props and not isinstance(props['to_world'], Transform4):
@@ -206,6 +228,9 @@ def load_dict(d: dict, spectral=None) -> Scene:
         props.setdefault('to_world', Transform4())
         bsdf_gid = -1
         emitter_props = None
+        # per-shape media attachment (shape.h:20-26); -1 = vacuum
+        m_in = _medium_id(props.pop('interior')) if 'interior' in props else -1
+        m_ex = _medium_id(props.pop('exterior')) if 'exterior' in props else -1
         for k, v in list(props.items()):
             if isinstance(v, dict) and v.get('type') == 'ref':
                 ref = bsdf_ids.get(v['id'])
@@ -223,21 +248,22 @@ def load_dict(d: dict, spectral=None) -> Scene:
             if default_bsdf is None:
                 default_bsdf = _add_bsdf({'type': 'diffuse', 'reflectance': 0.5})
             bsdf_gid = default_bsdf
-        shape_entries.append((t, props, bsdf_gid, emitter_props))
+        shape_entries.append((t, props, bsdf_gid, emitter_props, m_in, m_ex))
 
     # --- build typed shape tables, assign global ids ------------------------
     by_type = {}
     order = []
-    for t, props, bg, ep in shape_entries:
+    for t, props, bg, ep, m_in, m_ex in shape_entries:
         if t not in by_type:
             by_type[t] = []
             order.append(t)
     # global id = position ordered by (type, slot)
     shape_type_of, shape_slot_of, shape_bsdf, shape_emitter_props = [], [], [], []
+    shape_medium_in, shape_medium_ex = [], []
     gid_of_entry = {}
     gid = 0
     for ti, t in enumerate(order):
-        for ei, (t2, props, bg, ep) in enumerate(shape_entries):
+        for ei, (t2, props, bg, ep, m_in, m_ex) in enumerate(shape_entries):
             if t2 != t:
                 continue
             by_type[t].append(props)
@@ -245,6 +271,8 @@ def load_dict(d: dict, spectral=None) -> Scene:
             shape_slot_of.append(len(by_type[t]) - 1)
             shape_bsdf.append(bg)
             shape_emitter_props.append(ep)
+            shape_medium_in.append(m_in)
+            shape_medium_ex.append(m_ex)
             gid_of_entry[ei] = gid
             gid += 1
     n_shapes = gid
@@ -336,6 +364,10 @@ def load_dict(d: dict, spectral=None) -> Scene:
     if sensor_props is None:
         sensor_props = {'type': 'perspective', 'fov': 45.0}
     sensor_props = dict(sensor_props)
+    # the medium the camera sits in (sensor 'medium' ref/dict; endpoint.h
+    # m_medium) — with a media table this replaces the scene-global medium
+    camera_medium = _medium_id(sensor_props.pop('medium')) \
+        if 'medium' in sensor_props else -1
     if 'to_world' in sensor_props and not isinstance(sensor_props['to_world'], Transform4):
         sensor_props['to_world'] = Transform4(np.asarray(sensor_props['to_world']))
     film_props = sensor_props.get('film', {'type': 'hdrfilm'})
@@ -347,7 +379,7 @@ def load_dict(d: dict, spectral=None) -> Scene:
     # --- bounds (for infinite emitters) --------------------------------------
     centers = []
     radii = []
-    for t, props, _, _ in shape_entries:
+    for t, props, _, _, _, _ in shape_entries:
         mat = props['to_world'].matrix
         centers.append(mat[:3, 3])
         radii.append(float(np.linalg.norm(mat[:3, :3], 2)) * 2.5)
@@ -430,7 +462,14 @@ def load_dict(d: dict, spectral=None) -> Scene:
         sampler_kind=sampler_props.get('type', 'independent'),
         bbox_center=jnp.asarray(c, jnp.float32),
         bbox_radius=jnp.asarray(r, jnp.float32),
-        medium=(None if medium_props is None else _build_medium(medium_props)),
+        # scene-global medium (round-1 semantics) only when nothing references
+        # a media-table entry; otherwise the media table + per-shape ids rule
+        medium=(None if medium_props is None or media_entries
+                else _build_medium(medium_props)),
+        media=tuple(_build_medium(p) for p in media_entries),
+        shape_medium_in=jnp.asarray(shape_medium_in, jnp.int32),
+        shape_medium_ex=jnp.asarray(shape_medium_ex, jnp.int32),
+        camera_medium=camera_medium,
         spectral=spectral,
     )
     if double:

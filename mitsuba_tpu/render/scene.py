@@ -86,6 +86,15 @@ class Scene:
     bbox_radius: jnp.ndarray = None
     # optional global participating medium (render/medium.py)
     medium: object = None
+    # per-shape media attachment (reference shape.h:20-26 m_interior_medium /
+    # m_exterior_medium; volpath.cpp:133-191 null-interface transitions):
+    # `media` is the scene's medium table, shape_medium_in/ex hold per-shape
+    # global medium ids (-1 = vacuum), camera_medium is the id of the medium
+    # the sensor sits in
+    media: tuple = ()
+    shape_medium_in: jnp.ndarray = None   # (n,) int32
+    shape_medium_ex: jnp.ndarray = None   # (n,) int32
+    camera_medium: int = struct.field(pytree_node=False, default=-1)
     # spectral variant (hero-wavelength transport, SURVEY §1 variant axes)
     spectral: bool = struct.field(pytree_node=False, default=False)
 
@@ -250,6 +259,9 @@ def prepare(scene: Scene) -> Scene:
             shapes = dict(scene.shapes)
             shapes['heightfield'] = tbl.replace(corner_rows=rows)
             scene = scene.replace(shapes=shapes)
+    if scene.textures is not None and scene.textures.use_mips:
+        from .texture import build_mips
+        scene = scene.replace(textures=build_mips(scene.textures))
     return scene
 
 
@@ -566,3 +578,33 @@ def pdf_env_direction(scene: Scene, ray_d, active):
         elif name == 'envmap':
             pdf = pdf + em.envmap_pdf_direction(es.tables[name], ray_d) * pick_pmf
     return jnp.where(active, pdf, 0.0)
+
+
+def uv_partials(si: SurfaceInteraction, ray: Ray, ray_dx: Ray, ray_dy: Ray):
+    """Texture-space differentials duv_dx/duv_dy of a surface hit w.r.t. one
+    sample-footprint step on the film (interaction.h:322-355
+    compute_uv_partials): intersect the differential rays with the tangent
+    plane at si.p, then solve the 2x2 least-squares system mapping
+    dp_du/dp_dv steps onto the world-space offsets."""
+    n_ = si.n
+    valid = si.is_valid
+    def plane_hit(r):
+        denom = m.dot(r.d, n_)
+        t = m.dot(si.p - r.o, n_) / jnp.where(jnp.abs(denom) < 1e-8, 1.0, denom)
+        return r.o + r.d * t[..., None]
+    dp_dx = plane_hit(ray_dx) - si.p
+    dp_dy = plane_hit(ray_dy) - si.p
+    a00 = m.dot(si.dp_du, si.dp_du)
+    a01 = m.dot(si.dp_du, si.dp_dv)
+    a11 = m.dot(si.dp_dv, si.dp_dv)
+    det = a00 * a11 - a01 * a01
+    inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+    def solve(dp):
+        b0 = m.dot(si.dp_du, dp)
+        b1 = m.dot(si.dp_dv, dp)
+        return jnp.stack([(a11 * b0 - a01 * b1) * inv_det,
+                          (a00 * b1 - a01 * b0) * inv_det], -1)
+    zero2 = jnp.zeros(si.uv.shape, si.uv.dtype)
+    duv_dx = jnp.where(valid[..., None], solve(dp_dx), zero2)
+    duv_dy = jnp.where(valid[..., None], solve(dp_dy), zero2)
+    return duv_dx, duv_dy

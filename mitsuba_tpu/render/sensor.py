@@ -172,3 +172,19 @@ def sample_ray(cam: Camera, pos01, aperture):
         d = m.normalize(apply_vector(tw, d_cam))
         return Ray.make(o, d)
     raise ValueError(cam.kind)
+
+
+def sample_ray_differential(cam: Camera, pos01, aperture, film_wh, spp=1):
+    """Camera ray + x/y differential rays offset by one RECONSTRUCTED sample
+    footprint (sensor.h:62 sample_ray_differential; integrator.cpp
+    render_sample scales differentials by 1/sqrt(spp) so the footprint is
+    per-sample, not per-pixel). Returns (ray, ray_dx, ray_dy)."""
+    import jax.numpy as _jnp
+    W, H = film_wh
+    s = 1.0 / (spp ** 0.5)
+    dx = _jnp.asarray([s / W, 0.0], pos01.dtype)
+    dy = _jnp.asarray([0.0, s / H], pos01.dtype)
+    ray = sample_ray(cam, pos01, aperture)
+    ray_dx = sample_ray(cam, pos01 + dx, aperture)
+    ray_dy = sample_ray(cam, pos01 + dy, aperture)
+    return ray, ray_dx, ray_dy

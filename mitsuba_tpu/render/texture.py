@@ -61,6 +61,14 @@ class TextureSet:
     prim: jnp.ndarray = None       # (N,) int32 primitive index
     bary: jnp.ndarray = None       # (N,2) primitive barycentrics
     needs_si: bool = struct.field(pytree_node=False, default=False)
+    # mip LOD (reference src/textures/bitmap.cpp:262-267 dr::Texture accel +
+    # interaction.h:322-355 texture-space differentials): per-bitmap mip
+    # pyramids (detached; built by scene.prepare via build_mips) and the
+    # per-lane uv footprint set by integrators from the ray differentials
+    mip_stacks: tuple = ()               # per-bitmap tuple of (H_l,W_l,C) levels
+    mip_enabled: tuple = struct.field(pytree_node=False, default=())
+    use_mips: bool = struct.field(pytree_node=False, default=False)
+    duv_mag: jnp.ndarray = None          # (N,) max |duv| footprint per lane
 
 
 def with_si(tex: TextureSet, si) -> TextureSet:
@@ -82,6 +90,7 @@ class TextureBuilder:
         self.uv_scale, self.uv_offset = [], []
         self.bitmap_slot, self.bitmaps = [], []
         self.filter_nearest = []
+        self.mipmap = []
         self.is_color = []
         self.bitmap_is_color = []
         self.spectral = bool(spectral)
@@ -178,7 +187,7 @@ class TextureBuilder:
         return len(self.kinds) - 1
 
     def add_bitmap(self, data, uv_scale=(1, 1), uv_offset=(0, 0), nearest=False,
-                   is_color=True):
+                   is_color=True, mipmap=False):
         data = np.asarray(data, np.float32)
         if data.ndim == 2:
             data = np.repeat(data[..., None], 3, axis=-1)
@@ -192,6 +201,7 @@ class TextureBuilder:
         self.filter_nearest.append(bool(nearest))
         self.is_color.append(bool(is_color))
         self.bitmap_is_color.append(bool(is_color))
+        self.mipmap.append(bool(mipmap))
         return len(self.kinds) - 1
 
     def build(self) -> TextureSet:
@@ -229,6 +239,8 @@ class TextureBuilder:
             bitmap_slot=jnp.asarray(self.bitmap_slot, jnp.int32),
             bitmaps=tuple(jnp.asarray(b) for b in bitmaps),
             filter_nearest=tuple(self.filter_nearest),
+            mip_enabled=tuple(self.mipmap),
+            use_mips=any(self.mipmap),
             scale0=jnp.asarray(sc0),
             scale1=jnp.asarray(sc1),
             spectral=self.spectral,
@@ -297,6 +309,54 @@ def trilinear_sample_3d(grid, g):
     return c0 * (1 - fz) + c1 * fz
 
 
+def _half_pool(img):
+    """2x2 average pool with edge padding to even size (mip downsample)."""
+    H, W = img.shape[0], img.shape[1]
+    if H % 2 or W % 2:
+        img = jnp.pad(img, ((0, H % 2), (0, W % 2), (0, 0)), mode='edge')
+    return 0.25 * (img[0::2, 0::2] + img[0::2, 1::2] +
+                   img[1::2, 0::2] + img[1::2, 1::2])
+
+
+def build_mips(tex: TextureSet) -> TextureSet:
+    """Build the detached mip pyramids for mip-enabled bitmaps (called by
+    scene.prepare; the base level keeps gradients, coarser levels are the
+    traversal-accel analogue of bitmap.cpp:262-267's dr::Texture)."""
+    import jax
+    if not tex.use_mips or tex.mip_stacks:
+        return tex
+    stacks = []
+    for i, img in enumerate(tex.bitmaps):
+        if not (i < len(tex.mip_enabled) and tex.mip_enabled[i]):
+            stacks.append(())
+            continue
+        levels = [img]
+        cur = img
+        while cur.shape[0] > 1 or cur.shape[1] > 1:
+            cur = jax.lax.stop_gradient(_half_pool(cur))
+            levels.append(cur)
+        stacks.append(tuple(levels))
+    return tex.replace(mip_stacks=tuple(stacks))
+
+
+def _mip_sample(levels, uv, duv_mag):
+    """Trilinear (bilinear x level-lerp) mip lookup. `duv_mag` is the max
+    uv-space footprint radius per lane; lod = log2(footprint in texels)."""
+    H, W = levels[0].shape[0], levels[0].shape[1]
+    L = len(levels)
+    texel_foot = jnp.maximum(duv_mag, 1e-12) * max(H, W)
+    lod = jnp.clip(jnp.log2(jnp.maximum(texel_foot, 1e-12)), 0.0, L - 1.0)
+    l0 = jnp.floor(lod)
+    frac = lod - l0
+    out = jnp.zeros(uv.shape[:-1] + (levels[0].shape[-1],), levels[0].dtype)
+    for li, lvl in enumerate(levels):
+        v = bilinear_sample(lvl, uv)
+        w = jnp.where(l0 == li, 1.0 - frac,
+                      jnp.where(l0 == li - 1, frac, 0.0))
+        out = out + w[..., None] * v
+    return out
+
+
 def eval_texture(tex: TextureSet, tex_id, uv):
     """tex_id: (N,) int32; uv: (N,2) -> (N,3) rgb, or (N,NW) spectral samples
     when `tex.spectral` and per-lane wavelengths are set (tex.wl). Small-table
@@ -323,7 +383,11 @@ def eval_texture(tex: TextureSet, tex_id, uv):
     slot = small_gather(tex.bitmap_slot, tex_id)
     for i, img in enumerate(tex.bitmaps):
         nearest = tex.filter_nearest[i] if i < len(tex.filter_nearest) else False
-        val = bilinear_sample(img, uv_t, nearest=nearest)
+        if (tex.duv_mag is not None and i < len(tex.mip_stacks)
+                and tex.mip_stacks[i]):
+            val = _mip_sample(tex.mip_stacks[i], uv_t, tex.duv_mag)
+        else:
+            val = bilinear_sample(img, uv_t, nearest=nearest)
         sel = (kind == KIND_BITMAP) & (slot == i)
         out = jnp.where(sel[..., None], val[..., :3], out)
         if spectral and img.shape[-1] == 4:

@@ -1,0 +1,132 @@
+"""Per-shape interior/exterior media + transitions (reference
+include/mitsuba/render/shape.h:20-26, src/integrators/volpath.cpp:133-191).
+
+Oracles (VERDICT round-1 item 3's done conditions):
+  * Beer-Lambert through an index-matched-boundary absorbing sphere,
+  * heterogeneous smoke bounded by a null box == unbounded global-grid render,
+  * FD gradient of sigma_t through the bounded medium.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import mitsuba_tpu as mt
+from mitsuba_tpu.core.transform import ScalarTransform4f as T
+
+
+def _sphere_scene(bsdf, sigma_t, res=16, spp=512, max_depth=6):
+    return {
+        'type': 'scene',
+        'integrator': {'type': 'volpath', 'max_depth': max_depth},
+        'sensor': {'type': 'perspective', 'fov': 20.0,
+                   'to_world': T.look_at(origin=[0, 0, 3], target=[0, 0, 0],
+                                         up=[0, 1, 0]),
+                   'sampler': {'type': 'independent', 'sample_count': spp},
+                   'film': {'type': 'hdrfilm', 'width': res, 'height': res,
+                            'rfilter': {'type': 'box'}}},
+        'env': {'type': 'constant', 'radiance': {'type': 'rgb', 'value': [1.0] * 3}},
+        'ball': {'type': 'sphere', 'radius': 0.5,
+                 'bsdf': bsdf,
+                 'interior': {'type': 'homogeneous', 'sigma_t': sigma_t,
+                              'albedo': 0.0}},
+    }
+
+
+@pytest.mark.parametrize("bsdf", [
+    {'type': 'null'},
+    {'type': 'dielectric', 'int_ior': 1.0, 'ext_ior': 1.0},
+])
+@pytest.mark.parametrize("sigma", [0.5, 1.5])
+def test_beer_lambert_bounded_sphere(bsdf, sigma):
+    """Central pixel through an absorbing sphere of radius 0.5 (chord 1.0)
+    against a unit-radiance sky: E = exp(-sigma * chord)."""
+    scene = mt.load_dict(_sphere_scene(bsdf, sigma, spp=1024))
+    assert scene.media, "loader must build the media table"
+    img = np.asarray(mt.render(scene, spp=1024))
+    center = img[img.shape[0] // 2, img.shape[1] // 2].mean()
+    expect = np.exp(-sigma * 1.0)
+    assert abs(center - expect) < 0.05 * max(expect, 0.05), (center, expect)
+    # corner pixels miss the sphere: unattenuated sky
+    assert abs(img[0, 0].mean() - 1.0) < 0.03
+
+
+def test_vacuum_exterior_keeps_background():
+    """Rays that never enter the shape see the emitter unattenuated, and the
+    camera starts in vacuum (camera_medium == -1)."""
+    scene = mt.load_dict(_sphere_scene({'type': 'null'}, 2.0, res=8, spp=64))
+    assert scene.camera_medium == -1
+    img = np.asarray(mt.render(scene, spp=64))
+    assert abs(img[0, 0].mean() - 1.0) < 0.05
+
+
+def _smoke_grid():
+    z, y, x = np.meshgrid(np.linspace(-1, 1, 24), np.linspace(-1, 1, 24),
+                          np.linspace(-1, 1, 24), indexing='ij')
+    d = np.exp(-4.0 * (x ** 2 + y ** 2 + z ** 2)) * 3.0
+    return d.astype(np.float32)
+
+
+def test_null_bounded_smoke_matches_global_grid():
+    """Heterogeneous smoke inside a null-BSDF cube must match the round-1
+    global-medium render of the same grid (density is zero at the grid
+    border, so the bounding box is radiometrically invisible)."""
+    dens = _smoke_grid()
+    common = {
+        'type': 'scene',
+        'integrator': {'type': 'volpath', 'max_depth': 8},
+        'sensor': {'type': 'perspective', 'fov': 45.0,
+                   'to_world': T.look_at(origin=[0, 0, 3], target=[0, 0, 0],
+                                         up=[0, 1, 0]),
+                   'sampler': {'type': 'independent', 'sample_count': 256},
+                   'film': {'type': 'hdrfilm', 'width': 24, 'height': 24,
+                            'rfilter': {'type': 'box'}}},
+        'env': {'type': 'constant', 'radiance': {'type': 'rgb', 'value': [0.7] * 3}},
+    }
+    med = {'type': 'heterogeneous', 'sigma_t': 1.0, 'albedo': 0.8,
+           'density': {'data': dens,
+                       'to_world': T.translate([-1, -1, -1]) @ T.scale(2.0)},
+           'phase': {'type': 'isotropic'}}
+    d_global = dict(common)
+    d_global['smoke'] = med
+    img_g = np.asarray(mt.render(mt.load_dict(d_global), spp=256))
+
+    d_bounded = dict(common)
+    d_bounded['bounds'] = {'type': 'cube',
+                           'to_world': T.scale(1.0),   # cube spans [-1,1]^3
+                           'bsdf': {'type': 'null'},
+                           'interior': med}
+    scene_b = mt.load_dict(d_bounded)
+    assert scene_b.media
+    img_b = np.asarray(mt.render(scene_b, spp=256))
+    # different RNG consumption -> statistical, not bit, equality
+    assert abs(img_g.mean() - img_b.mean()) < 0.02 * img_g.mean(), \
+        (img_g.mean(), img_b.mean())
+    assert np.abs(img_g.mean(axis=(0, 1)) - img_b.mean(axis=(0, 1))).max() < 0.03
+
+
+def test_sigma_t_gradient_through_bounded_medium():
+    """d(render)/d(sigma_t) of the bounded absorbing sphere vs FD and the
+    analytic -chord*exp(-sigma*chord) at the central pixel."""
+    d = _sphere_scene({'type': 'null'}, 1.0, res=8, spp=256, max_depth=6)
+    d['sensor']['fov'] = 5.0   # all rays go ~straight through the center
+    scene = mt.load_dict(d)
+    params = mt.traverse(scene)
+    key = [k for k in params.keys() if 'sigma_t' in k and 'media' in k][0]
+    s0 = params[key]
+
+    def loss(s, seed):
+        img = mt.render_wavefront(params.scene_with({key: s}), spp=256,
+                                  seed=seed)
+        return img.mean()
+
+    g = float(jax.grad(loss)(s0, 3)[0])
+    eps = 0.05
+    # perturb CHANNEL 0 only — the loss is a mean over rgb, so the
+    # single-channel derivative is a third of the full -chord*exp(-sigma)
+    fd = float((loss(s0.at[0].add(eps), 3) - loss(s0.at[0].add(-eps), 3))
+               / (2 * eps))
+    analytic = -1.0 * np.exp(-1.0) / 3.0
+    assert np.sign(g) == np.sign(analytic)
+    assert abs(g - fd) / abs(fd) < 0.25, (g, fd)
+    assert abs(g - analytic) / abs(analytic) < 0.3, (g, analytic)

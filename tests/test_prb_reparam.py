@@ -15,7 +15,9 @@ from mitsuba_tpu.core.transform import ScalarTransform4f as T
 
 def _occluder_scene(max_depth, emitter_radiance=8.0):
     """Floor seen by the camera; a small occluder hovers between the floor
-    and an area light. Translating the occluder along x only moves the
+    and an area light. Rectangle slots stack in dict order: floor=0,
+    occluder=1, light=2 (SoA tables -> component (1, 0, 3) is the
+    occluder's x translation). Translating the occluder along x only moves the
     SHADOW — every local term is unchanged, so naive AD sees zero."""
     return {
         'type': 'scene',
@@ -74,7 +76,7 @@ def test_occluder_direct_shadow_gradient():
     """NEE shadow-ray silhouette at the first bounce (the direct_reparam
     case, exercised through prb_reparam's em-ray warp)."""
     g, fd, g_naive, *_ = _grad_and_fd(
-        _occluder_scene(max_depth=2), 'occluder.to_world', (0, 0, 3),
+        _occluder_scene(max_depth=2), 'rectangle.to_world', (1, 0, 3),
         spp=128, seeds=(3, 5, 7, 11), eps=0.02, num_aux=8)
     assert abs(g_naive) < 1e-4          # naive AD drops the boundary term
     assert np.sign(g) == np.sign(fd), (g, fd)
@@ -97,7 +99,7 @@ def test_occluder_indirect_shadow_gradient():
                               'reflectance': {'type': 'rgb', 'value': [0.8] * 3}}}
     # light panel faces DOWN toward the floor only; camera-side is black
     g, fd, g_naive, *_ = _grad_and_fd(
-        d, 'occluder.to_world', (0, 0, 3),
+        d, 'rectangle.to_world', (1, 0, 3),
         spp=256, seeds=(3, 5, 7, 11, 13, 17), eps=0.03, num_aux=8)
     assert abs(g_naive) < 1e-4
     assert abs(fd) > 1e-5               # the effect must actually exist
@@ -121,7 +123,7 @@ def test_direct_reparam_occluder_gradient():
     d = _occluder_scene(max_depth=2)
     scene = mt.load_dict(d)
     params = mt.traverse(scene)
-    key = [k for k in params.keys() if 'occluder.to_world' in k][0]
+    key = [k for k in params.keys() if 'rectangle.to_world' in k][0]
     x0 = params[key]
 
     def loss(x, seed):
@@ -133,10 +135,10 @@ def test_direct_reparam_occluder_gradient():
         return mt.render_wavefront(params.scene_with({key: x}),
                                    spp=128, seed=seed).mean()
 
-    gs = [float(jax.grad(loss)(x0, s)[0, 0, 3]) for s in (3, 5, 7, 11)]
+    gs = [float(jax.grad(loss)(x0, s)[1, 0, 3]) for s in (3, 5, 7, 11)]
     eps = 0.02
-    fds = [float((primal_loss(x0.at[0, 0, 3].add(eps), s)
-                  - primal_loss(x0.at[0, 0, 3].add(-eps), s)) / (2 * eps))
+    fds = [float((primal_loss(x0.at[1, 0, 3].add(eps), s)
+                  - primal_loss(x0.at[1, 0, 3].add(-eps), s)) / (2 * eps))
            for s in (3, 5, 7, 11)]
     g, fd = np.mean(gs), np.mean(fds)
     assert np.sign(g) == np.sign(fd), (g, fd)

@@ -1,0 +1,102 @@
+"""Ray differentials -> texture-space duv -> bitmap mip LOD (reference
+include/mitsuba/render/interaction.h:322-355 compute_uv_partials +
+src/textures/bitmap.cpp:262-267 dr::Texture mip accel; VERDICT item 4)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import mitsuba_tpu as mt
+from mitsuba_tpu.core.transform import ScalarTransform4f as T
+
+
+def _stripes(res=256):
+    """1-texel-period stripes: the worst-case aliasing content."""
+    img = np.zeros((res, res, 3), np.float32)
+    img[:, 0::2] = 1.0
+    return img
+
+
+def _plane_scene(mipmap, spp=16, res=48):
+    return {
+        'type': 'scene',
+        'integrator': {'type': 'path', 'max_depth': 2},
+        'sensor': {'type': 'perspective', 'fov': 60.0,
+                   # grazing view down the plane: uv footprint per pixel
+                   # spans many texels at the far end
+                   'to_world': T.look_at(origin=[0, 0.15, 1.4],
+                                         target=[0, 0.0, 0], up=[0, 1, 0]),
+                   'sampler': {'type': 'independent', 'sample_count': spp},
+                   'film': {'type': 'hdrfilm', 'width': res, 'height': res,
+                            'rfilter': {'type': 'box'}}},
+        'env': {'type': 'constant', 'radiance': {'type': 'rgb', 'value': [1.0] * 3}},
+        'plane': {'type': 'rectangle',
+                  'to_world': T.rotate([1, 0, 0], -90.0) @ T.scale(2.0),
+                  'bsdf': {'type': 'diffuse',
+                           'reflectance': {'type': 'bitmap', 'data': _stripes(),
+                                           'raw': True, 'mipmap': mipmap}}},
+    }
+
+
+def test_uv_partials_flat_plane_analytic():
+    """duv of a fronto-parallel unit plane equals the projected pixel
+    footprint (closed form for a pinhole camera)."""
+    from mitsuba_tpu.render import scene as sc, sensor as sensor_mod
+    from mitsuba_tpu.render.records import Ray
+    scene = mt.load_dict(_plane_scene(False, res=16))
+    d = _plane_scene(False, res=16)
+    # fronto-parallel: camera on +z axis looking at the plane in the xy plane
+    d['sensor']['to_world'] = T.look_at(origin=[0, 0, 2], target=[0, 0, 0],
+                                        up=[0, 1, 0])
+    d['plane']['to_world'] = T.scale(2.0)
+    scene = mt.load_dict(d)
+    n = 4
+    pos01 = jnp.asarray([[0.5, 0.5]] * n)
+    ap = jnp.zeros((n, 2))
+    ray, rdx, rdy = sensor_mod.sample_ray_differential(
+        scene.sensor, pos01, ap, (16, 16), spp=1)
+    si = sc.ray_intersect(scene, ray)
+    duv_dx, duv_dy = sc.uv_partials(si, ray, rdx, rdy)
+    # footprint: film width covers 2*tan(30deg)*dist=2.31 world units at the
+    # plane; plane spans 4 world units over uv in [0,1] -> per-pixel
+    # duv_x = 2*tan30*2/16/4
+    expect = 2.0 * np.tan(np.deg2rad(30.0)) * 2.0 / 16.0 / 4.0
+    got = float(np.abs(np.asarray(duv_dx[0])).max())
+    assert abs(got - expect) / expect < 0.05, (got, expect)
+
+
+def test_mip_reduces_grazing_aliasing():
+    """Across seeds, per-pixel variance of the far (grazing) rows must drop
+    by a large factor with the mip chain on; the near rows stay close to the
+    base image (no blur where the footprint is sub-texel)."""
+    imgs = {}
+    for mip in (False, True):
+        scene = mt.load_dict(_plane_scene(mip))
+        renders = [np.asarray(mt.render(scene, spp=16, seed=s))
+                   for s in (1, 2, 3, 4)]
+        imgs[mip] = np.stack(renders)
+    # seed-to-seed variance in the grazing band (upper third of the plane
+    # projection): pure aliasing noise for the point-sampled texture
+    def band_var(stack):
+        return float(stack[:, 16:26, :, 0].var(axis=0).mean())
+    v_point = band_var(imgs[False])
+    v_mip = band_var(imgs[True])
+    assert v_mip < 0.4 * v_point, (v_mip, v_point)
+    # both agree with the stripe average (0.5 gray) in the grazing band
+    mean_mip = imgs[True][:, 16:26, :, 0].mean()
+    assert abs(mean_mip - imgs[False][:, 16:26, :, 0].mean()) < 0.12
+
+
+def test_mip_base_level_unchanged():
+    """With a sub-texel footprint the mip path reproduces bilinear level 0:
+    a low-frequency bitmap renders identically with and without mips."""
+    img = np.zeros((8, 8, 3), np.float32)
+    img[:, 4:] = 1.0
+    d = _plane_scene(True, spp=4, res=24)
+    d['plane']['bsdf']['reflectance']['data'] = img
+    d['sensor']['to_world'] = T.look_at(origin=[0, 0, 2.0], target=[0, 0, 0],
+                                        up=[0, 1, 0])
+    d['plane']['to_world'] = T.scale(0.5)
+    a = np.asarray(mt.render(mt.load_dict(d), spp=4))
+    d['plane']['bsdf']['reflectance']['mipmap'] = False
+    b = np.asarray(mt.render(mt.load_dict(d), spp=4))
+    np.testing.assert_allclose(a, b, atol=0.02)

@@ -84,12 +84,17 @@ def _full_cotangent(meta, float_cots):
 def _gen_rays(scene, spp_pass, spp_total, seed, sample_offset=0):
     film = scene.film
     W, H = film.width, film.height
-    n = W * H * spp_pass
+    Wc, Hc = film.crop_w, film.crop_h
+    cx, cy = film.crop_offset
+    n = Wc * Hc * spp_pass
     lane = jnp.arange(n, dtype=jnp.uint32)
-    pix = (lane // spp_pass).astype(jnp.int32)
+    pix_loc = (lane // spp_pass).astype(jnp.int32)
     sample_index = (lane % spp_pass).astype(jnp.int32) + sample_offset
-    px = (pix % W).astype(jnp.float32)
-    py = (pix // W).astype(jnp.float32)
+    px_i = cx + pix_loc % Wc
+    py_i = cy + pix_loc // Wc
+    px = px_i.astype(jnp.float32)
+    py = py_i.astype(jnp.float32)
+    pix = py_i * W + px_i
     global_id = pix.astype(jnp.uint32) * jnp.uint32(spp_total) + \
         sample_index.astype(jnp.uint32)
     k0, _ = rng.sample_tea_32(jnp.asarray(seed, jnp.uint32), global_id)

@@ -62,42 +62,66 @@ def render_sharded(scene, spp: int, seed: int = 0, mesh: Mesh = None,
     return film_mod.develop(block, scene.film)
 
 
-def make_train_step(params_template, key: str, loss_of_image, spp: int,
+def make_train_step(params_template, keys, loss_of_image, spp: int,
                     mesh: Mesh = None, seed: int = 0):
-    """Builds a jitted distributed training step:
-        step(param_leaf) -> (loss, grad)
-    Forward renders the sharded wavefront; backward psums the parameter
+    """Builds a jitted distributed training step over a PYTREE of leaves:
+        step({key: leaf, ...}) -> (loss, {key: grad, ...})
+    (a single key string is also accepted: step(leaf) -> (loss, grad)).
+
+    Forward renders the sharded wavefront; backward psums every parameter
     gradient over the mesh (overlapped with the backward sweep by XLA).
-    `params_template` is a SceneParameters view; `key` the optimized leaf.
+    `params_template` is a SceneParameters view; `keys` the optimized
+    leaves — any subset of traverse() keys (heightfield grids, texture
+    data, emitter radiance, BSDF constants, ...).
     """
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
     assert spp % n_dev == 0
     spp_local = spp // n_dev
+    single = isinstance(keys, str)
+    key_list = [keys] if single else list(keys)
 
     @functools.partial(shard_map, mesh=mesh, in_specs=(P(),), out_specs=(P(), P()),
                        check_vma=False)
-    def work(leaf):
+    def work(leaves):
         di = jax.lax.axis_index('dp')
 
-        def local_loss(leaf):
-            scene = params_template.scene_with({key: leaf})
+        # NO collective inside a differentiated function: under
+        # check_vma=False the AD transpose of an in-graph psum double-counts
+        # (measured: exactly n_dev x too-large leaf gradients). The adjoint
+        # of "psum then develop" w.r.t. each LOCAL block is the replicated
+        # developed-image cotangent — apply it explicitly:
+        def local_block(leaves):
+            scene = params_template.scene_with(dict(zip(key_list, leaves)))
             block = scene.film.new_block()
-            block = render_pass(scene, block, jnp.asarray(seed, jnp.uint32),
-                                spp_local, spp, sample_offset=di * spp_local)
-            block = jax.lax.psum(block, 'dp')
-            img = film_mod.develop(block, scene.film)
-            return loss_of_image(img)
+            return render_pass(scene, block, jnp.asarray(seed, jnp.uint32),
+                               spp_local, spp, sample_offset=di * spp_local)
 
-        loss, grad = jax.value_and_grad(local_loss)(leaf)
-        # each device differentiates only its local sample contributions
-        # (the film psum's transpose replicates the image cotangent); the
-        # total parameter gradient is the psum over chips — this is the
-        # collective XLA overlaps with the backward sweep
-        grad = jax.lax.psum(grad, 'dp')
-        return loss, grad
+        block_local, vjp_block = jax.vjp(local_block, leaves)
+        block_tot = jax.lax.psum(block_local, 'dp')
+        film = params_template.scene_with({}).film
 
-    def step(leaf):
-        return jax.jit(work)(leaf)
+        def dev_loss(b):
+            return loss_of_image(film_mod.develop(b, film))
+
+        loss, vjp_dev = jax.vjp(dev_loss, block_tot)
+        (cot_block,) = vjp_dev(jnp.ones_like(loss))
+        (grads,) = vjp_block(cot_block)
+        # total parameter gradients: psum of the per-chip contributions —
+        # the collective XLA overlaps with the backward sweep
+        grads = jax.lax.psum(grads, 'dp')
+        return loss, grads
+
+    jit_work = jax.jit(work)
+
+    def step(leaves):
+        if single:
+            loss, grads = jit_work((leaves,))
+            return loss, grads[0]
+        if isinstance(leaves, dict):
+            loss, grads = jit_work(tuple(leaves[k] for k in key_list))
+            return loss, dict(zip(key_list, grads))
+        loss, grads = jit_work(tuple(leaves))
+        return loss, tuple(grads)
 
     return step

@@ -194,7 +194,10 @@ class sphere:
         dp_du = jnp.stack([-m.TwoPi * local[..., 1], m.TwoPi * local[..., 0],
                            jnp.zeros_like(x)], -1)
         dp_dv = m.Pi * jnp.stack([z * cos_phi, z * sin_phi, -rd], -1) * radius[..., None]
-        return dict(t=t_att, p=p, n=n, uv=uv, dp_du=dp_du, dp_dv=dp_dv, sh_n=n)
+        # normal derivatives: dn = dp / r (sphere.cpp:558-560)
+        inv_r3 = (flip * inv_r)[..., None]
+        return dict(t=t_att, p=p, n=n, uv=uv, dp_du=dp_du, dp_dv=dp_dv,
+                    sh_n=n, dn_du=dp_du * inv_r3, dn_dv=dp_dv * inv_r3)
 
     @staticmethod
     def surface_area(tbl):

@@ -586,8 +586,23 @@ class heightfield:
             n_obj = jnp.stack([-dh_du * W, jnp.ones_like(x), -dh_dv * H], -1)
             nrm = m.normalize(apply_normal(to, n_obj))
             uv = jnp.stack([x, z], -1)
+            # normal derivatives of the bilinear patch (interaction.h:220):
+            # N(u,v) = (-W(A+Cc v), 1, -H(B+Cc u)); project the unnormalized
+            # derivative through d(normalize) = (I - nn^T)/|N|
+            zero = jnp.zeros_like(x)
+            dN_du = apply_normal(to, jnp.stack(
+                [zero, zero, -H * W * Cc], -1))
+            dN_dv = apply_normal(to, jnp.stack(
+                [-W * H * Cc, zero, zero], -1))
+            N_w = apply_normal(to, n_obj)
+            inv_len = 1.0 / jnp.maximum(m.norm(N_w), 1e-12)
+
+            def proj(dN):
+                return (dN - nrm * m.dot(nrm, dN, keepdims=True)) * \
+                    inv_len[..., None]
             res = dict(t=t_att, p=p, n=nrm, uv=uv, dp_du=dp_du_w,
-                       dp_dv=dp_dv_w, sh_n=nrm)
+                       dp_dv=dp_dv_w, sh_n=nrm,
+                       dn_du=proj(dN_du), dn_dv=proj(dN_dv))
             if out is None:
                 out = res
             else:

@@ -28,10 +28,25 @@ class FilmConfig:
     # response; the developed channel b is E[L(lam) resp_b(lam)/pdf] / ∫resp_b.
     kind: str = 'hdrfilm'
     bands: tuple = ()
+    # crop window (film.h:58-133 crop_offset/crop_size): rendering and the
+    # developed image are restricted to this sub-rectangle of the full film;
+    # the sensor mapping still uses FULL film coordinates, and per-pixel RNG
+    # keys use the full-film pixel id, so a crop render is bit-consistent
+    # with the corresponding region of the uncropped render
+    crop_offset: tuple = (0, 0)
+    crop_size: tuple = None      # None = full film
 
     @property
     def border(self):
         return self.rfilter.border_size
+
+    @property
+    def crop_w(self):
+        return self.width if self.crop_size is None else self.crop_size[0]
+
+    @property
+    def crop_h(self):
+        return self.height if self.crop_size is None else self.crop_size[1]
 
     def new_block(self, dtype=None):
         if dtype is None:
@@ -39,7 +54,7 @@ class FilmConfig:
             import jax as _jax
             dtype = _jax.dtypes.canonicalize_dtype(jnp.float64)
         b = self.border
-        return jnp.zeros((self.height + 2 * b, self.width + 2 * b,
+        return jnp.zeros((self.crop_h + 2 * b, self.crop_w + 2 * b,
                           self.channels + 1), dtype)
 
 
@@ -47,6 +62,12 @@ def build(props) -> FilmConfig:
     rf = props.get('rfilter', {'type': 'gaussian'})
     if isinstance(rf, dict):
         rf = make_filter(rf)
+    crop_offset = (int(props.get('crop_offset_x', 0)),
+                   int(props.get('crop_offset_y', 0)))
+    crop_size = None
+    if 'crop_width' in props or 'crop_height' in props:
+        crop_size = (int(props.get('crop_width', props.get('width', 256))),
+                     int(props.get('crop_height', props.get('height', 256))))
     kind = props.get('type', 'hdrfilm')
     bands = ()
     channels = 3
@@ -70,7 +91,8 @@ def build(props) -> FilmConfig:
         channels = len(bands)
     return FilmConfig(width=int(props.get('width', 768)),
                       height=int(props.get('height', 576)),
-                      rfilter=rf, channels=channels, kind=kind, bands=bands)
+                      rfilter=rf, channels=channels, kind=kind, bands=bands,
+                      crop_offset=crop_offset, crop_size=crop_size)
 
 
 def spectral_to_bands(film: FilmConfig, L, wl, inv_pdf):
@@ -122,16 +144,17 @@ def _put_channels(block, film: FilmConfig, pos, values, active=None,
     r = f.radius
     b = film.border
     n = pos.shape[0]
-    W = film.width + 2 * b
-    H = film.height + 2 * b
+    W = film.crop_w + 2 * b
+    H = film.crop_h + 2 * b
     if active is None:
         active = jnp.ones((n,), bool)
     values = jnp.where(active[..., None], values, 0.0)
     wch = jnp.where(active, 1.0, 0.0) if with_weight else jnp.zeros((n,))
     vals = jnp.concatenate([values, wch[..., None]], -1)
 
-    x = pos[..., 0] + b
-    y = pos[..., 1] + b
+    # positions arrive in FULL-film pixel coordinates; the block is crop-local
+    x = pos[..., 0] - film.crop_offset[0] + b
+    y = pos[..., 1] - film.crop_offset[1] + b
     if r <= 0.5 + 1e-6:
         # box fast-path: single-pixel splat
         px = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, W - 1)

@@ -79,17 +79,25 @@ def render_pass(scene, block, pass_seed, spp_pass: int, spp_total: int,
     `sample_offset` may be a traced int32 (device-varying under shard_map)."""
     film = scene.film
     W, H = film.width, film.height
-    n = W * H * spp_pass
+    # crop window (film.h:58-133): lanes cover only the crop rectangle, in
+    # FULL-film pixel coordinates; RNG keys use the full-film pixel id so a
+    # crop render reproduces the matching region of the full render
+    Wc, Hc = film.crop_w, film.crop_h
+    cx, cy = film.crop_offset
+    n = Wc * Hc * spp_pass
     cfg = cfg or integrator_config(scene)
     # pack gather-economy tables once, outside the path loop
     scene = sc.prepare(scene)
 
     lane = jnp.arange(n, dtype=jnp.uint32)
-    pix = (lane // spp_pass).astype(jnp.int32)
+    pix_loc = (lane // spp_pass).astype(jnp.int32)
     sample_index = (lane % spp_pass).astype(jnp.int32) + \
         jnp.asarray(sample_offset, jnp.int32)
-    px = (pix % W).astype(jnp.float32)
-    py = (pix // W).astype(jnp.float32)
+    px_i = cx + pix_loc % Wc
+    py_i = cy + pix_loc // Wc
+    px = px_i.astype(jnp.float32)
+    py = py_i.astype(jnp.float32)
+    pix = py_i * W + px_i
 
     # per-lane decorrelated keys: hash (pixel, sample_index, seed) like
     # independent.cpp:68-95 (sample_tea_32 over the linear sample id)

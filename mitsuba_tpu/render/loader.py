@@ -464,6 +464,9 @@ def load_dict(d: dict, spectral=None) -> Scene:
         bbox_radius=jnp.asarray(r, jnp.float32),
         # scene-global medium (round-1 semantics) only when nothing references
         # a media-table entry; otherwise the media table + per-shape ids rule
+        attributes={aname: (None if f_ is None else jnp.asarray(f_, jnp.int32),
+                            jnp.asarray(d_))
+                    for aname, (f_, d_) in texb.attr_sources.items()},
         medium=(None if medium_props is None or media_entries
                 else _build_medium(medium_props)),
         media=tuple(_build_medium(p) for p in media_entries),

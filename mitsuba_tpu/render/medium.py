@@ -49,6 +49,12 @@ class Medium:
     density: jnp.ndarray = None        # (D,H,W) or None
     majorant: jnp.ndarray = 1.0        # () max density
     to_object: jnp.ndarray = None      # (4,4) world -> medium local
+    # supervoxel majorants (medium.h:22 get_majorant): a coarse grid of
+    # per-region density maxima (1-voxel dilated for the trilinear support);
+    # delta/ratio tracking steps against the LOCAL majorant with flights
+    # clamped at supervoxel boundaries — thin regions stop wasting null
+    # collisions against the global max
+    super_majorant: jnp.ndarray = None  # (S,S,S) detached
     # spectral variant: sigmoid-polynomial upsampling coefficients of the rgb
     # sigma_t/albedo (core/spectrum.py rgb_to_spec_with_scale), evaluated at
     # the hero wavelengths; sigma_t_max bounds sigma over the whole spectrum
@@ -122,6 +128,9 @@ def build(props) -> Medium:
         sigma_t_max=jnp.maximum(jnp.max(sig_spectrum), jnp.max(sig3)),
         phase_kind=kind, g=jnp.asarray(g, jnp.float32),
         density=density, majorant=jnp.asarray(majorant, jnp.float32),
+        super_majorant=(None if density is None
+                        else jnp.asarray(build_super_majorant(
+                            np.asarray(density)), jnp.float32)),
         to_object=to_object,
         tab_pdf=tab_pdf, tab_cdf=tab_cdf, sggx_S=sggx_S,
         phase_kind_b=kind_b, phase_blend_w=jnp.asarray(blend_w, jnp.float32),
@@ -191,6 +200,70 @@ def eval_density(med: Medium, p_world):
 
 
 DELTA_STEPS = 32  # fixed-trip null-collision loop (reverse-differentiable)
+SUPER_RES = 8     # supervoxel grid resolution per axis
+
+
+def build_super_majorant(density, res=SUPER_RES):
+    """(S,S,S) per-supervoxel density maxima, dilated by one fine voxel so
+    the majorant bounds the TRILINEAR interpolant everywhere in the region
+    (gridvolume support spills one cell past the sample points)."""
+    import numpy as _np
+    d = _np.asarray(density, _np.float32)
+    D, H, W = d.shape
+    out = _np.zeros((res, res, res), _np.float32)
+    for k in range(res):
+        z0, z1 = (k * D) // res, -(-((k + 1) * D) // res)
+        for j in range(res):
+            y0, y1 = (j * H) // res, -(-((j + 1) * H) // res)
+            for i in range(res):
+                x0, x1 = (i * W) // res, -(-((i + 1) * W) // res)
+                out[k, j, i] = d[max(z0 - 1, 0):min(z1 + 1, D),
+                                 max(y0 - 1, 0):min(y1 + 1, H),
+                                 max(x0 - 1, 0):min(x1 + 1, W)].max()
+    return out
+
+
+def _super_lookup(med: Medium, p_world):
+    """Local majorant + medium-local position/direction helpers.
+    Returns (maj (N,), p_loc (N,3))."""
+    from ..core.transform import apply_point
+    p = apply_point(med.to_object, p_world) if med.to_object is not None \
+        else p_world
+    S = med.super_majorant.shape[0]
+    idx = jnp.clip((p * S).astype(jnp.int32), 0, S - 1)
+    maj = med.super_majorant[idx[..., 0], idx[..., 1], idx[..., 2]]
+    inside = jnp.all((p >= 0.0) & (p <= 1.0), axis=-1)
+    return jnp.where(inside, maj, 0.0), p
+
+
+def _voxel_exit_dt(med: Medium, p_world, d_world):
+    """World-space distance from p to the exit of its supervoxel (or of the
+    [0,1]^3 medium box when outside), along d — the flight-clamp for
+    piecewise-constant-majorant tracking."""
+    from ..core.transform import apply_point, apply_vector
+    if med.to_object is not None:
+        p = apply_point(med.to_object, p_world)
+        d = apply_vector(med.to_object, d_world)
+    else:
+        p, d = p_world, d_world
+    S = med.super_majorant.shape[0]
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-9,
+                            jnp.where(d < 0, -1e-9, 1e-9), d)
+    inside = jnp.all((p >= 0.0) & (p <= 1.0), axis=-1)
+    # inside: exit of the current S^3 cell; outside: entry into/exit past the
+    # unit box (both are valid majorant-constant spans: outside the box the
+    # density is zero)
+    cell = jnp.clip(jnp.floor(p * S), 0.0, S - 1.0)
+    bound_in = jnp.where(d >= 0, (cell + 1.0) / S, cell / S)
+    t_in = jnp.min((bound_in - p) * inv_d, axis=-1)
+    t_lo = (0.0 - p) * inv_d
+    t_hi = (1.0 - p) * inv_d
+    t_near = jnp.max(jnp.minimum(t_lo, t_hi), -1)
+    t_far = jnp.min(jnp.maximum(t_lo, t_hi), -1)
+    t_out = jnp.where(t_near > 0, t_near,
+                      jnp.where(t_far > 0, t_far, jnp.inf))
+    dt = jnp.where(inside, t_in, t_out)
+    return jnp.maximum(dt, 1e-5) + 1e-5   # nudge past the boundary
 
 
 def spectral_sigmas(med: Medium, wl):
@@ -227,6 +300,10 @@ def sample_interaction_het_sig(med: Medium, sig, sig_m, smpl_next_1d, o, d,
     # collision contributes ext_att/ext_det, a null collision
     # (sig_m-ext_att)/(sig_m-ext_det). Primal value is exactly 1 per factor.
     maj_det = jax.lax.stop_gradient(jnp.asarray(med.majorant))
+    # callers pass sig_m = extinction_scale * global_majorant; recover the
+    # scale so LOCAL density majorants become local extinction majorants
+    scale_m = sig_m / jnp.maximum(maj_det, 1e-9)
+    use_super = med.super_majorant is not None
     t = jnp.zeros((n,))
     done = jnp.zeros((n,), bool)
     is_med = jnp.zeros((n,), bool)
@@ -236,7 +313,26 @@ def sample_interaction_het_sig(med: Medium, sig, sig_m, smpl_next_1d, o, d,
         from . import sampler as sa
         u, smpl = sa.next_1d(smpl)
         u2, smpl = sa.next_1d(smpl)
-        step = -jnp.log(jnp.maximum(1.0 - u, 1e-12)) / jnp.maximum(sig_m, 1e-9)
+        if use_super:
+            # supervoxel majorants (medium.h:22): exponential flight against
+            # the LOCAL majorant, clamped at the supervoxel boundary — a
+            # boundary hop is a free passage (regular tracking); thin
+            # regions stop spending the step budget on null collisions
+            p_cur = o + d * jnp.minimum(
+                t, jax.lax.stop_gradient(maxt))[..., None]
+            maj_loc, _ = _super_lookup(med, p_cur)
+            maj_loc = jnp.maximum(jax.lax.stop_gradient(maj_loc), 1e-6)
+            sig_m_lane = scale_m * maj_loc
+            dt_vox = _voxel_exit_dt(med, p_cur, d)
+            step = -jnp.log(jnp.maximum(1.0 - u, 1e-12)) / sig_m_lane
+            at_boundary = step >= dt_vox
+            step = jnp.minimum(step, dt_vox)
+        else:
+            sig_m_lane = jnp.broadcast_to(jnp.asarray(sig_m), (n,))
+            maj_loc = jnp.broadcast_to(maj_det, (n,))
+            at_boundary = jnp.zeros((n,), bool)
+            step = -jnp.log(jnp.maximum(1.0 - u, 1e-12)) / \
+                jnp.maximum(sig_m, 1e-9)
         t_new = t + step
         escaped = t_new >= maxt
         p = o + d * jnp.minimum(t_new, jax.lax.stop_gradient(maxt))[..., None]
@@ -245,12 +341,12 @@ def sample_interaction_het_sig(med: Medium, sig, sig_m, smpl_next_1d, o, d,
         ext_det = jax.lax.stop_gradient(ext_att)
         ext_det_mean = jnp.mean(ext_det, -1)
         dens_det = jax.lax.stop_gradient(dens)
-        real = u2 < dens_det / jnp.maximum(maj_det, 1e-9)
+        real = ~at_boundary & (u2 < dens_det / jnp.maximum(maj_loc, 1e-9))
         hit_med = ~done & ~escaped & real
-        is_null = ~done & ~escaped & ~real
+        is_null = ~done & ~escaped & ~real & ~at_boundary
         f_real = ext_att / jnp.maximum(ext_det_mean, 1e-9)[..., None]
-        f_null = (sig_m - ext_att) / \
-            jnp.maximum(sig_m - ext_det_mean, 1e-9)[..., None]
+        f_null = (sig_m_lane[..., None] - ext_att) / \
+            jnp.maximum(sig_m_lane - ext_det_mean, 1e-9)[..., None]
         weight = jnp.where(hit_med[..., None], weight * f_real, weight)
         weight = jnp.where(is_null[..., None], weight * f_null, weight)
         newly_done = ~done & (escaped | real)
@@ -275,19 +371,36 @@ def transmittance_het_sig(med: Medium, sig, sig_m, smpl, o, d, dist,
     # ratio tracking with detached step decisions and per-channel ATTACHED
     # collision ratios 1 - ext(p)/sig_m (chromatic extinction; reduces to the
     # grey 1 - dens/majorant when sigma_t is grey)
+    maj_det = jax.lax.stop_gradient(jnp.asarray(med.majorant))
+    scale_m = sig_m / jnp.maximum(maj_det, 1e-9)
+    use_super = med.super_majorant is not None
     t = jnp.zeros((n,))
     tr = jnp.ones((n, sig.shape[-1]))
     done = jnp.zeros((n,), bool)
     for _ in range(n_rr):
         u, smpl = sa.next_1d(smpl)
-        step = -jnp.log(jnp.maximum(1.0 - u, 1e-12)) / jnp.maximum(sig_m, 1e-9)
+        if use_super:
+            p_cur = o + d * jnp.minimum(
+                t, jax.lax.stop_gradient(dist))[..., None]
+            maj_loc, _ = _super_lookup(med, p_cur)
+            maj_loc = jnp.maximum(jax.lax.stop_gradient(maj_loc), 1e-6)
+            sig_m_lane = scale_m * maj_loc
+            dt_vox = _voxel_exit_dt(med, p_cur, d)
+            step = -jnp.log(jnp.maximum(1.0 - u, 1e-12)) / sig_m_lane
+            at_boundary = step >= dt_vox
+            step = jnp.minimum(step, dt_vox)
+        else:
+            sig_m_lane = jnp.broadcast_to(jnp.asarray(sig_m), (n,))
+            at_boundary = jnp.zeros((n,), bool)
+            step = -jnp.log(jnp.maximum(1.0 - u, 1e-12)) / \
+                jnp.maximum(sig_m, 1e-9)
         t = jnp.where(done, t, t + step)
         escaped = t >= dist
         p = o + d * jnp.minimum(t, jax.lax.stop_gradient(dist))[..., None]
         dens = eval_density(med, p)
         ext_att = dens[..., None] * sig
-        ratio = 1.0 - ext_att / jnp.maximum(sig_m, 1e-9)
-        tr = jnp.where((done | escaped)[..., None], tr,
+        ratio = 1.0 - ext_att / jnp.maximum(sig_m_lane, 1e-9)[..., None]
+        tr = jnp.where((done | escaped | at_boundary)[..., None], tr,
                        tr * jnp.clip(ratio, 0.0, 1.0))
         done = done | escaped
     return tr, smpl

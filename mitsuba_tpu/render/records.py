@@ -74,6 +74,10 @@ class SurfaceInteraction:
     bsdf_index: jnp.ndarray    # (N,) int32 global bsdf id (-1 none)
     emitter_index: jnp.ndarray  # (N,) int32 global emitter id (-1 none)
     prim_uv: jnp.ndarray = None  # (N,2) primitive barycentrics (mesh_attribute)
+    # normal derivatives (interaction.h:220-221; sphere.cpp:526-564) — zero
+    # for shapes without curvature info
+    dn_du: jnp.ndarray = None    # (N,3)
+    dn_dv: jnp.ndarray = None    # (N,3)
 
     @property
     def is_valid(self):
@@ -116,7 +120,7 @@ class SurfaceInteraction:
             sh_s=sx, sh_t=sy, sh_n=up, dp_du=sx, dp_dv=sy,
             wi=jnp.concatenate([z2, jnp.ones((n, 1), dtype)], -1),
             shape_index=mi, prim_index=jnp.zeros((n,), jnp.int32),
-            bsdf_index=mi, emitter_index=mi)
+            bsdf_index=mi, emitter_index=mi, dn_du=z3, dn_dv=z3)
 
 
 def offset_p(p, n, d):

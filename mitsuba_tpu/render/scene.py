@@ -95,6 +95,9 @@ class Scene:
     shape_medium_in: jnp.ndarray = None   # (n,) int32
     shape_medium_ex: jnp.ndarray = None   # (n,) int32
     camera_medium: int = struct.field(pytree_node=False, default=-1)
+    # named per-shape attributes: name -> (faces|None, data) for
+    # eval_attribute (shape.h:291-349)
+    attributes: dict = None
     # spectral variant (hero-wavelength transport, SURVEY §1 variant axes)
     spectral: bool = struct.field(pytree_node=False, default=False)
 
@@ -175,6 +178,8 @@ def compute_surface_interaction(scene: Scene, ray: Ray,
     n = ray.o.shape[0]
     si = SurfaceInteraction.invalid(n, ray.o.dtype)
     fields = {k: getattr(si, k) for k in ('t', 'p', 'n', 'uv', 'dp_du', 'dp_dv')}
+    dn_du = jnp.zeros((n, 3), ray.o.dtype)
+    dn_dv = jnp.zeros((n, 3), ray.o.dtype)
     sh_n = si.sh_n
     for ti, name in enumerate(scene.shape_types):
         plugin = SHAPES[name]
@@ -187,6 +192,9 @@ def compute_surface_interaction(scene: Scene, ray: Ray,
             mk = mask if v.ndim == mask.ndim else mask[..., None]
             fields[k] = jnp.where(mk, v, fields[k])
         sh_n = jnp.where(mask[..., None], out.get('sh_n', out['n']), sh_n)
+        if 'dn_du' in out:   # curvature-aware shapes (sphere/heightfield)
+            dn_du = jnp.where(mask[..., None], out['dn_du'], dn_du)
+            dn_dv = jnp.where(mask[..., None], out['dn_dv'], dn_dv)
     valid = pi.shape_index >= 0
     # shading frame: gram-schmidt dp_du against sh_n (mesh.cpp convention)
     sh_n = m.normalize(sh_n)
@@ -208,7 +216,7 @@ def compute_surface_interaction(scene: Scene, ray: Ray,
         bsdf_index=jnp.where(valid, m.small_gather(scene.shape_bsdf, gid), -1),
         emitter_index=jnp.where(valid,
                                 m.small_gather(scene.shape_emitter, gid), -1),
-        prim_uv=pi.prim_uv)
+        prim_uv=pi.prim_uv, dn_du=dn_du, dn_dv=dn_dv)
 
 
 def deaden_ray(scene: Scene, o, d, active):
@@ -608,3 +616,168 @@ def uv_partials(si: SurfaceInteraction, ray: Ray, ray_dx: Ray, ray_dy: Ray):
     duv_dx = jnp.where(valid[..., None], solve(dp_dx), zero2)
     duv_dy = jnp.where(valid[..., None], solve(dp_dy), zero2)
     return duv_dx, duv_dy
+
+
+# ===========================================================================
+# Shape contract tail: eval_parameterization / eval_attribute
+# (reference shape.h:361 / :291-349; VERDICT round-1 missing item 7)
+# ===========================================================================
+
+def eval_parameterization(scene: Scene, shape_global, uv):
+    """Map a uv point on a shape to a surface record dict
+    {p, n, uv, valid} (Shape::eval_parameterization, shape.h:361).
+    Closed forms for rectangle/disk/sphere/heightfield; meshes run a
+    chunked uv->triangle search over the (u,v) buffer (the reference
+    ray-traces an unwrapped copy, mesh.h:198 — same asymptotics)."""
+    from ..plugins.shapes import REGISTRY as SHAPES
+    gid = jnp.maximum(shape_global, 0)
+    stype = scene.shape_type_of[gid]
+    slot = scene.shape_slot_of[gid]
+    n = uv.shape[0]
+    p = jnp.zeros((n, 3), uv.dtype)
+    nrm = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], uv.dtype), (n, 1))
+    valid = jnp.zeros((n,), bool)
+    u, v = uv[..., 0], uv[..., 1]
+    from ..core.transform import apply_point, apply_vector, apply_normal
+    for ti, name in enumerate(scene.shape_types):
+        tbl = scene.shapes[name]
+        sel = (stype == ti) & (shape_global >= 0)
+        if name == 'rectangle':
+            tw = tbl.to_world[jnp.clip(slot, 0, tbl.to_world.shape[0] - 1)]
+            p_obj = jnp.stack([2 * u - 1, 2 * v - 1, jnp.zeros_like(u)], -1)
+            p_i = apply_point(tw, p_obj)
+            e1 = apply_vector(tw, jnp.asarray([2.0, 0.0, 0.0]))
+            e2 = apply_vector(tw, jnp.asarray([0.0, 2.0, 0.0]))
+            n_i = m.normalize(jnp.cross(e1, e2))
+            ok = (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1)
+        elif name == 'disk':
+            tw = tbl.to_world[jnp.clip(slot, 0, tbl.to_world.shape[0] - 1)]
+            r = u
+            phi = v * m.TwoPi
+            p_obj = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi),
+                               jnp.zeros_like(u)], -1)
+            p_i = apply_point(tw, p_obj)
+            e1 = apply_vector(tw, jnp.asarray([1.0, 0.0, 0.0]))
+            e2 = apply_vector(tw, jnp.asarray([0.0, 1.0, 0.0]))
+            n_i = m.normalize(jnp.cross(e1, e2))
+            ok = (r >= 0) & (r <= 1)
+        elif name == 'sphere':
+            center = m.small_gather(tbl.center, slot)
+            radius = m.small_gather(tbl.radius, slot)
+            phi = u * m.TwoPi
+            theta = v * m.Pi
+            dirn = jnp.stack([jnp.sin(theta) * jnp.cos(phi),
+                              jnp.sin(theta) * jnp.sin(phi),
+                              jnp.cos(theta)], -1)
+            p_i = center + dirn * radius[..., None]
+            n_i = dirn
+            ok = (v >= 0) & (v <= 1)
+        elif name == 'heightfield':
+            h = tbl.heights[0]
+            R, C = h.shape
+            W, H = C - 1, R - 1
+            x = jnp.clip(u, 0.0, 1.0)
+            z = jnp.clip(v, 0.0, 1.0)
+            ix = jnp.clip((x * W).astype(jnp.int32), 0, W - 1)
+            iz = jnp.clip((z * H).astype(jnp.int32), 0, H - 1)
+            fu = x * W - ix
+            fv = z * H - iz
+            y = ((1 - fu) * (1 - fv) * h[iz, ix] + fu * (1 - fv) * h[iz, ix + 1]
+                 + (1 - fu) * fv * h[iz + 1, ix] + fu * fv * h[iz + 1, ix + 1])
+            tw = tbl.to_world[jnp.zeros_like(slot)]
+            p_i = apply_point(tw, jnp.stack([x, y, z], -1))
+            dh_du = ((h[iz, ix + 1] - h[iz, ix]) * (1 - fv)
+                     + (h[iz + 1, ix + 1] - h[iz + 1, ix]) * fv)
+            dh_dv = ((h[iz + 1, ix] - h[iz, ix]) * (1 - fu)
+                     + (h[iz + 1, ix + 1] - h[iz, ix + 1]) * fu)
+            to = tbl.to_object[jnp.zeros_like(slot)]
+            n_i = m.normalize(apply_normal(
+                to, jnp.stack([-dh_du * W, jnp.ones_like(x), -dh_dv * H], -1)))
+            ok = (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1)
+        elif name in ('obj', 'ply', 'mesh'):
+            p_i, n_i, ok = _mesh_uv_search(tbl, slot, uv)
+        else:
+            continue
+        p = jnp.where(sel[..., None], p_i, p)
+        nrm = jnp.where(sel[..., None], n_i, nrm)
+        valid = jnp.where(sel, ok, valid)
+    return dict(p=p, n=nrm, uv=uv, valid=valid)
+
+
+def _mesh_uv_search(tbl, slot, uv):
+    """Find the triangle containing `uv` in texture space (instance 0 fast
+    path) and return its surface point/normal — chunked scan, O(F)."""
+    s = 0
+    v_buf = tbl.vertices[s]
+    f_arr = tbl.faces[s]
+    uvs = tbl.uvs[s]
+    n = uv.shape[0]
+    if uvs is None:
+        return (jnp.zeros((n, 3)), jnp.zeros((n, 3)), jnp.zeros((n,), bool))
+    a = uvs[f_arr[:, 0]]
+    b = uvs[f_arr[:, 1]]
+    c = uvs[f_arr[:, 2]]
+    # barycentric solve per face x lane, chunked over faces
+    CH = 256
+    F = f_arr.shape[0]
+    best = (jnp.zeros((n,), bool), jnp.zeros((n,), jnp.int32),
+            jnp.zeros((n, 2)))
+
+    def body(ci, carry):
+        found, fidx, bary = carry
+        sl = jax.lax.dynamic_slice_in_dim
+        A = sl(jnp.pad(a, ((0, CH - F % CH if F % CH else 0), (0, 0))), ci * CH, CH)
+        B = sl(jnp.pad(b, ((0, CH - F % CH if F % CH else 0), (0, 0))), ci * CH, CH)
+        Cc = sl(jnp.pad(c, ((0, CH - F % CH if F % CH else 0), (0, 0))), ci * CH, CH)
+        v0 = B - A
+        v1 = Cc - A
+        v2 = uv[None, :, :] - A[:, None, :]
+        d00 = jnp.sum(v0 * v0, -1)[:, None]
+        d01 = jnp.sum(v0 * v1, -1)[:, None]
+        d11 = jnp.sum(v1 * v1, -1)[:, None]
+        d20 = jnp.sum(v2 * v0[:, None], -1)
+        d21 = jnp.sum(v2 * v1[:, None], -1)
+        den = d00 * d11 - d01 * d01
+        den = jnp.where(jnp.abs(den) < 1e-16, 1e-16, den)
+        b1 = (d11 * d20 - d01 * d21) / den
+        b2 = (d00 * d21 - d01 * d20) / den
+        inside = (b1 >= -1e-6) & (b2 >= -1e-6) & (b1 + b2 <= 1 + 1e-6)
+        hit_any = inside.any(0)
+        j = jnp.argmax(inside, 0)
+        f_new = ci * CH + j.astype(jnp.int32)
+        b_new = jnp.stack([jnp.take_along_axis(b1, j[None], 0)[0],
+                           jnp.take_along_axis(b2, j[None], 0)[0]], -1)
+        upd = hit_any & ~found
+        return (found | hit_any,
+                jnp.where(upd, f_new, fidx),
+                jnp.where(upd[..., None], b_new, bary))
+
+    found, fidx, bary = jax.lax.fori_loop(0, (F + CH - 1) // CH, body, best)
+    fidx = jnp.clip(fidx, 0, F - 1)
+    i0, i1, i2 = f_arr[fidx, 0], f_arr[fidx, 1], f_arr[fidx, 2]
+    b1 = bary[..., 0:1]
+    b2 = bary[..., 1:2]
+    p = v_buf[i0] * (1 - b1 - b2) + v_buf[i1] * b1 + v_buf[i2] * b2
+    n_i = m.normalize(jnp.cross(v_buf[i1] - v_buf[i0], v_buf[i2] - v_buf[i0]))
+    return p, n_i, found
+
+
+def eval_attribute(scene: Scene, name: str, si):
+    """Named per-shape attribute at a surface interaction
+    (shape.h:291-349 eval_attribute family). Sources: mesh vertex/face
+    attributes registered at load ('attributes' on mesh shapes, PLY extra
+    columns). Returns (N,C)."""
+    attrs = getattr(scene, 'attributes', None) or {}
+    if name not in attrs:
+        raise KeyError(f'unknown shape attribute {name!r}; registered: '
+                       f'{sorted(attrs)}')
+    faces, data = attrs[name]
+    prim = jnp.clip(si.prim_index, 0, (faces.shape[0] if faces is not None
+                                       else data.shape[0]) - 1)
+    if faces is None:       # per-face
+        return data[prim]
+    f = faces[prim]
+    a0, a1, a2 = data[f[..., 0]], data[f[..., 1]], data[f[..., 2]]
+    b1 = si.prim_uv[..., 0:1]
+    b2 = si.prim_uv[..., 1:2]
+    return a0 * (1 - b1 - b2) + a1 * b1 + a2 * b2

@@ -300,3 +300,91 @@ def test_partition_actives_matches_argsort():
             for k in (16, max(16, n // 3), n):
                 sel = np.asarray(m.partition_actives(act, k))
                 assert (sel == ref[:k]).all()
+
+
+# ---------------------------------------------------------------------------
+# shape contract tail (reference shape.h:361 eval_parameterization,
+# :291-349 eval_attribute, interaction.h:220 dn_du/dn_dv)
+# ---------------------------------------------------------------------------
+
+def test_eval_parameterization_closed_forms():
+    import mitsuba_tpu as mt
+    from mitsuba_tpu.render import scene as sc
+    from mitsuba_tpu.core.transform import ScalarTransform4f as T
+    d = {'type': 'scene',
+         'sq': {'type': 'rectangle', 'to_world': T.scale(2.0)},
+         'ball': {'type': 'sphere', 'radius': 1.5}}
+    scene = mt.load_dict(d)
+    uv = jnp.asarray([[0.25, 0.75], [0.5, 0.5]])
+    # rectangle is gid with type order by insertion
+    rect_ti = scene.shape_types.index('rectangle')
+    sph_ti = scene.shape_types.index('sphere')
+    offs = scene.type_offsets
+    out = sc.eval_parameterization(scene, jnp.full((2,), offs[rect_ti], jnp.int32), uv)
+    np.testing.assert_allclose(np.asarray(out['p'][0]),
+                               [2 * (2 * 0.25 - 1), 2 * (2 * 0.75 - 1), 0.0],
+                               atol=1e-5)
+    assert bool(out['valid'].all())
+    out_s = sc.eval_parameterization(scene, jnp.full((2,), offs[sph_ti], jnp.int32), uv)
+    p = np.asarray(out_s['p'])
+    np.testing.assert_allclose(np.linalg.norm(p, axis=-1), 1.5, atol=1e-5)
+    # uv=(0.5,0.5): phi=pi, theta=pi/2 -> (-r, 0, 0)
+    np.testing.assert_allclose(p[1], [-1.5, 0.0, 0.0], atol=1e-5)
+
+
+def test_eval_parameterization_heightfield_roundtrip():
+    import mitsuba_tpu as mt
+    from mitsuba_tpu.render import scene as sc
+    h = np.random.default_rng(0).random((17, 17)).astype(np.float32) * 0.4
+    scene = mt.load_dict({'type': 'scene',
+                          'hf': {'type': 'heightfield', 'heights': h}})
+    uv = jnp.asarray(np.random.default_rng(1).random((32, 2)), jnp.float32)
+    ti = scene.shape_types.index('heightfield')
+    gid = jnp.full((32,), scene.type_offsets[ti], jnp.int32)
+    out = sc.eval_parameterization(scene, gid, uv)
+    p = np.asarray(out['p'])
+    # x,z match uv; y matches the bilinear interpolant
+    np.testing.assert_allclose(p[:, 0], np.asarray(uv)[:, 0], atol=1e-6)
+    np.testing.assert_allclose(p[:, 2], np.asarray(uv)[:, 1], atol=1e-6)
+    assert (p[:, 1] >= -1e-6).all() and (p[:, 1] <= 0.4 + 1e-6).all()
+
+
+def test_dn_du_sphere_curvature():
+    """Sphere normal derivative: |dn_du| = |dp_du| / r exactly."""
+    import mitsuba_tpu as mt
+    from mitsuba_tpu.render import scene as sc
+    from mitsuba_tpu.render.records import Ray
+    scene = mt.load_dict({'type': 'scene', 'ball': {'type': 'sphere',
+                                                    'radius': 2.0}})
+    n = 16
+    rng = np.random.default_rng(3)
+    o = np.asarray([[0, 0, 5.0]] * n, np.float32)
+    tgt = rng.standard_normal((n, 3)).astype(np.float32) * 0.3
+    d_ = tgt - o
+    d_ /= np.linalg.norm(d_, axis=-1, keepdims=True)
+    si = sc.ray_intersect(scene, Ray.make(jnp.asarray(o), jnp.asarray(d_)))
+    hit = np.asarray(si.is_valid)
+    assert hit.any()
+    ratio = (np.linalg.norm(np.asarray(si.dn_du), axis=-1)[hit]
+             / np.linalg.norm(np.asarray(si.dp_du), axis=-1)[hit])
+    np.testing.assert_allclose(ratio, 0.5, rtol=1e-4)
+
+
+def test_eval_attribute_vertex():
+    import mitsuba_tpu as mt
+    from mitsuba_tpu.render import scene as sc
+    from mitsuba_tpu.render.records import Ray
+    v = np.asarray([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float32)
+    f = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
+    temp = np.asarray([0.0, 1.0, 2.0, 3.0], np.float32)
+    scene = mt.load_dict({'type': 'scene',
+                          'm': {'type': 'mesh', 'vertices': v, 'faces': f,
+                                'attributes': {'vertex_temp': temp}}})
+    assert 'vertex_temp' in scene.attributes
+    o = jnp.asarray([[0.0, 0.0, 3.0]])
+    d_ = jnp.asarray([[0.0, 0.0, -1.0]])
+    si = sc.ray_intersect(scene, Ray.make(o, d_))
+    val = sc.eval_attribute(scene, 'vertex_temp', si)
+    # center of the quad: average of a triangle's corner values at its bary
+    assert np.isfinite(np.asarray(val)).all()
+    assert 0.0 <= float(np.asarray(val).ravel()[0]) <= 3.0

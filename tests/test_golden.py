@@ -1,0 +1,54 @@
+"""Golden-image regression corpus (VERDICT round-1 item 9): committed
+mean+variance references rendered once at high spp (tools/make_golden.py),
+pinned by the Z-test of reference test_renders.py:160-178. Catches the
+silent radiometric regressions the structural asserts in test_render.py
+miss — a deliberate 1% perturbation must fail."""
+import os
+
+import numpy as np
+import pytest
+
+import mitsuba_tpu as mt
+from mitsuba_tpu.utils.ztest import z_test
+from mitsuba_tpu.utils.exr import read_exr
+
+GOLDEN = os.path.join(os.path.dirname(__file__), 'golden')
+TEST_SPP = 256
+
+
+def _scenes():
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
+    from make_golden import scenes
+    return scenes()
+
+
+_NAMES = ['cornell', 'heightfield_envmap', 'volpath_smoke', 'rough_conductor',
+          'cornell_spectral', 'direct_area']
+
+
+@pytest.mark.parametrize('name', _NAMES)
+def test_golden_ztest(name):
+    mean_p = os.path.join(GOLDEN, f'{name}_mean.exr')
+    if not os.path.exists(mean_p):
+        pytest.skip('golden corpus not generated (tools/make_golden.py)')
+    ref = np.asarray(read_exr(mean_p))
+    var = np.asarray(read_exr(os.path.join(GOLDEN, f'{name}_var.exr')))
+    d = _scenes()[name]
+    img = np.asarray(mt.render(mt.load_dict(d), spp=TEST_SPP, seed=7))
+    ok, pmin = z_test(img, TEST_SPP, ref, var, significance=0.01)
+    assert ok, f'{name}: z-test failed (min p = {pmin:.2e})'
+
+
+def test_golden_detects_radiometric_drift():
+    """The harness must FAIL on a deliberate 1% brightness perturbation."""
+    name = 'cornell'
+    mean_p = os.path.join(GOLDEN, f'{name}_mean.exr')
+    if not os.path.exists(mean_p):
+        pytest.skip('golden corpus not generated')
+    ref = np.asarray(read_exr(mean_p))
+    var = np.asarray(read_exr(os.path.join(GOLDEN, f'{name}_var.exr')))
+    img = np.asarray(mt.render(mt.load_dict(_scenes()[name]),
+                               spp=TEST_SPP, seed=7))
+    ok, _ = z_test(img * 1.01, TEST_SPP, ref, var, significance=0.01)
+    assert not ok, 'a 1% radiometric drift must be detected'

@@ -1,0 +1,95 @@
+"""Multi-chip layer tests (VERDICT round-1 item 5: promote the scale-out
+path from 'works once' to in-suite coverage). Runs on the conftest's
+8-virtual-device CPU mesh; the same code path drives real pods
+(parallel/shard.py, SURVEY.md §2.10 item 6)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import mitsuba_tpu as mt
+from mitsuba_tpu.parallel import shard
+
+
+@pytest.fixture(scope='module')
+def hf_scene():
+    return mt.load_dict(mt.heightfield_scene(res_hf=32, res_img=16, spp=8,
+                                             max_depth=2))
+
+
+def test_mesh_has_8_devices():
+    mesh = shard.make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_render_equals_single(hf_scene):
+    """8-device sharded render equals the single-device multi-pass render
+    with the same seed/spp up to float summation ORDER (the psum reduces as
+    a tree, the single-device loop sequentially; every per-sample value is
+    identical — measured max deviation ~5e-7)."""
+    img_1 = np.asarray(mt.render(hf_scene, spp=8, spp_per_pass=1))
+    mesh = shard.make_mesh()
+    img_8 = np.asarray(shard.render_sharded(hf_scene, spp=8, mesh=mesh,
+                                            spp_per_pass=1))
+    np.testing.assert_allclose(img_8, img_1, atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_grad_psum_equals_single(hf_scene):
+    """The psum-reduced heightfield gradient from the 8-device step equals
+    the single-device gradient of the identical estimator."""
+    params = mt.traverse(hf_scene)
+    key = [k for k in params.keys() if 'heights' in k][0]
+    h0 = params[key]
+    spp = 8
+    mesh = shard.make_mesh()
+    step = shard.make_train_step(params, key, lambda img: img.mean(),
+                                 spp=spp, mesh=mesh, seed=3)
+    loss_8, g_8 = step(h0)
+
+    def single_loss(h):
+        from mitsuba_tpu.render import film as film_mod
+        from mitsuba_tpu.render.integrator import render_pass
+        s = params.scene_with({key: h})
+        block = s.film.new_block()
+        for d in range(8):
+            block = render_pass(s, block, jnp.asarray(3, jnp.uint32), 1, spp,
+                                sample_offset=d)
+        return film_mod.develop(block, s.film).mean()
+
+    loss_1, g_1 = jax.value_and_grad(single_loss)(h0)
+    assert abs(float(loss_8) - float(loss_1)) < 1e-6
+    np.testing.assert_allclose(np.asarray(g_8), np.asarray(g_1),
+                               rtol=1e-3, atol=1e-5)
+    assert np.abs(np.asarray(g_8)).max() > 0
+
+
+def test_multi_leaf_train_step(hf_scene):
+    """A pytree of ALL differentiable leaves (heightfield + envmap bitmap)
+    optimized in one sharded step — finite, nonzero gradients for every
+    leaf, loss consistent across devices."""
+    params = mt.traverse(hf_scene)
+    keys = [k for k in params.keys() if 'heights' in k]
+    keys += [k for k in params.keys() if 'envmap' in k and 'bitmap' in k][:1]
+    assert len(keys) >= 2, keys
+    mesh = shard.make_mesh()
+    step = shard.make_train_step(params, keys, lambda img: img.mean(),
+                                 spp=8, mesh=mesh, seed=5)
+    leaves = {k: params[k] for k in keys}
+    loss, grads = step(leaves)
+    assert np.isfinite(float(loss))
+    for k in keys:
+        g = np.asarray(grads[k])
+        assert np.isfinite(g).all(), k
+        assert np.abs(g).max() > 0, k
+
+
+def test_sharded_multi_pass_split(hf_scene):
+    """spp_per_pass splitting inside each device slice stays equal to the
+    unsplit sharded render (per-pass Kahan-free accumulation is exact for
+    these magnitudes)."""
+    mesh = shard.make_mesh()
+    a = np.asarray(shard.render_sharded(hf_scene, spp=16, mesh=mesh,
+                                        spp_per_pass=2))
+    b = np.asarray(shard.render_sharded(hf_scene, spp=16, mesh=mesh,
+                                        spp_per_pass=1))
+    np.testing.assert_allclose(a, b, atol=1e-6)

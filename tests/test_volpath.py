@@ -119,3 +119,83 @@ def test_heterogeneous_constant_matches_homogeneous():
     c = (slice(14, 18), slice(14, 18))
     assert abs(img_g[c].mean() - img_h[c].mean()) / max(img_h[c].mean(), 1e-6) < 0.1, \
         (img_g[c].mean(), img_h[c].mean())
+
+
+# ---------------------------------------------------------------------------
+# supervoxel majorants (reference medium.h:22 get_majorant; VERDICT round-1
+# item 10: replace the global max with a local majorant grid)
+# ---------------------------------------------------------------------------
+
+def test_supervoxel_majorant_bounds_density():
+    from mitsuba_tpu.render.medium import build_super_majorant
+    rng = np.random.default_rng(0)
+    dens = rng.random((20, 24, 28)).astype(np.float32) * 3.0
+    sup = build_super_majorant(dens, res=8)
+    # every fine voxel must be bounded by its (dilated) supervoxel entry
+    D, H, W = dens.shape
+    for k in range(D):
+        for j in range(H):
+            for i in range(W):
+                s = sup[min(k * 8 // D, 7), min(j * 8 // H, 7), min(i * 8 // W, 7)]
+                assert dens[k, j, i] <= s + 1e-6
+
+
+def test_supervoxel_tracking_matches_global():
+    """Free-flight estimates with local majorants must agree with the
+    global-majorant estimator in distribution (same scene, both unbiased)."""
+    import mitsuba_tpu as mt
+    from mitsuba_tpu.core.transform import ScalarTransform4f as T
+    z, y, x = np.meshgrid(*([np.linspace(-1, 1, 16)] * 3), indexing='ij')
+    dens = (np.exp(-5 * (x ** 2 + y ** 2 + z ** 2)) * 4.0).astype(np.float32)
+    d = {
+        'type': 'scene',
+        'integrator': {'type': 'volpath', 'max_depth': 6},
+        'sensor': {'type': 'perspective', 'fov': 40.0,
+                   'to_world': T.look_at(origin=[0, 0, 3], target=[0, 0, 0],
+                                         up=[0, 1, 0]),
+                   'sampler': {'type': 'independent', 'sample_count': 256},
+                   'film': {'type': 'hdrfilm', 'width': 16, 'height': 16,
+                            'rfilter': {'type': 'box'}}},
+        'env': {'type': 'constant', 'radiance': {'type': 'rgb', 'value': [0.8] * 3}},
+        'smoke': {'type': 'heterogeneous', 'sigma_t': 1.0, 'albedo': 0.6,
+                  'density': {'data': dens,
+                              'to_world': T.translate([-1, -1, -1]) @ T.scale(2.0)}},
+    }
+    scene = mt.load_dict(d)
+    assert scene.medium.super_majorant is not None
+    img_super = np.asarray(mt.render(scene, spp=256))
+    scene_glob = scene.replace(medium=scene.medium.replace(super_majorant=None))
+    img_glob = np.asarray(mt.render(scene_glob, spp=256))
+    assert abs(img_super.mean() - img_glob.mean()) < 0.02 * img_glob.mean(), \
+        (img_super.mean(), img_glob.mean())
+
+
+def test_supervoxel_fixes_long_flight_truncation():
+    """A mostly-empty grid with one dense corner blob: the GLOBAL majorant
+    wastes the fixed step budget on null collisions in the empty region
+    (truncating long flights — VERDICT: 'fixed DELTA_STEPS trip count
+    truncates long free flights'); supervoxel flights jump the empty space
+    and reproduce the analytic transmittance."""
+    import mitsuba_tpu as mt
+    from mitsuba_tpu.core.transform import ScalarTransform4f as T
+    dens = np.zeros((32, 32, 32), np.float32)
+    dens[:6, :6, :6] = 60.0      # dense blob far from the beam
+    dens[:, :, :] += 0.0
+    d = {
+        'type': 'scene',
+        'integrator': {'type': 'volpath', 'max_depth': 4},
+        'sensor': {'type': 'perspective', 'fov': 5.0,
+                   'to_world': T.look_at(origin=[0.5, 0.5, 4.0],
+                                         target=[0.5, 0.5, 0.0], up=[0, 1, 0]),
+                   'sampler': {'type': 'independent', 'sample_count': 128},
+                   'film': {'type': 'hdrfilm', 'width': 8, 'height': 8,
+                            'rfilter': {'type': 'box'}}},
+        'env': {'type': 'constant', 'radiance': {'type': 'rgb', 'value': [1.0] * 3}},
+        'smoke': {'type': 'heterogeneous', 'sigma_t': 1.0, 'albedo': 0.0,
+                  'density': {'data': dens,
+                              'to_world': T.scale(1.0)}},
+    }
+    # beam passes through zero-density space -> expected image = 1.0 exactly
+    scene = mt.load_dict(d)
+    img = np.asarray(mt.render(scene, spp=128))
+    assert abs(img.mean() - 1.0) < 0.01, img.mean()

@@ -1,0 +1,125 @@
+"""Generate the golden-image z-test corpus (VERDICT round-1 item 9;
+methodology: reference src/render/tests/test_renders.py:131-178 — mean +
+variance references rendered once via the `moment` integrator, pinned by a
+Z-test in tests/test_golden.py).
+
+Run from the repo root:  python tools/make_golden.py
+"""
+import os
+import sys
+
+os.environ.pop('PALLAS_AXON_POOL_IPS', None)
+os.environ['JAX_PLATFORMS'] = 'cpu'
+import jax  # noqa: E402
+jax.config.update('jax_platforms', 'cpu')
+
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import mitsuba_tpu as mt  # noqa: E402
+from mitsuba_tpu.utils.ztest import render_mean_and_variance  # noqa: E402
+from mitsuba_tpu.utils.exr import write_exr  # noqa: E402
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   'tests', 'golden')
+REF_SPP = 2048
+
+
+def scenes():
+    """The corpus: one scene per major transport regime. Definitions live
+    HERE (and are re-imported by the test) so scene edits regenerate refs."""
+    from mitsuba_tpu.core.transform import ScalarTransform4f as T
+    out = {}
+    out['cornell'] = mt.cornell_box(spp=16, res=32, max_depth=4)
+    out['heightfield_envmap'] = mt.heightfield_scene(res_hf=64, res_img=32,
+                                                     spp=16, max_depth=3)
+    z, y, x = np.meshgrid(*([np.linspace(-1, 1, 16)] * 3), indexing='ij')
+    dens = (np.exp(-5 * (x ** 2 + y ** 2 + z ** 2)) * 4.0).astype(np.float32)
+    out['volpath_smoke'] = {
+        'type': 'scene',
+        'integrator': {'type': 'volpath', 'max_depth': 6},
+        'sensor': {'type': 'perspective', 'fov': 40.0,
+                   'to_world': T.look_at(origin=[0, 0, 3], target=[0, 0, 0],
+                                         up=[0, 1, 0]),
+                   'sampler': {'type': 'independent', 'sample_count': 16},
+                   'film': {'type': 'hdrfilm', 'width': 32, 'height': 32,
+                            'rfilter': {'type': 'gaussian'}}},
+        'env': {'type': 'constant', 'radiance': {'type': 'rgb', 'value': [0.8] * 3}},
+        'smoke': {'type': 'heterogeneous', 'sigma_t': 1.0, 'albedo': 0.7,
+                  'density': {'data': dens,
+                              'to_world': T.translate([-1, -1, -1]) @ T.scale(2.0)},
+                  'phase': {'type': 'hg', 'g': 0.3}},
+    }
+    out['rough_conductor'] = {
+        'type': 'scene',
+        'integrator': {'type': 'path', 'max_depth': 4},
+        'sensor': {'type': 'perspective', 'fov': 40.0,
+                   'to_world': T.look_at(origin=[0, 0.8, 2.5], target=[0, 0, 0],
+                                         up=[0, 1, 0]),
+                   'sampler': {'type': 'independent', 'sample_count': 16},
+                   'film': {'type': 'hdrfilm', 'width': 32, 'height': 32,
+                            'rfilter': {'type': 'gaussian'}}},
+        'env': {'type': 'constant', 'radiance': {'type': 'rgb',
+                                                 'value': [0.6, 0.7, 0.9]}},
+        'ball': {'type': 'sphere', 'radius': 0.6,
+                 'bsdf': {'type': 'roughconductor', 'material': 'Au',
+                          'alpha': 0.2}},
+        'floor': {'type': 'rectangle',
+                  'to_world': T.translate([0, -0.6, 0]) @
+                              T.rotate([1, 0, 0], -90.0) @ T.scale(3.0),
+                  'bsdf': {'type': 'diffuse',
+                           'reflectance': {'type': 'rgb', 'value': [0.5] * 3}}},
+    }
+    d = mt.cornell_box(spp=16, res=32, max_depth=4)
+    d['spectral'] = True
+    out['cornell_spectral'] = d
+    out['direct_area'] = {
+        'type': 'scene',
+        'integrator': {'type': 'direct'},
+        'sensor': {'type': 'perspective', 'fov': 45.0,
+                   'to_world': T.look_at(origin=[0, 1, 2.5], target=[0, 0, 0],
+                                         up=[0, 1, 0]),
+                   'sampler': {'type': 'independent', 'sample_count': 16},
+                   'film': {'type': 'hdrfilm', 'width': 32, 'height': 32,
+                            'rfilter': {'type': 'gaussian'}}},
+        'floor': {'type': 'rectangle',
+                  'to_world': T.rotate([1, 0, 0], -90.0) @ T.scale(2.0),
+                  'bsdf': {'type': 'plastic',
+                           'diffuse_reflectance': {'type': 'rgb',
+                                                   'value': [0.4, 0.5, 0.3]}}},
+        'light': {'type': 'rectangle',
+                  'to_world': T.translate([0.4, 1.2, 0]) @
+                              T.rotate([1, 0, 0], 90.0) @ T.scale(0.3),
+                  'emitter': {'type': 'area',
+                              'radiance': {'type': 'rgb', 'value': [12.0] * 3}}},
+    }
+    return out
+
+
+def empirical_mean_var(d, spp_total, chunks=8):
+    """Fallback for integrators the moment wrapper cannot nest (spectral):
+    per-sample variance from independent seed chunks."""
+    s = spp_total // chunks
+    imgs = [np.asarray(mt.render(mt.load_dict(d), spp=s, seed=100 + i))
+            for i in range(chunks)]
+    mean = np.mean(imgs, 0)
+    var = s * np.var(imgs, 0, ddof=1)
+    return mean, var
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    for name, d in scenes().items():
+        print(f'[golden] rendering {name} @ {REF_SPP} spp ...', flush=True)
+        if d.get('spectral'):
+            mean, var = empirical_mean_var(d, REF_SPP)
+        else:
+            mean, var = render_mean_and_variance(
+                d, REF_SPP, mt.load_dict, lambda s, spp: mt.render(s, spp=spp))
+        write_exr(os.path.join(OUT, f'{name}_mean.exr'), mean)
+        write_exr(os.path.join(OUT, f'{name}_var.exr'), var)
+        print(f'  mean {mean.mean():.5f}  var {var.mean():.3e}')
+
+
+if __name__ == '__main__':
+    main()

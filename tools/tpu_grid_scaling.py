@@ -1,0 +1,67 @@
+"""Heightfield grid-size scaling on the real chip (VERDICT round-1 item 8 /
+BASELINE config[4] memory path): forward pass at 512^2 -> 4096^2, one JSON
+line per size for PERF.md.
+
+    python tools/tpu_grid_scaling.py [sizes...]
+"""
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+sys.path.insert(0, '/root/repo')
+
+import mitsuba_tpu as mt  # noqa: E402
+from mitsuba_tpu.render.integrator import render_pass  # noqa: E402
+from mitsuba_tpu.render import film as film_mod  # noqa: E402
+
+
+def measure(res_hf, res_img=256, max_depth=4, reps=3):
+    scene = mt.load_dict(mt.heightfield_scene(
+        res_hf=res_hf, res_img=res_img, spp=16, max_depth=max_depth))
+
+    def fwd(seed):
+        block = scene.film.new_block()
+        block = render_pass(scene, block, seed, 1, 16, sample_offset=0)
+        return film_mod.develop(block, scene.film)
+
+    f = jax.jit(fwd)
+    t0 = time.time()
+    img = np.asarray(f(jnp.asarray(0, jnp.uint32)))
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for r in range(reps):
+        np.asarray(f(jnp.asarray(r + 1, jnp.uint32)))
+    dt = (time.time() - t0) / reps
+    rays = res_img * res_img * max_depth * 2
+    print(json.dumps({
+        'res_hf': res_hf, 'res_img': res_img, 'max_depth': max_depth,
+        'compile_s': round(compile_s, 1), 'pass_ms': round(dt * 1e3, 1),
+        'fwd_mrays_per_s': round(rays / dt / 1e6, 2),
+        'img_mean': float(img.mean()),
+        'finite': bool(np.isfinite(img).all()),
+    }), flush=True)
+
+
+def main():
+    sizes = [int(a) for a in sys.argv[1:]] or [512, 1024, 2048, 4096]
+    print('backend:', jax.default_backend(), flush=True)
+    for s in sizes:
+        try:
+            measure(s)
+        except Exception as e:  # noqa: BLE001 — record the failure mode
+            print(json.dumps({'res_hf': s,
+                              'error': f'{type(e).__name__}: {e}'[:200]}),
+                  flush=True)
+
+
+if __name__ == '__main__':
+    import os
+    main()
+    os._exit(0)

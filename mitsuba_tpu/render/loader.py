@@ -335,8 +335,6 @@ def load_dict(d: dict, spectral=None) -> Scene:
         if t not in bsdf_by_type:
             bsdf_by_type[t] = []
             border.append(t)
-    for ti, t in enumerate(border):
-        pass
     for t, props in bsdf_entries:
         ti = border.index(t)
         bsdf_type_of.append(ti)

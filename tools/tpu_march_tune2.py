@@ -1,0 +1,100 @@
+"""Round-2 march/bench tuning sweep on the real chip: measures the headline
+fwd+bwd pass under (a) an optimization_barrier on the ray_test result (does
+XLA recompute the shadow march in the backward segment?), (b) closest-hit
+cascade variants, (c) shadow-cascade variants. One process, sequential
+compiles, idle-host timing.
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+sys.path.insert(0, '/root/repo')
+
+import mitsuba_tpu as mt  # noqa: E402
+from mitsuba_tpu.render.integrator import render_pass  # noqa: E402
+from mitsuba_tpu.render import film as film_mod  # noqa: E402
+from mitsuba_tpu.render import scene as sc  # noqa: E402
+from mitsuba_tpu.plugins.shapes.heightfield import heightfield  # noqa: E402
+
+
+def fetch(x):
+    import jax.tree_util as jtu
+    return [np.asarray(l) for l in jtu.tree_leaves(x)]
+
+
+def measure(label, grad_fn, h0, reps=4):
+    t0 = time.time()
+    fetch(grad_fn(h0))
+    c = time.time() - t0
+    t0 = time.time()
+    for _ in range(reps):
+        fetch(grad_fn(h0))
+    dt = (time.time() - t0) / reps
+    mrays = 256 * 256 * 4 * 2 / dt / 1e6
+    print(f'{label:36s} {dt*1e3:7.1f} ms  {mrays:5.2f} Mrays/s '
+          f'(compile {c:.0f}s)', flush=True)
+    return dt
+
+
+def make_grad(scene, params, key):
+    def pass_loss(h):
+        s2 = params.scene_with({key: h})
+        block = s2.film.new_block()
+        block = render_pass(s2, block, jnp.asarray(0, jnp.uint32), 1, 256,
+                            sample_offset=0)
+        return film_mod.develop(block, s2.film).mean()
+    return jax.jit(jax.grad(pass_loss))
+
+
+def main():
+    print('backend:', jax.default_backend(), flush=True)
+    scene = mt.load_dict(mt.heightfield_scene(
+        res_hf=512, res_img=256, spp=256, max_depth=4))
+    params = mt.traverse(scene)
+    key = [k for k in params.keys() if 'heights' in k][0]
+    h0 = params[key]
+
+    base_ray_test = sc.ray_test
+    base_cascade = heightfield.CASCADE
+    base_shadow = heightfield.SHADOW_CASCADE
+
+    measure('baseline', make_grad(scene, params, key), h0)
+
+    # (a) barrier on the occlusion mask: forbid backward-segment recompute
+    def ray_test_barrier(scene_, ray):
+        return jax.lax.optimization_barrier(base_ray_test(scene_, ray))
+    sc.ray_test = ray_test_barrier
+    measure('ray_test barrier', make_grad(scene, params, key), h0)
+    sc.ray_test = base_ray_test
+
+    for casc in [((16, 1), (160, 4), (10**9, 16), (10**9, 8), (10**9, 2)),
+                 ((24, 1), (320, 4), (10**9, 16), (10**9, 8), (10**9, 2)),
+                 ((48, 1), (320, 4), (10**9, 16), (10**9, 8), (10**9, 2))]:
+        heightfield.CASCADE = casc
+        measure(f'cascade {casc[0]}/{casc[1]}',
+                make_grad(scene, params, key), h0)
+    heightfield.CASCADE = base_cascade
+
+    for shad in [((8, 1), (10**9, 8), (10**9, 2)),
+                 ((32, 1), (10**9, 8), (10**9, 2)),
+                 ((16, 1), (10**9, 4))]:
+        heightfield.SHADOW_CASCADE = shad
+        measure(f'shadow {shad}', make_grad(scene, params, key), h0)
+    heightfield.SHADOW_CASCADE = base_shadow
+
+    # barrier + best-guess combo rerun at the end for confirmation
+    sc.ray_test = ray_test_barrier
+    measure('barrier (confirm)', make_grad(scene, params, key), h0)
+    sc.ray_test = base_ray_test
+
+
+if __name__ == '__main__':
+    import os
+    main()
+    os._exit(0)

@@ -161,15 +161,29 @@ def _kahan_add(acc, comp, x):
 
 
 def render(scene, spp: int = None, seed: int = 0, spp_per_pass: int = None,
-           accum_dtype=None):
+           accum_dtype=None, timeout=None, should_stop=None):
     """mi.render analogue (util.py:410-523, forward only). Returns (H,W,3).
 
     accum_dtype=jnp.float64 accumulates the multi-pass film in double on the
     host — the compensated-summation option for very high spp (the
     reference's Kahan-compensated ImageBlock accumulation,
-    imageblock.h:107-110, recast for the functional film)."""
+    imageblock.h:107-110, recast for the functional film).
+
+    timeout: wall-clock seconds after which rendering stops at the next
+    PASS boundary and the partial accumulation is developed (the
+    cooperative cancellation of Integrator::cancel()/should_stop(),
+    integrator.h:96-113, polled per pass instead of per block).
+    should_stop: optional zero-arg callable polled at the same boundary —
+    return True to cancel (mi.Integrator.cancel() analogue)."""
+    import time as _time
     film = scene.film
     spp = spp or scene.spp
+    _t0 = _time.time()
+
+    def _cancelled():
+        if timeout is not None and _time.time() - _t0 > timeout:
+            return True
+        return bool(should_stop()) if should_stop is not None else False
     cfg = integrator_config(scene)
     if cfg.get('type') == 'ptracer':
         from ..plugins.integrators.ptracer import render_ptracer
@@ -190,6 +204,8 @@ def render(scene, spp: int = None, seed: int = 0, spp_per_pass: int = None,
         block = film.new_block()
         comp = jnp.zeros_like(block)
         for p in range(n_passes):
+            if p and _cancelled():
+                break
             blk = _render_pass_jit(scene, film.new_block(),
                                    jnp.asarray(seed, jnp.uint32),
                                    spp_per_pass, spp, p * spp_per_pass)
@@ -199,6 +215,8 @@ def render(scene, spp: int = None, seed: int = 0, spp_per_pass: int = None,
         import numpy as _np
         acc = _np.zeros(film.new_block().shape, _np.float64)
         for p in range(n_passes):
+            if p and _cancelled():
+                break
             blk = _render_pass_jit(scene, film.new_block(),
                                    jnp.asarray(seed, jnp.uint32),
                                    spp_per_pass, spp, p * spp_per_pass)
@@ -209,6 +227,8 @@ def render(scene, spp: int = None, seed: int = 0, spp_per_pass: int = None,
         return jnp.asarray(img[b:-b, b:-b] if b else img, jnp.float32)
     block = film.new_block()
     for p in range(n_passes):
+        if p and _cancelled():
+            break
         pass_seed = jnp.asarray(seed, jnp.uint32)
         block = _render_pass_jit(scene, block, pass_seed, spp_per_pass, spp,
                                  p * spp_per_pass)

@@ -8,12 +8,18 @@ import numpy as np
 from scipy.stats import norm
 
 
-def z_test(mean, sample_count, reference, reference_var, significance=0.01):
-    """Returns (passed, p_value_min). All images (H,W,C) float."""
+def z_test(mean, sample_count, reference, reference_var, significance=0.01,
+           reference_count=None):
+    """Returns (passed, p_value_min). All images (H,W,C) float.
+    reference_var is PER-SAMPLE variance; reference_count (if given) adds
+    the reference's own estimator noise to the two-sample denominator."""
     mean = np.asarray(mean, np.float64)
     reference = np.asarray(reference, np.float64)
     reference_var = np.maximum(np.asarray(reference_var, np.float64), 1e-4)
-    z = np.abs(mean - reference) * np.sqrt(sample_count / reference_var)
+    inv_n = 1.0 / sample_count
+    if reference_count:
+        inv_n = inv_n + 1.0 / reference_count
+    z = np.abs(mean - reference) / np.sqrt(reference_var * inv_n)
     # two-sided p-value per pixel
     p = 2.0 * norm.sf(z)
     # Sidak over #pixels
@@ -35,5 +41,8 @@ def render_mean_and_variance(scene_dict, spp, loader, renderer):
     img = np.asarray(renderer(scene, spp=spp))
     mean = img[..., :3]
     m2 = img[..., 3:]
-    var = np.maximum(m2 - mean * mean, 0.0) / max(spp - 1, 1)
+    # PER-SAMPLE variance (z_test scales by sqrt(sample_count) itself;
+    # test_renders.py stores per-sample variance images) with the Bessel
+    # correction
+    var = np.maximum(m2 - mean * mean, 0.0) * (spp / max(spp - 1, 1))
     return mean, var

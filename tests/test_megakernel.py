@@ -54,3 +54,36 @@ def test_deterministic_across_cache():
     integ._render_pass_jit.clear_cache()
     b = np.asarray(mt.render(scene, spp=2, seed=7))
     assert np.array_equal(a, b)
+
+
+def test_render_cancel_should_stop():
+    """Cooperative cancellation (integrator.h:96-113): should_stop polled at
+    pass boundaries stops early; the partial accumulation develops to
+    EXACTLY the first-two-passes image."""
+    import jax.numpy as jnp
+    import mitsuba_tpu as mt
+    from mitsuba_tpu.render import film as film_mod
+    from mitsuba_tpu.render.integrator import render_pass
+    calls = []
+
+    def stop():
+        calls.append(1)
+        return len(calls) >= 2   # cancel after the second poll
+
+    scene = mt.load_dict(mt.cornell_box(spp=8, res=16, max_depth=2))
+    img = np.asarray(mt.render(scene, spp=8, spp_per_pass=1,
+                               should_stop=stop))
+    assert len(calls) >= 2
+    block = scene.film.new_block()
+    for p in range(2):   # the two passes that ran before cancellation
+        block = render_pass(scene, block, jnp.asarray(0, jnp.uint32), 1, 8,
+                            sample_offset=p)
+    expect = np.asarray(film_mod.develop(block, scene.film))
+    np.testing.assert_allclose(img, expect, atol=1e-6)
+
+
+def test_render_timeout_zero_returns_first_pass():
+    import mitsuba_tpu as mt
+    scene = mt.load_dict(mt.cornell_box(spp=8, res=16, max_depth=2))
+    img = np.asarray(mt.render(scene, spp=8, spp_per_pass=1, timeout=0.0))
+    assert np.isfinite(img).all()   # exactly one pass, still develops

@@ -96,7 +96,7 @@ def scenes():
     return out
 
 
-def empirical_mean_var(d, spp_total, chunks=8):
+def empirical_mean_var(d, spp_total, chunks=32):
     """Fallback for integrators the moment wrapper cannot nest (spectral):
     per-sample variance from independent seed chunks."""
     s = spp_total // chunks

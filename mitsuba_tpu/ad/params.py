@@ -140,12 +140,18 @@ def refresh_derived(scene, changed=None):
                 to_object=jnp.linalg.inv(tbl.to_world))
             dirty_area = True
         if name == 'heightfield' and touched('heights'):
-            from ..plugins.shapes.heightfield import build_max_mip
+            from ..plugins.shapes.heightfield import build_max_mip, build_min_mip
             tbl2 = new_shapes[name]
             mips = tuple(
                 tuple(jax.lax.stop_gradient(l) for l in build_max_mip(h))
                 for h in tbl2.heights)
-            new_shapes[name] = tbl2.replace(mips=mips)
+            # the MIN pyramid must be refit too: a stale (too-high) min lets
+            # the any-hit early-occlusion report crossings that no longer
+            # exist after a height update — wrong shadows mid-optimization
+            mins = tuple(
+                tuple(jax.lax.stop_gradient(l) for l in build_min_mip(h))
+                for h in tbl2.heights)
+            new_shapes[name] = tbl2.replace(mips=mips, min_mips=mins)
             dirty_area = True
     scene = scene.replace(shapes=new_shapes)
     if dirty_area:

@@ -55,6 +55,11 @@ class HeightfieldTable:
 
 BK = 8          # leaf BLOCK is BK x BK cells; one ((BK+1)^2/2,)c64 row holds its
                 # (BK+1)^2 corners — see _march
+FAN = 4         # interior-level fanout per axis: each interior node's row
+                # carries its FAN x FAN children's (max, min) IN-REGISTER, so
+                # one gather decides among 16 children (TPU gather cost is
+                # per-index, flat in row width — PERF.md) — halving descent
+                # depth vs a binary pyramid and quartering horizontal walks
 
 
 def _pool(cur, k, op=jnp.maximum, pad_val=NEG_INF):
@@ -73,28 +78,45 @@ def _pool(cur, k, op=jnp.maximum, pad_val=NEG_INF):
 
 def build_max_mip(heights):
     """Level 0: per-BLOCK max over BK x BK cells (cell = max of 4 corners);
-    each higher level is a 2x2 max-pool padded with -inf."""
+    each higher level is a FAN x FAN max-pool padded with -inf."""
     h = heights
     cell = jnp.maximum(jnp.maximum(h[:-1, :-1], h[:-1, 1:]),
                        jnp.maximum(h[1:, :-1], h[1:, 1:]))
     levels = [_pool(cell, BK)]
     while levels[-1].shape[0] > 1 or levels[-1].shape[1] > 1:
-        levels.append(_pool(levels[-1], 2))
+        levels.append(_pool(levels[-1], FAN))
     return tuple(levels)
 
 
 def build_min_mip(heights):
     """MIN pyramid with the exact level shapes of build_max_mip: per-block
-    min over the block's (BK+1)^2 corners at level 0, 2x2 min-pools above.
-    Used only by the any-hit early-occlusion test (conservative: padding is
+    min over the block's (BK+1)^2 corners at level 0, FAN x FAN min-pools
+    above. Powers the any-hit early-occlusion test (conservative: padding is
     +inf, edge blocks use real boundary heights)."""
     h = heights
     cell = jnp.minimum(jnp.minimum(h[:-1, :-1], h[:-1, 1:]),
                        jnp.minimum(h[1:, :-1], h[1:, 1:]))
     levels = [_pool(cell, BK, op=jnp.minimum, pad_val=-NEG_INF)]
     while levels[-1].shape[0] > 1 or levels[-1].shape[1] > 1:
-        levels.append(_pool(levels[-1], 2, op=jnp.minimum, pad_val=-NEG_INF))
+        levels.append(_pool(levels[-1], FAN, op=jnp.minimum, pad_val=-NEG_INF))
     return tuple(levels)
+
+
+def _child_rows(child_max, child_min, n_z, n_x):
+    """(n_z, n_x, FAN*FAN) c64 rows for one interior level: row (i, j) packs
+    node (i, j)'s FAN x FAN children from the level below as
+    complex(child_max, child_min), row-major, padded (-inf, +inf) so
+    out-of-range children never report overlap."""
+    hc, wc = child_max.shape
+    pmax = jnp.full((n_z * FAN, n_x * FAN), NEG_INF, child_max.dtype)
+    pmax = pmax.at[:hc, :wc].set(child_max)
+    pmin = jnp.full((n_z * FAN, n_x * FAN), -NEG_INF, child_max.dtype)
+    if child_min is not None:
+        pmin = pmin.at[:hc, :wc].set(child_min)
+    v = pmax.reshape(n_z, FAN, n_x, FAN).transpose(0, 2, 1, 3)
+    w = pmin.reshape(n_z, FAN, n_x, FAN).transpose(0, 2, 1, 3)
+    return jax.lax.complex(v.reshape(n_z, n_x, FAN * FAN),
+                           w.reshape(n_z, n_x, FAN * FAN))
 
 
 def _block_corner_rows(h):
@@ -162,7 +184,7 @@ class heightfield:
     # ------------------------------------------------------------------
     @staticmethod
     def _march(h, mips, o, d, R, C, compact=True, anyhit=False, maxt=None,
-               min_mips=None):
+               min_mips=None, stats=False):
         """Object-space maximum-mipmap DDA. o,d: (N,3) DETACHED.
         Returns (t_hit (N,), cell_ix, cell_iz).
 
@@ -220,40 +242,40 @@ class heightfield:
         import numpy as _np
         NROW = (BK + 1) ** 2 // 2 + 1        # c64 slots per row (41 @ BK=8)
         assert BK % 2 == 0, "odd (BK+1)^2 keeps the last imag slot free"
+        assert NROW >= FAN * FAN, "interior child rows must fit the leaf width"
+        FS = FAN.bit_length() - 1            # log2(FAN)
         zero = jnp.zeros((), jnp.complex64)
         block_rows = _block_corner_rows(h).reshape(-1, NROW)
         if anyhit:
-            # ride the otherwise-zero imaginary slots with the MIN pyramid:
-            # leaf rows carry the block min in the last slot's imag (the
-            # (BK+1)^2-th corner occupies its real), interior rows carry
-            # (cmax, cmin) in slot 0 — zero extra gather cost
+            # leaf rows carry the block min in the last slot's otherwise-free
+            # imag (the (BK+1)^2-th corner occupies its real) — zero extra
+            # gather cost for the early-occlusion test at leaf entry
             blk_min = min_mips[0].reshape(-1)
             last = block_rows[:, -1]
             block_rows = block_rows.at[:, -1].set(
                 jax.lax.complex(jnp.real(last), blk_min))
-            combo_rows = jnp.concatenate(
-                [block_rows] +
-                [jnp.concatenate(
-                    [jax.lax.complex(mp, mn).reshape(-1, 1),
-                     jnp.broadcast_to(zero, (mp.size, NROW - 1))], -1)
-                 for mp, mn in zip(mips[1:], min_mips[1:])])
-        else:
-            combo_rows = jnp.concatenate(
-                [block_rows] +
-                [jnp.concatenate(
-                    [jax.lax.complex(mp, jnp.zeros_like(mp)).reshape(-1, 1),
-                     jnp.broadcast_to(zero, (mp.size, NROW - 1))], -1)
-                 for mp in mips[1:]])         # (TOTAL, NROW) c64
+        # interior level l>=1 rows: the node's FAN x FAN children from level
+        # l-1 as complex(child_max, child_min) — the min rides the imag slot
+        # for free, so the child-resolution early-occlusion costs nothing
+        interior = []
+        for l in range(1, n_levels):
+            mn = min_mips[l - 1] if anyhit else None
+            cr = _child_rows(mips[l - 1], mn, *mips[l].shape)
+            cr = cr.reshape(-1, FAN * FAN)
+            interior.append(jnp.concatenate(
+                [cr, jnp.broadcast_to(zero, (cr.shape[0], NROW - FAN * FAN))],
+                -1))
+        combo_rows = jnp.concatenate([block_rows] + interior)  # (TOTAL, NROW)
         sizes = [mp.size for mp in mips]
         offsets_np = _np.cumsum([0] + sizes[:-1]).astype(_np.int32)
 
         def scale_of(lvl, base):
             # base is in BLOCKS (possibly fractional: W/BK) per unit
-            return base * jnp.exp2(-lvl.astype(jnp.float32))
+            return base * jnp.exp2(-FS * lvl.astype(jnp.float32))
 
         def ncells(lvl, base):
-            # iterated ceil-div by 2 == ceil(base / 2^l)
-            return (base + (jnp.left_shift(1, lvl) - 1)) >> lvl
+            # iterated ceil-div by FAN == ceil(base / FAN^l)
+            return (base + (jnp.left_shift(1, FS * lvl) - 1)) >> (FS * lvl)
 
         def offset_of(lvl):
             off = jnp.zeros_like(lvl)
@@ -283,6 +305,9 @@ class heightfield:
         idx11 = jnp.asarray(i00 + (BK + 2))
         sub_sx_j = jnp.asarray(sub_sx.astype(_np.int32))
         sub_sz_j = jnp.asarray(sub_sz.astype(_np.int32))
+        # static child offsets for the FAN x FAN interior walk (slot = kz*FAN+kx)
+        kx_child = jnp.asarray((_np.arange(FAN * FAN) % FAN).astype(_np.int32))
+        kz_child = jnp.asarray((_np.arange(FAN * FAN) // FAN).astype(_np.int32))
 
         def make_body(o, d, inv_d, step_ix, step_iz, t_far, t_enter):
             def body(state):
@@ -302,30 +327,68 @@ class heightfield:
             tx = (bx - o[..., 0]) * inv_d[..., 0]
             tz = (bz - o[..., 2]) * inv_d[..., 2]
             t_exit = jnp.minimum(jnp.minimum(tx, tz), t_far)
-            # THE gather: one (NROW,) c64 row — the 25 block corners at the
-            # leaf level, cmax at interior levels
+            # THE gather: one (NROW,) c64 row — the (BK+1)^2 block corners at
+            # the leaf level, the FAN x FAN children (max, min) at interior
+            # levels
             g = combo_lookup_batch(lvl, iz, ix)
             at_leaf = lvl == 0
-            cmax = jnp.real(g[..., 0])
-            y_a = o[..., 1] + d[..., 1] * t
-            y_b = o[..., 1] + d[..., 1] * t_exit
-            overlap = (jnp.minimum(y_a, y_b) <= cmax) & (t <= t_exit + eps_t)
 
-            # any-hit early occlusion: the lane was provably above the
-            # surface earlier ("whole segment above a cell max") and is now
-            # provably below it ("whole segment below this cell's min") —
-            # the continuous bilinear surface was crossed in between, so the
-            # segment is occluded; terminate without descending to the leaf
+            # ---- interior: in-register FAN x FAN child DDA ----
+            # the row gives every child's conservative bounds, so ONE gather
+            # picks the first child along the ray whose segment can contain a
+            # hit (descend target) or proves the whole node clear (advance)
+            lvl_c = jnp.maximum(lvl - 1, 0)
+            sxc = scale_of(lvl_c, W / BK)[:, None]
+            szc = scale_of(lvl_c, H / BK)[:, None]
+            jx = ix[:, None] * FAN + kx_child[None, :]
+            jz = iz[:, None] * FAN + kz_child[None, :]
+            jxf = jx.astype(jnp.float32)
+            jzf = jz.astype(jnp.float32)
+            ox1 = o[..., 0:1]
+            oz1 = o[..., 2:3]
+            ctxa = (jxf / sxc - ox1) * inv_d[..., 0:1]
+            ctxb = ((jxf + 1) / sxc - ox1) * inv_d[..., 0:1]
+            ctza = (jzf / szc - oz1) * inv_d[..., 2:3]
+            ctzb = ((jzf + 1) / szc - oz1) * inv_d[..., 2:3]
+            ci = jnp.maximum(jnp.maximum(jnp.minimum(ctxa, ctxb),
+                                         jnp.minimum(ctza, ctzb)), t[:, None])
+            co = jnp.minimum(jnp.minimum(jnp.maximum(ctxa, ctxb),
+                                         jnp.maximum(ctza, ctzb)),
+                             jnp.minimum(t_exit, t_far)[:, None])
+            crossed = ci <= co + eps_t       # out-of-range pads have
+            cmax_c = jnp.real(g[..., :FAN * FAN])  # cmax=-inf -> never overlap
+            y_ci = o[..., 1:2] + d[..., 1:2] * ci
+            y_co = o[..., 1:2] + d[..., 1:2] * co
+            smin_c = jnp.minimum(y_ci, y_co)
+            ovl = crossed & (smin_c <= cmax_c)
+            ci_m = jnp.where(ovl, ci, jnp.inf)
+            sel = jnp.argmin(ci_m, axis=1)
+            t_first = jnp.min(ci_m, axis=1)
+            has_ovl = jnp.isfinite(t_first)
+            overlap = has_ovl & (t <= t_exit + eps_t)
+
+            # any-hit early occlusion at CHILD resolution: every crossed
+            # child before the first overlapping one is provably above
+            # (seg_min > cmax); if the lane was ever provably above and the
+            # first overlapping child's segment lies entirely below that
+            # child's min, the continuous bilinear surface was crossed —
+            # occluded, no descent needed
             early_occ = jnp.zeros_like(active)
             if anyhit:
-                cmin = jnp.where(at_leaf, jnp.imag(g[..., -1]),
-                                 jnp.imag(g[..., 0]))
-                seg_min = jnp.minimum(y_a, y_b)
-                seg_max = jnp.maximum(y_a, y_b)
-                # at the leaf real(g[0]) is corner h00, not the block max,
-                # so the above-update only fires at interior levels
-                was_above = was_above | (~at_leaf & (seg_min > cmax) & active)
-                early_occ = active & was_above & (seg_max < cmin)
+                cmin_c = jnp.imag(g[..., :FAN * FAN])
+                smax_c = jnp.maximum(y_ci, y_co)
+                above_c = crossed & ~ovl
+                any_prior = jnp.any(above_c & (ci < t_first[:, None]), axis=1)
+                was_above = was_above | (active & ~at_leaf & any_prior)
+                sel_below = jnp.take_along_axis(
+                    smax_c < cmin_c, sel[:, None], 1)[:, 0]
+                # at leaf entry, test the whole block against its min
+                # (carried in the last slot's imag)
+                y_t = o[..., 1] + d[..., 1] * t
+                y_e = o[..., 1] + d[..., 1] * jnp.minimum(t_exit, t_far)
+                blk_below = jnp.maximum(y_t, y_e) < jnp.imag(g[..., -1])
+                early_occ = active & was_above & jnp.where(
+                    at_leaf, blk_below, has_ovl & sel_below)
 
             # -- leaf: exact bilinear-patch tests for ALL BKxBK block cells
             # in-register (unconditional: a lax.cond inside the while body
@@ -379,34 +442,35 @@ class heightfield:
             leaf_hit = at_leaf & hit_leaf & active
             t_hit = jnp.where(leaf_hit & (t_leaf < t_hit), t_leaf, t_hit)
 
-            # -- descend: potential hit at interior level; child located by
-            # the ray point at t, clamped into the parent's 2x2 children
+            # -- descend: straight into the FIRST overlapping child (the
+            # in-register walk already located it — no ray-point re-floor),
+            # advancing t to that child's entry (skips the node's dead space)
             descend = overlap & ~at_leaf & active
-            lvl_d = jnp.maximum(lvl - 1, 0)
-            sxd = scale_of(lvl_d, W / BK)
-            szd = scale_of(lvl_d, H / BK)
-            tq = jnp.maximum(t, t_enter)
-            cx_d = jnp.floor((o[..., 0] + d[..., 0] * tq) * sxd).astype(jnp.int32)
-            cz_d = jnp.floor((o[..., 2] + d[..., 2] * tq) * szd).astype(jnp.int32)
-            cx_d = jnp.clip(cx_d, ix * 2, ix * 2 + 1)
-            cz_d = jnp.clip(cz_d, iz * 2, iz * 2 + 1)
+            kx_sel = sel.astype(jnp.int32) % FAN
+            kz_sel = sel.astype(jnp.int32) // FAN
+            cx_d = ix * FAN + kx_sel
+            cz_d = iz * FAN + kz_sel
+            t_d = jnp.where(has_ovl, t_first, t)
 
-            # -- advance: integer-step the crossed axis; ascend one level
-            # only when the step leaves the current parent (alignment ascent)
+            # -- advance: integer-step the crossed axis on the node grid;
+            # ascend one level when the step leaves the current parent
             advance = ((~overlap & ~at_leaf) | (at_leaf & ~hit_leaf)) & active
             xfirst = tx <= tz
             ix_a = ix + jnp.where(xfirst, step_ix, 0)
             iz_a = iz + jnp.where(xfirst, 0, step_iz)
-            parent_changed = ((ix_a >> 1) != (ix >> 1)) | ((iz_a >> 1) != (iz >> 1))
+            parent_changed = ((ix_a >> FS) != (ix >> FS)) | \
+                ((iz_a >> FS) != (iz >> FS))
             go_up = advance & parent_changed & (lvl < n_levels - 1)
             lvl_a = jnp.where(go_up, lvl + 1, lvl)
-            ix_a = jnp.where(go_up, ix_a >> 1, ix_a)
-            iz_a = jnp.where(go_up, iz_a >> 1, iz_a)
+            ix_a = jnp.where(go_up, ix_a >> FS, ix_a)
+            iz_a = jnp.where(go_up, iz_a >> FS, iz_a)
 
-            new_lvl = jnp.where(descend, lvl_d, jnp.where(advance, lvl_a, lvl))
+            new_lvl = jnp.where(descend, lvl_c, jnp.where(advance, lvl_a, lvl))
             new_ix = jnp.where(descend, cx_d, jnp.where(advance, ix_a, ix))
             new_iz = jnp.where(descend, cz_d, jnp.where(advance, iz_a, iz))
-            new_t = jnp.where(advance, t_exit, jnp.maximum(t, t_enter))
+            new_t = jnp.where(descend, jnp.maximum(t_d, t_enter),
+                              jnp.where(advance, t_exit,
+                                        jnp.maximum(t, t_enter)))
 
             # termination: out of the level's index range or past t_far
             in_range = (new_ix >= 0) & (new_ix < ncells(new_lvl, W_B)) & \
@@ -459,6 +523,26 @@ class heightfield:
             merged = [full_x.at[sel].set(sub_x)
                       for full_x, sub_x in zip(state[:7], state_sub[:7])]
             return tuple(merged) + (jnp.asarray(0, jnp.int32),)
+
+        if stats:
+            # cascade-design instrumentation: per-lane iteration demand and
+            # leaf/interior split, measured on the true loop (no compaction)
+            body = make_body(*lane_full)
+
+            def sbody(st):
+                inner, cnt, leaf_cnt = st
+                act = inner[5]
+                at0 = inner[1] == 0
+                return (body(inner), cnt + act.astype(jnp.int32),
+                        leaf_cnt + (act & at0).astype(jnp.int32))
+
+            def scond(st):
+                return jnp.any(st[0][5]) & (st[0][7] < max_steps)
+            z = jnp.zeros((n,), jnp.int32)
+            state, cnt, leaf_cnt = jax.lax.while_loop(
+                scond, sbody, (state, z, z))
+            t_hit = state[4]
+            return t_hit, cnt, leaf_cnt
 
         if compact and n >= 256:
             # cascade: (cap, width_fraction) stages; tuned empirically on the

@@ -451,61 +451,76 @@ class mesh:
     Table = MeshTable
 
     @staticmethod
+    def _build_one(p):
+        """Load + world-transform + BVH for ONE mesh (thread-safe: file
+        parsing and the native BVH builder run outside the GIL, so
+        mesh.build fans these out over a thread pool — the TPU analogue of
+        the reference's parallel scene loading, xml.cpp async instantiation)."""
+        if 'filename' in p:
+            ext = os.path.splitext(p['filename'])[1].lower()
+            if ext == '.obj':
+                from ...utils import native as _native
+                if _native.available():
+                    v, f_arr, nrm, uv = _native.load_obj(p['filename'])
+                else:
+                    v, f_arr, nrm, uv = load_obj(p['filename'])
+            elif ext == '.ply':
+                v, f_arr, nrm, uv, ply_attrs = load_ply(p['filename'])
+                if ply_attrs:   # surface for mesh_attribute textures
+                    p.setdefault('attributes', {}).update(ply_attrs)
+            elif ext == '.serialized':
+                v, f_arr, nrm, uv = load_serialized(
+                    p['filename'], int(p.get('shape_index', 0)))
+            else:
+                raise ValueError(f'unsupported mesh format {ext}')
+        else:
+            v = np.asarray(p['vertices'], np.float32)
+            f_arr = np.asarray(p['faces'], np.int32)
+            nrm = np.asarray(p['normals'], np.float32) if 'normals' in p else None
+            uv = np.asarray(p['uvs'], np.float32) if 'uvs' in p else None
+        tw = p.get('to_world', Transform4())
+        v_w = (tw.matrix[:3, :3] @ v.T).T + tw.matrix[:3, 3]
+        if nrm is not None:
+            nrm = (np.linalg.inv(tw.matrix[:3, :3]).T @ nrm.T).T
+            nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+        accel = p.get('accel', 'auto')
+        use_bvh = accel == 'bvh' or (
+            accel == 'auto' and f_arr.shape[0] >= BVH_MIN_FACES)
+        if use_bvh and f_arr.shape[0] > 0:
+            bvh_d, order, pads = _build_bvh_arrays(
+                v_w.astype(np.float32), f_arr)
+            f_arr = f_arr[order]   # leaf-chunk order: prim == soup row
+            f_arr[pads] = 0        # degenerate pad rows (zero area)
+        else:
+            bvh_d = None
+            order = None
+        p0 = v_w[f_arr[:, 0]]
+        e1 = v_w[f_arr[:, 1]] - p0
+        e2 = v_w[f_arr[:, 2]] - p0
+        fa = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+        total = fa.sum()
+        cdf = np.cumsum(fa) / max(total, 1e-20)
+        return (v_w.astype(np.float32), f_arr, nrm, uv,
+                cdf.astype(np.float32), total, bvh_d, order)
+
+    @staticmethod
     def build(props_list):
         verts, faces, normals, uvs, cdfs, areas = [], [], [], [], [], []
         bvhs, perms = [], []
-        for p in props_list:
-            if 'filename' in p:
-                ext = os.path.splitext(p['filename'])[1].lower()
-                if ext == '.obj':
-                    from ...utils import native as _native
-                    if _native.available():
-                        v, f_arr, nrm, uv = _native.load_obj(p['filename'])
-                    else:
-                        v, f_arr, nrm, uv = load_obj(p['filename'])
-                elif ext == '.ply':
-                    v, f_arr, nrm, uv, ply_attrs = load_ply(p['filename'])
-                    if ply_attrs:   # surface for mesh_attribute textures
-                        p.setdefault('attributes', {}).update(ply_attrs)
-                elif ext == '.serialized':
-                    v, f_arr, nrm, uv = load_serialized(
-                        p['filename'], int(p.get('shape_index', 0)))
-                else:
-                    raise ValueError(f'unsupported mesh format {ext}')
-            else:
-                v = np.asarray(p['vertices'], np.float32)
-                f_arr = np.asarray(p['faces'], np.int32)
-                nrm = np.asarray(p['normals'], np.float32) if 'normals' in p else None
-                uv = np.asarray(p['uvs'], np.float32) if 'uvs' in p else None
-            tw = p.get('to_world', Transform4())
-            v_w = (tw.matrix[:3, :3] @ v.T).T + tw.matrix[:3, 3]
-            if nrm is not None:
-                nrm = (np.linalg.inv(tw.matrix[:3, :3]).T @ nrm.T).T
-                nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
-            accel = p.get('accel', 'auto')
-            use_bvh = accel == 'bvh' or (
-                accel == 'auto' and f_arr.shape[0] >= BVH_MIN_FACES)
-            if use_bvh and f_arr.shape[0] > 0:
-                bvh_d, order, pads = _build_bvh_arrays(
-                    v_w.astype(np.float32), f_arr)
-                f_arr = f_arr[order]   # leaf-chunk order: prim == soup row
-                f_arr[pads] = 0        # degenerate pad rows (zero area)
-            else:
-                bvh_d = None
-                order = None
+        if len(props_list) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(8, len(props_list))) as ex:
+                results = list(ex.map(mesh._build_one, props_list))
+        else:
+            results = [mesh._build_one(p) for p in props_list]
+        for v_w, f_arr, nrm, uv, cdf, total, bvh_d, order in results:
             bvhs.append(bvh_d)
             perms.append(order)
-            p0 = v_w[f_arr[:, 0]]
-            e1 = v_w[f_arr[:, 1]] - p0
-            e2 = v_w[f_arr[:, 2]] - p0
-            fa = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
-            total = fa.sum()
-            cdf = np.cumsum(fa) / max(total, 1e-20)
-            verts.append(jnp.asarray(v_w.astype(np.float32)))
+            verts.append(jnp.asarray(v_w))
             faces.append(jnp.asarray(f_arr))
             normals.append(None if nrm is None else jnp.asarray(nrm))
             uvs.append(None if uv is None else jnp.asarray(uv))
-            cdfs.append(jnp.asarray(cdf.astype(np.float32)))
+            cdfs.append(jnp.asarray(cdf))
             areas.append(total)
         forest = cat_faces = face_inst = None
         if len(verts) > 1 and all(b is not None for b in bvhs):

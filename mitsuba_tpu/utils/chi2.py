@@ -16,7 +16,7 @@ from ..core import math as m
 class SphericalDomain:
     """Directions on S^2 binned in (cos_theta, phi) — equal-area cells."""
 
-    def __init__(self, res_theta=16, res_phi=32):
+    def __init__(self, res_theta=32, res_phi=64):
         self.res = (res_theta, res_phi)
 
     def cell_of(self, d):
@@ -55,7 +55,7 @@ class SphericalDomain:
 
 
 class PlanarDomain:
-    def __init__(self, bounds=((-1, 1), (-1, 1)), res=(32, 32)):
+    def __init__(self, bounds=((-1, 1), (-1, 1)), res=(64, 64)):
         self.bounds = bounds
         self.res = res
 

@@ -28,7 +28,7 @@ struct ObjData {
     int has_normals = 0, has_uvs = 0;
 };
 
-static ObjData* g_obj = nullptr;
+static thread_local ObjData* g_obj = nullptr;  // build+fetch pairs are per-thread: scene loading fans meshes over a thread pool
 
 static inline const char* skip_ws(const char* p) {
     while (*p == ' ' || *p == '\t') p++;
@@ -240,7 +240,7 @@ struct BVHOut {
     std::vector<int32_t> prim_order;
 };
 
-static BVHOut* g_bvh = nullptr;
+static thread_local BVHOut* g_bvh = nullptr;  // see g_obj note
 
 static int build_node(std::vector<BuildPrim>& prims, int start, int count,
                       BVHOut& out, int leaf_size) {

@@ -20,11 +20,13 @@ def _chi2(phase, wi=(0.2, 0.3, 0.93), n=300_000):
     wi_b = jnp.broadcast_to(jnp.asarray(wi), (n, 3))
 
     def sample_fn(u2):
-        wo, pdf = med_mod.phase_sample(med, wi_b[:u2.shape[0]], u2)
+        wi2 = jnp.broadcast_to(jnp.asarray(wi), (u2.shape[0], 3))
+        wo, pdf = med_mod.phase_sample(med, wi2, u2)
         return wo, jnp.ones(u2.shape[0])
 
     def pdf_fn(wo):
-        return med_mod.phase_eval(med, wi_b[:wo.shape[0]], wo)
+        wi2 = jnp.broadcast_to(jnp.asarray(wi), (wo.shape[0], 3))
+        return med_mod.phase_eval(med, wi2, wo)
 
     t = ChiSquareTest(SphericalDomain(), sample_fn, pdf_fn, sample_count=n)
     return t

@@ -19,6 +19,10 @@ from ...render import sampler as sa
 from ...render.records import Ray
 
 
+UNROLL_MAX_DEPTH = 6    # unroll the bounce loop up to this depth (trades
+                        # compile time for occupancy-matched march widths)
+
+
 def mis_weight(pdf_a, pdf_b):
     """Power heuristic (path.cpp:300-305)."""
     a2 = pdf_a * pdf_a
@@ -150,10 +154,20 @@ def sample(scene: sc.Scene, sampler: sa.SamplerState, ray: Ray,
             sampler=smpl, valid=valid)
         return new_state, None
 
-    if max_depth == 1:
-        # unrolled single bounce: a length-1 lax.scan trips a TPU compiler
-        # crash (SIGILL in the AOT helper) on some program shapes
-        state, _ = body(state, jnp.asarray(0))
+    if max_depth <= UNROLL_MAX_DEPTH:
+        # unrolled path loop (also avoids the length-1 lax.scan TPU compiler
+        # crash): each bounce gets its own traced march whose stage-1
+        # compaction width matches the expected wavefront occupancy — in the
+        # scan formulation every bounce pays the full-width gather cost even
+        # when most lanes are dead (PERF.md round-2 march economy)
+        from ..shapes.heightfield import heightfield as _hf
+        b0 = _hf.BOUNCE
+        try:
+            for depth in range(max_depth):
+                _hf.BOUNCE = depth
+                state, _ = body(state, jnp.asarray(depth))
+        finally:
+            _hf.BOUNCE = b0
     else:
         state, _ = jax.lax.scan(body, state, jnp.arange(max_depth))
     return state.L, state.valid, state.sampler

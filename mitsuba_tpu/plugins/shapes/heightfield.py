@@ -157,10 +157,22 @@ class heightfield:
     # max-cap backstop (measured 1.5x whole-pass regression). This set
     # measured 3.0s/pass vs 5.1s for 64/320@4/inf@16 (and 27.6s before
     # lane deadening).
-    CASCADE = ((32, 1), (320, 4), (10 ** 9, 16), (10 ** 9, 8), (10 ** 9, 2))
+    # SHORT cascades, designed from measured per-lane iteration demand
+    # (tools/tpu_march_stats.py, fanout-4 design: camera p50=4 p90=6 max=22;
+    # bounce/shadow p90=8 max=39): one bounded full-width stage catches the
+    # p90, ONE quarter-width catcher takes the whole tail — every extra
+    # stage costs a partition+merge even when idle, and the old 5-stage
+    # ladder spent more there than in marching
+    CASCADE = ((8, 1), (10 ** 9, 4))
     # shadow rays either occlude within a few cells (min-mip early-out) or
-    # escape; their trip-count tail is much shorter than closest-hit rays'
-    SHADOW_CASCADE = ((16, 1), (10 ** 9, 8), (10 ** 9, 2))
+    # escape; same demand profile as bounce rays
+    SHADOW_CASCADE = ((8, 1), (10 ** 9, 4))
+    # trace-time bounce index, set by unrolled integrators: later bounces
+    # have mostly-dead wavefronts, so their stage-1 march runs pre-compacted
+    # at 1/BOUNCE_FRAC[bounce] width (the while gates on the worst ACTIVE
+    # lane, but every resident lane pays the full-width gather)
+    BOUNCE = 0
+    BOUNCE_FRAC = (1, 4, 8, 8)
 
     @staticmethod
     def build(props_list):
@@ -453,14 +465,23 @@ class heightfield:
             t_d = jnp.where(has_ovl, t_first, t)
 
             # -- advance: integer-step the crossed axis on the node grid;
-            # ascend one level when the step leaves the current parent
+            # ascend one level when the step leaves the current parent, or
+            # EAGERLY when the lane is climbing with its whole node segment
+            # above every child (an escaping ray: each ascent quarters the
+            # remaining walk, and ascent is always conservative)
             advance = ((~overlap & ~at_leaf) | (at_leaf & ~hit_leaf)) & active
             xfirst = tx <= tz
             ix_a = ix + jnp.where(xfirst, step_ix, 0)
             iz_a = iz + jnp.where(xfirst, 0, step_iz)
             parent_changed = ((ix_a >> FS) != (ix >> FS)) | \
                 ((iz_a >> FS) != (iz >> FS))
-            go_up = advance & parent_changed & (lvl < n_levels - 1)
+            node_max = jnp.max(cmax_c, axis=1)
+            y_t0 = o[..., 1] + d[..., 1] * t
+            y_x = o[..., 1] + d[..., 1] * t_exit
+            eager_up = ~at_leaf & (d[..., 1] >= 0) & \
+                (jnp.minimum(y_t0, y_x) > node_max)
+            go_up = advance & (parent_changed | eager_up) & \
+                (lvl < n_levels - 1)
             lvl_a = jnp.where(go_up, lvl + 1, lvl)
             ix_a = jnp.where(go_up, ix_a >> FS, ix_a)
             iz_a = jnp.where(go_up, iz_a >> FS, iz_a)
@@ -547,11 +568,21 @@ class heightfield:
         if compact and n >= 256:
             # cascade: (cap, width_fraction) stages; tuned empirically on the
             # BASELINE heightfield config (camera + envmap-shadow rays, 512^2
-            # grid, 65k lanes) where >94% of lanes finish within 16 iterations
+            # grid, 65k lanes) where >94% of lanes finish within 16 iterations.
+            # Stage-1 width divides by the bounce occupancy hint: overflow
+            # lanes (actives beyond the stage's slots) simply remain active
+            # and are caught by the later, wider catcher stages.
             cascade = heightfield.SHADOW_CASCADE if anyhit \
                 else heightfield.CASCADE
-            first_cap, _ = cascade[0]
-            state = run_loop(lane_full, state, min(first_cap, max_steps))
+            bfrac = heightfield.BOUNCE_FRAC[
+                min(heightfield.BOUNCE, len(heightfield.BOUNCE_FRAC) - 1)]
+            first_cap, first_frac = cascade[0]
+            first_frac = max(first_frac, bfrac)
+            if first_frac == 1:
+                state = run_loop(lane_full, state, min(first_cap, max_steps))
+            else:
+                state = compact_stage(state, first_frac,
+                                      min(first_cap, max_steps))
             for cap, frac in cascade[1:]:
                 state = compact_stage(state, frac, min(cap, max_steps))
         else:

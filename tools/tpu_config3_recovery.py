@@ -25,15 +25,15 @@ from mitsuba_tpu.models.inverse import make_views, laplacian  # noqa: E402
 from mitsuba_tpu.ad.optimizers import Adam  # noqa: E402
 from mitsuba_tpu.utils.checkpoint import save_checkpoint, load_checkpoint  # noqa: E402
 
-CKPT = '/tmp/config3_ckpt.npz'
+CKPT = '/tmp/config3_ckpt'
 
 
 def main():
     res_hf = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 36
-    n_views = 8
-    res_img = 256
-    spp = 4
+    n_views = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    res_img = int(sys.argv[4]) if len(sys.argv) > 4 else 256
+    spp = int(sys.argv[5]) if len(sys.argv) > 5 else 4
     print('backend:', jax.default_backend(), flush=True)
 
     target = make_test_heights(res_hf)
@@ -53,18 +53,25 @@ def main():
     [np.asarray(t) for t in targets]
     print(f'reference views rendered in {time.time()-t0:.1f}s', flush=True)
 
-    def make_loss(i):
-        pv = params_per_view[i]
-        tgt = targets[i]
+    # ONE jitted program for all views: the view scene and its target are
+    # traced pytree INPUTS (a per-view closure would bake the target in as a
+    # constant and force n_views identical compiles — minutes each on the
+    # axon remote compiler)
+    from mitsuba_tpu.ad.params import refresh_derived
 
-        def loss(h, it):
-            s2 = pv.scene_with({key: h})
-            img = mt.render_wavefront(s2, spp=spp, seed=it)
-            return ((img - tgt) ** 2).mean() + \
-                2e-3 * (laplacian(h) ** 2).mean()
-        return jax.jit(jax.value_and_grad(loss))
+    def loss(h, sc_tpl, tgt, it):
+        hf = sc_tpl.shapes['heightfield']
+        s2 = sc_tpl.replace(
+            shapes={**sc_tpl.shapes, 'heightfield': hf.replace(heights=(h,))})
+        s2 = refresh_derived(s2, ['heightfield.heights'])
+        img = mt.render_wavefront(s2, spp=spp, seed=it)
+        return ((img - tgt) ** 2).mean() + \
+            2e-3 * (laplacian(h) ** 2).mean()
 
-    loss_fns = [make_loss(i) for i in range(n_views)]
+    loss_vg = jax.jit(jax.value_and_grad(loss))
+    loss_fns = [
+        (lambda i: (lambda h, it: loss_vg(h, scenes[i], targets[i], it)))(i)
+        for i in range(n_views)]
     opt = Adam(lr=0.04, params={'h': init})
     history = []
     rays_per_iter = n_views * res_img * res_img * spp * 2 * 2
@@ -87,8 +94,7 @@ def main():
             # checkpoint + REAL resume: drop the optimizer, restore from disk
             save_checkpoint(CKPT, opt, iteration=it, seed=0)
             opt = Adam(lr=0.04, params={'h': jnp.zeros_like(init)})
-            meta = load_checkpoint(CKPT, opt)
-            resumed_at = meta.get('iteration', it)
+            resumed_at, _seed, _extra = load_checkpoint(CKPT, opt)
             print(f'  checkpoint saved+restored (iteration {resumed_at})',
                   flush=True)
     dt = time.time() - t_start

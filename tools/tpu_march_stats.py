@@ -1,10 +1,11 @@
 """Per-lane DDA iteration-demand percentiles on the bench ray mix — the
 data that designs the compaction cascade. Runs the uncompacted march with
 per-lane counters (heightfield._march stats=True) for camera, bounce, and
-shadow rays on the 512^2 BASELINE scene.
+shadow rays on the 512^2 BASELINE scene. Everything device-side is inside
+ONE jit per ray class (eager ops on the axon backend are remote-compile
+round trips).
 """
 import sys
-import time
 
 import numpy as np
 import jax
@@ -16,10 +17,9 @@ jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
 sys.path.insert(0, '/root/repo')
 
 import mitsuba_tpu as mt  # noqa: E402
-from mitsuba_tpu.render import scene as sc  # noqa: E402
 from mitsuba_tpu.render import sensor as sensor_mod  # noqa: E402
 from mitsuba_tpu.plugins.shapes.heightfield import heightfield  # noqa: E402
-from mitsuba_tpu.core import math as m  # noqa: E402
+from mitsuba_tpu.core.transform import apply_point, apply_vector  # noqa: E402
 
 
 def report(label, cnt, leaf_cnt, t_hit):
@@ -38,63 +38,57 @@ def main():
     print('backend:', jax.default_backend(), flush=True)
     scene = mt.load_dict(mt.heightfield_scene(
         res_hf=512, res_img=256, spp=256, max_depth=4))
-    scene = sc.prepare(scene)
     tbl = scene.shapes['heightfield']
-    h = jax.lax.stop_gradient(tbl.heights[0])
-    mips = tbl.mips[0]
-    mins = tbl.min_mips[0]
-    R, C = h.shape
-    W, H = 256, 256
+    R, C = 512, 512
+    W = H = 256
     n = W * H
-
-    # camera rays
-    i = jnp.arange(n)
-    px = ((i % W).astype(jnp.float32) + 0.5) / W
-    py = ((i // W).astype(jnp.float32) + 0.5) / H
-    pos01 = jnp.stack([px, py], -1)
-    ray = sensor_mod.sample_ray(scene.sensor, pos01, jnp.zeros((n, 2)))
-    from mitsuba_tpu.core.transform import apply_point, apply_vector
-    to = jax.lax.stop_gradient(tbl.to_object[0])
-    o_obj = apply_point(to, ray.o)
-    d_obj = apply_vector(to, ray.d)
-
-    march_s = jax.jit(lambda o, d: heightfield._march(
-        h, mips, o, d, R, C, stats=True))
-    march_sh = jax.jit(lambda o, d: heightfield._march(
-        h, mips, o, d, R, C, stats=True, anyhit=True, min_mips=mins))
-
-    t_hit, cnt, leaf = jax.block_until_ready(march_s(o_obj, d_obj))
-    report('camera', cnt, leaf, t_hit)
-
-    # bounce rays: cosine-ish directions from the camera hit points
-    tn = np.asarray(t_hit)
-    hitm = np.isfinite(tn)
-    on = np.asarray(o_obj)
-    dn = np.asarray(d_obj)
-    p = on + dn * np.where(hitm, tn, 1.0)[:, None]
     rng = np.random.default_rng(0)
     dirs = rng.standard_normal((n, 3)).astype(np.float32)
     dirs[:, 1] = np.abs(dirs[:, 1]) + 0.05
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
-    o2 = (p + 1e-4 * np.asarray([0, 1, 0])[None]).astype(np.float32)
-    # lanes that missed: deadened like the integrator does
-    o2[~hitm] = np.asarray([10.0, 10.0, 10.0], np.float32)
-    t2, cnt2, leaf2 = jax.block_until_ready(
-        march_s(jnp.asarray(o2), jnp.asarray(dirs)))
-    report('bounce', cnt2, leaf2, t2)
-
-    # shadow rays from the same origins (upper-hemisphere envmap dirs)
-    t3, cnt3, leaf3 = jax.block_until_ready(
-        march_sh(jnp.asarray(o2), jnp.asarray(dirs)))
-    report('shadow', cnt3, leaf3, t3)
-
-    # grazing shadow rays (the tail suspects): low-elevation directions
     dirs_g = dirs.copy()
     dirs_g[:, 1] = np.abs(dirs_g[:, 1]) * 0.05 + 0.01
     dirs_g /= np.linalg.norm(dirs_g, axis=-1, keepdims=True)
-    t4, cnt4, leaf4 = jax.block_until_ready(
-        march_sh(jnp.asarray(o2), jnp.asarray(dirs_g)))
-    report('shadow-graze', cnt4, leaf4, t4)
+
+    @jax.jit
+    def camera_stats(tbl):
+        h = jax.lax.stop_gradient(tbl.heights[0])
+        i = jnp.arange(n)
+        px = ((i % W).astype(jnp.float32) + 0.5) / W
+        py = ((i // W).astype(jnp.float32) + 0.5) / H
+        pos01 = jnp.stack([px, py], -1)
+        ray = sensor_mod.sample_ray(scene.sensor, pos01, jnp.zeros((n, 2)))
+        to = jax.lax.stop_gradient(tbl.to_object[0])
+        o_obj = apply_point(to, ray.o)
+        d_obj = apply_vector(to, ray.d)
+        t, c, l = heightfield._march(h, tbl.mips[0], o_obj, d_obj, R, C,
+                                     stats=True)
+        p = o_obj + d_obj * jnp.where(jnp.isfinite(t), t, 1.0)[:, None]
+        o2 = p + jnp.asarray([0, 1e-4, 0])
+        o2 = jnp.where(jnp.isfinite(t)[:, None], o2, 10.0)
+        return t, c, l, o2
+
+    @jax.jit
+    def march_stats(tbl, o, d):
+        h = jax.lax.stop_gradient(tbl.heights[0])
+        return heightfield._march(h, tbl.mips[0], o, d, R, C, stats=True)
+
+    @jax.jit
+    def shadow_stats(tbl, o, d):
+        h = jax.lax.stop_gradient(tbl.heights[0])
+        return heightfield._march(h, tbl.mips[0], o, d, R, C, stats=True,
+                                  anyhit=True, min_mips=tbl.min_mips[0])
+
+    t, c, l, o2 = jax.block_until_ready(camera_stats(tbl))
+    report('camera', c, l, t)
+    dj = jnp.asarray(dirs)
+    t2, c2, l2 = jax.block_until_ready(march_stats(tbl, o2, dj))
+    report('bounce', c2, l2, t2)
+    t3, c3, l3 = jax.block_until_ready(shadow_stats(tbl, o2, dj))
+    report('shadow', c3, l3, t3)
+    t4, c4, l4 = jax.block_until_ready(
+        shadow_stats(tbl, o2, jnp.asarray(dirs_g)))
+    report('shadow-graze', c4, l4, t4)
 
 
 if __name__ == '__main__':

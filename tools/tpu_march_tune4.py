@@ -1,0 +1,82 @@
+"""Round-2 sweep: unrolled per-bounce march widths (BOUNCE_FRAC) x cascades."""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+sys.path.insert(0, '/root/repo')
+
+import mitsuba_tpu as mt  # noqa: E402
+from mitsuba_tpu.render.integrator import render_pass  # noqa: E402
+from mitsuba_tpu.render import film as film_mod  # noqa: E402
+from mitsuba_tpu.plugins.shapes.heightfield import heightfield  # noqa: E402
+
+
+def fetch(x):
+    import jax.tree_util as jtu
+    return [np.asarray(l) for l in jtu.tree_leaves(x)]
+
+
+def measure(label, grad_fn, h0, reps=4):
+    t0 = time.time()
+    fetch(grad_fn(h0))
+    c = time.time() - t0
+    t0 = time.time()
+    for _ in range(reps):
+        fetch(grad_fn(h0))
+    dt = (time.time() - t0) / reps
+    mrays = 256 * 256 * 4 * 2 / dt / 1e6
+    print(f'{label:52s} {dt*1e3:7.1f} ms  {mrays:5.2f} Mrays/s '
+          f'(compile {c:.0f}s)', flush=True)
+    return dt
+
+
+def make_grad(scene, params, key):
+    def pass_loss(h):
+        s2 = params.scene_with({key: h})
+        block = s2.film.new_block()
+        block = render_pass(s2, block, jnp.asarray(0, jnp.uint32), 1, 256,
+                            sample_offset=0)
+        return film_mod.develop(block, s2.film).mean()
+    return jax.jit(jax.grad(pass_loss))
+
+
+def main():
+    print('backend:', jax.default_backend(), flush=True)
+    scene = mt.load_dict(mt.heightfield_scene(
+        res_hf=512, res_img=256, spp=256, max_depth=4))
+    params = mt.traverse(scene)
+    key = [k for k in params.keys() if 'heights' in k][0]
+    h0 = params[key]
+
+    measure('unrolled frac(1,2,2,4) casc12/96 shad10', 
+            make_grad(scene, params, key), h0)
+
+    INF = 10 ** 9
+    for bf, casc, shad in [
+        ((1, 2, 4, 8),
+         ((12, 1), (96, 4), (INF, 16), (INF, 8), (INF, 2)),
+         ((10, 1), (INF, 4))),
+        ((1, 2, 2, 4),
+         ((10, 1), (64, 4), (INF, 16), (INF, 8), (INF, 2)),
+         ((8, 1), (INF, 4))),
+        ((1, 1, 2, 2),
+         ((14, 1), (96, 4), (INF, 16), (INF, 8), (INF, 2)),
+         ((10, 1), (INF, 4))),
+    ]:
+        heightfield.BOUNCE_FRAC = bf
+        heightfield.CASCADE = casc
+        heightfield.SHADOW_CASCADE = shad
+        measure(f'bf{bf} casc{casc[0][0]}/{casc[1][0]} shad{shad[0][0]}',
+                make_grad(scene, params, key), h0)
+
+
+if __name__ == '__main__':
+    import os
+    main()
+    os._exit(0)

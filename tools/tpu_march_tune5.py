@@ -1,0 +1,79 @@
+"""Round-2: eager-ascent measure + remaining-pass decomposition at the
+current best config (bf 1/2/4/8, casc (12,1)(96,4), shad (10,1)(inf,4))."""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+sys.path.insert(0, '/root/repo')
+
+import mitsuba_tpu as mt  # noqa: E402
+from mitsuba_tpu.render.integrator import render_pass  # noqa: E402
+from mitsuba_tpu.render import film as film_mod  # noqa: E402
+from mitsuba_tpu.render import scene as sc  # noqa: E402
+
+
+def fetch(x):
+    import jax.tree_util as jtu
+    return [np.asarray(l) for l in jtu.tree_leaves(x)]
+
+
+def measure(label, fn, arg, reps=4):
+    t0 = time.time()
+    fetch(fn(arg))
+    c = time.time() - t0
+    t0 = time.time()
+    for _ in range(reps):
+        fetch(fn(arg))
+    dt = (time.time() - t0) / reps
+    mrays = 256 * 256 * 4 * 2 / dt / 1e6
+    print(f'{label:40s} {dt*1e3:7.1f} ms  ({mrays:5.2f} "Mrays/s") '
+          f'(compile {c:.0f}s)', flush=True)
+    return dt
+
+
+def main():
+    print('backend:', jax.default_backend(), flush=True)
+    scene = mt.load_dict(mt.heightfield_scene(
+        res_hf=512, res_img=256, spp=256, max_depth=4))
+    params = mt.traverse(scene)
+    key = [k for k in params.keys() if 'heights' in k][0]
+    h0 = params[key]
+
+    def pass_loss(h):
+        s2 = params.scene_with({key: h})
+        block = s2.film.new_block()
+        block = render_pass(s2, block, jnp.asarray(0, jnp.uint32), 1, 256,
+                            sample_offset=0)
+        return film_mod.develop(block, s2.film).mean()
+
+    measure('fwd+bwd (bench program)', jax.jit(jax.grad(pass_loss)), h0)
+    measure('fwd only', jax.jit(pass_loss), h0)
+
+    # NEE visibility off: shadow-march share
+    base_rt = sc.ray_test
+    sc.ray_test = lambda s, r, **kw: jnp.zeros(r.o.shape[0], bool)
+    measure('fwd+bwd, NEE visibility off',
+            jax.jit(jax.grad(pass_loss)), h0)
+    sc.ray_test = base_rt
+
+    # camera march alone (depth integrator)
+    def depth_loss(h):
+        s2 = params.scene_with({key: h})
+        s2 = s2.replace(integrator={'type': 'depth'})
+        block = s2.film.new_block()
+        block = render_pass(s2, block, jnp.asarray(0, jnp.uint32), 1, 256,
+                            sample_offset=0)
+        return film_mod.develop(block, s2.film).mean()
+    measure('camera march alone (depth, fwd)', jax.jit(depth_loss), h0)
+
+
+if __name__ == '__main__':
+    import os
+    main()
+    os._exit(0)

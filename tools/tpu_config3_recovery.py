@@ -34,6 +34,7 @@ def main():
     n_views = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     res_img = int(sys.argv[4]) if len(sys.argv) > 4 else 256
     spp = int(sys.argv[5]) if len(sys.argv) > 5 else 4
+    lr = float(sys.argv[6]) if len(sys.argv) > 6 else 0.01
     print('backend:', jax.default_backend(), flush=True)
 
     target = make_test_heights(res_hf)
@@ -47,9 +48,11 @@ def main():
     key = [k for k in params_per_view[0].keys() if 'heights' in k][0]
 
     t0 = time.time()
-    targets = [jax.lax.stop_gradient(
-        mt.render_wavefront(s, spp=8, seed=100 + i))
-        for i, s in enumerate(scenes)]
+    # ONE jitted render for all target views (eager ops like pad-edge are
+    # UNIMPLEMENTED on the axon remote backend; and jit => one compile)
+    tgt_fn = jax.jit(lambda s, seed: mt.render_wavefront(s, spp=8, seed=seed))
+    targets = [jax.lax.stop_gradient(tgt_fn(s, jnp.asarray(100 + i, jnp.uint32)))
+               for i, s in enumerate(scenes)]
     [np.asarray(t) for t in targets]
     print(f'reference views rendered in {time.time()-t0:.1f}s', flush=True)
 
@@ -59,50 +62,75 @@ def main():
     # axon remote compiler)
     from mitsuba_tpu.ad.params import refresh_derived
 
-    def loss(h, sc_tpl, tgt, it):
-        hf = sc_tpl.shapes['heightfield']
-        s2 = sc_tpl.replace(
-            shapes={**sc_tpl.shapes, 'heightfield': hf.replace(heights=(h,))})
-        s2 = refresh_derived(s2, ['heightfield.heights'])
-        img = mt.render_wavefront(s2, spp=spp, seed=it)
-        return ((img - tgt) ** 2).mean() + \
-            2e-3 * (laplacian(h) ** 2).mean()
+    # coarse-to-fine stages (models/inverse.py recover_heights schedule): the
+    # fine-scale problem at 1024^2 is ill-conditioned at low spp (<1 sample
+    # per texel per view: plain Adam random-walks), so optimize a bilinear
+    # pyramid; the full grid is parameterized as an upsample of the stage grid
+    stage_res = [max(res_hf // 4, 8), max(res_hf // 2, 8), res_hf]
+    stage_res = sorted(set(stage_res))
 
-    loss_vg = jax.jit(jax.value_and_grad(loss))
-    loss_fns = [
-        (lambda i: (lambda h, it: loss_vg(h, scenes[i], targets[i], it)))(i)
-        for i in range(n_views)]
-    opt = Adam(lr=0.04, params={'h': init})
+    def make_stage_loss(cres):
+        def loss(hc, sc_tpl, tgt, it):
+            h = hc if cres == res_hf else jax.image.resize(
+                hc, (res_hf, res_hf), 'linear')
+            hf = sc_tpl.shapes['heightfield']
+            s2 = sc_tpl.replace(
+                shapes={**sc_tpl.shapes,
+                        'heightfield': hf.replace(heights=(h,))})
+            s2 = refresh_derived(s2, ['heightfield.heights'])
+            img = mt.render_wavefront(s2, spp=spp, seed=it)
+            return ((img - tgt) ** 2).mean() + \
+                2e-3 * (laplacian(hc) ** 2).mean()
+        return jax.jit(jax.value_and_grad(loss))
+
     history = []
     rays_per_iter = n_views * res_img * res_img * spp * 2 * 2
     t_start = time.time()
     resumed_at = None
-    for it in range(iters):
-        total = 0.0
-        g_acc = jnp.zeros_like(opt['h'])
-        for i in range(n_views):
-            l, g = loss_fns[i](opt['h'], jnp.asarray(it, jnp.int32))
-            total += float(l)
-            g_acc = g_acc + g
-        opt.step({'h': g_acc / n_views})
-        opt.params['h'] = jnp.clip(opt.params['h'], 0.0, 1.0)
-        history.append(total / n_views)
-        err = float(jnp.abs(opt['h'] - target).mean())
-        print(f'iter {it:3d} loss {history[-1]:.3e} '
-              f'mean|h-h*| {err:.4f} ({time.time()-t_start:.0f}s)', flush=True)
-        if it == iters // 2:
-            # checkpoint + REAL resume: drop the optimizer, restore from disk
-            save_checkpoint(CKPT, opt, iteration=it, seed=0)
-            opt = Adam(lr=0.04, params={'h': jnp.zeros_like(init)})
-            resumed_at, _seed, _extra = load_checkpoint(CKPT, opt)
-            print(f'  checkpoint saved+restored (iteration {resumed_at})',
+    h_cur = init
+    it_global = 0
+    for cres in stage_res:
+        hc = h_cur if cres == h_cur.shape[0] else jax.image.resize(
+            h_cur, (cres, cres), 'linear')
+        loss_vg = make_stage_loss(cres)
+        opt = Adam(lr=lr, params={'h': hc})
+        for it in range(iters):
+            opt.set_learning_rate(lr * (0.985 ** it))
+            total = 0.0
+            g_acc = jnp.zeros_like(opt['h'])
+            for i in range(n_views):
+                l, g = loss_vg(opt['h'], scenes[i], targets[i],
+                               jnp.asarray(it_global, jnp.int32))
+                total += float(l)
+                g_acc = g_acc + g
+            opt.step({'h': g_acc / n_views})
+            opt.params['h'] = jnp.clip(opt.params['h'], 0.0, 1.0)
+            history.append(total / n_views)
+            hfull = opt['h'] if cres == res_hf else jax.image.resize(
+                opt['h'], (res_hf, res_hf), 'linear')
+            err = float(jnp.abs(hfull - target).mean())
+            print(f'stage {cres:4d} iter {it:3d} loss {history[-1]:.3e} '
+                  f'mean|h-h*| {err:.4f} ({time.time()-t_start:.0f}s)',
                   flush=True)
+            if cres == res_hf and it == iters // 2:
+                # checkpoint + REAL resume: drop the optimizer, restore
+                save_checkpoint(CKPT, opt, iteration=it_global, seed=0)
+                opt = Adam(lr=lr, params={'h': jnp.zeros_like(opt['h'])})
+                resumed_at, _seed, _extra = load_checkpoint(CKPT, opt)
+                print(f'  checkpoint saved+restored (it {resumed_at})',
+                      flush=True)
+            it_global += 1
+        h_cur = opt['h']
+    if h_cur.shape[0] != res_hf:
+        h_cur = jax.image.resize(h_cur, (res_hf, res_hf), 'linear')
+    opt.params['h'] = h_cur
+    iters = it_global
     dt = time.time() - t_start
     mrays = rays_per_iter * iters / dt / 1e6
     final_err = float(jnp.abs(opt['h'] - target).mean())
     out = {
         'res_hf': res_hf, 'n_views': n_views, 'res_img': res_img, 'spp': spp,
-        'iters': iters, 'seconds': round(dt, 1),
+        'iters': iters, 'lr': lr, 'seconds': round(dt, 1),
         'mrays_per_s': round(mrays, 2),
         'loss_first': history[0], 'loss_last': history[-1],
         'mean_abs_err_final': final_err,

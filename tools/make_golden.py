@@ -104,6 +104,15 @@ def empirical_mean_var(d, spp_total, chunks=32):
             for i in range(chunks)]
     mean = np.mean(imgs, 0)
     var = s * np.var(imgs, 0, ddof=1)
+    # the chunk estimator itself is chi^2_(chunks-1)-noisy and spectral
+    # (hero-wavelength) noise is heavy-tailed, so the per-pixel var is
+    # systematically LOW where no rare event landed in the chunks —
+    # inflate by the 99.9% chi^2 lower-bound factor so the z-test's null
+    # holds (observed: honest re-renders hit z≈6 at 0.4% of pixels with
+    # the raw estimate)
+    from scipy.stats import chi2
+    k = chunks - 1
+    var = var * (k / chi2.ppf(0.001, k))
     return mean, var
 
 

@@ -2,18 +2,21 @@
 (BASELINE.json metric). Runs on the default backend (real TPU under the
 driver). Prints ONE JSON line.
 
-Defensive structure: a tiny probe render first, then the measured config with
-SMALL per-dispatch programs (spp chunks) so no single XLA program runs long
-enough to trip device watchdogs; every stage is wrapped so a partial result
-still produces a valid JSON line.
+Un-killable structure (round-3 redesign): RESULT is updated IN PLACE after
+every stage AND every few measurement passes, so a watchdog fire at any
+point reports the best completed measurement instead of 0.0. The mid-scale
+config is measured FIRST (a number exists within ~2 min even on a cold
+cache); the full-scale BASELINE config then overwrites the headline value
+if it completes.
 
 Ray accounting: each path-tracer scan iteration traces one closest-hit ray
 and one shadow ray for every wavefront lane (SIMD work actually performed),
 so rays_fwd = W*H*spp * max_depth * 2. The timed region covers the forward
-render AND the backward pass w.r.t. the elevation grid (value_and_grad), i.e.
-the full inverse-rendering iteration.
+render AND the backward pass w.r.t. the elevation grid (value_and_grad),
+i.e. the full inverse-rendering iteration.
 """
 import json
+import os
 import sys
 import time
 
@@ -22,7 +25,9 @@ import jax
 import jax.numpy as jnp
 
 # persistent compile cache: the axon remote compile of the full megakernel
-# can take minutes; cache across processes so only the first run pays
+# can take minutes; cache across processes so only the first run pays.
+# The round's final act re-generates this cache by running bench.py from a
+# clean process and committing exactly the entries it produces.
 jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
@@ -44,10 +49,10 @@ def emit(**kw):
 
 def _watchdog(total_budget_s=480.0):
     """If the device wedges (a fault can hang block_until_ready forever),
-    emit whatever we have and hard-exit so the driver still records a JSON
-    line."""
+    emit the best-so-far RESULT and hard-exit so the driver still records a
+    valid JSON line. RESULT is kept current stage-by-stage below, so this
+    can no longer report 0.0 once the first measurement pass finished."""
     import threading
-    import os
 
     def fire():
         RESULT["detail"]["watchdog"] = "fired"
@@ -69,20 +74,12 @@ def main(deadline):
     backend = jax.default_backend()
     RESULT["detail"]["backend"] = backend
 
-    # ---- stage 0: tiny probe (catches device faults early & cheaply).
-    # The first compile on a cold axon tunnel has been observed to take
-    # minutes (remote compile service warmup), so keep the probe minimal.
-    t0 = time.time()
-    probe = mt.load_dict(mt.cornell_box(spp=1, res=16, max_depth=1))
-    img = mt.render(probe, spp=1)
-    np.asarray(img)
-    RESULT["detail"]["probe_s"] = round(time.time() - t0, 2)
-    RESULT["detail"]["stage"] = "probe_ok"
-
     max_depth = 4
     spp = 256
 
     def measure(res_hf, res_img, spp_pass, budget_s, tag):
+        """Compile + measure one config; updates RESULT live."""
+        RESULT["detail"]["stage"] = f"{tag}_build"
         scene = mt.load_dict(mt.heightfield_scene(
             res_hf=res_hf, res_img=res_img, spp=spp, max_depth=max_depth))
         params = mt.traverse(scene)
@@ -98,16 +95,21 @@ def main(deadline):
             return img.mean(), img
 
         grad_fn = jax.jit(jax.value_and_grad(pass_loss, has_aux=True))
+        RESULT["detail"]["stage"] = f"{tag}_compile"
         t0 = time.time()
         (l0, img0), g0 = grad_fn(h0, jnp.asarray(0, jnp.int32))
         jax.block_until_ready(g0)
-        RESULT["detail"][f"{tag}_compile_s"] = round(time.time() - t0, 2)
+        compile_s = time.time() - t0
+        RESULT["detail"][f"{tag}_compile_s"] = round(compile_s, 2)
+        # cache-hit self-check (VERDICT r2 item 1d): a warm persistent cache
+        # turns the minutes-long axon compile into seconds
+        RESULT["detail"][f"{tag}_cache_warm"] = bool(compile_s < 20.0)
         grad_ok = bool(np.isfinite(np.asarray(g0)).all()) and \
             float(jnp.abs(g0).max()) > 0
         RESULT["detail"]["grad_finite_nonzero"] = grad_ok
-        # measurement budget = whatever remains before the watchdog, minus
-        # a margin for the final emit (compile already happened above)
-        budget_s = min(budget_s, deadline - time.time() - 30.0)
+
+        rays_per_pass = res_img * res_img * spp_pass * max_depth * 2
+        budget_s = min(budget_s, deadline - time.time() - 20.0)
         n_passes = spp // spp_pass
         t0 = time.time()
         acc = jnp.zeros_like(h0)
@@ -116,39 +118,38 @@ def main(deadline):
             (_, _), g = grad_fn(h0, jnp.asarray(p * spp_pass, jnp.int32))
             acc = acc + g
             done += 1
-            if p % 4 == 3:
+            if p % 4 == 3 or p == n_passes - 1:
                 jax.block_until_ready(acc)
-                if time.time() - t0 > budget_s:
+                dt = time.time() - t0
+                # live best-so-far update: a watchdog fire mid-measure
+                # reports the throughput of the passes completed so far
+                RESULT["value"] = round(rays_per_pass * done / dt / 1e6, 2)
+                RESULT["detail"].update({
+                    "stage": f"{tag}_measuring", "scale": tag,
+                    "seconds": round(dt, 3), "spp_measured": spp_pass * done,
+                    "res_hf": res_hf, "res_img": res_img, "spp_config": spp,
+                    "max_depth": max_depth,
+                })
+                if dt > budget_s:
                     break
         jax.block_until_ready(acc)
         dt = time.time() - t0
-        rays = res_img * res_img * spp_pass * done * max_depth * 2
-        mrays = rays / dt / 1e6
-        RESULT["value"] = round(mrays, 2)
+        RESULT["value"] = round(rays_per_pass * done / dt / 1e6, 2)
         RESULT["detail"].update({
-            "stage": f"{tag}_done", "scale": tag, "seconds": round(dt, 3),
-            "spp_measured": spp_pass * done, "res_hf": res_hf,
-            "res_img": res_img, "spp_config": spp, "max_depth": max_depth,
+            "stage": f"{tag}_done", "seconds": round(dt, 3),
+            "spp_measured": spp_pass * done,
         })
 
-    # The axon tunnel warmup + first compile can eat minutes of the budget
-    # (observed 100-400s), so measure the BASELINE-scale config FIRST — it is
-    # the headline metric — and add the mid-scale point only if time remains.
-    measure(512, 256, 1, 120.0, "full")
-    if deadline - time.time() > 75.0:
-        full_value = RESULT["value"]
-        full_detail = dict(RESULT["detail"])
-        measure(128, 128, 2, 30.0, "mid")
-        RESULT["detail"]["mid_mrays"] = RESULT["value"]
-        # the headline stays the full-config number
-        RESULT["value"] = full_value
-        RESULT["detail"].update({k: full_detail[k] for k in
-                                 ("stage", "scale", "seconds", "spp_measured",
-                                  "res_hf", "res_img")})
+    # Mid-scale FIRST: guarantees a nonzero number early in the budget even
+    # if the full-scale compile is slow/cold. The full BASELINE config then
+    # overwrites the headline value if it completes (VERDICT r2 item 1b).
+    measure(128, 128, 1, 25.0, "mid")
+    RESULT["detail"]["mid_mrays"] = RESULT["value"]
+    if deadline - time.time() > 30.0:
+        measure(512, 256, 1, 90.0, "full")
 
 
 if __name__ == '__main__':
-    import os
     _BUDGET_S = float(os.environ.get('MT_BENCH_BUDGET_S', 480.0))
     _watchdog(_BUDGET_S)
     _deadline = time.time() + _BUDGET_S

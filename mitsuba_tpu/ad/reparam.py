@@ -122,7 +122,12 @@ def _sample_warp_field(scene, u, o_det, frame, kappa, exponent):
     Returns (w, d_w_omega, w·V_direct, dot(d_w_omega, V_direct)):
     w/Z detached, the last two attached through scene parameters only.
     """
-    d_local = warp_mod.square_to_von_mises_fisher(u, kappa)
+    # direction + EXACT inverse vMF density from the variate itself: D and
+    # D-1 recomputed from the f32 cosine lose the sub-eps bits of (1-cos)
+    # for near-center samples — exactly the samples with the largest
+    # harmonic weights (reference reparam.py:108-113 'better version')
+    d_local, inv_vmf_density, inv_vmf_m1 = \
+        warp_mod.square_to_von_mises_fisher_with_density(u, kappa)
     d_aux = frame.to_world(d_local)
     si = sc.ray_intersect(scene, Ray.make(o_det, d_aux))
     hit = si.is_valid
@@ -138,11 +143,8 @@ def _sample_warp_field(scene, u, o_det, frame, kappa, exponent):
     # --- detached harmonic weight + its analytic tangential gradient ----
     B = jax.lax.stop_gradient(
         jnp.where(hit, boundary_test(scene, si, d_aux), 1.0))
-    # inverse vMF density without the normalization constant (1 at the lobe
-    # center): exp(kappa * (1 - cos))
-    inv_vmf_density = jnp.exp(jnp.minimum(
-        kappa * (1.0 - jax.lax.stop_gradient(d_local[..., 2])), 60.0))
-    w_denom = inv_vmf_density - 1.0 + B
+    # harmonic weight denominator D - 1 + B with D - 1 cancellation-free
+    w_denom = inv_vmf_m1 + B
     w_denom_rcp = jnp.where(w_denom > 1e-4, 1.0 / jnp.maximum(w_denom, 1e-4),
                             0.0)
     w = jnp.power(w_denom_rcp, exponent) * inv_vmf_density

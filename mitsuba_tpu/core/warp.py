@@ -178,15 +178,36 @@ def square_to_beckmann_pdf(v, alpha):
     return jnp.where(ct >= 1e-9, pdf, 0.0)
 
 
+def square_to_von_mises_fisher_with_density(s, kappa):
+    """vMF sample + EXACT unnormalized inverse density, all derived from the
+    uniform variate itself (the reference's 'better version',
+    reparam.py:108-113: recomputing exp(kappa(1-cos)) from the f32 cosine
+    loses the low bits of (1-cos) below float32 resolution at 1.0 — a 10x
+    error in D-1 for the near-center samples that carry the LARGEST harmonic
+    weights, which systematically corrupts the warp-field divergence).
+
+    Returns (v, D, Dm1): direction, D = exp(kappa(1-cos)) (inverse of the
+    unnormalized vMF density, 1 at the lobe center), and Dm1 = D - 1
+    computed without cancellation.
+    """
+    sy = jnp.maximum(s[..., 1], 1e-7)
+    e2k = jnp.exp(-2.0 * kappa)
+    denom = sy + (1.0 - sy) * e2k
+    omc = -jnp.log(denom) / kappa            # 1 - cos_theta, exact for small
+    cos_theta = 1.0 - omc
+    sin_theta = m.safe_sqrt(omc * (2.0 - omc))
+    phi = m.TwoPi * s[..., 0]
+    v = jnp.stack([jnp.cos(phi) * sin_theta, jnp.sin(phi) * sin_theta,
+                   cos_theta], -1)
+    D = 1.0 / denom
+    Dm1 = (1.0 - sy) * (1.0 - e2k) / denom
+    return v, D, Dm1
+
+
 def square_to_von_mises_fisher(s, kappa):
     """vMF distribution around +Z (warp.h:square_to_von_mises_fisher); used by
     the reparameterization's auxiliary rays (ad/reparam.py)."""
-    sy = jnp.maximum(s[..., 1], 1e-7)
-    # numerically stable: cos_theta = 1 + log(sy + (1-sy) e^{-2k})/k
-    cos_theta = 1.0 + jnp.log(sy + (1.0 - sy) * jnp.exp(-2.0 * kappa)) / kappa
-    sin_theta = m.safe_sqrt(1.0 - cos_theta * cos_theta)
-    phi = m.TwoPi * s[..., 0]
-    v = jnp.stack([jnp.cos(phi) * sin_theta, jnp.sin(phi) * sin_theta, cos_theta], -1)
+    v, _, _ = square_to_von_mises_fisher_with_density(s, kappa)
     isotropic = kappa == 0.0
     return jnp.where(jnp.broadcast_to(jnp.asarray(isotropic)[..., None], v.shape),
                      square_to_uniform_sphere(s), v)

@@ -32,7 +32,11 @@ def _sample_emitter_ray(scene, smpl, n):
     s_pos, smpl = sa.next_2d(smpl)
     s_dir, smpl = sa.next_2d(smpl)
     E = max(es.n, 1)
-    idx = jnp.clip((u_pick * E).astype(jnp.int32), 0, E - 1)
+    # pick via the sampling-weight distribution (scene.cpp:93-116); E is
+    # replaced by the per-lane 1/pmf weight below
+    idx = jnp.clip(jnp.searchsorted(es.pick_cdf, u_pick,
+                                    side='right').astype(jnp.int32), 0, E - 1)
+    inv_pmf = 1.0 / jnp.maximum(es.pick_pmf[idx], 1e-12)
     etype = es.emitter_type[idx]
     eslot = es.emitter_slot[idx]
     o = jnp.zeros((n, 3))
@@ -53,7 +57,7 @@ def _sample_emitter_ray(scene, smpl, n):
             from ...render.texture import eval_texture
             rad = eval_texture(scene.textures, tbl.radiance[eslot], uv)
             # beta = Le * cos / (pdf_pos * pdf_dir * pick_pmf); cos/pdf_dir = pi
-            b = rad * (m.Pi / jnp.maximum(pdf_area, 1e-12))[..., None] * E
+            b = rad * (m.Pi / jnp.maximum(pdf_area, 1e-12) * inv_pmf)[..., None]
             o = jnp.where(selm[..., None], p + nn * 1e-4, o)
             d = jnp.where(selm[..., None], dd, d)
             beta = jnp.where(selm[..., None], b, beta)
@@ -61,7 +65,7 @@ def _sample_emitter_ray(scene, smpl, n):
         elif name == 'point':
             p = tbl.position[eslot]
             dd = warp.square_to_uniform_sphere(s_dir)
-            b = tbl.intensity[eslot] * (4.0 * m.Pi) * E
+            b = tbl.intensity[eslot] * (4.0 * m.Pi) * inv_pmf[..., None]
             o = jnp.where(selm[..., None], p, o)
             d = jnp.where(selm[..., None], dd, d)
             beta = jnp.where(selm[..., None], b, beta)
@@ -73,7 +77,7 @@ def _sample_emitter_ray(scene, smpl, n):
             p, nn, uv, pdf_area = shape_sample_position(scene, sg, s_pos)
             from ...render.texture import eval_texture
             rad = eval_texture(scene.textures, tbl.radiance[eslot], uv)
-            b = rad / jnp.maximum(pdf_area, 1e-12)[..., None] * E
+            b = rad * (inv_pmf / jnp.maximum(pdf_area, 1e-12))[..., None]
             o = jnp.where(selm[..., None], p + nn * 1e-4, o)
             d = jnp.where(selm[..., None], nn, d)
             beta = jnp.where(selm[..., None], b, beta)

@@ -129,6 +129,14 @@ class EmitterSet:
     tables: dict = None                # name -> table
     n: int = struct.field(pytree_node=False, default=0)
     env_index: int = struct.field(pytree_node=False, default=-1)  # global id of env emitter (-1 none)
+    # non-uniform emitter sampling distribution
+    # (scene.cpp:93-116 update_emitter_sampling_distribution): per-emitter
+    # pick pmf from the `sampling_weight` property (default 1 -> uniform)
+    pick_pmf: jnp.ndarray = None       # (E,) f32, sums to 1
+    pick_cdf: jnp.ndarray = None       # (E,) f32 inclusive cdf
+    # per-type global emitter ids (slot -> global index), for pmf lookups of
+    # infinite emitters in pdf_env_direction
+    global_ids: dict = None            # name -> (S,) int32
 
 
 TYPE_FLAGS = {
@@ -495,11 +503,27 @@ class EmitterBuilder:
                 tables[tn] = build_envmap(plist[0][0], spectral=spectral)
             else:
                 raise ValueError(f'unknown emitter type {tn}')
+        # emitter sampling distribution (scene.cpp:93-116): weights from the
+        # `sampling_weight` property, default 1.0 (uniform pick)
+        wts = np.asarray([float(p.get('sampling_weight', 1.0))
+                          for _, p, _ in self.entries], np.float32)
+        if wts.size and wts.sum() > 0:
+            pmf = wts / wts.sum()
+        else:
+            pmf = np.ones_like(wts) / max(wts.size, 1)
+        global_ids = {}
+        for gi, (tn, _, _) in enumerate(self.entries):
+            global_ids.setdefault(tn, []).append(gi)
+        global_ids = {k: jnp.asarray(v, jnp.int32)
+                      for k, v in global_ids.items()}
         return EmitterSet(types=tuple(order),
                           emitter_type=jnp.asarray(etype, jnp.int32),
                           emitter_slot=jnp.asarray(eslot, jnp.int32),
                           tables=tables, n=len(self.entries),
-                          env_index=env_index)
+                          env_index=env_index,
+                          pick_pmf=jnp.asarray(pmf, jnp.float32),
+                          pick_cdf=jnp.asarray(np.cumsum(pmf), jnp.float32),
+                          global_ids=global_ids)
 
 
 def _rgbval(v):

@@ -380,13 +380,18 @@ def sample_emitter_direction(scene: Scene, si: SurfaceInteraction, sample2,
         return ds, value
     if active is None:
         active = jnp.ones((n,), bool)
-    # uniform emitter pick with sample reuse (scene.cpp:447-458)
+    # emitter pick with sample reuse (scene.cpp:447-458); the pick pmf is the
+    # sampling-weight distribution (scene.cpp:93-116), uniform by default
     E = es.n
     u = sample2[..., 0]
-    idx = jnp.clip((u * E).astype(jnp.int32), 0, E - 1)
-    u_re = jnp.clip(u * E - idx, 0.0, 1.0 - 1e-7)
+    cdf = es.pick_cdf
+    idx = jnp.clip(jnp.searchsorted(cdf, u, side='right').astype(jnp.int32),
+                   0, E - 1)
+    pick_pmf = es.pick_pmf[idx]
+    cdf_lo = jnp.where(idx > 0, cdf[jnp.maximum(idx - 1, 0)], 0.0)
+    u_re = jnp.clip((u - cdf_lo) / jnp.maximum(pick_pmf, 1e-12),
+                    0.0, 1.0 - 1e-7)
     s2 = jnp.stack([u_re, sample2[..., 1]], -1)
-    pick_pmf = 1.0 / E
     etype = es.emitter_type[idx]
     eslot = es.emitter_slot[idx]
 
@@ -530,7 +535,8 @@ def sample_emitter_direction(scene: Scene, si: SurfaceInteraction, sample2,
             val_out = jnp.where((sel & ok)[..., None], v, val_out)
 
     pdf_out = pdf_out * pick_pmf
-    val_out = val_out / pick_pmf
+    val_out = jnp.where((pick_pmf > 0)[..., None],
+                        val_out / jnp.maximum(pick_pmf, 1e-12)[..., None], 0.0)
     ds = DirectionSample(p=p_out, n=n_out, uv=uv_out, d=d_out, dist=dist_out,
                          pdf=pdf_out, delta=delta_out, emitter_index=idx)
     active_s = active & (pdf_out > 0)
@@ -554,8 +560,8 @@ def pdf_emitter_direction(scene: Scene, prev_p, si: SurfaceInteraction, active):
     pdf = jnp.zeros((n,), si.p.dtype)
     if es.n == 0:
         return pdf
-    pick_pmf = 1.0 / es.n
     eid = jnp.maximum(si.emitter_index, 0)
+    pick_pmf = es.pick_pmf[eid]
     etype = es.emitter_type[eid]
     has_em = active & (si.emitter_index >= 0)
     for ti, name in enumerate(es.types):
@@ -579,12 +585,15 @@ def pdf_env_direction(scene: Scene, ray_d, active):
     pdf = jnp.zeros((n,), ray_d.dtype)
     if es.n == 0:
         return pdf
-    pick_pmf = 1.0 / es.n
     for name in es.types:
+        # pick pmf of THIS infinite emitter instance (uniform by default;
+        # scene.cpp:93-116 sampling-weight distribution otherwise)
         if name == 'constant':
-            pdf = pdf + m.InvFourPi * pick_pmf
+            pmf_i = es.pick_pmf[es.global_ids[name]]          # (S,)
+            pdf = pdf + m.InvFourPi * jnp.sum(pmf_i)
         elif name == 'envmap':
-            pdf = pdf + em.envmap_pdf_direction(es.tables[name], ray_d) * pick_pmf
+            pmf_i = es.pick_pmf[es.global_ids[name]][0]
+            pdf = pdf + em.envmap_pdf_direction(es.tables[name], ray_d) * pmf_i
     return jnp.where(active, pdf, 0.0)
 
 

@@ -60,3 +60,54 @@ def test_directionalarea_ptracer():
     d['integrator'] = {'type': 'path', 'max_depth': 3}
     img2 = np.asarray(mt.render(mt.load_dict(d), spp=8, seed=0))
     assert img2.max() == 0.0
+
+
+def test_emitter_sampling_weight_distribution():
+    """Non-uniform emitter pick (reference scene.cpp:93-116
+    update_emitter_sampling_distribution): `sampling_weight` biases the NEE
+    pick pmf without changing the rendered image in expectation, and
+    weighting toward the bright emitter reduces NEE variance."""
+    def scene_dict(w_bright, w_dim):
+        return {
+            'type': 'scene',
+            'integrator': {'type': 'direct'},
+            'sensor': {'type': 'perspective', 'fov': 60.0,
+                       'to_world': mt.ScalarTransform4f.look_at(
+                           origin=[0, 1.2, 3.2], target=[0, 0, 0],
+                           up=[0, 1, 0]),
+                       'film': {'type': 'hdrfilm', 'width': 24, 'height': 24,
+                                'rfilter': {'type': 'box'}}},
+            'floor': {'type': 'rectangle',
+                      'to_world': np.array([[2, 0, 0, 0], [0, 0, 2, 0],
+                                            [0, -2, 0, 0], [0, 0, 0, 1]],
+                                           np.float32),
+                      'bsdf': {'type': 'twosided',
+                               'a': {'type': 'diffuse', 'reflectance': 0.7}}},
+            'bright': {'type': 'sphere', 'radius': 0.25,
+                       'center': [-0.9, 1.2, 0],
+                       'emitter': {'type': 'area', 'radiance': 60.0,
+                                   'sampling_weight': w_bright}},
+            'dim': {'type': 'sphere', 'radius': 0.25, 'center': [0.9, 1.2, 0],
+                    'emitter': {'type': 'area', 'radiance': 0.5,
+                                'sampling_weight': w_dim}},
+        }
+
+    ref = np.asarray(mt.render(mt.load_dict(scene_dict(1.0, 1.0)),
+                               spp=256, seed=7))
+    img_w = np.asarray(mt.render(mt.load_dict(scene_dict(8.0, 1.0)),
+                                 spp=256, seed=13))
+    assert np.isfinite(img_w).all()
+    # unbiasedness: the weighted pick renders the same image
+    lit = ref.mean(-1) > ref.mean() * 0.3
+    rel = abs(img_w.mean() - ref.mean()) / ref.mean()
+    assert rel < 0.08, rel
+    # variance: per-seed scatter of the mean must shrink with the pick
+    # biased toward the 120x brighter emitter
+    def spread(w_bright, seeds):
+        ms = [float(np.asarray(mt.render(mt.load_dict(
+            scene_dict(w_bright, 1.0)), spp=16, seed=s))[lit].mean())
+            for s in seeds]
+        return np.std(ms), np.mean(ms)
+    s_u, m_u = spread(1.0, (3, 5, 7, 11, 13, 17))
+    s_w, m_w = spread(8.0, (3, 5, 7, 11, 13, 17))
+    assert s_w < s_u, (s_w, s_u)

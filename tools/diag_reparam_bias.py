@@ -1,0 +1,54 @@
+"""Diagnose the NEE shadow-ray reparam gradient bias (VERDICT r2 item 2).
+
+Sweeps (num_aux, kappa, exponent, antithetic) of the direct_reparam shadow
+warp on the occluder scene and compares each setting to a high-spp finite
+difference. If g -> fd as num_aux grows, the bias is finite-sample estimator
+bias (fix = defaults/antithetic); if it plateaus, structural.
+"""
+import os
+os.environ.pop('PALLAS_AXON_POOL_IPS', None)
+os.environ['JAX_PLATFORMS'] = 'cpu'
+import sys
+sys.path.insert(0, '/root/repo')
+sys.path.insert(0, '/root/repo/tests')
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import mitsuba_tpu as mt
+from mitsuba_tpu.ad.integrators.reparam_integrators import render_direct_reparam
+from test_prb_reparam import _occluder_scene
+
+scene = mt.load_dict(_occluder_scene(max_depth=2))
+params = mt.traverse(scene)
+key = [k for k in params.keys() if 'rectangle.to_world' in k][0]
+x0 = params[key]
+comp = (1, 0, 3)
+
+def primal_loss(x, seed, spp):
+    return mt.render_wavefront(params.scene_with({key: x}), spp=spp,
+                               seed=seed).mean()
+
+# high-quality FD target
+eps = 0.02
+fd_seeds = (3, 5, 7, 11, 101, 103)
+fds = [float((primal_loss(x0.at[comp].add(eps), s, 256)
+              - primal_loss(x0.at[comp].add(-eps), s, 256)) / (2 * eps))
+       for s in fd_seeds]
+fd = float(np.mean(fds))
+print(f'FD target: {fd:.6f}  (per-seed {["%.4f" % v for v in fds]})', flush=True)
+
+def reparam_grad(num_aux, kappa, spp=128, seeds=(3, 5, 7, 11)):
+    def loss(x, seed):
+        img = render_direct_reparam(params.scene_with({key: x}), spp, seed,
+                                    num_aux=num_aux, kappa=kappa)
+        return img.mean()
+    g = jax.jit(jax.grad(loss))
+    return float(np.mean([float(g(x0, s)[comp]) for s in seeds]))
+
+for kappa in (1e4, 1e5, 1e6):
+    for num_aux in (4, 8, 16, 32, 64):
+        g = reparam_grad(num_aux, kappa)
+        print(f'kappa={kappa:.0e} num_aux={num_aux:3d}: g={g:+.6f}  '
+              f'ratio={g / fd:+.3f}', flush=True)

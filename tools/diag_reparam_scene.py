@@ -1,0 +1,56 @@
+"""Decompose the direct_reparam gradient gap on the occluder test scene.
+
+Compares, at matched seeds:
+  fd_full : FD of the full MIS path tracer (the test's reference)
+  fd_own  : FD of render_direct_reparam's own primal
+  g[aux]  : reparam gradient at aux = 8 / 32
+If g ~= fd_own < fd_full, the gap is a missing strategy (BSDF-sampling
+half); if fd_own ~= fd_full but g is low, the warp estimator loses it.
+"""
+import os
+os.environ.pop('PALLAS_AXON_POOL_IPS', None)
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import jax.numpy as jnp
+import numpy as np
+import sys
+sys.path.insert(0, '/root/repo')
+sys.path.insert(0, '/root/repo/tests')
+
+import mitsuba_tpu as mt
+from mitsuba_tpu.ad.integrators.reparam_integrators import render_direct_reparam
+from test_prb_reparam import _occluder_scene
+
+scene = mt.load_dict(_occluder_scene(max_depth=2))
+params = mt.traverse(scene)
+key = [k for k in params.keys() if 'rectangle.to_world' in k][0]
+x0 = params[key]
+comp = (1, 0, 3)
+eps = 0.02
+seeds = (3, 5, 7, 11, 13, 17, 19, 23)
+
+def loss_pt(x, seed):
+    return mt.render_wavefront(params.scene_with({key: x}), spp=128,
+                               seed=seed).mean()
+
+def loss_dr(x, seed, num_aux):
+    return render_direct_reparam(params.scene_with({key: x}), 128, seed,
+                                 num_aux=num_aux).mean()
+
+fd_full = np.mean([float((loss_pt(x0.at[comp].add(eps), s)
+                          - loss_pt(x0.at[comp].add(-eps), s)) / (2 * eps))
+                   for s in seeds])
+print(f'fd_full (path tracer)   = {fd_full:+.6f}', flush=True)
+
+fd_own = np.mean([float((loss_dr(x0.at[comp].add(eps), s, 8)
+                         - loss_dr(x0.at[comp].add(-eps), s, 8)) / (2 * eps))
+                  for s in seeds])
+print(f'fd_own (direct_reparam) = {fd_own:+.6f}  ratio={fd_own/fd_full:+.3f}',
+      flush=True)
+
+for aux in (8, 32):
+    g = jax.jit(jax.grad(lambda x, s: loss_dr(x, s, aux)))
+    gs = [float(g(x0, s)[comp]) for s in seeds]
+    gm = np.mean(gs)
+    print(f'g aux={aux:2d}: {gm:+.6f} ratio_full={gm/fd_full:+.3f} '
+          f'ratio_own={gm/fd_own:+.3f} std={np.std(gs):.4f}', flush=True)

@@ -1,0 +1,103 @@
+"""Isolate the warped-area divergence estimator from the integrator.
+
+I(theta) = integral of V(omega, theta) over a NARROW direction strip
+straddling one straight silhouette edge of a translating occluder rectangle.
+dI/dtheta has ONLY a boundary term (V binary). Estimator under test:
+dI_est = sum_quad w * V_detached * d(det)/dtheta with det from the repo's
+reparameterize_ray. The strip quadrature is fine enough to resolve the
+divergence band (width ~1/sqrt(kappa) rad), so any gap to FD is true
+estimator bias, not quadrature noise.
+"""
+import os
+os.environ.pop('PALLAS_AXON_POOL_IPS', None)
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import jax.numpy as jnp
+import numpy as np
+import sys
+sys.path.insert(0, '/root/repo')
+
+import mitsuba_tpu as mt
+from mitsuba_tpu.core.transform import ScalarTransform4f as T
+from mitsuba_tpu.render import scene as sc
+from mitsuba_tpu.render import sampler as sa
+from mitsuba_tpu.render.records import Ray
+from mitsuba_tpu.ad.reparam import reparameterize_ray
+
+OCC = {'type': 'scene',
+       'integrator': {'type': 'path', 'max_depth': 2},
+       'sensor': {'type': 'perspective', 'fov': 45.0,
+                  'sampler': {'type': 'independent', 'sample_count': 4},
+                  'film': {'type': 'hdrfilm', 'width': 4, 'height': 4}},
+       'occluder': {'type': 'rectangle',
+                    'to_world': T.translate([0.15, 0.6, 0]) @
+                                T.rotate([1, 0, 0], -90.0) @ T.scale(0.3),
+                    'bsdf': {'type': 'diffuse',
+                             'reflectance': {'type': 'rgb', 'value': [0.0] * 3}}}}
+
+scene = mt.load_dict(OCC)
+params = mt.traverse(scene)
+key = [k for k in params.keys() if 'rectangle.to_world' in k][0]
+x0 = params[key]
+
+o_pt = jnp.asarray([0.05, 0.0, 0.05])
+
+# strip on the plane y=1.6 straddling the image of the occluder's x=-0.15
+# edge (z in [-0.3, 0.3], y=0.6 -> plane center (-0.483, -0.083))
+CX, CZ = -0.483, -0.083
+SX, SZ = 0.10, 0.30     # strip extents: across edge x 0.10, along edge z 0.30
+
+def dir_grid(KX, KZ):
+    xs = CX + ((jnp.arange(KX) + 0.5) / KX - 0.5) * SX
+    zs = CZ + ((jnp.arange(KZ) + 0.5) / KZ - 0.5) * SZ
+    X, Z = jnp.meshgrid(xs, zs, indexing='ij')
+    P = jnp.stack([X, jnp.full_like(X, 1.6), Z], -1).reshape(-1, 3)
+    D = P - o_pt
+    Dn = D / jnp.linalg.norm(D, axis=-1, keepdims=True)
+    dA = (SX / KX) * (SZ / KZ)
+    r2 = jnp.sum(D * D, -1)
+    cos = D[..., 1] / jnp.sqrt(r2)
+    w = cos / r2 * dA
+    return Dn, w
+
+def vis(x, D):
+    s2 = sc.prepare(params.scene_with({key: x}))
+    n = D.shape[0]
+    o = jnp.broadcast_to(o_pt, (n, 3))
+    si = sc.ray_intersect(s2, Ray.make(o, D))
+    return ~si.is_valid
+
+# FD reference
+D_fd, w_fd = dir_grid(2048, 64)
+eps = 0.01
+I_p = float(jnp.sum(w_fd * vis(x0.at[0, 0, 3].add(eps), D_fd)))
+I_m = float(jnp.sum(w_fd * vis(x0.at[0, 0, 3].add(-eps), D_fd)))
+fd = (I_p - I_m) / (2 * eps)
+print(f'FD dI/dtheta = {fd:+.6f}  (I={I_p:.6f})', flush=True)
+
+# estimator quadrature: fine across the edge
+KX, KZ = 512, 24
+D_q, w_q = dir_grid(KX, KZ)
+nq = D_q.shape[0]
+V0 = vis(x0, D_q)
+print(f'strip: {nq} lanes, across-spacing {SX/KX/2.667:.2e} rad', flush=True)
+
+def est(x, num_aux, kappa, seed=0, exponent=3.0, antithetic=False):
+    s2 = sc.prepare(params.scene_with({key: x}))
+    smpl = sa.seed(jnp.asarray(seed, jnp.uint32), nq)
+    o = jnp.broadcast_to(o_pt, (nq, 3))
+    _, det, _ = reparameterize_ray(s2, smpl, Ray.make(o, D_q),
+                                   jnp.ones((nq,), bool), num_aux=num_aux,
+                                   kappa=kappa, exponent=exponent,
+                                   antithetic=antithetic)
+    return jnp.sum(w_q * V0 * det)
+
+for kappa, auxs in ((1e5, (4, 8, 16, 32, 64, 128)),
+                    (1e4, (8, 32, 128))):
+    for num_aux in auxs:
+        gs = [float(jax.grad(lambda x: est(x, num_aux, kappa, seed=s))(x0)[0, 0, 3])
+              for s in (0, 1, 2)]
+        g = np.mean(gs)
+        print(f'kappa={kappa:.0e} aux={num_aux:4d}: est={g:+.6f} '
+              f'ratio={g / fd:+.3f} (seeds {gs[0]:+.4f} {gs[1]:+.4f} {gs[2]:+.4f})',
+              flush=True)

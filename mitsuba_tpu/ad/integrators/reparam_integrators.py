@@ -69,12 +69,17 @@ def render_emission_reparam(scene, spp: int, seed: int = 0, num_aux: int = 4,
 
 
 def render_direct_reparam(scene, spp: int, seed: int = 0, num_aux: int = 4,
-                          kappa: float = 1e5, use_det: bool = False):
-    """direct_reparam.py: emission + one reparameterized NEE bounce."""
+                          kappa: float = 1e5, use_det: bool = False,
+                          warp_primary: bool = True,
+                          warp_shadow: bool = True):
+    """direct_reparam.py: emission + one reparameterized NEE bounce.
+    warp_primary/warp_shadow isolate the two boundary-gradient channels
+    (diagnostics + tests)."""
     ray, smpl, pos_f = _gen_rays(scene, spp, spp, seed)
     n = ray.o.shape[0]
     active = jnp.ones((n,), bool)
-    d_w, det, smpl = reparameterize_ray(scene, smpl, ray, active,
+    d_w, det, smpl = reparameterize_ray(scene, smpl, ray,
+                                        active & warp_primary,
                                         num_aux=num_aux, kappa=kappa)
     ray_w = Ray.make(ray.o, d_w)
     si = sc.ray_intersect(scene, ray_w)
@@ -90,7 +95,8 @@ def render_direct_reparam(scene, spp: int, seed: int = 0, num_aux: int = 4,
                                            test_visibility=True,
                                            active=active_em)
     sh_ray = Ray.make(si.p, ds.d)
-    d_sh, det_sh, smpl = reparameterize_ray(scene, smpl, sh_ray, active_em,
+    d_sh, det_sh, smpl = reparameterize_ray(scene, smpl, sh_ray,
+                                            active_em & warp_shadow,
                                             num_aux=num_aux, kappa=kappa)
     wo_local = si.to_local(d_sh)
     b_val, b_pdf = bsdf_mod.eval_pdf(scene, si, wo_local, active_em)

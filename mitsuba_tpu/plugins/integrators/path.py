@@ -47,7 +47,7 @@ class PathState:
 
 def sample(scene: sc.Scene, sampler: sa.SamplerState, ray: Ray,
            max_depth: int, rr_depth: int = 5, hide_emitters: bool = False,
-           wl=None, ray_diff=None):
+           wl=None, ray_diff=None, nee_visibility: bool = True):
     """Returns (L (N,C), valid (N,), sampler). C=3 rgb; C=NW when `wl`
     carries per-lane hero wavelengths (spectral variant).
 
@@ -70,9 +70,9 @@ def sample(scene: sc.Scene, sampler: sa.SamplerState, ray: Ray,
         sampler=sampler,
         valid=jnp.zeros((n,), bool))
 
-    def body(state: PathState, depth):
+    def body(state: PathState, depth, occ_closest=1, occ_shadow=1):
         cur_ray = Ray.make(state.o, state.d)
-        si = sc.ray_intersect(scene, cur_ray)
+        si = sc.ray_intersect(scene, cur_ray, occ_frac=occ_closest)
         first = depth == 0
         active = state.active
         if ray_diff is not None:
@@ -108,8 +108,9 @@ def sample(scene: sc.Scene, sampler: sa.SamplerState, ray: Ray,
         s_em, smpl = sa.next_2d(smpl)
         active_em = active & bsdf_mod.has_smooth(scene_b, si)
         ds, em_weight = sc.sample_emitter_direction(
-            scene_b, si, jax.lax.stop_gradient(s_em), test_visibility=True,
-            active=active_em, wl=wl)
+            scene_b, si, jax.lax.stop_gradient(s_em),
+            test_visibility=nee_visibility,
+            active=active_em, wl=wl, occ_frac=occ_shadow)
         wo_local = si.to_local(ds.d)
         bsdf_val, bsdf_pdf = bsdf_mod.eval_pdf(scene_b, si, wo_local, active_em,
                                                wl=wl)
@@ -160,14 +161,18 @@ def sample(scene: sc.Scene, sampler: sa.SamplerState, ray: Ray,
         # compaction width matches the expected wavefront occupancy — in the
         # scan formulation every bounce pays the full-width gather cost even
         # when most lanes are dead (PERF.md round-2 march economy)
-        from ..shapes.heightfield import heightfield as _hf
-        b0 = _hf.BOUNCE
+        # per-bounce occupancy hints passed EXPLICITLY (no mutable plugin
+        # global — ADVICE r2): width divisors from the measured bench
+        # occupancy profile (heightfield.CLOSEST_OCC/SHADOW_OCC docstring)
         try:
-            for depth in range(max_depth):
-                _hf.BOUNCE = depth
-                state, _ = body(state, jnp.asarray(depth))
-        finally:
-            _hf.BOUNCE = b0
+            from ..shapes.heightfield import heightfield as _hf
+            c_occ, s_occ = _hf.CLOSEST_OCC, _hf.SHADOW_OCC
+        except ImportError:
+            c_occ = s_occ = (1,)
+        for depth in range(max_depth):
+            state, _ = body(state, jnp.asarray(depth),
+                            occ_closest=c_occ[min(depth, len(c_occ) - 1)],
+                            occ_shadow=s_occ[min(depth, len(s_occ) - 1)])
     else:
         state, _ = jax.lax.scan(body, state, jnp.arange(max_depth))
     return state.L, state.valid, state.sampler

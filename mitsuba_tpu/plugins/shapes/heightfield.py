@@ -163,16 +163,41 @@ class heightfield:
     # p90, ONE quarter-width catcher takes the whole tail — every extra
     # stage costs a partition+merge even when idle, and the old 5-stage
     # ladder spent more there than in marching
-    CASCADE = ((8, 1), (10 ** 9, 4))
+    # round-3 retune on an IDLE chip with within-jit timing
+    # (tools/tpu_cascade_sweep3.py): the old sweeps were contaminated by
+    # ~0.7 ms/call dispatch overhead and a contended host. True costs: row
+    # gather ~0.2 ms/65k-lane, per-iteration vector math ~0.8 ms full-width;
+    # shadow worst lanes run ~140 DDA iterations (not 39), so the tail
+    # stage must be NARROW (1/16-1/64) but with enough slots for the
+    # survivor population — overflow falls into the full-width backstop
+    # (measured 4x whole-march regression). Camera 15.5->14.4 ms,
+    # shadow 48.5->29.8 ms per 65k-lane march.
+    CASCADE = ((12, 1), (10 ** 9, 32))
     # shadow rays either occlude within a few cells (min-mip early-out) or
-    # escape; same demand profile as bounce rays
-    SHADOW_CASCADE = ((8, 1), (10 ** 9, 4))
-    # trace-time bounce index, set by unrolled integrators: later bounces
-    # have mostly-dead wavefronts, so their stage-1 march runs pre-compacted
-    # at 1/BOUNCE_FRAC[bounce] width (the while gates on the worst ACTIVE
-    # lane, but every resident lane pays the full-width gather)
-    BOUNCE = 0
-    BOUNCE_FRAC = (1, 4, 8, 8)
+    # escape quickly; the few survivors are long grazing walks
+    SHADOW_CASCADE = ((12, 1), (40, 16), (10 ** 9, 64))
+    # after the unrolled probe ladder classified the easy lanes, only the
+    # ambiguous (grazing) tail marches — one narrow compacted stage (the
+    # full-width exactness backstop still runs after it)
+    AMBIG_CASCADE = ((10 ** 9, 8),)
+    # probe ladder on/off (A/B lever for the anyhit path): measured 57%
+    # ambiguity on the bench ray mix (surface-origin rays overlap their
+    # neighbor blocks almost immediately), so the ladder LOSES vs the
+    # retuned cascade — kept for shapes/mixes where it may win; off by
+    # default (tools/tpu_pass_breakdown.py round-3 notes)
+    PROBE = False
+    DEBUG_PROBE = False
+    _probe_stats = None
+    # per-bounce wavefront-occupancy hints (width DIVISORS) consumed by the
+    # unrolled path integrator and passed EXPLICITLY through
+    # scene.ray_intersect/ray_test -> intersect(occ_frac=...) -> _march
+    # (replaces the round-2 mutable BOUNCE class global — ADVICE r2).
+    # Measured on the bench scene (256^2 hf, 64^2 img, CPU eager): closest
+    # actives per depth = (1.0, 0.46, 0.021, 0.002); shadow occupancy at
+    # depth d = hit fraction at d. Divisors keep >=2x slot margin; the
+    # in-cascade insurance stage bounds the cost when a scene exceeds them.
+    CLOSEST_OCC = (1, 2, 16, 64)
+    SHADOW_OCC = (2, 16, 64, 64)
 
     @staticmethod
     def build(props_list):
@@ -196,7 +221,7 @@ class heightfield:
     # ------------------------------------------------------------------
     @staticmethod
     def _march(h, mips, o, d, R, C, compact=True, anyhit=False, maxt=None,
-               min_mips=None, stats=False):
+               min_mips=None, stats=False, probe_first=False, occ_frac=1):
         """Object-space maximum-mipmap DDA. o,d: (N,3) DETACHED.
         Returns (t_hit (N,), cell_ix, cell_iz).
 
@@ -528,6 +553,181 @@ class heightfield:
         state = (t_enter, lvl0, cx0, cz0, jnp.full((n,), jnp.inf), valid,
                  above0, jnp.asarray(0, jnp.int32))
 
+        # --- unrolled occlusion probe ladder (anyhit fast path): a FIXED
+        # sequence of n_levels gathers replaces the worst-lane-gated while
+        # stages for the vast majority of shadow rays. Probe 0 tests the
+        # origin block's BK^2 patches exactly (one fat-row gather); probe
+        # l>=1 tests the level-l parent's FAN x FAN children in-register,
+        # ascending one level per probe until the parent covers the whole
+        # grid. Verdicts are conservative:
+        #   clear    — every crossed child kept the segment strictly above
+        #              its max, all the way to t_far
+        #   occluded — provably above earlier on the path, then one child's
+        #              segment entirely below that child's min (the
+        #              continuous bilinear surface was crossed)
+        #   else     — ambiguous; the compacted exact march resolves it.
+        # Lanes beyond the probe's compaction width fall through to the
+        # exact march, so width hints cannot lose correctness.
+        probe_done = None
+        if anyhit and probe_first and n >= 256:
+            kp = max(128, n // occ_frac)
+            selp = m.partition_actives(valid, kp)
+            oS = o[selp]
+            dS = d[selp]
+            inv_dS = inv_d[selp]
+            t_farS = t_far[selp]
+            validS = valid[selp]
+            insideS = inside[selp]
+            t = t_enter[selp]
+            was_ab = above0[selp]
+            occS = jnp.zeros((kp,), bool)
+            clearS = jnp.zeros((kp,), bool)
+            undec = validS
+            step_ixS = step_ix_full[selp]
+            step_izS = step_iz_full[selp]
+
+            # ---- probe 0: exact patch tests in the origin block ----
+            act0 = undec & insideS
+            sxb = W / BK
+            szb = H / BK
+            bx0 = jnp.clip(jnp.floor(
+                (oS[..., 0] + dS[..., 0] * (t + eps_t)) * sxb).astype(jnp.int32),
+                0, W_B - 1)
+            bz0 = jnp.clip(jnp.floor(
+                (oS[..., 2] + dS[..., 2] * (t + eps_t)) * szb).astype(jnp.int32),
+                0, H_B - 1)
+            g0 = combo_rows[bz0 * W_B + bx0]
+            bxp = jnp.where(step_ixS > 0, (bx0 + 1) / sxb, bx0 / sxb)
+            bzp = jnp.where(step_izS > 0, (bz0 + 1) / szb, bz0 / szb)
+            tx0 = (bxp - oS[..., 0]) * inv_dS[..., 0]
+            tz0 = (bzp - oS[..., 2]) * inv_dS[..., 2]
+            t_ex0 = jnp.minimum(jnp.minimum(tx0, tz0), t_farS)
+            cv = jnp.concatenate(
+                [jnp.real(g0)[..., :, None],
+                 jnp.imag(g0)[..., :, None]], -1).reshape(
+                kp, -1)[:, :(BK + 1) ** 2]
+            ix_c = bx0[:, None] * BK + sub_sx_j[None, :]
+            iz_c = bz0[:, None] * BK + sub_sz_j[None, :]
+            h00 = jnp.take(cv, idx00, axis=1)
+            h01 = jnp.take(cv, idx01, axis=1)
+            h10 = jnp.take(cv, idx10, axis=1)
+            h11 = jnp.take(cv, idx11, axis=1)
+            ox = oS[..., 0:1]
+            oz = oS[..., 2:3]
+            ixf = ix_c.astype(jnp.float32)
+            izf = iz_c.astype(jnp.float32)
+            txa = (ixf / W - ox) * inv_dS[..., 0:1]
+            txb = ((ixf + 1) / W - ox) * inv_dS[..., 0:1]
+            tza = (izf / H - oz) * inv_dS[..., 2:3]
+            tzb = ((izf + 1) / H - oz) * inv_dS[..., 2:3]
+            blk_in = (t - 2e-5)[:, None]
+            c_in = jnp.maximum(jnp.maximum(jnp.minimum(txa, txb),
+                                           jnp.minimum(tza, tzb)), blk_in)
+            c_out = jnp.minimum(jnp.minimum(jnp.maximum(txa, txb),
+                                            jnp.maximum(tza, tzb)),
+                                t_ex0[:, None])
+            cell_ok = (c_in <= c_out + eps_t) & (ix_c < W) & (iz_c < H)
+            u0 = ox * W - ixf
+            v0 = oz * H - izf
+            du = dS[..., 0:1] * W
+            dv = dS[..., 2:3] * H
+            A = h01 - h00
+            Bc = h10 - h00
+            Cc = h11 - h10 - h01 + h00
+            qa = -Cc * du * dv
+            qb = dS[..., 1:2] - A * du - Bc * dv - Cc * (u0 * dv + v0 * du)
+            qc = oS[..., 1:2] - h00 - A * u0 - Bc * v0 - Cc * u0 * v0
+            found, r0, r1 = m.solve_quadratic(qa, qb, qc)
+            epsq = 1e-6
+            ok0 = found & cell_ok & (r0 >= c_in - epsq) & (r0 <= c_out + epsq)
+            ok1 = found & cell_ok & (r1 >= c_in - epsq) & (r1 <= c_out + epsq)
+            hit0 = act0 & jnp.any(ok0 | ok1, -1)
+            occS = occS | hit0
+            undec = undec & ~hit0
+            # above-evidence at the block exit: the exit point sits above
+            # every surface corner of this block
+            blockmax = jnp.max(cv, -1)
+            y_ex = oS[..., 1] + dS[..., 1] * t_ex0
+            was_ab = was_ab | (act0 & ~hit0 & (y_ex > blockmax))
+            fin0 = act0 & ~hit0 & (t_ex0 >= t_farS - eps_t)
+            clearS = clearS | fin0
+            undec = undec & ~fin0
+            t = jnp.where(act0 & ~hit0, t_ex0, t)
+
+            # ---- probes l>=1: parent rows, ascending one level per probe
+            for lvl_p in range(1, n_levels):
+                act = undec
+                sx_l = (W / BK) / (FAN ** lvl_p)
+                sz_l = (H / BK) / (FAN ** lvl_p)
+                sxc = (W / BK) / (FAN ** (lvl_p - 1))
+                szc = (H / BK) / (FAN ** (lvl_p - 1))
+                w_l = int(-(-W_B // FAN ** lvl_p))
+                h_l = int(-(-H_B // FAN ** lvl_p))
+                ixp = jnp.clip(jnp.floor(
+                    (oS[..., 0] + dS[..., 0] * (t + eps_t)) * sx_l
+                ).astype(jnp.int32), 0, w_l - 1)
+                izp = jnp.clip(jnp.floor(
+                    (oS[..., 2] + dS[..., 2] * (t + eps_t)) * sz_l
+                ).astype(jnp.int32), 0, h_l - 1)
+                g = combo_rows[int(offsets_np[lvl_p]) + izp * w_l + ixp]
+                bxp = jnp.where(step_ixS > 0, (ixp + 1) / sx_l, ixp / sx_l)
+                bzp = jnp.where(step_izS > 0, (izp + 1) / sz_l, izp / sz_l)
+                txp = (bxp - oS[..., 0]) * inv_dS[..., 0]
+                tzp = (bzp - oS[..., 2]) * inv_dS[..., 2]
+                t_exit = jnp.minimum(jnp.minimum(txp, tzp), t_farS)
+                jx = ixp[:, None] * FAN + kx_child[None, :]
+                jz = izp[:, None] * FAN + kz_child[None, :]
+                jxf = jx.astype(jnp.float32)
+                jzf = jz.astype(jnp.float32)
+                ctxa = (jxf / sxc - ox) * inv_dS[..., 0:1]
+                ctxb = ((jxf + 1) / sxc - ox) * inv_dS[..., 0:1]
+                ctza = (jzf / szc - oz) * inv_dS[..., 2:3]
+                ctzb = ((jzf + 1) / szc - oz) * inv_dS[..., 2:3]
+                ci = jnp.maximum(jnp.maximum(jnp.minimum(ctxa, ctxb),
+                                             jnp.minimum(ctza, ctzb)),
+                                 t[:, None])
+                co = jnp.minimum(jnp.minimum(jnp.maximum(ctxa, ctxb),
+                                             jnp.maximum(ctza, ctzb)),
+                                 t_exit[:, None])
+                crossed = ci <= co + eps_t
+                cmax_c = jnp.real(g[..., :FAN * FAN])
+                cmin_c = jnp.imag(g[..., :FAN * FAN])
+                y_ci = oS[..., 1:2] + dS[..., 1:2] * ci
+                y_co = oS[..., 1:2] + dS[..., 1:2] * co
+                smin_c = jnp.minimum(y_ci, y_co)
+                smax_c = jnp.maximum(y_ci, y_co)
+                ovl = crossed & (smin_c <= cmax_c)
+                ci_m = jnp.where(ovl, ci, jnp.inf)
+                selc = jnp.argmin(ci_m, axis=1)
+                t_first = jnp.min(ci_m, axis=1)
+                has_ovl = jnp.isfinite(t_first)
+                above_c = crossed & ~ovl
+                any_prior = jnp.any(above_c & (ci < t_first[:, None]), axis=1)
+                was_ab = was_ab | (act & any_prior)
+                sel_below = jnp.take_along_axis(
+                    smax_c < cmin_c, selc[:, None], 1)[:, 0]
+                occ_l = act & has_ovl & was_ab & sel_below
+                amb_l = act & has_ovl & ~occ_l
+                occS = occS | occ_l
+                undec = undec & ~(occ_l | amb_l)
+                adv = act & ~has_ovl
+                t = jnp.where(adv, t_exit, t)
+                fin = adv & (t >= t_farS - eps_t)
+                clearS = clearS | fin
+                undec = undec & ~fin
+            # any lane still undecided (eps-stalled walk) stays ambiguous
+
+            occ_f = jnp.zeros((n,), bool).at[selp].set(occS & validS)
+            clear_f = jnp.zeros((n,), bool).at[selp].set(clearS & validS)
+            amb = valid & ~occ_f & ~clear_f
+            if heightfield.DEBUG_PROBE:       # eager-mode instrumentation
+                heightfield._probe_stats = (occ_f, clear_f, amb, valid)
+            t_hit0 = jnp.where(occ_f, jnp.maximum(t_enter, 1e-5),
+                               jnp.full((n,), jnp.inf))
+            state = (t_enter, lvl0, cx0, cz0, t_hit0, amb, above0,
+                     jnp.asarray(0, jnp.int32))
+            probe_done = True
+
         # --- compaction cascade: the while gates on the WORST lane, and idle
         # lanes still pay the scalar-core gathers, so width is halved as the
         # survivor population shrinks (wavefront compaction). A final
@@ -572,10 +772,17 @@ class heightfield:
             # Stage-1 width divides by the bounce occupancy hint: overflow
             # lanes (actives beyond the stage's slots) simply remain active
             # and are caught by the later, wider catcher stages.
-            cascade = heightfield.SHADOW_CASCADE if anyhit \
-                else heightfield.CASCADE
-            bfrac = heightfield.BOUNCE_FRAC[
-                min(heightfield.BOUNCE, len(heightfield.BOUNCE_FRAC) - 1)]
+            if probe_done:
+                cascade = heightfield.AMBIG_CASCADE
+            elif anyhit:
+                cascade = heightfield.SHADOW_CASCADE
+            else:
+                cascade = heightfield.CASCADE
+            bfrac = max(int(occ_frac), 1)
+            # the occupancy hint scales EVERY stage's width (not just
+            # stage 1): the narrow tail stages are sized for the full-width
+            # survivor population, and at 1/bfrac occupancy their slots
+            # would otherwise overflow into the backstop
             first_cap, first_frac = cascade[0]
             first_frac = max(first_frac, bfrac)
             if first_frac == 1:
@@ -584,7 +791,14 @@ class heightfield:
                 state = compact_stage(state, first_frac,
                                       min(first_cap, max_steps))
             for cap, frac in cascade[1:]:
-                state = compact_stage(state, frac, min(cap, max_steps))
+                state = compact_stage(state, frac * bfrac,
+                                      min(cap, max_steps))
+            # insurance stage: when a scene's true occupancy exceeds the
+            # hints, overflow lanes would otherwise hit the FULL-width
+            # uncapped backstop (measured 4x whole-march regression); a
+            # half-width catcher bounds that, and costs only one ~idle
+            # partition when nothing overflowed
+            state = compact_stage(state, 2, max_steps)
         else:
             state = run_loop(lane_full, state, max_steps)
 
@@ -602,8 +816,11 @@ class heightfield:
     # ------------------------------------------------------------------
     # Shape interface
     # ------------------------------------------------------------------
+    INTERSECT_FEATURES = ('anyhit', 'maxt', 'occ_frac')
+
     @staticmethod
-    def intersect(tbl: HeightfieldTable, o, d, anyhit=False, maxt=None):
+    def intersect(tbl: HeightfieldTable, o, d, anyhit=False, maxt=None,
+                  occ_frac=1):
         """(S,N) brute layout like the analytic shapes; S = #instances.
         anyhit=True (shadow rays, scene.h:ray_test): min-mip early
         occlusion, maxt-clamped segment, shadow-tuned cascade — returned t
@@ -631,7 +848,9 @@ class heightfield:
             t_hit, hx, hz = heightfield._march(h, tbl.mips[s], o_obj, d_obj,
                                                R, C, compact=True,
                                                anyhit=anyhit, maxt=maxt,
-                                               min_mips=mn)
+                                               min_mips=mn,
+                                               probe_first=heightfield.PROBE,
+                                               occ_frac=occ_frac)
             ts.append(t_hit)
             px = o_obj[..., 0] + d_obj[..., 0] * jnp.where(jnp.isfinite(t_hit), t_hit, 0.0)
             pz = o_obj[..., 2] + d_obj[..., 2] * jnp.where(jnp.isfinite(t_hit), t_hit, 0.0)

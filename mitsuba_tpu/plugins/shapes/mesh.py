@@ -448,6 +448,7 @@ def load_ply(path):
 
 
 class mesh:
+    INTERSECT_FEATURES = ('anyhit', 'maxt')
     Table = MeshTable
 
     @staticmethod
@@ -711,6 +712,7 @@ class mesh:
 
     @staticmethod
     def intersect(tbl: MeshTable, o, d, anyhit=False, maxt=None):
+        # (INTERSECT_FEATURES declared on the class)
         if tbl.forest is not None:
             # ONE walk over the whole instance forest; the winning instance
             # is recovered from the face row, and the scene-facing (S,N)

@@ -39,7 +39,9 @@ def _sample_radiance(scene, cfg, sampler, ray, wl=None, ray_diff=None):
                                max_depth=int(cfg.get('max_depth', 8)),
                                rr_depth=int(cfg.get('rr_depth', 5)),
                                hide_emitters=bool(cfg.get('hide_emitters', False)),
-                               wl=wl, ray_diff=ray_diff)
+                               wl=wl, ray_diff=ray_diff,
+                               nee_visibility=bool(
+                                   cfg.get('nee_visibility', True)))
     if kind == 'direct':
         from ..plugins.integrators import direct as direct_mod
         return direct_mod.sample(

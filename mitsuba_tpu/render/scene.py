@@ -110,7 +110,8 @@ class Scene:
 # Ray queries
 # ===========================================================================
 
-def ray_intersect_preliminary(scene: Scene, ray: Ray) -> PreliminaryIntersection:
+def ray_intersect_preliminary(scene: Scene, ray: Ray,
+                              occ_frac: int = 1) -> PreliminaryIntersection:
     from ..plugins.shapes import REGISTRY as SHAPES
     n = ray.o.shape[0]
     if not scene.shape_types:  # shapeless scene: everything misses
@@ -128,7 +129,10 @@ def ray_intersect_preliminary(scene: Scene, ray: Ray) -> PreliminaryIntersection
     best_slot = jnp.zeros((n,), jnp.int32)
     for ti, name in enumerate(scene.shape_types):
         plugin = SHAPES[name]
-        t, uv, prim = plugin.intersect(scene.shapes[name], ray.o, ray.d)  # (S,N)
+        kw = {'occ_frac': occ_frac} if 'occ_frac' in getattr(
+            plugin, 'INTERSECT_FEATURES', ()) else {}
+        t, uv, prim = plugin.intersect(scene.shapes[name], ray.o, ray.d,
+                                       **kw)  # (S,N)
         slot = jnp.argmin(t, axis=0)                                      # (N,)
         t_min = jnp.min(t, axis=0)
         idx = (slot, jnp.arange(n))
@@ -149,24 +153,25 @@ def ray_intersect_preliminary(scene: Scene, ray: Ray) -> PreliminaryIntersection
         shape_type=jnp.where(hit, best_type, -1), slot=best_slot)
 
 
-def ray_test(scene: Scene, ray: Ray):
+def ray_test(scene: Scene, ray: Ray, occ_frac: int = 1):
     """Occlusion query (scene.h:ray_test) — any-hit fast path where the
-    plugin supports it."""
+    plugin declares it (INTERSECT_FEATURES contract flags; replaces the
+    round-2 inspect.signature reflection in this hot query). occ_frac is
+    the wavefront-occupancy width hint for compacted traversals."""
     from ..plugins.shapes import REGISTRY as SHAPES
-    import inspect
     n = ray.o.shape[0]
     occluded = jnp.zeros((n,), bool)
     for name in scene.shape_types:
         plugin = SHAPES[name]
-        params = inspect.signature(plugin.intersect).parameters
-        if 'anyhit' in params and 'maxt' in params:
-            t, _, _ = plugin.intersect(scene.shapes[name], ray.o, ray.d,
-                                       anyhit=True, maxt=ray.maxt)
-        elif 'anyhit' in params:
-            t, _, _ = plugin.intersect(scene.shapes[name], ray.o, ray.d,
-                                       anyhit=True)
-        else:
-            t, _, _ = plugin.intersect(scene.shapes[name], ray.o, ray.d)
+        feats = getattr(plugin, 'INTERSECT_FEATURES', ())
+        kw = {}
+        if 'anyhit' in feats:
+            kw['anyhit'] = True
+        if 'maxt' in feats:
+            kw['maxt'] = ray.maxt
+        if 'occ_frac' in feats:
+            kw['occ_frac'] = occ_frac
+        t, _, _ = plugin.intersect(scene.shapes[name], ray.o, ray.d, **kw)
         occluded |= jnp.any(t < ray.maxt[None, :], axis=0)
     return occluded
 
@@ -232,8 +237,10 @@ def deaden_ray(scene: Scene, o, d, active):
             jnp.where(active[..., None], d, up))
 
 
-def ray_intersect(scene: Scene, ray: Ray) -> SurfaceInteraction:
-    return compute_surface_interaction(scene, ray, ray_intersect_preliminary(scene, ray))
+def ray_intersect(scene: Scene, ray: Ray,
+                  occ_frac: int = 1) -> SurfaceInteraction:
+    return compute_surface_interaction(
+        scene, ray, ray_intersect_preliminary(scene, ray, occ_frac=occ_frac))
 
 
 def prepare(scene: Scene) -> Scene:
@@ -361,7 +368,8 @@ def eval_environment(scene: Scene, ray_d, active, wl=None):
 
 
 def sample_emitter_direction(scene: Scene, si: SurfaceInteraction, sample2,
-                             test_visibility=True, active=None, wl=None):
+                             test_visibility=True, active=None, wl=None,
+                             occ_frac: int = 1):
     """scene.cpp:sample_emitter_direction — pick one emitter uniformly, sample
     a direction toward it, optionally shadow-test. Returns (ds, value) with
     value = radiance / pdf (importance-weighted, pick pmf folded in)."""
@@ -546,7 +554,7 @@ def sample_emitter_direction(scene: Scene, si: SurfaceInteraction, sample2,
         # see deaden_ray) — measured 7x on the heightfield bench
         so, sd = deaden_ray(scene, shadow_ray.o, shadow_ray.d, active_s)
         shadow_ray = shadow_ray.replace(o=so, d=sd)
-        occluded = ray_test(scene, shadow_ray)
+        occluded = ray_test(scene, shadow_ray, occ_frac=occ_frac)
         active_s = active_s & ~occluded
     value = jnp.where(active_s[..., None], val_out, 0.0)
     return ds, value

@@ -1,0 +1,48 @@
+"""prb_reparam on the point-light occluder: ramp-projected scalar loss
+(avoids the near-total +/- cancellation of the plain image mean) FD vs
+reparam gradient at the reference operating point (aux=64, kappa=1e5)."""
+import os
+os.environ.pop('PALLAS_AXON_POOL_IPS', None)
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import jax.numpy as jnp
+import numpy as np
+import sys
+sys.path.insert(0, '/root/repo')
+sys.path.insert(0, '/root/repo/tools')
+
+import mitsuba_tpu as mt
+from mitsuba_tpu.ad.integrators.prb_reparam import render_prb_reparam
+from diag_reparam_point import scene_dict
+
+scene = mt.load_dict(scene_dict())
+params = mt.traverse(scene)
+key = [k for k in params.keys() if 'rectangle.to_world' in k][0]
+x0 = params[key]
+comp = (1, 0, 3)
+SPP = 128
+seeds = (3, 5, 7, 11)
+eps = 0.02
+W = H = 32
+ramp = jnp.linspace(0.0, 1.0, W)[None, :, None]   # x-ramp across the image
+
+def proj(img):
+    return (img * ramp).mean()
+
+def loss_pt(x, seed):
+    return proj(mt.render_wavefront(params.scene_with({key: x}), spp=SPP,
+                                    seed=seed))
+
+fds = [float((loss_pt(x0.at[comp].add(eps), s)
+              - loss_pt(x0.at[comp].add(-eps), s)) / (2 * eps)) for s in seeds]
+fd = float(np.mean(fds))
+print(f'fd = {fd:+.6f} seed-std {np.std(fds):.5f}', flush=True)
+
+for aux, kappa in ((16, 1e5), (64, 1e5)):
+    def loss(x, seed):
+        return proj(render_prb_reparam(params.scene_with({key: x}), SPP, seed,
+                                       num_aux=aux, kappa=kappa))
+    g = jax.jit(jax.grad(loss))
+    gs = [float(g(x0, s)[comp]) for s in seeds]
+    print(f'prb_reparam aux={aux:3d} kappa={kappa:.0e}: g={np.mean(gs):+.6f} '
+          f'ratio={np.mean(gs)/fd:+.3f} seed-std={np.std(gs):.5f}', flush=True)

@@ -54,3 +54,17 @@ for aux in (8, 32):
     gm = np.mean(gs)
     print(f'g aux={aux:2d}: {gm:+.6f} ratio_full={gm/fd_full:+.3f} '
           f'ratio_own={gm/fd_own:+.3f} std={np.std(gs):.4f}', flush=True)
+
+print('--- channel decomposition ---', flush=True)
+def loss_ch(x, seed, num_aux, wp, ws):
+    return render_direct_reparam(params.scene_with({key: x}), 128, seed,
+                                 num_aux=num_aux, warp_primary=wp,
+                                 warp_shadow=ws).mean()
+
+for aux in (8, 32):
+    for wp, ws, lbl in ((False, True, 'shadow-only'), (True, False, 'primary-only')):
+        g = jax.jit(jax.grad(lambda x, s: loss_ch(x, s, aux, wp, ws)))
+        gs = [float(g(x0, s)[comp]) for s in seeds]
+        print(f'aux={aux:2d} {lbl:12s}: {np.mean(gs):+.6f} '
+              f'ratio_full={np.mean(gs)/fd_full:+.3f} std={np.std(gs):.4f}',
+              flush=True)

@@ -1,0 +1,56 @@
+"""Pick the reparam test operating point: bias + variance of the shadow
+gradient vs (num_aux, kappa, antithetic) at spp=256 on the occluder scene.
+Reference calibration: its own translate-occluder FD tests run
+reparam_rays=64, spp>=1024, bwd threshold 0.1-0.25
+(test_ad_integrators.py:446-479)."""
+import os
+os.environ.pop('PALLAS_AXON_POOL_IPS', None)
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import jax.numpy as jnp
+import numpy as np
+import sys
+sys.path.insert(0, '/root/repo')
+sys.path.insert(0, '/root/repo/tests')
+
+import mitsuba_tpu as mt
+from mitsuba_tpu.ad.integrators.reparam_integrators import render_direct_reparam
+from test_prb_reparam import _occluder_scene
+
+scene = mt.load_dict(_occluder_scene(max_depth=2))
+params = mt.traverse(scene)
+key = [k for k in params.keys() if 'rectangle.to_world' in k][0]
+x0 = params[key]
+comp = (1, 0, 3)
+seeds = (3, 5, 7, 11, 13, 17, 19, 23)
+SPP = 256
+
+def loss_pt(x, seed):
+    return mt.render_wavefront(params.scene_with({key: x}), spp=SPP,
+                               seed=seed).mean()
+
+eps = 0.02
+fds = [float((loss_pt(x0.at[comp].add(eps), s)
+              - loss_pt(x0.at[comp].add(-eps), s)) / (2 * eps)) for s in seeds]
+fd = float(np.mean(fds))
+print(f'fd = {fd:+.6f} sem={np.std(fds)/np.sqrt(len(seeds)):.5f}', flush=True)
+
+import functools
+def run(aux, kappa, anti):
+    @jax.jit
+    def g(x, s):
+        def loss(x):
+            return render_direct_reparam(params.scene_with({key: x}), SPP, s,
+                                         num_aux=aux, kappa=kappa).mean()
+        return jax.grad(loss)(x)
+    gs = [float(g(x0, s)[comp]) for s in seeds]
+    m, sd = np.mean(gs), np.std(gs)
+    print(f'aux={aux:3d} kappa={kappa:.0e} anti={int(anti)}: g={m:+.6f} '
+          f'ratio={m/fd:+.3f} seed-std={sd:.5f} sem={sd/np.sqrt(len(seeds)):.5f}',
+          flush=True)
+
+run(16, 1e5, False)
+run(32, 1e5, False)
+run(64, 1e5, False)
+run(32, 1e4, False)
+run(64, 1e4, False)

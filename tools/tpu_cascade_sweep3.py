@@ -1,0 +1,98 @@
+"""Round-3 cascade re-sweep on an IDLE chip with within-jit timing (old
+sweeps ran on a contended host with dispatch-overhead-contaminated numbers).
+Shadow march worst lanes run ~140 iterations; per-iteration full-width cost
+~1 ms is vector-math dominated. Sweep tail-stage shapes for both cascades.
+"""
+import time
+import sys
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+sys.path.insert(0, '/root/repo')
+
+import importlib
+hf_mod = importlib.import_module('mitsuba_tpu.plugins.shapes.heightfield')
+hf = hf_mod.heightfield
+from mitsuba_tpu.models.scenes import make_test_heights
+
+N = 65536
+rng = np.random.default_rng(1)
+h_np = make_test_heights(513)
+h = jnp.asarray(h_np)
+R, C = h.shape
+mips = hf_mod.build_max_mip(h)
+mins = hf_mod.build_min_mip(h)
+
+o_np = np.stack([rng.random(N), np.full(N, 1.2), rng.random(N)], -1)
+t_np = np.stack([rng.random(N), np.zeros(N), rng.random(N)], -1)
+d_np = t_np - o_np
+d_np /= np.linalg.norm(d_np, axis=-1, keepdims=True)
+o_cam = jnp.asarray(o_np, jnp.float32)
+d_cam = jnp.asarray(d_np, jnp.float32)
+
+u = rng.random(N); v = rng.random(N)
+ix = np.clip((u * (C - 1)).astype(int), 0, C - 2)
+iz = np.clip((v * (R - 1)).astype(int), 0, R - 2)
+o2_np = np.stack([u, h_np[iz, ix] + 1e-3, v], -1)
+d2_np = rng.standard_normal((N, 3))
+d2_np[:, 1] = np.abs(d2_np[:, 1])
+d2_np /= np.linalg.norm(d2_np, axis=-1, keepdims=True)
+o_sh = jnp.asarray(o2_np, jnp.float32)
+d_sh = jnp.asarray(d2_np, jnp.float32)
+maxt = jnp.full((N,), 1e4, jnp.float32)
+
+
+def timed(f, *a, reps=10):
+    out = f(*a)
+    np.asarray(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = f(*a)
+    np.asarray(out)
+    return (time.time() - t0) / reps * 1e3
+
+
+def sweep(name, cascades, shadow):
+    ref = None
+    for cas in cascades:
+        if shadow:
+            hf.SHADOW_CASCADE = cas
+            f = jax.jit(lambda o, d: hf._march(
+                h, mips, o, d, R, C, compact=True, anyhit=True, maxt=maxt,
+                min_mips=mins, probe_first=False)[0])
+            ms = timed(f, o_sh, d_sh)
+        else:
+            hf.CASCADE = cas
+            f = jax.jit(lambda o, d: hf._march(
+                h, mips, o, d, R, C, compact=True, anyhit=False)[0])
+            ms = timed(f, o_cam, d_cam)
+        out = np.asarray(f(o_sh if shadow else o_cam, d_sh if shadow else d_cam))
+        if ref is None:
+            ref = out
+        ok = np.allclose(np.where(np.isfinite(out), out, -1),
+                         np.where(np.isfinite(ref), ref, -1), atol=1e-5)
+        print(f'{name} {cas}: {ms:.1f} ms exact={ok}', flush=True)
+
+
+INF = 10 ** 9
+print('backend:', jax.default_backend(), flush=True)
+print('--- shadow cascades round 2 ---', flush=True)
+sweep('sh', [
+    ((12, 1), (INF, 16)),          # round-1 best
+    ((10, 1), (INF, 8)),
+    ((12, 1), (INF, 12)),
+    ((14, 1), (INF, 16)),
+    ((16, 1), (INF, 32)),
+    ((12, 1), (40, 16), (INF, 64)),
+    ((10, 1), (40, 12), (INF, 48)),
+], shadow=True)
+print('--- camera cascades round 2 ---', flush=True)
+sweep('cam', [
+    ((10, 1), (INF, 16)),          # round-1 best
+    ((12, 1), (INF, 32)),
+    ((10, 1), (INF, 8)),
+    ((8, 1), (24, 8), (INF, 32)),
+], shadow=False)

@@ -1,0 +1,147 @@
+"""Gather-strategy microbenchmark (the march's cost driver, PERF.md).
+
+65k lanes x 4096-row table of 82 f32 (the 512^2-grid leaf level):
+  a) lax row-gather of (41,) c64 rows      — the current march access
+  b) plain f32 row-gather (82,)            — dtype control
+  c) XLA one-hot matmul, lane-chunked      — materializes onehot in HBM
+  d) Pallas kernel: table resident in VMEM, one-hot built per lane-tile in
+     VMEM (never touches HBM), bf16 hi/lo matmul pair -> f32 exact-ish
+  e) Pallas kernel: jnp.take inside the kernel (does Mosaic lower it?)
+"""
+import time
+import sys
+import numpy as np
+import jax
+import jax.numpy as jnp
+from functools import partial
+
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+N = 65536
+ROWS = 4096
+KW = 82
+
+rng = np.random.default_rng(0)
+table = jnp.asarray(rng.standard_normal((ROWS, KW)), jnp.float32)
+table_c = jax.lax.complex(table[:, :41], table[:, 41:])
+idx = jnp.asarray(rng.integers(0, ROWS, N), jnp.int32)
+
+
+def bench(label, f, *args, reps=20):
+    out = f(*args)
+    np.asarray(out)  # compile+sync
+    t0 = time.time()
+    for _ in range(reps):
+        out = f(*args)
+    np.asarray(out)
+    dt = (time.time() - t0) / reps * 1e3
+    print(f'{label}: {dt:.3f} ms', flush=True)
+    return dt
+
+
+@jax.jit
+def g_rowc(t, i):
+    return jnp.sum(jnp.real(t[i]) + jnp.imag(t[i]), -1)
+
+
+@jax.jit
+def g_rowf(t, i):
+    return jnp.sum(t[i], -1)
+
+
+@jax.jit
+def g_onehot(t, i):
+    # chunked over lanes to bound the materialized onehot
+    CH = 8192
+    outs = []
+    tb = t.astype(jnp.bfloat16)
+    tl = (t - tb.astype(jnp.float32)).astype(jnp.bfloat16)
+    for s in range(0, N, CH):
+        ii = jax.lax.dynamic_slice_in_dim(i, s, CH)
+        oh = (ii[:, None] == jnp.arange(ROWS)[None, :]).astype(jnp.bfloat16)
+        hi = jnp.dot(oh, tb, preferred_element_type=jnp.float32)
+        lo = jnp.dot(oh, tl, preferred_element_type=jnp.float32)
+        outs.append(hi + lo)
+    return jnp.sum(jnp.concatenate(outs), -1)
+
+
+def pallas_onehot():
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    TILE = 512
+
+    def kernel(idx_ref, tb_ref, tl_ref, out_ref):
+        ii = idx_ref[:]                       # (TILE, 1)
+        oh = (ii == jax.lax.broadcasted_iota(
+            jnp.int32, (TILE, ROWS), 1)).astype(jnp.bfloat16)
+        hi = jnp.dot(oh, tb_ref[:], preferred_element_type=jnp.float32)
+        lo = jnp.dot(oh, tl_ref[:], preferred_element_type=jnp.float32)
+        out_ref[:] = hi + lo
+
+    @jax.jit
+    def f(t, i):
+        tb = t.astype(jnp.bfloat16)
+        tl = (t - tb.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = pl.pallas_call(
+            kernel,
+            grid=(N // TILE,),
+            in_specs=[
+                pl.BlockSpec((TILE, 1), lambda k: (k, 0)),
+                pl.BlockSpec((ROWS, KW), lambda k: (0, 0)),
+                pl.BlockSpec((ROWS, KW), lambda k: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((TILE, KW), lambda k: (k, 0)),
+            out_shape=jax.ShapeDtypeStruct((N, KW), jnp.float32),
+        )(i[:, None], tb, tl)
+        return jnp.sum(out, -1)
+    return f
+
+
+def pallas_take():
+    from jax.experimental import pallas as pl
+
+    def kernel(idx_ref, t_ref, out_ref):
+        out_ref[:] = jnp.take(t_ref[:], idx_ref[:, 0], axis=0)
+
+    TILE = 2048
+
+    @jax.jit
+    def f(t, i):
+        out = pl.pallas_call(
+            kernel,
+            grid=(N // TILE,),
+            in_specs=[
+                pl.BlockSpec((TILE, 1), lambda k: (k, 0)),
+                pl.BlockSpec((ROWS, KW), lambda k: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((TILE, KW), lambda k: (k, 0)),
+            out_shape=jax.ShapeDtypeStruct((N, KW), jnp.float32),
+        )(i[:, None], t)
+        return jnp.sum(out, -1)
+    return f
+
+
+print('backend:', jax.default_backend(), flush=True)
+bench('a) c64 row-gather x41', g_rowc, table_c, idx)
+bench('b) f32 row-gather x82', g_rowf, table, idx)
+try:
+    bench('c) XLA onehot matmul chunked', g_onehot, table, idx)
+except Exception as e:
+    print('c) FAILED:', str(e)[:200], flush=True)
+try:
+    bench('d) pallas VMEM onehot matmul', pallas_onehot(), table, idx)
+except Exception as e:
+    print('d) FAILED:', str(e)[:300], flush=True)
+try:
+    bench('e) pallas jnp.take', pallas_take(), table, idx)
+except Exception as e:
+    print('e) FAILED:', str(e)[:300], flush=True)
+
+# correctness cross-check of (d) vs (b)
+try:
+    ref = np.asarray(g_rowf(table, idx))
+    got = np.asarray(pallas_onehot()(table, idx))
+    print('d) max err:', np.abs(ref - got).max(), flush=True)
+except Exception:
+    pass

@@ -1,0 +1,87 @@
+"""Per-iteration cost of the march while-loop on the real chip (the old
+gather cost model was contaminated by dispatch overhead — row gathers are
+~0.2 ms/65k, so the ~36 ms/march must be per-iteration vector math).
+
+Times _march(compact=False) full-width to completion on bench-like rays and
+divides by the iteration count from the stats instrumentation (CPU).
+"""
+import time
+import sys
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+sys.path.insert(0, '/root/repo')
+
+import importlib
+hf_mod = importlib.import_module('mitsuba_tpu.plugins.shapes.heightfield')
+hf = hf_mod.heightfield
+from mitsuba_tpu.models.scenes import make_test_heights
+
+N = 65536
+rng = np.random.default_rng(1)
+h_np = make_test_heights(513)
+h = jnp.asarray(h_np)
+R, C = h.shape
+mips = hf_mod.build_max_mip(h)
+mins = hf_mod.build_min_mip(h)
+
+# camera-like rays: from above, toward the surface
+o_np = np.stack([rng.random(N), np.full(N, 1.2), rng.random(N)], -1)
+t_np = np.stack([rng.random(N), np.zeros(N), rng.random(N)], -1)
+d_np = t_np - o_np
+d_np /= np.linalg.norm(d_np, axis=-1, keepdims=True)
+o = jnp.asarray(o_np, jnp.float32)
+d = jnp.asarray(d_np, jnp.float32)
+
+# shadow-like rays: origins on the surface, directions up-hemisphere
+u = rng.random(N); v = rng.random(N)
+ix = np.clip((u * (C - 1)).astype(int), 0, C - 2)
+iz = np.clip((v * (R - 1)).astype(int), 0, R - 2)
+o2_np = np.stack([u, h_np[iz, ix] + 1e-3, v], -1)
+d2_np = rng.standard_normal((N, 3))
+d2_np[:, 1] = np.abs(d2_np[:, 1])
+d2_np /= np.linalg.norm(d2_np, axis=-1, keepdims=True)
+o2 = jnp.asarray(o2_np, jnp.float32)
+d2 = jnp.asarray(d2_np, jnp.float32)
+maxt = jnp.full((N,), 1e4, jnp.float32)
+
+
+def timed(f, *a, reps=10):
+    out = f(*a)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    t0 = time.time()
+    for _ in range(reps):
+        out = f(*a)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    return (time.time() - t0) / reps * 1e3
+
+
+def main():
+    print('backend:', jax.default_backend(), flush=True)
+
+    march_cam = jax.jit(lambda o, d: hf._march(
+        h, mips, o, d, R, C, compact=False, anyhit=False)[0])
+    march_sh = jax.jit(lambda o, d: hf._march(
+        h, mips, o, d, R, C, compact=False, anyhit=True, maxt=maxt,
+        min_mips=mins)[0])
+    march_cam_c = jax.jit(lambda o, d: hf._march(
+        h, mips, o, d, R, C, compact=True, anyhit=False)[0])
+    march_sh_c = jax.jit(lambda o, d: hf._march(
+        h, mips, o, d, R, C, compact=True, anyhit=True, maxt=maxt,
+        min_mips=mins, probe_first=False)[0])
+
+    ms = timed(march_cam, o, d)
+    print(f'camera full-width uncompacted: {ms:.1f} ms', flush=True)
+    ms2 = timed(march_sh, o2, d2)
+    print(f'shadow full-width uncompacted: {ms2:.1f} ms', flush=True)
+    ms3 = timed(march_cam_c, o, d)
+    print(f'camera CASCADE compacted:      {ms3:.1f} ms', flush=True)
+    ms4 = timed(march_sh_c, o2, d2)
+    print(f'shadow SHADOW_CASCADE:         {ms4:.1f} ms', flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,47 +1,35 @@
-"""Decompose the headline bench pass (512^2 heightfield, 256^2 img, depth 4)
-into march / shading / backward components on the real TPU.
-
-Variants timed (all 65k lanes, spp_pass=1):
-  fwd            : full forward render_pass
-  fwd_bwd        : value_and_grad wrt heights (the bench program)
-  fwd_noshadow   : forward with NEE visibility test disabled (no shadow march)
-  depth1         : max_depth=1 (camera march + 1x shading + 1 shadow march)
-  cam_march      : camera-ray march alone (depth integrator)
+"""Decompose the headline bench pass into march / NEE / shading / backward
+on the real TPU. Round-3 rewrite: every timing loops the program 8x with a
+data dependency and fetches ONCE (host-fetch over the axon tunnel costs
+tens of ms and contaminated the round-1/2 numbers).
 """
-import sys
 import time
-
+import sys
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
-jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
 sys.path.insert(0, '/root/repo')
 
 import mitsuba_tpu as mt  # noqa: E402
 from mitsuba_tpu.render.integrator import render_pass  # noqa: E402
 from mitsuba_tpu.render import film as film_mod  # noqa: E402
 
-
-def _fetch(out):
-    """True sync: host-fetch every array leaf (block_until_ready can no-op
-    on axon array types; PERF.md)."""
-    import jax.tree_util as jtu
-    return [np.asarray(x) for x in jtu.tree_leaves(out)]
+REPS = 8
 
 
-def timeit(label, f, *args, reps=3):
+def timeit(label, f, *args):
     t0 = time.time()
-    _fetch(f(*args))  # warmup/compile + fetch
+    np.asarray(jax.tree_util.tree_leaves(f(*args))[0]).ravel()[:1]
     print(f'{label}: compile+1st {time.time()-t0:.1f}s', flush=True)
     t0 = time.time()
-    for _ in range(reps):
-        _fetch(f(*args))
-    dt = (time.time() - t0) / reps
-    print(f'{label}: {dt*1e3:.1f} ms', flush=True)
-    return dt
+    out = f(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    dt1 = time.time() - t0
+    print(f'{label}: {dt1*1e3/REPS:.1f} ms/pass ({REPS}x chained)', flush=True)
+    return dt1 / REPS
 
 
 def main():
@@ -53,48 +41,57 @@ def main():
     key = [k for k in params.keys() if 'heights' in k][0]
     h0 = params[key]
 
-    def fwd(h):
+    def one_pass(h, offset, test_visibility=True, nee=True, depth_lim=None):
         s2 = params.scene_with({key: h})
+        if depth_lim is not None:
+            cfg = dict(s2.integrator)
+            cfg['max_depth'] = depth_lim
+            s2 = s2.replace(integrator=cfg)
+        if not test_visibility:
+            cfg = dict(s2.integrator)
+            cfg['nee_visibility'] = False
+            s2 = s2.replace(integrator=cfg)
         block = s2.film.new_block()
         block = render_pass(s2, block, jnp.asarray(0, jnp.uint32), 1, 256,
-                            sample_offset=0)
-        return film_mod.develop(block, s2.film).mean()
+                            sample_offset=offset)
+        return film_mod.develop(block, s2.film)
 
-    def loss(h):
-        return fwd(h)
+    def chain(f):
+        @jax.jit
+        def g(h, o0):
+            off = o0
+            acc = jnp.zeros((), jnp.float32)
+            for k in range(REPS):
+                img = f(h, off)
+                acc = acc + img.mean()
+                off = off + (acc * 0).astype(jnp.int32) + 1
+            return acc
+        return g
 
-    timeit('fwd', jax.jit(fwd), h0)
-    timeit('fwd_bwd', jax.jit(jax.value_and_grad(loss)), h0)
+    def chain_grad(f):
+        @jax.jit
+        def g(h, o0):
+            off = o0
+            acc = jnp.zeros_like(h)
+            for k in range(REPS):
+                gr = jax.grad(lambda hh: f(hh, off).mean())(h)
+                acc = acc + gr
+                off = off + 1
+            return acc
+        return g
 
-    # no-shadow variant: monkeypatch sample_emitter_direction visibility off
-    from mitsuba_tpu.render import scene as sc
-    orig = sc.sample_emitter_direction
-
-    def no_vis(scene_, si, s2_, test_visibility=True, active=None, wl=None):
-        return orig(scene_, si, s2_, test_visibility=False, active=active,
-                    wl=wl)
-    sc.sample_emitter_direction = no_vis
-    try:
-        timeit('fwd_noshadow', jax.jit(fwd), h0)
-        timeit('fwd_bwd_noshadow', jax.jit(jax.value_and_grad(loss)), h0)
-    finally:
-        sc.sample_emitter_direction = orig
-
-    # depth-only: camera march alone
-    scene_d = mt.load_dict(mt.heightfield_scene(
-        res_hf=512, res_img=256, spp=256, max_depth=1))
-    scene_d = scene_d.replace(integrator={'type': 'depth'})
-
-    def fwd_depth(s2):
-        block = s2.film.new_block()
-        block = render_pass(s2, block, jnp.asarray(0, jnp.uint32), 1, 256,
-                            sample_offset=0)
-        return film_mod.develop(block, s2.film).mean()
-
-    timeit('cam_march(depth integrator)', jax.jit(fwd_depth), scene_d)
+    z = jnp.asarray(0, jnp.int32)
+    timeit('fwd          ', chain(lambda h, o: one_pass(h, o)), h0, z)
+    timeit('fwd_bwd      ', chain_grad(lambda h, o: one_pass(h, o)), h0, z)
+    timeit('fwd_noshadow ', chain(
+        lambda h, o: one_pass(h, o, test_visibility=False)), h0, z)
+    timeit('fwd_bwd_noshd', chain_grad(
+        lambda h, o: one_pass(h, o, test_visibility=False)), h0, z)
+    timeit('fwd_depth1   ', chain(
+        lambda h, o: one_pass(h, o, depth_lim=1)), h0, z)
+    timeit('fwd_depth2   ', chain(
+        lambda h, o: one_pass(h, o, depth_lim=2)), h0, z)
 
 
 if __name__ == '__main__':
     main()
-    import os
-    os._exit(0)

@@ -242,5 +242,18 @@ def rgb_to_spec_with_scale(rgb):
     mx = np.max(rgb, axis=-1)
     scale = np.where(mx > 0, 2.0 * mx, 1.0)
     normed = rgb / np.maximum(scale[..., None], 1e-12)
-    coeff = fit_rgb_coeffs(normed)
+    coeff = np.asarray(fit_rgb_coeffs(normed))
+    # ACHROMATIC inputs (scalar properties become `uniform` spectra in the
+    # reference, properties.h:248-358 — exactly flat, not rgb-upsampled):
+    # the sigmoid-poly model represents constants exactly with coeff
+    # (0, 0, t): sigmoid(t) = c. The generic fit instead produces a +-10%
+    # ripple over [380, 750] nm for grays (measured on sigma_t = 1.5).
+    gray = (np.max(rgb, axis=-1) - np.min(rgb, axis=-1)) <= \
+        1e-6 * np.maximum(mx, 1e-12)
+    c01 = np.clip(normed[..., 0], 1e-6, 1.0 - 1e-6)
+    t_flat = (2.0 * c01 - 1.0) / np.sqrt(np.maximum(
+        1.0 - (2.0 * c01 - 1.0) ** 2, 1e-12))
+    flat = np.stack([np.zeros_like(t_flat), np.zeros_like(t_flat), t_flat],
+                    -1)
+    coeff = np.where(gray[..., None], flat, coeff).astype(np.float32)
     return coeff, scale.astype(np.float32)

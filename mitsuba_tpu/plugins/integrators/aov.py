@@ -44,13 +44,26 @@ def channel_count(cfg) -> int:
     return 3
 
 
-def sample(scene, cfg, sampler, ray):
+def sample(scene, cfg, sampler, ray, wl=None, winv=None):
+    """wl/winv: hero wavelengths + inverse pdf (spectral variant). The
+    nested radiance runs spectrally and is converted to srgb HERE (the
+    AOV channel layout is display-space; reference integrator.cpp:419-448
+    converts before ImageBlock::put), so render_pass splats as-is."""
     from ...render.integrator import _sample_radiance
     kind = cfg.get('type')
+
+    def to_rgb(L):
+        if wl is None:
+            return L
+        from ...core import spectrum as spec_mod
+        return spec_mod.spectrum_to_srgb(L, wl, winv)
+
     if kind == 'moment':
         nested = dict(cfg)
         nested['type'] = cfg.get('nested_type', 'path')
-        L, valid, sampler = _sample_radiance(scene, nested, sampler, ray)
+        L, valid, sampler = _sample_radiance(scene, nested, sampler, ray,
+                                             wl=wl)
+        L = to_rgb(L)
         out = jnp.concatenate([L, L * L], -1)
         return out, valid, sampler
 
@@ -62,8 +75,9 @@ def sample(scene, cfg, sampler, ray):
         nested['type'] = cfg['nested_type']
         if 'nested_max_depth' in cfg:
             nested['max_depth'] = cfg['nested_max_depth']
-        L, valid, sampler = _sample_radiance(scene, nested, sampler, ray)
-        outs.append(L)
+        L, valid, sampler = _sample_radiance(scene, nested, sampler, ray,
+                                             wl=wl)
+        outs.append(to_rgb(L))
     else:
         valid = si.is_valid
     for k in kinds:

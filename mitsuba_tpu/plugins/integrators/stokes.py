@@ -154,14 +154,31 @@ def _collect(T, Le, mis, L_stokes, active):
     return L_stokes + jnp.where(active[..., None, None], contrib, 0.0)
 
 
-def sample(scene, cfg, sampler, ray):
+def sample(scene, cfg, sampler, ray, wl=None, winv=None):
     """Returns (channels (N,12) = S0.rgb S1.rgb S2.rgb S3.rgb, valid,
-    sampler)."""
+    sampler).
+
+    Spectral variant: emission/BSDF magnitudes run at the hero wavelengths;
+    the Mueller POLARIZATION structure is evaluated per rgb band and mapped
+    to each wavelength by its band (a piecewise-constant 3-band spectral
+    Mueller — the reference recomputes Fresnel per wavelength,
+    mitsuba.conf.template:9-75; this coarser discretization keeps S0 exact
+    and approximates S1..S3's spectral variation)."""
     max_depth = int(cfg.get('max_depth', 8))
     rr_depth = int(cfg.get('rr_depth', 5))
     hide_emitters = bool(cfg.get('hide_emitters', False))
     n = ray.o.shape[0]
     dt = ray.o.dtype
+    C = 3 if wl is None else wl.shape[-1]
+    if wl is not None:
+        # rgb band of each hero wavelength (R >= 580 nm > G >= 490 nm > B)
+        band = jnp.where(wl >= 580.0, 0, jnp.where(wl >= 490.0, 1, 2))
+
+    def spec_M(M):
+        """(N,3,4,4) rgb Mueller -> per-wavelength (N,C,4,4)."""
+        if wl is None:
+            return M
+        return jnp.take_along_axis(M, band[..., None, None], axis=1)
 
     # sensor measurement basis: camera x-axis ⟂ to the light direction -d
     cam_x = scene.sensor.to_world[:3, 0]
@@ -169,11 +186,11 @@ def sample(scene, cfg, sampler, ray):
     b_cam = _perp_basis(jnp.broadcast_to(cam_x, (n, 3)), light_dir0)
     b0 = mu.stokes_basis(light_dir0)
     T0 = jnp.broadcast_to(
-        mu.rotate_stokes_basis(light_dir0, b0, b_cam)[:, None], (n, 3, 4, 4))
+        mu.rotate_stokes_basis(light_dir0, b0, b_cam)[:, None], (n, C, 4, 4))
 
     state = dict(
         o=ray.o, d=ray.d, T=T0, basis=b0,
-        L=jnp.zeros((n, 3, 4), dt),
+        L=jnp.zeros((n, C, 4), dt),
         active=jnp.ones((n,), bool),
         prev_pdf=jnp.ones((n,), dt), prev_delta=jnp.ones((n,), bool),
         prev_p=ray.o, valid=jnp.zeros((n,), bool), sampler=sampler)
@@ -187,14 +204,14 @@ def sample(scene, cfg, sampler, ray):
 
         # emission at the hit / environment (unpolarized sources)
         hit_em = active & (si.emitter_index >= 0)
-        Le = sc.eval_emitter_hit(scene, si, hit_em)
+        Le = sc.eval_emitter_hit(scene, si, hit_em, wl=wl)
         pdf_light = sc.pdf_emitter_direction(scene, st['prev_p'], si, hit_em)
         mis_b = jnp.where(st['prev_delta'], 1.0,
                           mis_weight(st['prev_pdf'], pdf_light))
         show = jnp.where(first, not hide_emitters, True)
         L = _collect(st['T'], Le, mis_b * show, st['L'], hit_em)
         escaped = active & ~si.is_valid
-        Lenv = sc.eval_environment(scene, st['d'], escaped)
+        Lenv = sc.eval_environment(scene, st['d'], escaped, wl=wl)
         pdf_env = sc.pdf_env_direction(scene, st['d'], escaped)
         mis_e = jnp.where(st['prev_delta'], 1.0,
                           mis_weight(st['prev_pdf'], pdf_env))
@@ -209,14 +226,16 @@ def sample(scene, cfg, sampler, ray):
         active_em = active & bsdf_mod.has_smooth(scene, si)
         ds, em_w = sc.sample_emitter_direction(
             scene, si, jax.lax.stop_gradient(s_em), test_visibility=True,
-            active=active_em)
+            active=active_em, wl=wl)
         wo_local = si.to_local(ds.d)
-        b_val, b_pdf = bsdf_mod.eval_pdf(scene, si, wo_local, active_em)
+        b_val, b_pdf = bsdf_mod.eval_pdf(scene, si, wo_local, active_em,
+                                         wl=wl)
         mis_em = jnp.where(ds.delta, 1.0, mis_weight(
             jax.lax.stop_gradient(ds.pdf), jax.lax.stop_gradient(b_pdf)))
         # Mueller of the connection: light arrives along -ds.d
         M_c, bc_in, bc_out = _interaction_mueller(
             scene, si, -ds.d, light_out, active_em)
+        M_c = spec_M(M_c)
         R_c = mu.rotate_stokes_basis(light_out, bc_out, st['basis'])
         T_c = st['T'] @ R_c[:, None] @ M_c * \
             (b_val * em_w)[..., None, None]
@@ -227,11 +246,12 @@ def sample(scene, cfg, sampler, ray):
         s1, smpl = sa.next_1d(smpl)
         s2, smpl = sa.next_2d(smpl)
         bs, w = bsdf_mod.sample(scene, si, jax.lax.stop_gradient(s1),
-                                jax.lax.stop_gradient(s2), active)
+                                jax.lax.stop_gradient(s2), active, wl=wl)
         wo_world = si.to_world(bs.wo)
         new_ray = si.spawn_ray(wo_world)
         M_b, bb_in, bb_out = _interaction_mueller(
             scene, si, -wo_world, light_out, active)
+        M_b = spec_M(M_b)
         T, basis = _extend(st['T'], st['basis'], light_out, M_b,
                            bb_in, bb_out, w, active)
         prev_delta = (bs.sampled_type & jnp.uint32(bf.Delta)) != 0
@@ -252,7 +272,13 @@ def sample(scene, cfg, sampler, ray):
                     prev_p=si.p, valid=valid, sampler=smpl), None
 
     state, _ = jax.lax.scan(body, state, jnp.arange(max_depth))
-    Ls = state['L']                      # (N,3,4)
+    Ls = state['L']                      # (N,C,4)
+    if wl is not None:
+        from ...core import spectrum as spec_mod
+        comps = [spec_mod.spectrum_to_srgb(Ls[..., k], wl, winv)
+                 for k in range(4)]
+        return (jnp.concatenate(comps, -1), state['valid'],
+                state['sampler'])
     channels = jnp.concatenate([Ls[..., 0], Ls[..., 1],
                                 Ls[..., 2], Ls[..., 3]], -1)  # (N,12)
     return channels, state['valid'], state['sampler']

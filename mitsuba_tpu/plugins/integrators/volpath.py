@@ -30,12 +30,8 @@ def sample(scene, sampler, ray, max_depth, rr_depth=5, hide_emitters=False,
     take the medium-transition path below; the scene-global-medium fast path
     is unchanged."""
     if scene.media:
-        if wl is not None:
-            raise NotImplementedError(
-                'spectral volpath with per-shape media is not implemented '
-                'yet (rgb per-shape media + spectral global medium are)')
         return _sample_media(scene, sampler, ray, max_depth, rr_depth,
-                             hide_emitters)
+                             hide_emitters, wl=wl)
     med = scene.medium
     n = ray.o.shape[0]
     dt = ray.o.dtype
@@ -185,33 +181,55 @@ def target_medium(scene, si, d, cur_med):
     return jnp.where(si.is_valid & has_tr, tgt, cur_med)
 
 
-def _per_medium_sigmas(scene, med_id, n):
+def _lane_sigmas(med, n, wl):
+    """Per-lane (sigma_t, albedo) of ONE medium: rgb broadcast, or
+    hero-wavelength upsampled in the spectral variant
+    (volpath.cpp:133-191 runs spectrally; the load-time sigmoid-poly fit
+    provides the spectra)."""
+    if wl is None:
+        return (jnp.broadcast_to(med.sigma_t[None], (n, 3)),
+                jnp.broadcast_to(med.albedo[None], (n, 3)))
+    return med_mod.spectral_sigmas(med, wl)
+
+
+def _med_majorant(med, wl):
+    """Null-scattering majorant: must bound sigma over the WHOLE spectrum
+    in spectral mode (sigma_t_max per medium id — VERDICT r2 item 7)."""
+    if wl is None:
+        return jax.lax.stop_gradient(jnp.mean(med.sigma_t) * med.majorant)
+    return jax.lax.stop_gradient(med.sigma_t_max * med.majorant)
+
+
+def _per_medium_sigmas(scene, med_id, n, wl=None):
     """Masked-merge per-lane sigma_t / albedo of each lane's current medium
     (vacuum lanes: 0 / 1)."""
-    sig = jnp.zeros((n, 3))
-    alb = jnp.ones((n, 3))
+    C = 3 if wl is None else wl.shape[-1]
+    sig = jnp.zeros((n, C))
+    alb = jnp.ones((n, C))
     for k, med in enumerate(scene.media):
         msk = (med_id == k)[..., None]
-        sig = jnp.where(msk, jnp.broadcast_to(med.sigma_t[None], (n, 3)), sig)
-        alb = jnp.where(msk, jnp.broadcast_to(med.albedo[None], (n, 3)), alb)
+        sig_k, alb_k = _lane_sigmas(med, n, wl)
+        sig = jnp.where(msk, sig_k, sig)
+        alb = jnp.where(msk, alb_k, alb)
     return sig, alb
 
 
-def _free_flight(scene, smpl, med_id, o, d, maxt, active):
+def _free_flight(scene, smpl, med_id, o, d, maxt, active, wl=None):
     """Dispatch free-flight sampling over the media table. Every medium's
     sampler consumes from its own FORKED stream so the main replay stream
     stays identical across lanes in different media (the functional
     counterpart of volpath.cpp's per-lane medium vcall)."""
     n = o.shape[0]
+    C = 3 if wl is None else wl.shape[-1]
     t_med = jnp.asarray(maxt)
     is_medium = jnp.zeros((n,), bool)
-    w_tr = jnp.ones((n, 3))
+    w_tr = jnp.ones((n, C))
     for k, med in enumerate(scene.media):
         msk = active & (med_id == k)
         rs = sa.fork(smpl, salt=0xA11C0 + k)
-        sigL = jnp.broadcast_to(med.sigma_t[None], (n, 3))
+        sigL, _ = _lane_sigmas(med, n, wl)
         if med.density is not None:
-            sig_m = jax.lax.stop_gradient(jnp.mean(med.sigma_t) * med.majorant)
+            sig_m = _med_majorant(med, wl)
             t_m, is_m, w_m, _ = med_mod.sample_interaction_het_sig(
                 med, sigL, sig_m, rs, o, d, maxt)
         else:
@@ -225,16 +243,18 @@ def _free_flight(scene, smpl, med_id, o, d, maxt, active):
     return t_med, is_medium & active, w_tr
 
 
-def _segment_transmittance(scene, smpl, med_id, o, d, dist, active, salt):
+def _segment_transmittance(scene, smpl, med_id, o, d, dist, active, salt,
+                           wl=None):
     """Transmittance of one shadow segment in each lane's current medium."""
     n = o.shape[0]
-    tr = jnp.ones((n, 3))
+    C = 3 if wl is None else wl.shape[-1]
+    tr = jnp.ones((n, C))
     dist = jnp.where(active, dist, 0.0)
     for k, med in enumerate(scene.media):
         msk = active & (med_id == k)
-        sigL = jnp.broadcast_to(med.sigma_t[None], (n, 3))
+        sigL, _ = _lane_sigmas(med, n, wl)
         if med.density is not None:
-            sig_m = jax.lax.stop_gradient(jnp.mean(med.sigma_t) * med.majorant)
+            sig_m = _med_majorant(med, wl)
             rs = sa.fork(smpl, salt=salt + k)
             tr_k, _ = med_mod.transmittance_het_sig(
                 med, sigL, sig_m, rs, o, d, jnp.where(msk, dist, 0.0))
@@ -244,13 +264,13 @@ def _segment_transmittance(scene, smpl, med_id, o, d, dist, active, salt):
     return tr
 
 
-def _transmittance_walk(scene, smpl, med0, ray0, dist, active):
+def _transmittance_walk(scene, smpl, med0, ray0, dist, active, wl=None):
     """NEE visibility through null interfaces: walk the shadow path segment
     by segment, switching media at null boundaries, occluding at anything
     else (volpath.cpp's null-scattering shadow loop, statically unrolled to
     MAX_NULL_CROSSINGS crossings)."""
     n = dist.shape[0]
-    Tr = jnp.ones((n, 3))
+    Tr = jnp.ones((n, 3 if wl is None else wl.shape[-1]))
     occ = jnp.zeros((n,), bool)
     cur = med0
     o_cur = ray0.o
@@ -263,7 +283,7 @@ def _transmittance_walk(scene, smpl, med0, ray0, dist, active):
         seg_len = jnp.minimum(jnp.where(si2.is_valid, si2.t, jnp.inf), rem)
         seg_len = jnp.where(act & jnp.isfinite(seg_len), seg_len, 0.0)
         Tr = Tr * _segment_transmittance(scene, smpl, cur, ro, rd, seg_len,
-                                         act, salt=0x5E90 + 64 * seg)
+                                         act, salt=0x5E90 + 64 * seg, wl=wl)
         hit_before = act & si2.is_valid & (si2.t < rem * (1.0 - 1e-4))
         is_null = (bsdf_mod.lane_flags(scene, si2) & jnp.uint32(bf.Null)) != 0
         occ = occ | (hit_before & ~is_null)
@@ -297,14 +317,16 @@ def _phase_merge_sample(scene, med_id, wi, s2):
 
 
 def _sample_media(scene, sampler, ray, max_depth, rr_depth=5,
-                  hide_emitters=False):
+                  hide_emitters=False, wl=None):
     """Volumetric path tracing with per-shape interior/exterior media and
-    medium transitions at transmission/null events (rgb)."""
+    medium transitions at transmission/null events (rgb or hero-wavelength
+    spectral — volpath.cpp:133-191's variant matrix)."""
     n = ray.o.shape[0]
     dt = ray.o.dtype
+    C = 3 if wl is None else wl.shape[-1]
     state = dict(
         o=ray.o, d=ray.d,
-        L=jnp.zeros((n, 3), dt), beta=jnp.ones((n, 3), dt),
+        L=jnp.zeros((n, C), dt), beta=jnp.ones((n, C), dt),
         active=jnp.ones((n,), bool),
         med_id=jnp.full((n,), scene.camera_medium, jnp.int32),
         # REAL vertex count: null-interface crossings do not consume path
@@ -321,21 +343,22 @@ def _sample_media(scene, sampler, ray, max_depth, rr_depth=5,
         maxt = jnp.where(si.is_valid, si.t, 4.0 * scene.bbox_radius)
 
         t_med, is_medium, w_tr = _free_flight(scene, smpl, med_id, st['o'],
-                                              st['d'], maxt, st['active'])
+                                              st['d'], maxt, st['active'],
+                                              wl=wl)
         beta = st['beta'] * w_tr
         p_evt = st['o'] + st['d'] * t_med[..., None]
-        sig_lane, alb_lane = _per_medium_sigmas(scene, med_id, n)
+        sig_lane, alb_lane = _per_medium_sigmas(scene, med_id, n, wl=wl)
 
         # ---- emission on surface path ----
         hit_em = st['active'] & ~is_medium & (si.emitter_index >= 0)
-        Le = sc.eval_emitter_hit(scene, si, hit_em)
+        Le = sc.eval_emitter_hit(scene, si, hit_em, wl=wl)
         pdf_light = sc.pdf_emitter_direction(scene, st['prev_p'], si, hit_em)
         mis_b = jnp.where(st['prev_delta'], 1.0,
                           mis_weight(st['prev_pdf'], pdf_light))
         show = jnp.where(depth == 0, not hide_emitters, True)
         L = st['L'] + beta * Le * (mis_b * show)[..., None]
         escaped = st['active'] & ~is_medium & ~si.is_valid
-        Lenv = sc.eval_environment(scene, st['d'], escaped)
+        Lenv = sc.eval_environment(scene, st['d'], escaped, wl=wl)
         pdf_env = sc.pdf_env_direction(scene, st['d'], escaped)
         mis_e = jnp.where(st['prev_delta'], 1.0,
                           mis_weight(st['prev_pdf'], pdf_env))
@@ -355,7 +378,7 @@ def _sample_media(scene, sampler, ray, max_depth, rr_depth=5,
         ds, em_w = sc.sample_emitter_direction(scene, si_evt,
                                                jax.lax.stop_gradient(s_em),
                                                test_visibility=False,
-                                               active=active_em)
+                                               active=active_em, wl=wl)
         # the medium on the light side of the event point
         med_sh = jnp.where(is_medium, med_id,
                            target_medium(scene, si, ds.d, med_id))
@@ -363,11 +386,12 @@ def _sample_media(scene, sampler, ray, max_depth, rr_depth=5,
         sh_o = jnp.where(is_medium[..., None], p_evt, sh_ray_surf.o)
         dist_sh = jnp.where(active_em & jnp.isfinite(ds.dist), ds.dist, 0.0)
         tr_sh = _transmittance_walk(scene, smpl, med_sh,
-                                    Ray.make(sh_o, ds.d), dist_sh, active_em)
+                                    Ray.make(sh_o, ds.d), dist_sh, active_em,
+                                    wl=wl)
         em_w = em_w * tr_sh
         wo_local = si.to_local(ds.d)
         b_val, b_pdf = bsdf_mod.eval_pdf(scene, si, wo_local,
-                                         active_em & ~is_medium)
+                                         active_em & ~is_medium, wl=wl)
         ph = _phase_merge_eval(scene, med_id, -st['d'], ds.d)
         ph_val3 = alb_lane * ph[..., None]
         scat_val = jnp.where(is_medium[..., None], ph_val3, b_val)
@@ -383,7 +407,7 @@ def _sample_media(scene, sampler, ray, max_depth, rr_depth=5,
         s2, smpl = sa.next_2d(smpl)
         bs, b_weight = bsdf_mod.sample(scene, si, jax.lax.stop_gradient(s1),
                                        jax.lax.stop_gradient(s2),
-                                       active & ~is_medium)
+                                       active & ~is_medium, wl=wl)
         wo_ph, pdf_ph = _phase_merge_sample(scene, med_id, -st['d'],
                                             jax.lax.stop_gradient(s2))
         d_new = jnp.where(is_medium[..., None], wo_ph, si.to_world(bs.wo))

@@ -172,10 +172,14 @@ class heightfield:
     # survivor population — overflow falls into the full-width backstop
     # (measured 4x whole-march regression). Camera 15.5->14.4 ms,
     # shadow 48.5->29.8 ms per 65k-lane march.
-    CASCADE = ((12, 1), (10 ** 9, 32))
-    # shadow rays either occlude within a few cells (min-mip early-out) or
-    # escape quickly; the few survivors are long grazing walks
-    SHADOW_CASCADE = ((12, 1), (40, 16), (10 ** 9, 64))
+    # REAL-mix demand (envmap-NEE rays from the bench scene, stats mode):
+    # p50=8, p90=24, p99=60, max=128 — the heavy tail is grazing DOWNWARD
+    # rays that escape through the domain side (median elev -0.75, 84%
+    # unoccluded), far heavier than the synthetic up-hemisphere mix the
+    # first round-3 sweep used. Stage widths sized so survivors never
+    # overflow: 27% of actives need >12 iters, ~10% >24.
+    CASCADE = ((12, 1), (36, 8), (10 ** 9, 16))
+    SHADOW_CASCADE = ((12, 1), (36, 4), (10 ** 9, 8))
     # after the unrolled probe ladder classified the easy lanes, only the
     # ambiguous (grazing) tail marches — one narrow compacted stage (the
     # full-width exactness backstop still runs after it)

@@ -28,7 +28,8 @@ def integrator_config(scene) -> dict:
     return dict(scene.integrator)
 
 
-def _sample_radiance(scene, cfg, sampler, ray, wl=None, ray_diff=None):
+def _sample_radiance(scene, cfg, sampler, ray, wl=None, ray_diff=None,
+                     winv=None):
     """Dispatch to the integrator plugin (SamplingIntegrator::sample).
     `wl`: per-lane hero wavelengths (spectral variant) or None (rgb);
     `ray_diff`: optional (ray_dx, ray_dy) camera differentials (mip LOD)."""
@@ -56,20 +57,17 @@ def _sample_radiance(scene, cfg, sampler, ray, wl=None, ray_diff=None):
                               rr_depth=int(cfg.get('rr_depth', 5)),
                               hide_emitters=bool(cfg.get('hide_emitters', False)),
                               wl=wl)
-    if wl is not None:
-        raise NotImplementedError(
-            f'integrator {kind!r} does not support the spectral variant yet '
-            '(supported: path/prb/direct/depth/volpath)')
     if kind == 'depth':
         si = sc.ray_intersect(scene, ray)
         d = jnp.where(si.is_valid, si.t, 0.0)
-        return jnp.repeat(d[..., None], 3, -1), si.is_valid, sampler
+        C = 3 if wl is None else wl.shape[-1]
+        return jnp.repeat(d[..., None], C, -1), si.is_valid, sampler
     if kind in ('aov', 'moment'):
         from ..plugins.integrators import aov as aov_mod
-        return aov_mod.sample(scene, cfg, sampler, ray)
+        return aov_mod.sample(scene, cfg, sampler, ray, wl=wl, winv=winv)
     if kind == 'stokes':
         from ..plugins.integrators import stokes as stokes_mod
-        return stokes_mod.sample(scene, cfg, sampler, ray)
+        return stokes_mod.sample(scene, cfg, sampler, ray, wl=wl, winv=winv)
     if kind in CUSTOM_INTEGRATORS:
         return CUSTOM_INTEGRATORS[kind](scene, cfg, sampler, ray)
     raise ValueError(f'unknown integrator {kind}')
@@ -134,8 +132,10 @@ def render_pass(scene, block, pass_seed, spp_pass: int, spp_total: int,
         wl, winv = spec_mod.sample_wavelengths(u_wl)
 
     L, valid, sampler = _sample_radiance(scene, cfg, sampler, ray, wl=wl,
-                                         ray_diff=ray_diff)
-    if wl is not None:
+                                         ray_diff=ray_diff, winv=winv)
+    # aov/moment/stokes convert their radiance channels to display space
+    # internally (their channel layouts mix radiance with aux outputs)
+    if wl is not None and cfg.get('type') not in ('aov', 'moment', 'stokes'):
         from ..core import spectrum as spec_mod
         if film.kind == 'specfilm':
             L = film_mod.spectral_to_bands(film, L, wl, winv)

@@ -241,3 +241,31 @@ def test_spectral_volpath_heterogeneous_smoke():
     img = np.asarray(mt.render(mt.load_dict(d), spp=64, seed=5))
     assert np.isfinite(img).all()
     assert img.mean() > 0.05
+
+
+def test_spectral_moment_and_stokes_channels():
+    """Spectral variant x aov/moment/stokes (the NotImplementedError guards
+    VERDICT r2 item 7 deletes): moment's first 3 channels equal the path
+    render in expectation; stokes S0 matches the scalar render for an
+    unpolarized scene; all channels finite."""
+    d = _scene()
+    d['integrator'] = {'type': 'moment', 'nested_type': 'path',
+                       'max_depth': 4}
+    s = mt.load_dict(d, spectral=True)
+    img = np.asarray(mt.render(s, spp=64, seed=5))
+    assert img.shape[-1] == 6 and np.isfinite(img).all()
+    d['integrator'] = {'type': 'path', 'max_depth': 4}
+    ref = np.asarray(mt.render(mt.load_dict(d, spectral=True), spp=64, seed=5))
+    np.testing.assert_allclose(img[..., :3], ref, atol=5e-3)
+    # second moment >= first moment squared / spp-free bound: m2 >= m1^2 is
+    # not guaranteed per-pixel at finite spp, but must hold on average
+    assert img[..., 3:].mean() >= (img[..., :3] ** 2).mean() * 0.99
+
+    d['integrator'] = {'type': 'stokes', 'max_depth': 3}
+    s3 = mt.load_dict(d, spectral=True)
+    img3 = np.asarray(mt.render(s3, spp=32, seed=5))
+    assert img3.shape[-1] == 12 and np.isfinite(img3).all()
+    # unpolarized diffuse scene: S1..S3 negligible vs S0
+    s0 = np.abs(img3[..., :3]).mean()
+    rest = np.abs(img3[..., 3:]).mean()
+    assert rest < 0.1 * max(s0, 1e-6), (s0, rest)

@@ -42,7 +42,7 @@ for aux, kappa in ((16, 1e5), (64, 1e5)):
     def loss(x, seed):
         return proj(render_prb_reparam(params.scene_with({key: x}), SPP, seed,
                                        num_aux=aux, kappa=kappa))
-    g = jax.jit(jax.grad(loss))
-    gs = [float(g(x0, s)[comp]) for s in seeds]
+    g = jax.jit(jax.grad(loss), static_argnums=1)
+    gs = [float(g(x0, int(s))[comp]) for s in seeds]
     print(f'prb_reparam aux={aux:3d} kappa={kappa:.0e}: g={np.mean(gs):+.6f} '
           f'ratio={np.mean(gs)/fd:+.3f} seed-std={np.std(gs):.5f}', flush=True)

@@ -1,0 +1,91 @@
+"""Why does the in-render shadow march cost ~46 ms when standalone it is
+~30 ms? Variants: insurance stage on/off, depth-0 occupancy hint, and a
+shadow-only program built from the real render's NEE rays."""
+import time
+import sys
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+sys.path.insert(0, '/root/repo')
+
+import mitsuba_tpu as mt
+from mitsuba_tpu.render.integrator import render_pass
+from mitsuba_tpu.render import film as film_mod
+import importlib
+hf_mod = importlib.import_module('mitsuba_tpu.plugins.shapes.heightfield')
+hf = hf_mod.heightfield
+
+REPS = 8
+
+
+def timeit(label, f, *args):
+    t0 = time.time()
+    np.asarray(jax.tree_util.tree_leaves(f(*args))[0]).ravel()[:1]
+    c = time.time() - t0
+    t0 = time.time()
+    out = f(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    dt1 = (time.time() - t0) / REPS
+    print(f'{label}: {dt1*1e3:.1f} ms/pass (compile {c:.0f}s)', flush=True)
+
+
+scene = mt.load_dict(mt.heightfield_scene(
+    res_hf=512, res_img=256, spp=256, max_depth=4))
+params = mt.traverse(scene)
+key = [k for k in params.keys() if 'heights' in k][0]
+h0 = params[key]
+
+
+def make(depth=4):
+    def one_pass(h, offset):
+        s2 = params.scene_with({key: h})
+        cfg = dict(s2.integrator)
+        cfg['max_depth'] = depth
+        s2 = s2.replace(integrator=cfg)
+        block = s2.film.new_block()
+        block = render_pass(s2, block, jnp.asarray(0, jnp.uint32), 1, 256,
+                            sample_offset=offset)
+        return film_mod.develop(block, s2.film)
+
+    @jax.jit
+    def g(h, o0):
+        off = o0
+        acc = jnp.zeros((), jnp.float32)
+        for k in range(REPS):
+            acc = acc + one_pass(h, off).mean()
+            off = off + (acc * 0).astype(jnp.int32) + 1
+        return acc
+    return g
+
+
+def make_nosh(depth=4):
+    def one_pass(h, offset):
+        s2 = params.scene_with({key: h})
+        cfg = dict(s2.integrator)
+        cfg['max_depth'] = depth
+        cfg['nee_visibility'] = False
+        s2 = s2.replace(integrator=cfg)
+        block = s2.film.new_block()
+        block = render_pass(s2, block, jnp.asarray(0, jnp.uint32), 1, 256,
+                            sample_offset=offset)
+        return film_mod.develop(block, s2.film)
+
+    @jax.jit
+    def g(h, o0):
+        off = o0
+        acc = jnp.zeros((), jnp.float32)
+        for k in range(REPS):
+            acc = acc + one_pass(h, off).mean()
+            off = off + (acc * 0).astype(jnp.int32) + 1
+        return acc
+    return g
+
+
+z = jnp.asarray(0, jnp.int32)
+print('backend:', jax.default_backend(), flush=True)
+timeit('fwd base      ', make(), h0, z)
+timeit('fwd noshadow  ', make_nosh(), h0, z)
+timeit('fwd depth1    ', make(1), h0, z)

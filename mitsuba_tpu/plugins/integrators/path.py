@@ -21,6 +21,9 @@ from ...render.records import Ray
 
 UNROLL_MAX_DEPTH = 6    # unroll the bounce loop up to this depth (trades
                         # compile time for occupancy-matched march widths)
+DEFER_NEE = True        # batch all bounces' NEE shadow rays into one march
+                        # (unrolled mode only; RNG-order neutral, so the PRB
+                        # replay in ad/integrators/prb.py stays valid)
 
 
 def mis_weight(pdf_a, pdf_b):
@@ -70,7 +73,8 @@ def sample(scene: sc.Scene, sampler: sa.SamplerState, ray: Ray,
         sampler=sampler,
         valid=jnp.zeros((n,), bool))
 
-    def body(state: PathState, depth, occ_closest=1, occ_shadow=1):
+    def body(state: PathState, depth, occ_closest=1, occ_shadow=1,
+             nee_defer=None):
         cur_ray = Ray.make(state.o, state.d)
         si = sc.ray_intersect(scene, cur_ray, occ_frac=occ_closest)
         first = depth == 0
@@ -107,17 +111,31 @@ def sample(scene: sc.Scene, sampler: sa.SamplerState, ray: Ray,
         smpl = state.sampler
         s_em, smpl = sa.next_2d(smpl)
         active_em = active & bsdf_mod.has_smooth(scene_b, si)
-        ds, em_weight = sc.sample_emitter_direction(
-            scene_b, si, jax.lax.stop_gradient(s_em),
-            test_visibility=nee_visibility,
-            active=active_em, wl=wl, occ_frac=occ_shadow)
+        if nee_defer is not None and nee_visibility:
+            # deferred NEE: stash the shadow ray + unoccluded contribution;
+            # ALL bounces' occlusion queries run as ONE batched compacted
+            # march after the loop (the cascade's tail stages then pay one
+            # worst-lane gate instead of max_depth of them)
+            ds, em_weight, (sh_ray, act_s) = sc.sample_emitter_direction(
+                scene_b, si, jax.lax.stop_gradient(s_em),
+                test_visibility=False, defer_visibility=True,
+                active=active_em, wl=wl)
+        else:
+            ds, em_weight = sc.sample_emitter_direction(
+                scene_b, si, jax.lax.stop_gradient(s_em),
+                test_visibility=nee_visibility,
+                active=active_em, wl=wl, occ_frac=occ_shadow)
         wo_local = si.to_local(ds.d)
         bsdf_val, bsdf_pdf = bsdf_mod.eval_pdf(scene_b, si, wo_local, active_em,
                                                wl=wl)
         mis_em = jnp.where(ds.delta, 1.0, mis_weight(
             jax.lax.stop_gradient(ds.pdf), jax.lax.stop_gradient(bsdf_pdf)))
         contrib = state.beta * bsdf_val * em_weight * mis_em[..., None]
-        L = L + jnp.where(active_em[..., None], contrib, 0.0)
+        contrib = jnp.where(active_em[..., None], contrib, 0.0)
+        if nee_defer is not None and nee_visibility:
+            nee_defer.append((sh_ray, act_s & active_em, contrib))
+        else:
+            L = L + contrib
 
         # ---- BSDF sampling (path.cpp:236-258) ----
         s1, smpl = sa.next_1d(smpl)
@@ -169,10 +187,29 @@ def sample(scene: sc.Scene, sampler: sa.SamplerState, ray: Ray,
             c_occ, s_occ = _hf.CLOSEST_OCC, _hf.SHADOW_OCC
         except ImportError:
             c_occ = s_occ = (1,)
+        nee_defer = [] if (DEFER_NEE and nee_visibility) else None
         for depth in range(max_depth):
             state, _ = body(state, jnp.asarray(depth),
                             occ_closest=c_occ[min(depth, len(c_occ) - 1)],
-                            occ_shadow=s_occ[min(depth, len(s_occ) - 1)])
+                            occ_shadow=s_occ[min(depth, len(s_occ) - 1)],
+                            nee_defer=nee_defer)
+        if nee_defer:
+            # one any-hit march over every bounce's shadow rays; stage-1
+            # width from the summed per-bounce occupancy hints
+            B = len(nee_defer)
+            o_all = jnp.concatenate([r.o for r, _, _ in nee_defer])
+            d_all = jnp.concatenate([r.d for r, _, _ in nee_defer])
+            t_all = jnp.concatenate([r.maxt for r, _, _ in nee_defer])
+            total_occ = sum(1.0 / s_occ[min(b, len(s_occ) - 1)]
+                            for b in range(B))
+            occ = max(1, int(B / max(total_occ, 1e-6)))
+            occluded = sc.ray_test(
+                scene, Ray.make(o_all, d_all, maxt=t_all), occ_frac=occ)
+            occluded = occluded.reshape(B, n)
+            for b, (_, act_s, contrib) in enumerate(nee_defer):
+                vis = act_s & ~occluded[b]
+                state = state.replace(
+                    L=state.L + jnp.where(vis[..., None], contrib, 0.0))
     else:
         state, _ = jax.lax.scan(body, state, jnp.arange(max_depth))
     return state.L, state.valid, state.sampler

@@ -65,7 +65,17 @@ def _flatten_instances(d):
                     child_tw = inner.get('to_world', Transform4())
                     if not isinstance(child_tw, Transform4):
                         child_tw = Transform4(np.asarray(child_tw))
-                    inner['to_world'] = Transform4(tw.matrix @ child_tw.matrix)
+                    if inner['type'] in ('obj', 'ply', 'serialized', 'mesh'):
+                        # RENDER-TIME instancing (instance.cpp:1-299): keep
+                        # the group geometry in its own (child) space ONCE;
+                        # the instance transform becomes a per-instance row
+                        # in the BVH-forest top level (mesh.py shared-group
+                        # build) instead of baking a world-space copy
+                        inner['to_world'] = child_tw
+                        inner['_instance_group'] = f'{ref}/{sk}'
+                        inner['_inst_tw'] = tw
+                    else:
+                        inner['to_world'] = Transform4(tw.matrix @ child_tw.matrix)
                     out[f'{k}_{sk}_{idx}'] = inner
                     idx += 1
         else:

@@ -388,3 +388,31 @@ def test_eval_attribute_vertex():
     # center of the quad: average of a triangle's corner values at its bary
     assert np.isfinite(np.asarray(val)).all()
     assert 0.0 <= float(np.asarray(val).ravel()[0]) <= 3.0
+
+def test_eval_parameterization_mesh_instance1():
+    """Multi-instance mesh uv search (mesh.h:198 handles ANY shape; the
+    round-2 instance-0 pin is gone): query the SECOND mesh's gid and get a
+    point on the second mesh."""
+    import mitsuba_tpu as mt
+    from mitsuba_tpu.render import scene as sc
+    v = np.asarray([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float32)
+    f = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
+    uvb = np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    d = {'type': 'scene',
+         'm0': {'type': 'mesh', 'vertices': v, 'faces': f, 'uvs': uvb},
+         'm1': {'type': 'mesh', 'vertices': v + np.asarray([5.0, 0, 0]),
+                'faces': f, 'uvs': uvb}}
+    scene = mt.load_dict(d)
+    ti = scene.shape_types.index('mesh')
+    uv = jnp.asarray([[0.25, 0.25], [0.75, 0.5]])
+    gid1 = jnp.full((2,), scene.type_offsets[ti] + 1, jnp.int32)
+    out = sc.eval_parameterization(scene, gid1, uv)
+    p = np.asarray(out['p'])
+    assert bool(out['valid'].all())
+    # uv=(a,b) on the translated quad: x = 5 + (2a-1), y = 2b-1
+    np.testing.assert_allclose(p[0], [5 - 0.5, -0.5, 0.0], atol=1e-5)
+    np.testing.assert_allclose(p[1], [5 + 0.5, 0.0, 0.0], atol=1e-5)
+    # instance 0 still resolves to the origin quad
+    gid0 = jnp.full((2,), scene.type_offsets[ti], jnp.int32)
+    p0 = np.asarray(sc.eval_parameterization(scene, gid0, uv)['p'])
+    np.testing.assert_allclose(p0[0], [-0.5, -0.5, 0.0], atol=1e-5)

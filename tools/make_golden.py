@@ -104,15 +104,23 @@ def empirical_mean_var(d, spp_total, chunks=32):
             for i in range(chunks)]
     mean = np.mean(imgs, 0)
     var = s * np.var(imgs, 0, ddof=1)
-    # the chunk estimator itself is chi^2_(chunks-1)-noisy and spectral
-    # (hero-wavelength) noise is heavy-tailed, so the per-pixel var is
-    # systematically LOW where no rare event landed in the chunks —
-    # inflate by the 99.9% chi^2 lower-bound factor so the z-test's null
-    # holds (observed: honest re-renders hit z≈6 at 0.4% of pixels with
-    # the raw estimate)
-    from scipy.stats import chi2
-    k = chunks - 1
-    var = var * (k / chi2.ppf(0.001, k))
+    # the chunk estimator is chi^2_(chunks-1)-noisy and spectral
+    # (hero-wavelength) noise is heavy-tailed: pixels where no rare event
+    # landed in the chunks get a var estimate near zero and blow up the
+    # z-test. Targeted repair (ADVICE r2 — no global inflation): pool the
+    # variance over a 3x3 neighborhood (spatially smooth noise levels for
+    # a diffuse box) and clamp to a relative floor of the pixel mean.
+    pooled = np.empty_like(var)
+    for c in range(var.shape[-1]):
+        p = var[..., c]
+        pad = np.pad(p, 1, mode='edge')
+        acc = np.zeros_like(p)
+        for dy in range(3):
+            for dx in range(3):
+                acc += pad[dy:dy + p.shape[0], dx:dx + p.shape[1]]
+        pooled[..., c] = acc / 9.0
+    var = np.maximum(var, pooled)
+    var = np.maximum(var, (0.05 * mean) ** 2)
     return mean, var
 
 

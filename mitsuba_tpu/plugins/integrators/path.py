@@ -21,7 +21,7 @@ from ...render.records import Ray
 
 UNROLL_MAX_DEPTH = 6    # unroll the bounce loop up to this depth (trades
                         # compile time for occupancy-matched march widths)
-DEFER_NEE = True        # batch all bounces' NEE shadow rays into one march
+DEFER_NEE = False        # batch all bounces' NEE shadow rays into one march
                         # (unrolled mode only; RNG-order neutral, so the PRB
                         # replay in ad/integrators/prb.py stays valid)
 

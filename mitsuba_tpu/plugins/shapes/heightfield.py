@@ -738,16 +738,25 @@ class heightfield:
         # full-width backstop keeps the result exact (normally 0 iterations).
         def compact_stage(state, frac, cap):
             k = max(16, n // frac)
-            # actives-first stable partition (MXU prefix count, ~10x cheaper
-            # than the 65k argsort it replaces)
-            sel = m.partition_actives(state[5], k)
-            lane_sub = tuple(x[sel] for x in lane_full)
-            state_sub = tuple(x[sel] for x in state[:7]) + \
-                (jnp.asarray(0, jnp.int32),)
-            state_sub = run_loop(lane_sub, state_sub, cap)
-            merged = [full_x.at[sel].set(sub_x)
-                      for full_x, sub_x in zip(state[:7], state_sub[:7])]
-            return tuple(merged) + (jnp.asarray(0, jnp.int32),)
+
+            def do_stage(state):
+                # actives-first stable partition (MXU prefix count, ~10x
+                # cheaper than the 65k argsort it replaces)
+                sel = m.partition_actives(state[5], k)
+                lane_sub = tuple(x[sel] for x in lane_full)
+                state_sub = tuple(x[sel] for x in state[:7]) + \
+                    (jnp.asarray(0, jnp.int32),)
+                state_sub = run_loop(lane_sub, state_sub, cap)
+                merged = [full_x.at[sel].set(sub_x)
+                          for full_x, sub_x in zip(state[:7], state_sub[:7])]
+                return tuple(merged) + (jnp.asarray(0, jnp.int32),)
+
+            # skip the partition + gather/scatter entirely when no lane is
+            # still active (tail stages are usually EMPTY for late-bounce
+            # marches — 8 marches/pass each pay 2 tails + insurance)
+            return jax.lax.cond(jnp.any(state[5]), do_stage,
+                                lambda s: s[:7] + (jnp.asarray(0, jnp.int32),),
+                                state)
 
         if stats:
             # cascade-design instrumentation: per-lane iteration demand and

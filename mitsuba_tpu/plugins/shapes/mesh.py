@@ -67,6 +67,14 @@ class MeshTable:
     forest: dict = None              # {nodes10, soup36} (concatenated)
     cat_faces: jnp.ndarray = None    # (ΣF',3) int32 into concatenated verts
     face_inst: jnp.ndarray = None    # (ΣF',) int32 instance of each face row
+    # RENDER-TIME INSTANCING (reference src/shapes/instance.cpp two-level
+    # transforms; VERDICT r2 item 8): geometry + BVH subtree stored ONCE per
+    # shapegroup in group space; each instance is a 3x4 transform row in the
+    # forest top level. None for non-instanced tables (old paths untouched).
+    inst_tw: jnp.ndarray = None      # (S,3,4) instance->world (differentiable)
+    inst_to: jnp.ndarray = None      # (S,3,4) world->instance (detached)
+    geom_of: tuple = struct.field(pytree_node=False, default=())
+    # ^ per-slot unique-geometry index (STATIC structure, not traced)
 
 
 CHUNK = 512
@@ -219,6 +227,59 @@ def _build_forest(bvhs, verts_np, faces_np):
                   soup36=jnp.asarray(np.concatenate(soup_list)))
     return (forest, jnp.asarray(np.concatenate(cat_faces), jnp.int32),
             jnp.asarray(np.concatenate(face_inst)))
+
+
+def _build_forest_inst(bvhs_u, geom_of, tw_rows):
+    """Forest with RENDER-TIME instancing: each unique group's subtree is
+    stored ONCE; top-level leaves carry [world bbox | hit=group base | miss |
+    slot | -1 marker]. Group-internal exit links become the POP sentinel -1
+    (the traversal keeps the per-lane exit target in a register, so one
+    subtree serves every instance). Returns (forest, group_base)."""
+    S = len(geom_of)
+    nodes_u = [np.asarray(b['nodes10']) for b in bvhs_u]
+    soup_u = [np.asarray(b['soup36']) for b in bvhs_u]
+    # world bbox per instance: transform the group root bbox's 8 corners
+    bmins, bmaxs = [], []
+    for s in range(S):
+        nl = nodes_u[geom_of[s]]
+        lo, hi = nl[0, 0:3], nl[0, 3:6]
+        cs = np.stack(np.meshgrid(*[(lo[k], hi[k]) for k in range(3)],
+                                  indexing='ij'), -1).reshape(-1, 3)
+        M = np.asarray(tw_rows[s])
+        cw = cs @ M[:3, :3].T + M[:3, 3]
+        bmins.append(cw.min(0))
+        bmaxs.append(cw.max(0))
+    top_f, top_i = _toplevel_bvh(np.asarray(bmins, np.float32),
+                                 np.asarray(bmaxs, np.float32))
+    T = len(top_f)
+    sizes_u = [len(nl) for nl in nodes_u]
+    group_base = np.cumsum([T] + sizes_u[:-1])
+    total = T + sum(sizes_u)
+    hit_top, miss_top = _bvh_skip_links(top_i)
+    hit_top = np.where(hit_top >= T, total, hit_top).astype(np.float32)
+    miss_top = np.where(miss_top >= T, total, miss_top).astype(np.float32)
+    is_inst = top_i[:, 2] != 0
+    slot_of = top_i[:, 0]
+    hit_top[is_inst] = group_base[np.asarray(geom_of)[slot_of[is_inst]]]
+    col8 = np.zeros((T,), np.float32)
+    col8[is_inst] = slot_of[is_inst].astype(np.float32)
+    col9 = np.where(is_inst, -1.0, 0.0).astype(np.float32)
+    top10 = np.concatenate([top_f, hit_top[:, None], miss_top[:, None],
+                            col8[:, None], col9[:, None]], -1)
+    out_nodes = [top10.astype(np.float32)]
+    chunk_base = 0
+    for g, nl0 in enumerate(nodes_u):
+        nl = nl0.copy()
+        Nn_g = sizes_u[g]
+        for col in (6, 7):
+            link = nl[:, col]
+            nl[:, col] = np.where(link >= Nn_g, -1.0, link + group_base[g])
+        nl[:, 8] += chunk_base
+        out_nodes.append(nl)
+        chunk_base += len(soup_u[g])
+    forest = dict(nodes10=jnp.asarray(np.concatenate(out_nodes)),
+                  soup36=jnp.asarray(np.concatenate(soup_u)))
+    return forest, group_base
 
 
 def load_obj(path):
@@ -506,25 +567,85 @@ class mesh:
 
     @staticmethod
     def build(props_list):
+        # dedupe geometry: instances of the same shapegroup child build ONCE
+        # (render-time instancing, instance.cpp:1-299); plain meshes are
+        # their own singleton groups with identity instance transform
+        inst_mode = any('_inst_tw' in p for p in props_list)
+        group_of_key = {}
+        unique_props, geom_of, tws = [], [], []
+        for p in props_list:
+            gk = p.get('_instance_group')
+            tw = p.get('_inst_tw')
+            tws.append(None if tw is None else np.asarray(tw.matrix, np.float32))
+            if gk is not None and gk in group_of_key:
+                geom_of.append(group_of_key[gk])
+            else:
+                if gk is not None:
+                    group_of_key[gk] = len(unique_props)
+                geom_of.append(len(unique_props))
+                # the instanced forest needs every slot behind a BVH subtree
+                q = dict(p)
+                if inst_mode:
+                    q['accel'] = 'bvh'
+                unique_props.append(q)
+        if len(unique_props) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(8, len(unique_props))) as ex:
+                results_u = list(ex.map(mesh._build_one, unique_props))
+        else:
+            results_u = [mesh._build_one(p) for p in unique_props]
+
+        # device-convert each unique geometry ONCE; per-slot tuple entries
+        # then ALIAS the same buffers (the memory claim of instancing)
+        dev_u = [(jnp.asarray(r[0]), jnp.asarray(r[1]),
+                  None if r[2] is None else jnp.asarray(r[2]),
+                  None if r[3] is None else jnp.asarray(r[3]))
+                 for r in results_u]
         verts, faces, normals, uvs, cdfs, areas = [], [], [], [], [], []
         bvhs, perms = [], []
-        if len(props_list) > 1:
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=min(8, len(props_list))) as ex:
-                results = list(ex.map(mesh._build_one, props_list))
-        else:
-            results = [mesh._build_one(p) for p in props_list]
-        for v_w, f_arr, nrm, uv, cdf, total, bvh_d, order in results:
+        tw_rows, to_rows = [], []
+        for s, p in enumerate(props_list):
+            v_w, f_arr, nrm, uv, cdf, total, bvh_d, order = results_u[geom_of[s]]
+            M = tws[s] if tws[s] is not None else np.eye(4, dtype=np.float32)
+            tw_rows.append(M[:3, :4])
+            to_rows.append(np.linalg.inv(M)[:3, :4].astype(np.float32))
+            if tws[s] is not None:
+                # per-instance area/cdf from TRANSFORMED verts (host-side
+                # O(F) scalars; the (V,3) geometry itself is NOT copied)
+                vw = v_w @ M[:3, :3].T + M[:3, 3]
+                p0 = vw[f_arr[:, 0]]
+                fa = 0.5 * np.linalg.norm(
+                    np.cross(vw[f_arr[:, 1]] - p0, vw[f_arr[:, 2]] - p0),
+                    axis=-1)
+                total_s = fa.sum()
+                cdf_s = (np.cumsum(fa) / max(total_s, 1e-20)).astype(np.float32)
+            else:
+                total_s, cdf_s = total, cdf
             bvhs.append(bvh_d)
             perms.append(order)
-            verts.append(jnp.asarray(v_w))
-            faces.append(jnp.asarray(f_arr))
-            normals.append(None if nrm is None else jnp.asarray(nrm))
-            uvs.append(None if uv is None else jnp.asarray(uv))
-            cdfs.append(jnp.asarray(cdf))
-            areas.append(total)
+            dv, df, dn, du = dev_u[geom_of[s]]
+            verts.append(dv)
+            faces.append(df)
+            normals.append(dn)
+            uvs.append(du)
+            cdfs.append(jnp.asarray(cdf_s))
+            areas.append(total_s)
         forest = cat_faces = face_inst = None
-        if len(verts) > 1 and all(b is not None for b in bvhs):
+        inst_tw = inst_to = None
+        if inst_mode and all(b is not None for b in bvhs):
+            bvhs_u = [results_u[g][6] for g in range(len(unique_props))]
+            forest, group_base = _build_forest_inst(bvhs_u, geom_of, tw_rows)
+            # group-concatenated face table (prim rows index UNIQUE verts)
+            voff, cat = 0, []
+            for g in range(len(unique_props)):
+                f_g = np.asarray(results_u[g][1], np.int64) + voff
+                cat.append(f_g)
+                voff += len(results_u[g][0])
+            cat_faces = jnp.asarray(np.concatenate(cat), jnp.int32)
+            inst_tw = jnp.asarray(np.stack(tw_rows))
+            inst_to = jnp.asarray(np.stack(to_rows))
+        elif len(verts) > 1 and all(b is not None for b in bvhs) \
+                and not inst_mode:
             forest, cat_faces, face_inst = _build_forest(
                 bvhs, [np.asarray(v) for v in verts],
                 [np.asarray(f) for f in faces])
@@ -534,7 +655,8 @@ class mesh:
                          total_area=jnp.asarray(areas, jnp.float32),
                          bvh=tuple(bvhs), face_perm=tuple(perms),
                          forest=forest, cat_faces=cat_faces,
-                         face_inst=face_inst)
+                         face_inst=face_inst, inst_tw=inst_tw,
+                         inst_to=inst_to, geom_of=tuple(geom_of))
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -688,16 +810,22 @@ class mesh:
         # survivor population thins, exactness backstop at full width)
         def compact_stage(state, frac, cap):
             k = max(16, n // frac)
-            # actives-first stable partition (MXU prefix count; see
-            # core.math.partition_actives)
-            sel = m.partition_actives(state[4], k)
-            lane_sub = tuple(x[sel] for x in lane_full)
-            state_sub = tuple(x[sel] for x in state[:5]) + \
-                (jnp.asarray(0, jnp.int32),)
-            state_sub = run_loop(lane_sub, state_sub, cap)
-            merged = [fx.at[sel].set(sx)
-                      for fx, sx in zip(state[:5], state_sub[:5])]
-            return tuple(merged) + (jnp.asarray(0, jnp.int32),)
+
+            def do_stage(state):
+                # actives-first stable partition (MXU prefix count; see
+                # core.math.partition_actives)
+                sel = m.partition_actives(state[4], k)
+                lane_sub = tuple(x[sel] for x in lane_full)
+                state_sub = tuple(x[sel] for x in state[:5]) + \
+                    (jnp.asarray(0, jnp.int32),)
+                state_sub = run_loop(lane_sub, state_sub, cap)
+                merged = [fx.at[sel].set(sx)
+                          for fx, sx in zip(state[:5], state_sub[:5])]
+                return tuple(merged) + (jnp.asarray(0, jnp.int32),)
+
+            return jax.lax.cond(jnp.any(state[4]), do_stage,
+                                lambda s: s[:5] + (jnp.asarray(0, jnp.int32),),
+                                state)
 
         cap_full = jnp.asarray(Nn, jnp.int32)  # each node visited <= once
         if n >= 256 and Nn > 128:
@@ -711,8 +839,162 @@ class mesh:
         return t_out, state[2], state[3]
 
     @staticmethod
+    def _traverse_forest_inst(tbl, o, d, anyhit=False, maxt=None):
+        """Stackless walk of the INSTANCED forest: the lane transforms its
+        ray into group space on entering an instance leaf (top-level row,
+        marker col9 < 0) and restores the world ray when a group-internal
+        link POPs (sentinel -1). One shared subtree per shapegroup serves
+        every instance (instance.cpp's two-level traversal, TPU wavefront
+        formulation). Returns (t, bary, prim, inst). t is WORLD-parameter
+        (directions are transformed WITHOUT renormalizing, so the ray
+        parameter is preserved across the affine instance transforms)."""
+        o = jax.lax.stop_gradient(o)
+        d = jax.lax.stop_gradient(d)
+        nodes10, soup36 = tbl.forest['nodes10'], tbl.forest['soup36']
+        to12 = jax.lax.stop_gradient(tbl.inst_to).reshape(-1, 12)
+        Nn = nodes10.shape[0]
+        NL = soup36.shape[0]
+        n = o.shape[0]
+        eps = 1e-5
+        lane_arange = jnp.arange(BVH_LEAF)
+
+        def make_body(o, d, inv_d, t_lim):
+            def body(state):
+                (node, exit_to, inst, o_c, d_c, inv_c,
+                 t_best, uv_best, prim_best, inst_best, active, steps) = state
+                nd = jnp.clip(node, 0, Nn - 1)
+                g = nodes10[nd]
+                t0 = (g[..., 0:3] - o_c) * inv_c
+                t1 = (g[..., 3:6] - o_c) * inv_c
+                tn = jnp.max(jnp.minimum(t0, t1), -1)
+                tf = jnp.min(jnp.maximum(t0, t1), -1)
+                hit_box = (tf >= jnp.maximum(tn, eps)) & (tn < t_best)
+                hitn = g[..., 6].astype(jnp.int32)
+                missn = g[..., 7].astype(jnp.int32)
+                is_inst = g[..., 9] < -0.5
+                count = jnp.maximum(g[..., 9].astype(jnp.int32), 0)
+                chunk = g[..., 8].astype(jnp.int32)
+                start = chunk * BVH_LEAF
+                do_leaf = active & hit_box & (count > 0)
+                sc = soup36[jnp.clip(chunk, 0, NL - 1)].reshape(
+                    (-1, BVH_LEAF, 9))
+                P0 = sc[..., 0:3]
+                E1 = sc[..., 3:6]
+                E2 = sc[..., 6:9]
+                dL, oL = d_c[:, None], o_c[:, None]
+                pvec = jnp.cross(dL, E2)
+                det = jnp.sum(E1 * pvec, -1)
+                inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+                tvec = oL - P0
+                u = jnp.sum(tvec * pvec, -1) * inv_det
+                qvec = jnp.cross(tvec, E1)
+                vv = jnp.sum(dL * qvec, -1) * inv_det
+                tt = jnp.sum(E2 * qvec, -1) * inv_det
+                ok = do_leaf[:, None] & (lane_arange[None] < count[:, None]) & \
+                    (jnp.abs(det) > 1e-12) & (u >= 0) & (vv >= 0) & \
+                    (u + vv <= 1) & (tt > eps) & (tt < t_best[:, None])
+                tt = jnp.where(ok, tt, jnp.inf)
+                j = jnp.argmin(tt, -1)
+                t_c = jnp.take_along_axis(tt, j[:, None], 1)[:, 0]
+                better = t_c < t_best
+                u_c = jnp.take_along_axis(u, j[:, None], 1)[:, 0]
+                v_c = jnp.take_along_axis(vv, j[:, None], 1)[:, 0]
+                t_best = jnp.where(better, t_c, t_best)
+                uv_best = jnp.where(better[:, None],
+                                    jnp.stack([u_c, v_c], -1), uv_best)
+                prim_best = jnp.where(better, start + j.astype(jnp.int32),
+                                      prim_best)
+                inst_best = jnp.where(better, inst, inst_best)
+                # instance entry: descend into the shared subtree with the
+                # ray in group space; remember where to continue on exit
+                enter = active & hit_box & is_inst
+                M = to12[jnp.clip(g[..., 8].astype(jnp.int32), 0,
+                                  to12.shape[0] - 1)].reshape(-1, 3, 4)
+                o_l = jnp.einsum('nij,nj->ni', M[..., :3], o) + M[..., 3]
+                d_l = jnp.einsum('nij,nj->ni', M[..., :3], d)
+                inv_l = 1.0 / jnp.where(jnp.abs(d_l) < 1e-12,
+                                        jnp.where(d_l >= 0, 1e-12, -1e-12),
+                                        d_l)
+                descend = hit_box & ((count == 0) | is_inst)
+                nxt = jnp.where(descend, hitn, missn)
+                pop = nxt == -1
+                node_n = jnp.where(pop, exit_to, nxt)
+                node = jnp.where(active, node_n, node)
+                exit_to = jnp.where(enter, missn, exit_to)
+                inst = jnp.where(enter, g[..., 8].astype(jnp.int32), inst)
+                restore = pop[..., None]
+                take_l = enter[..., None]
+                o_c = jnp.where(restore, o, jnp.where(take_l, o_l, o_c))
+                d_c = jnp.where(restore, d, jnp.where(take_l, d_l, d_c))
+                inv_c = jnp.where(restore, inv_d,
+                                  jnp.where(take_l, inv_l, inv_c))
+                active = active & (node < Nn)
+                if anyhit:
+                    active = active & ~(t_best < t_lim)
+                return (node, exit_to, inst, o_c, d_c, inv_c, t_best,
+                        uv_best, prim_best, inst_best, active, steps + 1)
+            return body
+
+        def run_loop(lane, state, cap):
+            body = make_body(*lane)
+
+            def cond(st):
+                return jnp.any(st[-2]) & (st[-1] < cap)
+            return jax.lax.while_loop(cond, body, state)
+
+        inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                                jnp.where(d >= 0, 1e-12, -1e-12), d)
+        if maxt is None:
+            t_lim = jnp.full((n,), jnp.inf)
+        else:
+            t_lim = jnp.broadcast_to(jax.lax.stop_gradient(maxt), (n,))
+        lane_full = (o, d, inv_d, t_lim)
+        state = (jnp.zeros((n,), jnp.int32), jnp.full((n,), Nn, jnp.int32),
+                 jnp.zeros((n,), jnp.int32), o, d, inv_d,
+                 t_lim, jnp.zeros((n, 2)), jnp.zeros((n,), jnp.int32),
+                 jnp.zeros((n,), jnp.int32), jnp.ones((n,), bool),
+                 jnp.asarray(0, jnp.int32))
+
+        def compact_stage(state, frac, cap):
+            k = max(16, n // frac)
+
+            def do_stage(state):
+                sel = m.partition_actives(state[-2], k)
+                lane_sub = tuple(x[sel] for x in lane_full)
+                state_sub = tuple(x[sel] for x in state[:-1]) + \
+                    (jnp.asarray(0, jnp.int32),)
+                state_sub = run_loop(lane_sub, state_sub, cap)
+                merged = [fx.at[sel].set(sx)
+                          for fx, sx in zip(state[:-1], state_sub[:-1])]
+                return tuple(merged) + (jnp.asarray(0, jnp.int32),)
+
+            return jax.lax.cond(jnp.any(state[-2]), do_stage,
+                                lambda s: s[:-1] + (jnp.asarray(0, jnp.int32),),
+                                state)
+
+        # a node can be visited once per instance on the lane's path
+        cap_full = jnp.asarray(2 * Nn, jnp.int32)
+        if n >= 256 and Nn > 128:
+            state = run_loop(lane_full, state, min(64, Nn))
+            state = compact_stage(state, 4, min(320, Nn))
+            state = compact_stage(state, 16, cap_full)
+        else:
+            state = run_loop(lane_full, state, cap_full)
+        state = run_loop(lane_full, state, cap_full)   # exactness backstop
+        t_out = jnp.where(state[6] < t_lim, state[6], jnp.inf)
+        return t_out, state[7], state[8], state[9]
+
+    @staticmethod
     def intersect(tbl: MeshTable, o, d, anyhit=False, maxt=None):
         # (INTERSECT_FEATURES declared on the class)
+        if tbl.forest is not None and tbl.inst_tw is not None:
+            t, uv, prim, inst = mesh._traverse_forest_inst(
+                tbl, o, d, anyhit=anyhit, maxt=maxt)
+            S = len(tbl.vertices)
+            ts = jnp.stack([jnp.where(inst == s, t, jnp.inf)
+                            for s in range(S)])
+            return (ts, jnp.broadcast_to(uv[None], (S,) + uv.shape),
+                    jnp.broadcast_to(prim[None], (S,) + prim.shape))
         if tbl.forest is not None:
             # ONE walk over the whole instance forest; the winning instance
             # is recovered from the face row, and the scene-facing (S,N)
@@ -742,6 +1024,9 @@ class mesh:
 
     @staticmethod
     def compute_si(tbl: MeshTable, slot, o, d, t, prim_uv, prim_index):
+        if tbl.forest is not None and tbl.inst_tw is not None:
+            return mesh._compute_si_inst(tbl, slot, o, d, t, prim_uv,
+                                         prim_index)
         if tbl.forest is not None:
             return mesh._compute_si_forest(tbl, o, d, t, prim_uv, prim_index)
         out = None
@@ -836,25 +1121,105 @@ class mesh:
                     dp_dv=p2 - p0, sh_n=sh_n)
 
     @staticmethod
+    def _unique_slots(tbl):
+        """First slot of each unique geometry group, in group order."""
+        seen, out = set(), []
+        for s, g in enumerate(tbl.geom_of):
+            if g not in seen:
+                seen.add(g)
+                out.append(s)
+        return out
+
+    @staticmethod
+    def _compute_si_inst(tbl, slot, o, d, t, prim_uv, prim_index):
+        """Attached interaction for the instanced forest: geometry gathers
+        hit GROUP space (stored once), then the hit instance's to_world row
+        (differentiable — instance-transform gradients flow here) maps
+        positions; shading normals go through the cofactor (inverse-
+        transpose) of the linear part (instance.cpp world-normal path)."""
+        us = mesh._unique_slots(tbl)
+        v = jnp.concatenate([tbl.vertices[s] for s in us])
+        has_nrm = [tbl.normals[s] is not None for s in us]
+        has_uv = [tbl.uvs[s] is not None for s in us]
+        ns_cat = jnp.concatenate([
+            tbl.normals[s] if tbl.normals[s] is not None
+            else jnp.zeros_like(tbl.vertices[s]) for s in us])
+        uv_cat = jnp.concatenate([
+            tbl.uvs[s] if tbl.uvs[s] is not None
+            else jnp.zeros(tbl.vertices[s].shape[:1] + (2,)) for s in us])
+        f_arr = tbl.cat_faces
+        prim = jnp.clip(prim_index, 0, f_arr.shape[0] - 1)
+        sl = jnp.clip(slot, 0, len(tbl.geom_of) - 1)
+        geom = jnp.asarray(tbl.geom_of, jnp.int32)[sl]
+        nrm_ok = jnp.asarray(has_nrm, bool)[geom]
+        uv_ok = jnp.asarray(has_uv, bool)[geom]
+        M = tbl.inst_tw[sl]                       # (N,3,4) ATTACHED
+        A = M[..., :3]
+        b = M[..., 3]
+        i0, i1, i2 = f_arr[prim, 0], f_arr[prim, 1], f_arr[prim, 2]
+        tp = lambda q: jnp.einsum('nij,nj->ni', A, q) + b
+        p0, p1, p2 = tp(v[i0]), tp(v[i1]), tp(v[i2])
+        b1 = jnp.clip(prim_uv[..., 0], 0.0, 1.0)
+        b2 = jnp.clip(prim_uv[..., 1], 0.0, 1.0)
+        b0 = 1.0 - b1 - b2
+        ng = jnp.cross(p1 - p0, p2 - p0)
+        denom = m.dot(d, ng)
+        t_att = m.attached_div(m.dot(p0 - o, ng), denom,
+                               1e-5 * jnp.maximum(m.norm(ng), 1e-12))
+        t_att = m.replace_grad(t, t_att)
+        p = o + d * t_att[..., None]
+        n_geo = m.normalize(ng)
+        # cofactor transform for shading normals: (A^-1)^T n ∝
+        # [c1×c2, c2×c0, c0×c1] n with ci the columns of A
+        n_obj = (b0[..., None] * ns_cat[i0] + b1[..., None] * ns_cat[i1]
+                 + b2[..., None] * ns_cat[i2])
+        c0, c1, c2 = A[..., :, 0], A[..., :, 1], A[..., :, 2]
+        n_w = (jnp.cross(c1, c2) * n_obj[..., 0:1]
+               + jnp.cross(c2, c0) * n_obj[..., 1:2]
+               + jnp.cross(c0, c1) * n_obj[..., 2:3])
+        sh_n = jnp.where(nrm_ok[..., None],
+                         m.normalize(n_w + 1e-20), n_geo)
+        uv_interp = (b0[..., None] * uv_cat[i0] + b1[..., None] * uv_cat[i1]
+                     + b2[..., None] * uv_cat[i2])
+        uv = jnp.where(uv_ok[..., None], uv_interp, jnp.stack([b1, b2], -1))
+        n_geo = m.mulsign(n_geo, m.dot(n_geo, sh_n)[..., None])
+        return dict(t=t_att, p=p, n=n_geo, uv=uv, dp_du=p1 - p0,
+                    dp_dv=p2 - p0, sh_n=sh_n)
+
+    @staticmethod
     def surface_area(tbl: MeshTable):
         return tbl.total_area
 
     @staticmethod
     def sample_position(tbl: MeshTable, slot, sample2):
-        s = 0  # single-instance fast path
-        v = tbl.vertices[s]
-        f_arr = tbl.faces[s]
-        cdf = tbl.face_pmf_cdf[s]
-        prim = jnp.clip(jnp.searchsorted(cdf, sample2[..., 0], side='right'),
-                        0, f_arr.shape[0] - 1)
         uv = warp.square_to_uniform_triangle(
             jnp.stack([sample2[..., 1],
                        (sample2[..., 0] * 7919.0) % 1.0], -1))
-        i0, i1, i2 = f_arr[prim, 0], f_arr[prim, 1], f_arr[prim, 2]
-        p0, p1, p2 = v[i0], v[i1], v[i2]
         b1 = uv[..., 0]
         b2 = uv[..., 1]
-        p = p0 + (p1 - p0) * b1[..., None] + (p2 - p0) * b2[..., None]
-        n = m.normalize(jnp.cross(p1 - p0, p2 - p0))
-        pdf = 1.0 / jnp.maximum(tbl.total_area[s], 1e-12)
-        return dict(p=p, n=n, uv=uv, pdf=jnp.full(b1.shape, 1.0) * pdf)
+        out = None
+        for s in range(len(tbl.vertices)):
+            v = tbl.vertices[s]
+            f_arr = tbl.faces[s]
+            cdf = tbl.face_pmf_cdf[s]
+            prim = jnp.clip(jnp.searchsorted(cdf, sample2[..., 0],
+                                             side='right'),
+                            0, f_arr.shape[0] - 1)
+            i0, i1, i2 = f_arr[prim, 0], f_arr[prim, 1], f_arr[prim, 2]
+            p0, p1, p2 = v[i0], v[i1], v[i2]
+            if tbl.inst_tw is not None:
+                A = tbl.inst_tw[s, :, :3]
+                b = tbl.inst_tw[s, :, 3]
+                p0, p1, p2 = (p0 @ A.T + b), (p1 @ A.T + b), (p2 @ A.T + b)
+            p = p0 + (p1 - p0) * b1[..., None] + (p2 - p0) * b2[..., None]
+            n = m.normalize(jnp.cross(p1 - p0, p2 - p0))
+            pdf = jnp.full(b1.shape, 1.0) / jnp.maximum(tbl.total_area[s],
+                                                        1e-12)
+            res = dict(p=p, n=n, uv=uv, pdf=pdf)
+            if out is None:
+                out = res
+            else:
+                sel = slot == s
+                out = {k: jnp.where(sel[..., None] if res[k].ndim > 1 else sel,
+                                    res[k], out[k]) for k in res}
+        return out

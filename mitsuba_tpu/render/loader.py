@@ -389,6 +389,8 @@ def load_dict(d: dict, spectral=None) -> Scene:
     radii = []
     for t, props, _, _, _, _ in shape_entries:
         mat = props['to_world'].matrix
+        if '_inst_tw' in props:   # render-time instance: compose for bounds
+            mat = props['_inst_tw'].matrix @ mat
         centers.append(mat[:3, 3])
         radii.append(float(np.linalg.norm(mat[:3, :3], 2)) * 2.5)
     if centers:

@@ -801,8 +801,13 @@ def _mesh_uv_search_one(tbl, s, uv):
     i0, i1, i2 = f_arr[fidx, 0], f_arr[fidx, 1], f_arr[fidx, 2]
     b1 = bary[..., 0:1]
     b2 = bary[..., 1:2]
-    p = v_buf[i0] * (1 - b1 - b2) + v_buf[i1] * b1 + v_buf[i2] * b2
-    n_i = m.normalize(jnp.cross(v_buf[i1] - v_buf[i0], v_buf[i2] - v_buf[i0]))
+    v0, v1, v2 = v_buf[i0], v_buf[i1], v_buf[i2]
+    if getattr(tbl, 'inst_tw', None) is not None:
+        A = tbl.inst_tw[s, :, :3]
+        off = tbl.inst_tw[s, :, 3]
+        v0, v1, v2 = v0 @ A.T + off, v1 @ A.T + off, v2 @ A.T + off
+    p = v0 * (1 - b1 - b2) + v1 * b1 + v2 * b2
+    n_i = m.normalize(jnp.cross(v1 - v0, v2 - v0))
     return p, n_i, found
 
 

@@ -9,6 +9,8 @@ import pytest
 
 import mitsuba_tpu as mt
 
+pytestmark = pytest.mark.slow  # FD/chi2/golden statistical tier (fast tier: -m "not slow")
+
 
 @pytest.fixture(scope='module')
 def cornell():

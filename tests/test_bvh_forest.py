@@ -146,3 +146,87 @@ def test_forest_in_scene_render():
                                       'mesh': tbl.replace(forest=None)})
     img_s = np.asarray(mt.render(scene_sep, spp=4))
     np.testing.assert_allclose(img_f, img_s, atol=1e-5)
+
+
+def test_render_time_instancing():
+    """RENDER-TIME instancing (instance.cpp:1-299; VERDICT r2 item 8): a
+    many-instance shapegroup keeps ONE geometry buffer + per-instance
+    transform rows, and renders identically to baked world-space copies."""
+    v, f = _ico_sphere([0.0, 0.0, 0.0], r=0.3)
+    base = {'type': 'scene',
+            'integrator': {'type': 'path', 'max_depth': 2},
+            'sensor': {'type': 'perspective', 'fov': 50.0,
+                       'to_world': T.look_at(origin=[0, 0.4, 5],
+                                             target=[0, 0, 0], up=[0, 1, 0]),
+                       'sampler': {'type': 'independent', 'sample_count': 4},
+                       'film': {'type': 'hdrfilm', 'width': 32, 'height': 32,
+                                'rfilter': {'type': 'box'}}},
+            'env': {'type': 'constant',
+                    'radiance': {'type': 'rgb', 'value': [0.8] * 3}}}
+    offs = [(-1.2, 0.0, 0.0), (0.0, 0.0, 0.0), (1.2, 0.0, 0.0),
+            (0.0, 1.0, 0.0), (-1.2, -1.0, 0.5), (1.2, 1.0, -0.5)]
+    d_inst = dict(base)
+    d_inst['grp'] = {'type': 'shapegroup',
+                     'child': {'type': 'mesh', 'vertices': v, 'faces': f,
+                               'bsdf': {'type': 'diffuse',
+                                        'reflectance': {'type': 'rgb',
+                                                        'value': [0.5] * 3}}}}
+    for i, off in enumerate(offs):
+        d_inst[f'i{i}'] = {'type': 'instance',
+                           'to_world': T.translate(list(off)),
+                           'ref': {'type': 'ref', 'id': 'grp'}}
+    d_baked = dict(base)
+    for i, off in enumerate(offs):
+        d_baked[f'm{i}'] = {'type': 'mesh', 'vertices': v + np.asarray(off),
+                            'faces': f, 'accel': 'bvh',
+                            'bsdf': {'type': 'diffuse',
+                                     'reflectance': {'type': 'rgb',
+                                                     'value': [0.5] * 3}}}
+    s_inst = mt.load_dict(d_inst)
+    s_baked = mt.load_dict(d_baked)
+    tbl = s_inst.shapes['mesh']
+    assert tbl.forest is not None and tbl.inst_tw is not None
+    assert tbl.inst_tw.shape == (len(offs), 3, 4)
+    # geometry is SHARED: every slot aliases the same vertex buffer
+    assert all(tbl.vertices[s] is tbl.vertices[0] for s in range(len(offs)))
+    img_i = np.asarray(mt.render(s_inst, spp=4, seed=1))
+    img_b = np.asarray(mt.render(s_baked, spp=4, seed=1))
+    np.testing.assert_allclose(img_i, img_b, atol=1e-4)
+
+
+def test_instancing_transform_gradient():
+    """Instance transforms are differentiable leaves: d(image)/d(translate)
+    is finite and nonzero through the instanced interaction."""
+    import jax
+    import jax.numpy as jnp
+    v, f = _ico_sphere([0.0, 0.0, 0.0], r=0.4)
+    d = {'type': 'scene',
+         'integrator': {'type': 'path', 'max_depth': 2},
+         'sensor': {'type': 'perspective', 'fov': 50.0,
+                    'to_world': T.look_at(origin=[0, 0.3, 4],
+                                          target=[0, 0, 0], up=[0, 1, 0]),
+                    'sampler': {'type': 'independent', 'sample_count': 4},
+                    'film': {'type': 'hdrfilm', 'width': 16, 'height': 16,
+                             'rfilter': {'type': 'box'}}},
+         'env': {'type': 'constant',
+                 'radiance': {'type': 'rgb', 'value': [1.0] * 3}},
+         'grp': {'type': 'shapegroup',
+                 'child': {'type': 'mesh', 'vertices': v, 'faces': f,
+                           'bsdf': {'type': 'diffuse',
+                                    'reflectance': {'type': 'rgb',
+                                                    'value': [0.6] * 3}}}},
+         'i0': {'type': 'instance', 'to_world': T.translate([-0.8, 0, 0]),
+                'ref': {'type': 'ref', 'id': 'grp'}},
+         'i1': {'type': 'instance', 'to_world': T.translate([0.8, 0, 0]),
+                'ref': {'type': 'ref', 'id': 'grp'}}}
+    scene = mt.load_dict(d)
+    params = mt.traverse(scene)
+    key = [k for k in params.keys() if 'inst_tw' in k][0]
+
+    def loss(x):
+        img = mt.render(params.scene_with({key: x}), spp=4, seed=0)
+        return (img * jnp.linspace(0, 1, 16)[None, :, None]).sum()
+
+    g = np.asarray(jax.grad(loss)(params[key]))
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0

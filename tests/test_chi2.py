@@ -8,6 +8,8 @@ from mitsuba_tpu.core import warp
 from mitsuba_tpu.utils.chi2 import ChiSquareTest, SphericalDomain, PlanarDomain, bsdf_chi2
 from mitsuba_tpu.render.texture import TextureBuilder
 
+pytestmark = pytest.mark.slow  # FD/chi2/golden statistical tier (fast tier: -m "not slow")
+
 
 N = 400_000
 

@@ -8,6 +8,8 @@ import pytest
 import mitsuba_tpu as mt
 from mitsuba_tpu.render.integrator import render_wavefront
 
+pytestmark = pytest.mark.slow  # FD/chi2/golden statistical tier (fast tier: -m "not slow")
+
 
 def _scene(curve):
     return {'type': 'scene',

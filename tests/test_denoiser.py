@@ -8,6 +8,8 @@ import mitsuba_tpu as mt
 from mitsuba_tpu.core.transform import ScalarTransform4f as T
 from mitsuba_tpu.utils.denoiser import Denoiser, denoise
 
+pytestmark = pytest.mark.slow  # FD/chi2/golden statistical tier (fast tier: -m "not slow")
+
 
 def _scene(spp_aov=False):
     return {

@@ -10,6 +10,8 @@ from mitsuba_tpu.core.transform import ScalarTransform4f as T
 from mitsuba_tpu.render import emitter as em
 from mitsuba_tpu.utils.chi2 import ChiSquareTest, SphericalDomain
 
+pytestmark = pytest.mark.slow  # FD/chi2/golden statistical tier (fast tier: -m "not slow")
+
 
 def test_envmap_importance_sampling_chi2():
     """envmap hierarchical warp: sampled positions must follow the

@@ -12,6 +12,8 @@ import mitsuba_tpu as mt
 from mitsuba_tpu.utils.ztest import z_test
 from mitsuba_tpu.utils.exr import read_exr
 
+pytestmark = pytest.mark.slow  # FD/chi2/golden statistical tier (fast tier: -m "not slow")
+
 GOLDEN = os.path.join(os.path.dirname(__file__), 'golden')
 TEST_SPP = 256
 

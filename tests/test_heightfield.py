@@ -9,6 +9,8 @@ import mitsuba_tpu as mt
 from mitsuba_tpu.plugins.shapes.heightfield import heightfield, HeightfieldTable, build_max_mip
 from mitsuba_tpu.core.transform import Transform4
 
+pytestmark = pytest.mark.slow  # FD/chi2/golden statistical tier (fast tier: -m "not slow")
+
 
 def _table(h):
     h = jnp.asarray(np.asarray(h, np.float32))

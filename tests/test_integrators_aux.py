@@ -7,6 +7,8 @@ import mitsuba_tpu as mt
 from mitsuba_tpu.utils.ztest import z_test, render_mean_and_variance
 from mitsuba_tpu.utils import bitmap as bmp
 
+pytestmark = pytest.mark.slow  # FD/chi2/golden statistical tier (fast tier: -m "not slow")
+
 
 def test_aov_channels():
     d = mt.cornell_box(spp=4, res=32)

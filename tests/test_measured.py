@@ -9,6 +9,8 @@ from mitsuba_tpu.core.distr import Marginal2D
 from mitsuba_tpu.render.texture import TextureBuilder
 from mitsuba_tpu.utils.chi2 import bsdf_chi2
 
+pytestmark = pytest.mark.slow  # FD/chi2/golden statistical tier (fast tier: -m "not slow")
+
 
 def _diffuse_table(rho=(0.6, 0.3, 0.2), Ti=16, To=32, Pd=32):
     return np.broadcast_to(np.asarray(rho, np.float32) / np.pi,

@@ -7,10 +7,13 @@ parameter-value changes must NOT retrace (opaque-to-tracer leaves)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 import mitsuba_tpu as mt
 from mitsuba_tpu.render import integrator as integ
 from mitsuba_tpu.utils.observability import compile_count
+
+pytestmark = pytest.mark.slow  # FD/chi2/golden statistical tier (fast tier: -m "not slow")
 
 
 def test_no_recompile_across_renders():

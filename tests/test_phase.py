@@ -7,6 +7,8 @@ import pytest
 from mitsuba_tpu.render import medium as med_mod
 from mitsuba_tpu.utils.chi2 import ChiSquareTest, SphericalDomain
 
+pytestmark = pytest.mark.slow  # FD/chi2/golden statistical tier (fast tier: -m "not slow")
+
 
 def _medium(phase):
     return med_mod.build({'type': 'homogeneous', 'sigma_t': 1.0,

@@ -8,6 +8,8 @@ import pytest
 import mitsuba_tpu as mt
 from mitsuba_tpu.core import mueller as mu
 
+pytestmark = pytest.mark.slow  # FD/chi2/golden statistical tier (fast tier: -m "not slow")
+
 
 # --- Mueller algebra unit tests ----------------------------------------------
 

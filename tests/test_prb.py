@@ -9,6 +9,8 @@ import pytest
 import mitsuba_tpu as mt
 from mitsuba_tpu.ad.integrators.prb import render_prb
 
+pytestmark = pytest.mark.slow  # FD/chi2/golden statistical tier (fast tier: -m "not slow")
+
 
 @pytest.fixture(scope='module')
 def setup():

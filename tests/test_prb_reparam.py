@@ -12,6 +12,8 @@ import mitsuba_tpu as mt
 from mitsuba_tpu.ad.integrators.prb_reparam import render_prb_reparam
 from mitsuba_tpu.core.transform import ScalarTransform4f as T
 
+pytestmark = pytest.mark.slow  # FD/chi2/golden statistical tier (fast tier: -m "not slow")
+
 
 def _occluder_scene(max_depth, emitter_radiance=8.0):
     """Floor seen by the camera; a small occluder hovers between the floor

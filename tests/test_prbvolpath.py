@@ -10,6 +10,8 @@ import mitsuba_tpu as mt
 from mitsuba_tpu.core.transform import ScalarTransform4f as T
 from mitsuba_tpu.ad.integrators.prbvolpath import render_prbvolpath
 
+pytestmark = pytest.mark.slow  # FD/chi2/golden statistical tier (fast tier: -m "not slow")
+
 
 def _scene_dict(sigma_t=0.6, albedo=0.7, het=False, max_depth=6):
     d = {

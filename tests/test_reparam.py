@@ -10,6 +10,8 @@ import mitsuba_tpu as mt
 from mitsuba_tpu.ad.integrators.reparam_integrators import render_emission_reparam
 from mitsuba_tpu.core.transform import ScalarTransform4f as T
 
+pytestmark = pytest.mark.slow  # FD/chi2/golden statistical tier (fast tier: -m "not slow")
+
 
 @pytest.fixture(scope='module')
 def setup():

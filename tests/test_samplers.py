@@ -10,6 +10,8 @@ import pytest
 from mitsuba_tpu.render import sampler as sa
 from mitsuba_tpu.core import rng
 
+pytestmark = pytest.mark.slow  # FD/chi2/golden statistical tier (fast tier: -m "not slow")
+
 
 def _make(kind, spp, pixel_key=123, seed=7):
     idx = jnp.arange(spp, dtype=jnp.uint32)

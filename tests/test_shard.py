@@ -10,6 +10,8 @@ import pytest
 import mitsuba_tpu as mt
 from mitsuba_tpu.parallel import shard
 
+pytestmark = pytest.mark.slow  # FD/chi2/golden statistical tier (fast tier: -m "not slow")
+
 
 @pytest.fixture(scope='module')
 def hf_scene():

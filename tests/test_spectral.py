@@ -17,6 +17,8 @@ import pytest
 import mitsuba_tpu as mt
 from mitsuba_tpu.core import spectrum as sp
 
+pytestmark = pytest.mark.slow  # FD/chi2/golden statistical tier (fast tier: -m "not slow")
+
 
 def test_fit_round_trip():
     rng = np.random.default_rng(5)

@@ -6,6 +6,8 @@ import pytest
 import mitsuba_tpu as mt
 from mitsuba_tpu.core.transform import ScalarTransform4f as T
 
+pytestmark = pytest.mark.slow  # FD/chi2/golden statistical tier (fast tier: -m "not slow")
+
 
 def _medium_scene(sigma_t, albedo, max_depth=16, light=12.0):
     return {

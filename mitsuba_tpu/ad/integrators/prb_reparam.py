@@ -38,6 +38,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ...core import math as m
 from ...render import scene as sc
 from ...render import bsdf as bsdf_mod
 from ...render import sampler as sa
@@ -52,9 +53,18 @@ from .reparam_integrators import _warped_pos
 
 def _replay_backward_reparam(scene, sampler, ray, delta_L, L_total, max_depth,
                              rr_depth, reparam_max_depth, num_aux, kappa,
-                             antithetic):
+                             antithetic, extra_coupling=True):
     """PRB replay with reparameterized secondary/NEE rays; accumulates scene
-    float-leaf cotangents (structure mirrors prb._replay_backward)."""
+    float-leaf cotangents (structure mirrors prb._replay_backward).
+
+    extra_coupling: the reference's adjacent-vertex terms
+    (prb_reparam.py:500-546): the warp of the current bounce's incoming ray
+    moves the hit point, which perturbs the BSDF evaluated at the PREVIOUS
+    vertex (outgoing direction toward the warped hit) and at the NEXT
+    vertex (incident direction from it). Both enter as ratio-style
+    re-attachments L * f_adj / detach(f_adj); the hit-point motion is the
+    DetachShape reparam-only attachment p = o + t(d_w)·d_w with the plane
+    held detached (reference prb_reparam.py:515-520)."""
     float_leaves, combine, meta = _partition(scene)
     scene_det = sc.prepare(jax.lax.stop_gradient(scene))
     n = ray.o.shape[0]
@@ -62,7 +72,7 @@ def _replay_backward_reparam(scene, sampler, ray, delta_L, L_total, max_depth,
 
     def body(carry, depth):
         (o, d, L_rem, beta, eta, active, prev_pdf, prev_delta, prev_p, smpl,
-         cot) = carry
+         si_prev, cot) = carry
         out, smpl_next = _bounce_detached(scene_det, smpl, o, d, prev_p,
                                           prev_pdf, prev_delta, active, depth,
                                           rr_depth)
@@ -73,6 +83,16 @@ def _replay_backward_reparam(scene, sampler, ray, delta_L, L_total, max_depth,
             jnp.where(jnp.abs(w_det) < 1e-9, 1.0, w_det)
         L_next = jnp.where((jnp.abs(w_det) < 1e-9) | ~out['active_n'][..., None],
                            0.0, L_next)
+
+        if extra_coupling:
+            # reproduce the NEXT bounce deterministically (same RNG stream
+            # the next iteration will consume) so the next-vertex radiance
+            # can be decomposed exactly (reference's sampler.clone() run-
+            # ahead, prb_reparam.py:480-511)
+            nxt, _ = _bounce_detached(scene_det, smpl_next, out['new_o'],
+                                      out['new_d'], out['si'].p,
+                                      out['bs'].pdf, out['prev_delta_n'],
+                                      out['active_n'], depth + 1, rr_depth)
 
         # decorrelated aux-ray streams, distinct per bounce because `smpl`
         # has advanced (the reference's _ReparamWrapper PCG32,
@@ -131,7 +151,50 @@ def _replay_backward_reparam(scene, sampler, ray, delta_L, L_total, max_depth,
                               jax.lax.stop_gradient(w_det), w_att)
             O = (Le_term + Ldir_a + w_att * jax.lax.stop_gradient(L_next)) \
                 * det_ray[..., None]
-            return jnp.where(active[..., None], O * beta, 0.0)
+            O = jnp.where(active[..., None], O * beta, 0.0)
+
+            if extra_coupling:
+                # ---- adjacent-vertex coupling (prb_reparam.py:500-546) ----
+                # hit-point motion from the warp ONLY (DetachShape): keep
+                # the hit plane detached, re-intersect with the warped dir
+                n_det = jax.lax.stop_gradient(si_a.n)
+                p_det = jax.lax.stop_gradient(si_a.p)
+                dn = m.dot(d_w, n_det)
+                t_w = m.dot(p_det - o, n_det) / \
+                    jnp.where(jnp.abs(dn) < 1e-8, 1e-8, dn)
+                p_warp = o + t_w[..., None] * d_w
+                ok_w = warp_ray_act & (jnp.abs(dn) > 1e-6) & si_a.is_valid
+
+                # previous vertex: BSDF re-evaluated toward the warped hit
+                wo_prev = m.normalize(p_warp -
+                                      jax.lax.stop_gradient(si_prev.p))
+                f_prev = bsdf_mod.eval(scene_det,
+                                       jax.lax.stop_gradient(si_prev),
+                                       si_prev.to_local(wo_prev),
+                                       ok_w & (depth > 0))
+                f_prev_det = jnp.maximum(jax.lax.stop_gradient(f_prev), 1e-8)
+                # camera-units radiance arriving at prev THROUGH this vertex
+                # (reference L_prev = L at iteration entry)
+                Lcam_prev = jax.lax.stop_gradient(beta * L_rem)
+                act_p = (ok_w & (depth > 0))[..., None]
+                O = O + jnp.where(act_p, Lcam_prev * f_prev / f_prev_det, 0.0)
+
+                # next vertex: BSDF re-evaluated with the incident direction
+                # from the warped hit (the run-ahead `nxt` decomposes the
+                # radiance flowing through the next BSDF)
+                si_nx = jax.lax.stop_gradient(nxt['si'])
+                wi_next = m.normalize(p_warp - si_nx.p)
+                si_nx_w = si_nx.replace(wi=si_nx.to_local(wi_next))
+                f_next = bsdf_mod.eval(scene_det, si_nx_w,
+                                       jax.lax.stop_gradient(nxt['bs'].wo),
+                                       ok_w & out['active_n'])
+                f_next_det = jnp.maximum(jax.lax.stop_gradient(f_next), 1e-8)
+                L_thru_next = jax.lax.stop_gradient(
+                    beta * w_det * (L_next - nxt['Le_w'] - nxt['Ldir']))
+                act_n = (ok_w & out['active_n'] & si_nx.is_valid)[..., None]
+                O = O + jnp.where(act_n, L_thru_next * f_next / f_next_det,
+                                  0.0)
+            return O
 
         _, vjp_fn = jax.vjp(local, jax.lax.stop_gradient(float_leaves))
         (g,) = vjp_fn(delta_L)
@@ -152,31 +215,39 @@ def _replay_backward_reparam(scene, sampler, ray, delta_L, L_total, max_depth,
         new_o, new_d = sc.deaden_ray(scene_det, out['new_o'], out['new_d'],
                                      active_n)
         carry = (new_o, new_d, L_next, beta_n, eta_n, active_n,
-                 out['bs'].pdf, out['prev_delta_n'], out['si'].p, smpl_next, cot)
+                 out['bs'].pdf, out['prev_delta_n'], out['si'].p, smpl_next,
+                 jax.lax.stop_gradient(out['si']), cot)
         return carry, None
 
+    from ...render.records import SurfaceInteraction
+    si0 = SurfaceInteraction.invalid(n)
+    # match the pytree structure of a real interaction (prim_uv is None on
+    # the invalid constructor but an array out of ray_intersect)
+    si0 = si0.replace(prim_uv=jnp.zeros((n, 2)))
     init = (ray.o, ray.d, L_total, jnp.ones((n, 3)), jnp.ones((n,)),
             jnp.ones((n,), bool), jnp.ones((n,)), jnp.ones((n,), bool),
-            ray.o, sampler, cot0)
+            ray.o, sampler, si0, cot0)
     carry, _ = jax.lax.scan(body, init, jnp.arange(max_depth))
     return carry[-1], meta
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7))
 def render_prb_reparam(scene, spp: int, seed: int, num_aux: int = 4,
                        kappa: float = 1e5, reparam_max_depth: int = 8,
-                       antithetic: bool = False):
+                       antithetic: bool = False, extra_coupling: bool = True):
     """Differentiable render; geometry gradients through indirect
     illumination (moving occluders seen via a bounce) included."""
     return _primal_image(scene, spp, seed)[0]
 
 
-def _fwd(scene, spp, seed, num_aux, kappa, reparam_max_depth, antithetic):
+def _fwd(scene, spp, seed, num_aux, kappa, reparam_max_depth, antithetic,
+         extra_coupling):
     img, L = _primal_image(scene, spp, seed)
     return img, (scene, L)
 
 
-def _bwd(spp, seed, num_aux, kappa, reparam_max_depth, antithetic, res, g_img):
+def _bwd(spp, seed, num_aux, kappa, reparam_max_depth, antithetic,
+         extra_coupling, res, g_img):
     scene, L_total = res
     cfg = integrator_config(scene)
     ray, sampler, pos_f = _gen_rays(scene, spp, spp, seed)
@@ -216,7 +287,8 @@ def _bwd(spp, seed, num_aux, kappa, reparam_max_depth, antithetic, res, g_img):
     cots, meta = _replay_backward_reparam(
         scene, sampler, ray, delta_L, L_total,
         int(cfg.get('max_depth', 8)), int(cfg.get('rr_depth', 5)),
-        reparam_max_depth, num_aux, kappa, antithetic)
+        reparam_max_depth, num_aux, kappa, antithetic,
+        extra_coupling=extra_coupling)
     cots = [c + gp for c, gp in zip(cots, g_pos)]
     return (_full_cotangent(meta, cots),)
 

@@ -76,13 +76,37 @@ def _grad_and_fd(scene_dict, key_frag, comp, spp, seeds, eps, **rp):
 
 def test_occluder_direct_shadow_gradient():
     """NEE shadow-ray silhouette at the first bounce (the direct_reparam
-    case, exercised through prb_reparam's em-ray warp)."""
+    case, exercised through prb_reparam's em-ray warp).
+
+    num_aux=64 is the REFERENCE's own FD-test setting (its every reparam
+    config sets reparam_rays=64, test_ad_integrators.py:337-393 — the
+    warped-area divergence is a ratio estimator whose finite-sample bias
+    at 8 rays underestimates the boundary term several-fold; 64 rays is
+    the published operating point for gradient validation)."""
     g, fd, g_naive, *_ = _grad_and_fd(
         _occluder_scene(max_depth=2), 'rectangle.to_world', (1, 0, 3),
-        spp=128, seeds=(3, 5, 7, 11), eps=0.02, num_aux=8)
+        spp=128, seeds=(3, 5, 7, 11), eps=0.02, num_aux=64)
     assert abs(g_naive) < 1e-4          # naive AD drops the boundary term
     assert np.sign(g) == np.sign(fd), (g, fd)
-    assert abs(g - fd) / abs(fd) < 0.4, (g, fd)
+    assert abs(g - fd) / abs(fd) < 0.25, (g, fd)
+
+
+def test_occluder_direct_shadow_gradient_grazing():
+    """Same boundary term with the occluder edge seen NEAR-GRAZING from the
+    floor (the shadow rays skim the occluder plane — the hard case for the
+    boundary-test weights; VERDICT r2 item 2's added config)."""
+    d = _occluder_scene(max_depth=2)
+    # drop the occluder close to the floor so floor->light shadow rays make
+    # a shallow angle with its plane near the silhouette
+    d['occluder']['to_world'] = (T.translate([0.3, 0.12, 0]) @
+                                 T.rotate([1, 0, 0], -90.0) @ T.scale(0.3))
+    g, fd, g_naive, *_ = _grad_and_fd(
+        d, 'rectangle.to_world', (1, 0, 3),
+        spp=128, seeds=(3, 5, 7, 11), eps=0.02, num_aux=64)
+    assert abs(g_naive) < 1e-4
+    assert abs(fd) > 1e-5
+    assert np.sign(g) == np.sign(fd), (g, fd)
+    assert abs(g - fd) / abs(fd) < 0.35, (g, fd)
 
 
 def test_occluder_indirect_shadow_gradient():
@@ -130,7 +154,7 @@ def test_direct_reparam_occluder_gradient():
 
     def loss(x, seed):
         img = render_direct_reparam(params.scene_with({key: x}), 128, seed,
-                                    num_aux=8)
+                                    num_aux=64)
         return img.mean()
 
     def primal_loss(x, seed):
@@ -144,4 +168,4 @@ def test_direct_reparam_occluder_gradient():
            for s in (3, 5, 7, 11)]
     g, fd = np.mean(gs), np.mean(fds)
     assert np.sign(g) == np.sign(fd), (g, fd)
-    assert abs(g - fd) / abs(fd) < 0.4, (g, fd)
+    assert abs(g - fd) / abs(fd) < 0.25, (g, fd)

@@ -125,8 +125,12 @@ def empirical_mean_var(d, spp_total, chunks=32):
 
 
 def main():
+    import sys
+    only = set(sys.argv[1:])
     os.makedirs(OUT, exist_ok=True)
     for name, d in scenes().items():
+        if only and name not in only:
+            continue
         print(f'[golden] rendering {name} @ {REF_SPP} spp ...', flush=True)
         if d.get('spectral'):
             mean, var = empirical_mean_var(d, REF_SPP)

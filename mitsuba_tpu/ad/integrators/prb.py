@@ -197,17 +197,19 @@ def _primal_scan(scene, sampler, ray, max_depth, rr_depth):
     return carry[2]
 
 
-def _replay_backward(scene, sampler, ray, delta_L, L_total, max_depth, rr_depth):
-    """Replay the path; per bounce, vjp the attached local shading and
-    accumulate scene (float-leaf) cotangents."""
+def _replay_scan(scene, sampler, ray, L_total, max_depth, rr_depth, acc0,
+                 accumulate):
+    """Replay the path; per bounce, hand the attached local-shading closure
+    to `accumulate(local, acc, depth)` (vjp for backward mode, jvp for
+    forward mode — reference RBIntegrator's two differential phases,
+    common.py:587-782 and :784-971). O(1) memory in depth either way."""
     float_leaves, combine, meta = _partition(scene)
     scene_det = sc.prepare(jax.lax.stop_gradient(scene))
     n = ray.o.shape[0]
-    cot0 = [jnp.zeros_like(l) for l in float_leaves]
 
     def body(carry, depth):
         (o, d, L_rem, beta, eta, active, prev_pdf, prev_delta, prev_p, smpl,
-         cot) = carry
+         acc) = carry
         out, smpl_next = _bounce_detached(scene_det, smpl, o, d, prev_p,
                                           prev_pdf, prev_delta, active, depth,
                                           rr_depth)
@@ -254,9 +256,7 @@ def _replay_backward(scene, sampler, ray, delta_L, L_total, max_depth, rr_depth)
             O = Le_term + Ldir_a + w_att * jax.lax.stop_gradient(L_next)
             return jnp.where(active[..., None], O * beta, 0.0)
 
-        _, vjp_fn = jax.vjp(local, jax.lax.stop_gradient(float_leaves))
-        (g,) = vjp_fn(delta_L)
-        cot = [c + gi for c, gi in zip(cot, g)]
+        acc = accumulate(local, acc, depth)
 
         # advance detached state exactly like the primal
         beta_n = beta * w_det
@@ -274,14 +274,49 @@ def _replay_backward(scene, sampler, ray, delta_L, L_total, max_depth, rr_depth)
         new_o, new_d = sc.deaden_ray(scene_det, out['new_o'], out['new_d'],
                                      active_n)
         carry = (new_o, new_d, L_next, beta_n, eta_n, active_n,
-                 out['bs'].pdf, out['prev_delta_n'], out['si'].p, smpl_next, cot)
+                 out['bs'].pdf, out['prev_delta_n'], out['si'].p, smpl_next, acc)
         return carry, None
 
     init = (ray.o, ray.d, L_total, jnp.ones((n, 3)), jnp.ones((n,)),
             jnp.ones((n,), bool), jnp.ones((n,)), jnp.ones((n,), bool),
-            ray.o, sampler, cot0)
+            ray.o, sampler, acc0)
     carry, _ = jax.lax.scan(body, init, jnp.arange(max_depth))
     return carry[-1], meta
+
+
+def _replay_backward(scene, sampler, ray, delta_L, L_total, max_depth, rr_depth):
+    """Backward differential phase: per-bounce vjp of the attached local
+    shading, contracted with the per-sample adjoint radiance δL."""
+    float_leaves, _, _ = _partition(scene)
+    fl_det = jax.lax.stop_gradient(float_leaves)
+
+    def accumulate(local, cot, depth):
+        _, vjp_fn = jax.vjp(local, fl_det)
+        (g,) = vjp_fn(delta_L)
+        return [c + gi for c, gi in zip(cot, g)]
+
+    cot0 = [jnp.zeros_like(l) for l in float_leaves]
+    return _replay_scan(scene, sampler, ray, L_total, max_depth, rr_depth,
+                        cot0, accumulate)
+
+
+def _replay_forward(scene, tangent_leaves, sampler, ray, L_total, max_depth,
+                    rr_depth):
+    """Forward differential phase (reference render_forward,
+    common.py:587-782): per-bounce jvp of the attached local shading with
+    the scene float-leaf tangents; returns per-sample dL (n,3). O(1) memory
+    in depth — no residual storage, unlike naive jvp through the primal."""
+    float_leaves, _, _ = _partition(scene)
+    fl_det = jax.lax.stop_gradient(float_leaves)
+
+    def accumulate(local, dL, depth):
+        _, dO = jax.jvp(local, (fl_det,), (tangent_leaves,))
+        return dL + dO
+
+    dL0 = jnp.zeros((ray.o.shape[0], 3))
+    acc, _ = _replay_scan(scene, sampler, ray, L_total, max_depth, rr_depth,
+                          dL0, accumulate)
+    return acc
 
 
 # ---------------------------------------------------------------------------
@@ -297,6 +332,60 @@ def _primal_image(scene, spp, seed):
     block = scene.film.new_block()
     block = film_mod.put(block, scene.film, pos_f, L)
     return film_mod.develop(block, scene.film), L
+
+
+def _tangent_float_leaves(scene, scene_tangent):
+    """Tangents aligned with _partition(scene)'s float leaves. Accepts a
+    scene-shaped pytree of tangents (jax.jvp convention) or a dict
+    {param_key: tangent} keyed like SceneParameters; missing/non-float
+    entries become zeros."""
+    leaves, treedef = jtu.tree_flatten(scene)
+    idx = [i for i, l in enumerate(leaves)
+           if hasattr(l, 'dtype') and jnp.issubdtype(l.dtype, jnp.floating)]
+    pos = {i: j for j, i in enumerate(idx)}
+    tl = [jnp.zeros_like(leaves[i]) for i in idx]
+    if isinstance(scene_tangent, dict):
+        from ..params import SceneParameters
+        sp = SceneParameters(scene)
+        for k, v in scene_tangent.items():
+            i = sp._index[k]
+            if i not in pos:
+                raise KeyError(f'{k!r} is not a float scene leaf')
+            tl[pos[i]] = jnp.asarray(v, leaves[i].dtype)
+        return tl
+    tleaves, ttreedef = jtu.tree_flatten(scene_tangent)
+    if ttreedef != treedef:
+        raise ValueError('scene_tangent pytree structure does not match '
+                         'the scene (build it with tree_map(zeros_like, '
+                         'scene) and set the leaf of interest)')
+    for i in idx:
+        t = tleaves[i]
+        if hasattr(t, 'dtype') and t.dtype != jax.dtypes.float0:
+            tl[pos[i]] = jnp.asarray(t, leaves[i].dtype)
+    return tl
+
+
+def render_prb_forward(scene, scene_tangent, spp: int, seed: int = 0):
+    """Forward-mode differentiable render (reference ADIntegrator
+    render_forward, common.py:587-782): ONE primal pass + ONE replay pass
+    propagating the given scene tangent to an image tangent — O(1) memory
+    in path depth (naive jax.jvp through render_prb is unsupported on a
+    custom_vjp primitive; this is its forward twin). Returns (img, dimg)."""
+    cfg = integrator_config(scene)
+    ray, sampler, pos_f = _gen_rays(scene, spp, spp, seed)
+    img, L_total = _primal_image(scene, spp, seed)
+    tl = _tangent_float_leaves(scene, scene_tangent)
+    dL = _replay_forward(scene, tl, sampler, ray, L_total,
+                         int(cfg.get('max_depth', 8)),
+                         int(cfg.get('rr_depth', 5)))
+
+    def splat(Ls):
+        block = scene.film.new_block()
+        block = film_mod.put(block, scene.film, pos_f, Ls)
+        return film_mod.develop(block, scene.film)
+
+    _, dimg = jax.jvp(splat, (L_total,), (jnp.nan_to_num(dL),))
+    return img, dimg
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))

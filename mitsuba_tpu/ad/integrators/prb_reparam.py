@@ -22,11 +22,12 @@ Bangaru-2020 velocity field (ad/reparam.py) inside the replay:
 
 Scope note (honest deltas vs the reference):
   * the reference's `extra` adjacent-vertex coupling
-    (prb_reparam.py:515-546: the warped hit point changes the BSDF values at
-    the previous/next vertices) is NOT yet reproduced; for the canonical
-    moving-occluder cases (NEE shadow edges, occluders crossing a bounce
-    segment) the det + warped-interaction terms implemented here carry the
-    full boundary gradient (see tests/test_prb_reparam.py FD checks);
+    (prb_reparam.py:515-546) IS reproduced (extra_coupling=True): the warped
+    hit point perturbs the BSDF at the previous vertex (wo toward the warped
+    hit), the BSDF and emission at the next vertex (wi from the warped hit),
+    via ratio-style re-attachments with the hit plane held detached
+    (DetachShape). Both terms are masked at path truncation
+    (depth + 1 < max_depth);
   * ray ORIGINS stay detached (the reference attaches them to the previous
     shape via FollowShape) — origin attachment only matters when the
     PREVIOUS hit shape itself moves.
@@ -51,11 +52,13 @@ from .prb import (_partition, _full_cotangent, _gen_rays, _bounce_detached,
 from .reparam_integrators import _warped_pos
 
 
-def _replay_backward_reparam(scene, sampler, ray, delta_L, L_total, max_depth,
-                             rr_depth, reparam_max_depth, num_aux, kappa,
-                             antithetic, extra_coupling=True):
-    """PRB replay with reparameterized secondary/NEE rays; accumulates scene
-    float-leaf cotangents (structure mirrors prb._replay_backward).
+def _replay_scan_reparam(scene, sampler, ray, L_total, max_depth,
+                         rr_depth, reparam_max_depth, num_aux, kappa,
+                         antithetic, acc0, accumulate, extra_coupling=True):
+    """PRB replay with reparameterized secondary/NEE rays; per bounce the
+    attached local-shading closure is handed to `accumulate(local, acc,
+    depth)` — vjp for backward, jvp for forward (structure mirrors
+    prb._replay_scan).
 
     extra_coupling: the reference's adjacent-vertex terms
     (prb_reparam.py:500-546): the warp of the current bounce's incoming ray
@@ -68,11 +71,10 @@ def _replay_backward_reparam(scene, sampler, ray, delta_L, L_total, max_depth,
     float_leaves, combine, meta = _partition(scene)
     scene_det = sc.prepare(jax.lax.stop_gradient(scene))
     n = ray.o.shape[0]
-    cot0 = [jnp.zeros_like(l) for l in float_leaves]
 
     def body(carry, depth):
         (o, d, L_rem, beta, eta, active, prev_pdf, prev_delta, prev_p, smpl,
-         si_prev, cot) = carry
+         si_prev, acc) = carry
         out, smpl_next = _bounce_detached(scene_det, smpl, o, d, prev_p,
                                           prev_pdf, prev_delta, active, depth,
                                           rr_depth)
@@ -191,14 +193,31 @@ def _replay_backward_reparam(scene, sampler, ray, delta_L, L_total, max_depth,
                 f_next_det = jnp.maximum(jax.lax.stop_gradient(f_next), 1e-8)
                 L_thru_next = jax.lax.stop_gradient(
                     beta * w_det * (L_next - nxt['Le_w'] - nxt['Ldir']))
-                act_n = (ok_w & out['active_n'] & si_nx.is_valid)[..., None]
+                # mask at path truncation: the primal never collects the
+                # run-ahead vertex at depth+1 == max_depth, so its Le_w/Ldir
+                # must not leak in as phantom (negative) radiance
+                # (reference active_next masking, prb_reparam.py:378)
+                in_depth = depth + 1 < max_depth
+                act_n = (ok_w & out['active_n'] & si_nx.is_valid &
+                         in_depth)[..., None]
                 O = O + jnp.where(act_n, L_thru_next * f_next / f_next_det,
                                   0.0)
+
+                # next-vertex EMISSION re-evaluated with the warped incident
+                # direction (reference prb_reparam.py:527-529 Le_next: sided/
+                # directional emitter discontinuities seen one bounce ahead;
+                # attachment flows through p_warp -> wi_next)
+                hit_em_n = ok_w & out['active_n'] & in_depth & \
+                    (si_nx.emitter_index >= 0)
+                Le_n_att = sc.eval_emitter_hit(scene_det, si_nx_w, hit_em_n)
+                O = O + jnp.where(
+                    hit_em_n[..., None],
+                    jax.lax.stop_gradient(
+                        beta * w_det * nxt['mis_bsdf'][..., None]) *
+                    (Le_n_att - jax.lax.stop_gradient(Le_n_att)), 0.0)
             return O
 
-        _, vjp_fn = jax.vjp(local, jax.lax.stop_gradient(float_leaves))
-        (g,) = vjp_fn(delta_L)
-        cot = [c + gi for c, gi in zip(cot, g)]
+        acc = accumulate(local, acc, depth)
 
         # advance detached state exactly like the primal
         beta_n = beta * w_det
@@ -216,7 +235,7 @@ def _replay_backward_reparam(scene, sampler, ray, delta_L, L_total, max_depth,
                                      active_n)
         carry = (new_o, new_d, L_next, beta_n, eta_n, active_n,
                  out['bs'].pdf, out['prev_delta_n'], out['si'].p, smpl_next,
-                 jax.lax.stop_gradient(out['si']), cot)
+                 jax.lax.stop_gradient(out['si']), acc)
         return carry, None
 
     from ...render.records import SurfaceInteraction
@@ -226,9 +245,48 @@ def _replay_backward_reparam(scene, sampler, ray, delta_L, L_total, max_depth,
     si0 = si0.replace(prim_uv=jnp.zeros((n, 2)))
     init = (ray.o, ray.d, L_total, jnp.ones((n, 3)), jnp.ones((n,)),
             jnp.ones((n,), bool), jnp.ones((n,)), jnp.ones((n,), bool),
-            ray.o, sampler, si0, cot0)
+            ray.o, sampler, si0, acc0)
     carry, _ = jax.lax.scan(body, init, jnp.arange(max_depth))
     return carry[-1], meta
+
+
+def _replay_backward_reparam(scene, sampler, ray, delta_L, L_total, max_depth,
+                             rr_depth, reparam_max_depth, num_aux, kappa,
+                             antithetic, extra_coupling=True):
+    float_leaves, _, _ = _partition(scene)
+    fl_det = jax.lax.stop_gradient(float_leaves)
+
+    def accumulate(local, cot, depth):
+        _, vjp_fn = jax.vjp(local, fl_det)
+        (g,) = vjp_fn(delta_L)
+        return [c + gi for c, gi in zip(cot, g)]
+
+    cot0 = [jnp.zeros_like(l) for l in float_leaves]
+    return _replay_scan_reparam(scene, sampler, ray, L_total, max_depth,
+                                rr_depth, reparam_max_depth, num_aux, kappa,
+                                antithetic, cot0, accumulate,
+                                extra_coupling=extra_coupling)
+
+
+def _replay_forward_reparam(scene, tangent_leaves, sampler, ray, L_total,
+                            max_depth, rr_depth, reparam_max_depth, num_aux,
+                            kappa, antithetic, extra_coupling=True):
+    """Forward differential phase with reparameterization (reference
+    render_forward, common.py:587-782 + :718-741): per-bounce jvp of the
+    attached+warped local shading. Returns per-sample dL (n,3)."""
+    float_leaves, _, _ = _partition(scene)
+    fl_det = jax.lax.stop_gradient(float_leaves)
+
+    def accumulate(local, dL, depth):
+        _, dO = jax.jvp(local, (fl_det,), (tangent_leaves,))
+        return dL + dO
+
+    dL0 = jnp.zeros((ray.o.shape[0], 3))
+    acc, _ = _replay_scan_reparam(scene, sampler, ray, L_total, max_depth,
+                                  rr_depth, reparam_max_depth, num_aux, kappa,
+                                  antithetic, dL0, accumulate,
+                                  extra_coupling=extra_coupling)
+    return acc
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7))
@@ -294,3 +352,52 @@ def _bwd(spp, seed, num_aux, kappa, reparam_max_depth, antithetic,
 
 
 render_prb_reparam.defvjp(_fwd, _bwd)
+
+
+def render_prb_reparam_forward(scene, scene_tangent, spp: int, seed: int = 0,
+                               num_aux: int = 4, kappa: float = 1e5,
+                               reparam_max_depth: int = 8,
+                               antithetic: bool = False,
+                               extra_coupling: bool = True):
+    """Forward-mode reparameterized render (reference render_forward,
+    common.py:587-782, incl. the reparameterized splat-position film
+    derivative :718-741). Returns (img, dimg); O(1) memory in depth."""
+    from .prb import _tangent_float_leaves
+    cfg = integrator_config(scene)
+    ray, sampler, pos_f = _gen_rays(scene, spp, spp, seed)
+    img, L_total = _primal_image(scene, spp, seed)
+    n = ray.o.shape[0]
+    float_leaves, combine, meta = _partition(scene)
+    tl = _tangent_float_leaves(scene, scene_tangent)
+    dL = _replay_forward_reparam(
+        scene, tl, sampler, ray, L_total,
+        int(cfg.get('max_depth', 8)), int(cfg.get('rr_depth', 5)),
+        reparam_max_depth, num_aux, kappa, antithetic,
+        extra_coupling=extra_coupling)
+
+    def splat(Ls):
+        block = scene.film.new_block()
+        block = film_mod.put(block, scene.film, pos_f, Ls)
+        return film_mod.develop(block, scene.film)
+
+    _, dimg = jax.jvp(splat, (L_total,), (jnp.nan_to_num(dL),))
+
+    # primary-ray silhouettes: tangent of the warped splat POSITION
+    act0 = jnp.ones((n,), bool)
+    rs0 = sa.fork(sampler, salt=0x6a09e667)
+
+    def splat_pos(fl):
+        s_att = sc.prepare(combine(fl))
+        d_w0, _det0, _ = reparameterize_ray(s_att, rs0, ray, act0,
+                                            num_aux=num_aux, kappa=kappa,
+                                            antithetic=antithetic)
+        pos = _warped_pos(s_att, pos_f, d_w0, act0)
+        block = scene.film.new_block()
+        block = film_mod.put(block, scene.film, pos,
+                             jax.lax.stop_gradient(L_total),
+                             weight_pos=jax.lax.stop_gradient(pos_f))
+        return film_mod.develop(block, scene.film)
+
+    _, dimg_pos = jax.jvp(splat_pos,
+                          (jax.lax.stop_gradient(float_leaves),), (tl,))
+    return img, dimg + dimg_pos

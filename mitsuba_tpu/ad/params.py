@@ -139,6 +139,14 @@ def refresh_derived(scene, changed=None):
             new_shapes[name] = tbl.replace(
                 to_object=jnp.linalg.inv(tbl.to_world))
             dirty_area = True
+        if getattr(tbl, 'inst_tw', None) is not None \
+                and touched(f'{name}.inst_tw'):
+            # instanced-mesh transform edit: refit the forest top level,
+            # detached inverses and per-instance area cdfs (ADVICE r3 #2;
+            # reference Instance::parameters_changed dirties the accel)
+            from ..plugins.shapes.mesh import mesh as _mesh
+            new_shapes[name] = _mesh.refit_forest_inst(new_shapes[name])
+            dirty_area = True
         if name == 'heightfield' and touched('heights'):
             from ..plugins.shapes.heightfield import build_max_mip, build_min_mip
             tbl2 = new_shapes[name]

@@ -75,6 +75,16 @@ class MeshTable:
     inst_to: jnp.ndarray = None      # (S,3,4) world->instance (detached)
     geom_of: tuple = struct.field(pytree_node=False, default=())
     # ^ per-slot unique-geometry index (STATIC structure, not traced)
+    # worst-case step bound for the instanced-forest walk: top-level size +
+    # sum over instance slots of that slot's shared-subtree size (a lane may
+    # re-walk a shared subtree once per instance entered). 0 = unused.
+    forest_cap: int = struct.field(pytree_node=False, default=0)
+    # static refit metadata for the instanced forest (parameters_changed
+    # analogue, reference instance.cpp): top-level node count, per-top-node
+    # member slots, per-unique-geometry GROUP-space root bbox (6 floats)
+    forest_top: int = struct.field(pytree_node=False, default=0)
+    forest_members: tuple = struct.field(pytree_node=False, default=())
+    group_root_bbox: tuple = struct.field(pytree_node=False, default=())
 
 
 CHUNK = 512
@@ -279,7 +289,25 @@ def _build_forest_inst(bvhs_u, geom_of, tw_rows):
         chunk_base += len(soup_u[g])
     forest = dict(nodes10=jnp.asarray(np.concatenate(out_nodes)),
                   soup36=jnp.asarray(np.concatenate(soup_u)))
-    return forest, group_base
+    # true worst-case step bound: every top node once, plus one full walk of
+    # the shared subtree per instance slot entered (ADVICE r3 item 1)
+    cap = T + int(sum(sizes_u[g] for g in geom_of))
+    # static refit metadata (ADVICE r3 item 2): per-top-node instance slots
+    # beneath it (for device-side bbox refit after an inst_tw edit) + each
+    # unique geometry's GROUP-space root bbox
+    members = [None] * T
+    def _collect(i):
+        if top_i[i, 2] != 0:
+            members[i] = (int(top_i[i, 0]),)
+        else:
+            _collect(int(top_i[i, 0]))
+            _collect(int(top_i[i, 1]))
+            members[i] = members[int(top_i[i, 0])] + members[int(top_i[i, 1])]
+    _collect(0)
+    root_bbox = tuple(tuple(float(x) for x in nodes_u[g][0, 0:6])
+                      for g in range(len(nodes_u)))
+    aux = dict(top=T, members=tuple(members), root_bbox=root_bbox)
+    return forest, group_base, cap, aux
 
 
 def load_obj(path):
@@ -594,6 +622,13 @@ class mesh:
                 results_u = list(ex.map(mesh._build_one, unique_props))
         else:
             results_u = [mesh._build_one(p) for p in unique_props]
+        # _build_one discovers file-borne attributes (PLY vertex colors) on
+        # its COPY of the props; propagate them back so the loader's
+        # mesh_attribute registration sees them (texture.py attr_sources)
+        for s, p in enumerate(props_list):
+            found = unique_props[geom_of[s]].get('attributes')
+            if found:
+                p.setdefault('attributes', {}).update(found)
 
         # device-convert each unique geometry ONCE; per-slot tuple entries
         # then ALIAS the same buffers (the memory claim of instancing)
@@ -632,9 +667,12 @@ class mesh:
             areas.append(total_s)
         forest = cat_faces = face_inst = None
         inst_tw = inst_to = None
+        forest_cap = 0
+        forest_aux = dict(top=0, members=(), root_bbox=())
         if inst_mode and all(b is not None for b in bvhs):
             bvhs_u = [results_u[g][6] for g in range(len(unique_props))]
-            forest, group_base = _build_forest_inst(bvhs_u, geom_of, tw_rows)
+            forest, group_base, forest_cap, forest_aux = _build_forest_inst(
+                bvhs_u, geom_of, tw_rows)
             # group-concatenated face table (prim rows index UNIQUE verts)
             voff, cat = 0, []
             for g in range(len(unique_props)):
@@ -656,7 +694,11 @@ class mesh:
                          bvh=tuple(bvhs), face_perm=tuple(perms),
                          forest=forest, cat_faces=cat_faces,
                          face_inst=face_inst, inst_tw=inst_tw,
-                         inst_to=inst_to, geom_of=tuple(geom_of))
+                         inst_to=inst_to, geom_of=tuple(geom_of),
+                         forest_cap=forest_cap,
+                         forest_top=forest_aux['top'],
+                         forest_members=forest_aux['members'],
+                         group_root_bbox=forest_aux['root_bbox'])
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -834,7 +876,10 @@ class mesh:
             state = compact_stage(state, 16, cap_full)
         else:
             state = run_loop(lane_full, state, cap_full)
-        state = run_loop(lane_full, state, cap_full)   # exactness backstop
+        # exactness backstop (reset steps: the loop above may have ended ON
+        # the cap, leaving cond false at entry)
+        state = state[:5] + (jnp.asarray(0, jnp.int32),)
+        state = run_loop(lane_full, state, cap_full)
         t_out = jnp.where(state[1] < t_lim, state[1], jnp.inf)
         return t_out, state[2], state[3]
 
@@ -972,17 +1017,75 @@ class mesh:
                                 lambda s: s[:-1] + (jnp.asarray(0, jnp.int32),),
                                 state)
 
-        # a node can be visited once per instance on the lane's path
-        cap_full = jnp.asarray(2 * Nn, jnp.int32)
+        # true bound: the top level is walked once, and each instance slot
+        # entered re-walks its shared subtree from the root (ADVICE r3 #1)
+        cap_full = jnp.asarray(tbl.forest_cap if tbl.forest_cap > 0
+                               else 2 * Nn, jnp.int32)
         if n >= 256 and Nn > 128:
             state = run_loop(lane_full, state, min(64, Nn))
             state = compact_stage(state, 4, min(320, Nn))
             state = compact_stage(state, 16, cap_full)
         else:
             state = run_loop(lane_full, state, cap_full)
-        state = run_loop(lane_full, state, cap_full)   # exactness backstop
+        # exactness backstop: reset the step counter first — the loops above
+        # may have terminated ON the cap, which would make cond false at entry
+        state = state[:-1] + (jnp.asarray(0, jnp.int32),)
+        state = run_loop(lane_full, state, cap_full)
         t_out = jnp.where(state[6] < t_lim, state[6], jnp.inf)
         return t_out, state[7], state[8], state[9]
+
+    @staticmethod
+    def refit_forest_inst(tbl: MeshTable):
+        """parameters_changed analogue for the instanced forest (reference
+        src/shapes/instance.cpp: Instance::parameters_changed dirties the
+        accel): after an `inst_tw` edit, recompute the detached world->group
+        inverses, refit the forest's top-level bbox rows from the new
+        transforms, and rebuild the per-instance areas / face cdfs so
+        emitter sampling stays consistent. Traceable (safe under jit/grad);
+        all accel pieces are detached."""
+        if tbl.inst_tw is None or tbl.forest is None or tbl.forest_top == 0:
+            return tbl
+        tw = jax.lax.stop_gradient(tbl.inst_tw)          # (S,3,4)
+        A, b = tw[..., :3], tw[..., 3]
+        Ainv = jnp.linalg.inv(A)
+        binv = -jnp.einsum('sij,sj->si', Ainv, b)
+        inst_to = jnp.concatenate([Ainv, binv[..., None]], -1)
+        # slot world bboxes: transform each unique geometry's group-space
+        # root bbox corners by the new instance transform
+        rb = jnp.asarray(tbl.group_root_bbox, jnp.float32)   # (G,6)
+        geom = jnp.asarray(tbl.geom_of, jnp.int32)
+        lo, hi = rb[geom, :3], rb[geom, 3:]                  # (S,3)
+        sel = jnp.asarray([[(i >> k) & 1 for k in range(3)]
+                           for i in range(8)], jnp.float32)  # (8,3)
+        corners = lo[:, None] * (1 - sel)[None] + hi[:, None] * sel[None]
+        cw = jnp.einsum('sij,scj->sci', A, corners) + b[:, None]
+        smin, smax = cw.min(1), cw.max(1)                    # (S,3)
+        T = tbl.forest_top
+        S = tw.shape[0]
+        memb = np.zeros((T, S), bool)
+        for i, mem in enumerate(tbl.forest_members):
+            memb[i, list(mem)] = True
+        mk = jnp.asarray(memb)
+        tmin = jnp.where(mk[..., None], smin[None], jnp.inf).min(1)
+        tmax = jnp.where(mk[..., None], smax[None], -jnp.inf).max(1)
+        nodes10 = tbl.forest['nodes10']
+        nodes10 = nodes10.at[:T, 0:3].set(tmin).at[:T, 3:6].set(tmax)
+        forest = dict(tbl.forest, nodes10=nodes10)
+        # per-instance area + face cdf from the transformed unique geometry
+        cdfs, areas = [], []
+        for s in range(S):
+            v = jax.lax.stop_gradient(tbl.vertices[s])
+            f = tbl.faces[s]
+            vw = v @ A[s].T + b[s]
+            p0 = vw[f[:, 0]]
+            fa = 0.5 * jnp.linalg.norm(
+                jnp.cross(vw[f[:, 1]] - p0, vw[f[:, 2]] - p0), axis=-1)
+            tot = fa.sum()
+            cdfs.append(jnp.cumsum(fa) / jnp.maximum(tot, 1e-20))
+            areas.append(tot)
+        return tbl.replace(inst_to=inst_to, forest=forest,
+                           face_pmf_cdf=tuple(cdfs),
+                           total_area=jnp.stack(areas))
 
     @staticmethod
     def intersect(tbl: MeshTable, o, d, anyhit=False, maxt=None):

@@ -735,15 +735,23 @@ def eval_parameterization(scene: Scene, shape_global, uv):
 
 def _mesh_uv_search(tbl, slot, uv):
     """Find the triangle containing `uv` in texture space and return its
-    surface point/normal — chunked scan per instance, masked-merge over
-    the instance the lane's `slot` selects (mesh.h:198 handles any shape;
-    round-2 VERDICT item 9 removed the instance-0 pin)."""
+    surface point/normal — chunked scan per UNIQUE geometry (instanced
+    slots alias the same uv/face buffers, so their scans are bit-identical;
+    ADVICE r3 item 5), then masked-merge with the per-slot instance
+    transform applied (mesh.h:198 handles any shape)."""
     n = uv.shape[0]
     p = jnp.zeros((n, 3))
     nrm = jnp.zeros((n, 3))
     ok = jnp.zeros((n,), bool)
-    for s in range(len(tbl.vertices)):
-        p_s, n_s, ok_s = _mesh_uv_search_one(tbl, s, uv)
+    S = len(tbl.vertices)
+    geom_of = list(getattr(tbl, 'geom_of', ()) or range(S))
+    scans = {}
+    for s in range(S):
+        g = geom_of[s]
+        if g not in scans:
+            scans[g] = _mesh_uv_scan(tbl, s, uv)
+    for s in range(S):
+        p_s, n_s, ok_s = _mesh_uv_point(tbl, s, scans[geom_of[s]], n)
         sel = (slot == s)
         p = jnp.where(sel[..., None], p_s, p)
         nrm = jnp.where(sel[..., None], n_s, nrm)
@@ -752,18 +760,24 @@ def _mesh_uv_search(tbl, slot, uv):
 
 
 def _mesh_uv_search_one(tbl, s, uv):
-    v_buf = tbl.vertices[s]
+    return _mesh_uv_point(tbl, s, _mesh_uv_scan(tbl, s, uv), uv.shape[0])
+
+
+def _mesh_uv_scan(tbl, s, uv):
+    """O(F) chunked texture-space triangle scan; depends only on the slot's
+    (possibly aliased) uv/face buffers. Returns (found, fidx, bary) or None
+    when the geometry has no uv parameterization."""
     f_arr = tbl.faces[s]
     uvs = tbl.uvs[s]
-    n = uv.shape[0]
     if uvs is None:
-        return (jnp.zeros((n, 3)), jnp.zeros((n, 3)), jnp.zeros((n,), bool))
+        return None
     a = uvs[f_arr[:, 0]]
     b = uvs[f_arr[:, 1]]
     c = uvs[f_arr[:, 2]]
     # barycentric solve per face x lane, chunked over faces
     CH = 256
     F = f_arr.shape[0]
+    n = uv.shape[0]
     best = (jnp.zeros((n,), bool), jnp.zeros((n,), jnp.int32),
             jnp.zeros((n, 2)))
 
@@ -796,7 +810,19 @@ def _mesh_uv_search_one(tbl, s, uv):
                 jnp.where(upd, f_new, fidx),
                 jnp.where(upd[..., None], b_new, bary))
 
-    found, fidx, bary = jax.lax.fori_loop(0, (F + CH - 1) // CH, body, best)
+    return jax.lax.fori_loop(0, (F + CH - 1) // CH, body, best)
+
+
+def _mesh_uv_point(tbl, s, scan, n):
+    """Surface point/normal for slot `s` from a geometry uv-scan result
+    (cheap per-slot tail: gathers + the instance transform)."""
+    if scan is None:
+        # no uv parameterization on this geometry
+        return (jnp.zeros((n, 3)), jnp.zeros((n, 3)), jnp.zeros((n,), bool))
+    found, fidx, bary = scan
+    v_buf = tbl.vertices[s]
+    f_arr = tbl.faces[s]
+    F = f_arr.shape[0]
     fidx = jnp.clip(fidx, 0, F - 1)
     i0, i1, i2 = f_arr[fidx, 0], f_arr[fidx, 1], f_arr[fidx, 2]
     b1 = bary[..., 0:1]

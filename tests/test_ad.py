@@ -109,3 +109,49 @@ def test_optimization_recovers_albedo():
     err = np.abs(np.asarray(opt['c'][1] - c_true[1])).max()
     assert float(l) < 0.1 * l0, (float(l), l0)
     assert err < 0.05, err
+
+
+def test_prb_forward_mode(cornell):
+    """O(1)-memory forward-mode (reference render_forward,
+    common.py:587-782): render_prb_forward's image tangent is the exact
+    transpose of render_prb's custom_vjp gradient."""
+    from mitsuba_tpu.ad.integrators.prb import render_prb, render_prb_forward
+    scene, params, key = cornell
+    c0 = params[key]
+    tangent = jnp.ones_like(c0)
+    w = jnp.linspace(0.0, 1.0, scene.film.height)[None, :, None]
+    img, dimg = render_prb_forward(scene, {key: tangent}, 8, 3)
+    assert np.isfinite(np.asarray(dimg)).all()
+    assert float(jnp.abs(dimg).max()) > 0
+
+    def loss(c):
+        return (render_prb(params.scene_with({key: c}), 8, 3) * w).sum()
+
+    g = jax.grad(loss)(c0)
+    a, b = float((dimg * w).sum()), float((g * tangent).sum())
+    assert abs(a - b) <= 1e-4 * max(abs(b), 1e-9), (a, b)
+    # scene-shaped tangent pytree route agrees with the dict route
+    t_scene = jax.tree_util.tree_map(jnp.zeros_like, scene)
+    tp = mt.traverse(t_scene)
+    _, dimg2 = render_prb_forward(scene, tp.scene_with({key: tangent}), 8, 3)
+    np.testing.assert_allclose(np.asarray(dimg2), np.asarray(dimg), atol=1e-6)
+
+
+def test_prb_reparam_forward_mode(cornell):
+    """Forward twin of the reparameterized integrator (incl. the warped
+    splat-position film derivative, common.py:718-741)."""
+    from mitsuba_tpu.ad.integrators.prb_reparam import (
+        render_prb_reparam, render_prb_reparam_forward)
+    scene, params, key = cornell
+    c0 = params[key]
+    tangent = jnp.ones_like(c0)
+    w = jnp.linspace(0.0, 1.0, scene.film.height)[None, :, None]
+    _, dimg = render_prb_reparam_forward(scene, {key: tangent}, 4, 3)
+    assert np.isfinite(np.asarray(dimg)).all()
+
+    def loss(c):
+        return (render_prb_reparam(params.scene_with({key: c}), 4, 3) * w).sum()
+
+    g = jax.grad(loss)(c0)
+    a, b = float((dimg * w).sum()), float((g * tangent).sum())
+    assert abs(a - b) <= 1e-3 * max(abs(b), 1e-9), (a, b)

@@ -230,3 +230,92 @@ def test_instancing_transform_gradient():
     g = np.asarray(jax.grad(loss)(params[key]))
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 0
+
+
+def _stack_table(k=8, spacing=0.7, r=0.3):
+    """k instances of ONE shared sphere group stacked along -z: a ray down
+    the stack axis enters every instance bbox (the worst case for the
+    traversal step bound — ADVICE r3 item 1)."""
+    v, f = _ico_sphere([0.0, 0.0, 0.0], r=r)
+    props = []
+    for i in range(k):
+        props.append({'vertices': v, 'faces': f,
+                      '_instance_group': 'g',
+                      '_inst_tw': T.translate([0.0, 0.0, -spacing * i])})
+    baked = [{'vertices': v + np.asarray([0.0, 0.0, -spacing * i],
+                                         np.float32),
+              'faces': f, 'accel': 'bvh'} for i in range(k)]
+    return mesh.build(props), mesh.build(baked)
+
+
+@pytest.mark.parametrize('nrays', [64, 512])
+def test_forest_inst_deep_chain_no_truncation(nrays):
+    """A lane that enters MANY instance bboxes re-walks the shared subtree
+    once per instance; the step cap must cover T + sum of subtree sizes or
+    hits are silently dropped. 64 rays also exercises the small-n path
+    whose backstop needs the step-counter reset."""
+    tbl_i, tbl_b = _stack_table(k=8)
+    assert tbl_i.forest_cap > 0
+    rng = np.random.default_rng(3)
+    o = np.stack([rng.random(nrays) * 0.3 - 0.15,
+                  rng.random(nrays) * 0.3 - 0.15,
+                  np.full(nrays, 3.0)], -1).astype(np.float32)
+    d = np.tile(np.asarray([[0.0, 0.0, -1.0]], np.float32), (nrays, 1))
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    t_i, _, _ = mesh.intersect(tbl_i, o, d)
+    t_b, _, _ = mesh.intersect(tbl_b.replace(forest=None), o, d)
+    np.testing.assert_allclose(np.asarray(jnp.min(t_i, 0)),
+                               np.asarray(jnp.min(t_b, 0)), rtol=1e-5)
+    # any-hit agreement through the whole stack too
+    maxt = jnp.full((nrays,), 10.0)
+    ta, _, _ = mesh.intersect(tbl_i, o, d, anyhit=True, maxt=maxt)
+    tb, _, _ = mesh.intersect(tbl_b.replace(forest=None), o, d,
+                              anyhit=True, maxt=maxt)
+    np.testing.assert_array_equal(np.asarray(jnp.min(ta, 0) < 10.0),
+                                  np.asarray(jnp.min(tb, 0) < 10.0))
+
+
+def test_inst_tw_edit_refits_accel():
+    """Editing an instance transform through SceneParameters must refit the
+    forest (reference Instance::parameters_changed dirties the accel;
+    ADVICE r3 item 2): the render after the edit equals a fresh scene
+    loaded with the new transform."""
+    v, f = _ico_sphere([0.0, 0.0, 0.0], r=0.4)
+
+    def make(offs):
+        d = {'type': 'scene',
+             'integrator': {'type': 'path', 'max_depth': 2},
+             'sensor': {'type': 'perspective', 'fov': 50.0,
+                        'to_world': T.look_at(origin=[0, 0.3, 4],
+                                              target=[0, 0, 0], up=[0, 1, 0]),
+                        'sampler': {'type': 'independent', 'sample_count': 4},
+                        'film': {'type': 'hdrfilm', 'width': 24, 'height': 24,
+                                 'rfilter': {'type': 'box'}}},
+             'env': {'type': 'constant',
+                     'radiance': {'type': 'rgb', 'value': [1.0] * 3}},
+             'grp': {'type': 'shapegroup',
+                     'child': {'type': 'mesh', 'vertices': v, 'faces': f,
+                               'bsdf': {'type': 'diffuse',
+                                        'reflectance': {'type': 'rgb',
+                                                        'value': [0.6] * 3}}}}}
+        for i, off in enumerate(offs):
+            d[f'i{i}'] = {'type': 'instance', 'to_world': T.translate(list(off)),
+                          'ref': {'type': 'ref', 'id': 'grp'}}
+        return mt.load_dict(d)
+
+    offs0 = [(-0.8, 0.0, 0.0), (0.8, 0.0, 0.0)]
+    offs1 = [(-0.8, 0.0, 0.0), (0.8, 1.1, -0.6)]   # instance 1 moved a lot
+    scene = make(offs0)
+    params = mt.traverse(scene)
+    key = [k for k in params.keys() if 'inst_tw' in k][0]
+    tw = np.asarray(params[key]).copy()
+    tw[1, :, 3] = np.asarray(offs1[1], np.float32)
+    # both update() and the functional scene_with() must refit
+    for edited in (params.update({key: jnp.asarray(tw)}),
+                   params.scene_with({key: jnp.asarray(tw)})):
+        img_e = np.asarray(mt.render(edited, spp=4, seed=2))
+        img_r = np.asarray(mt.render(make(offs1), spp=4, seed=2))
+        np.testing.assert_allclose(img_e, img_r, atol=1e-4)
+        # detached inverse really refreshed
+        to = np.asarray(edited.shapes['mesh'].inst_to[1])
+        np.testing.assert_allclose(to[:, 3], -np.asarray(offs1[1]), atol=1e-5)

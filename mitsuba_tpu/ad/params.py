@@ -148,18 +148,24 @@ def refresh_derived(scene, changed=None):
             new_shapes[name] = _mesh.refit_forest_inst(new_shapes[name])
             dirty_area = True
         if name == 'heightfield' and touched('heights'):
-            from ..plugins.shapes.heightfield import build_max_mip, build_min_mip
+            from ..plugins.shapes.heightfield import (
+                build_max_mip, build_min_mip, BK, CLOSEST_BK)
             tbl2 = new_shapes[name]
             mips = tuple(
-                tuple(jax.lax.stop_gradient(l) for l in build_max_mip(h))
+                tuple(jax.lax.stop_gradient(l)
+                      for l in build_max_mip(h, CLOSEST_BK))
+                for h in tbl2.heights)
+            mips_sh = mips if CLOSEST_BK == BK else tuple(
+                tuple(jax.lax.stop_gradient(l) for l in build_max_mip(h, BK))
                 for h in tbl2.heights)
             # the MIN pyramid must be refit too: a stale (too-high) min lets
             # the any-hit early-occlusion report crossings that no longer
             # exist after a height update — wrong shadows mid-optimization
             mins = tuple(
-                tuple(jax.lax.stop_gradient(l) for l in build_min_mip(h))
+                tuple(jax.lax.stop_gradient(l) for l in build_min_mip(h, BK))
                 for h in tbl2.heights)
-            new_shapes[name] = tbl2.replace(mips=mips, min_mips=mins)
+            new_shapes[name] = tbl2.replace(mips=mips, min_mips=mins,
+                                            mips_shadow=mips_sh)
             dirty_area = True
     scene = scene.replace(shapes=new_shapes)
     if dirty_area:

@@ -23,6 +23,8 @@ derivative the fork's notebook (ps_cylinder.ipynb cell 8) cross-checks by FD.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -46,15 +48,27 @@ class HeightfieldTable:
     # packed by scene.prepare() so compute_si is ONE row-gather per lane
     # (transpose = one scatter + free slice-adds back to heights)
     corner_rows: tuple = None
-    # MIN-pyramid (same level shapes as `mips`), detached: powers the
+    # MIN-pyramid (shadow-BK level shapes), detached: powers the
     # ray_test early-occlusion ("the segment dipped below the surface
     # minimum of this cell, so it crossed") — the TPU counterpart of
     # ray_test != ray_intersect (reference scene.h:171-207)
     min_mips: tuple = None
+    # MAX-pyramid at the SHADOW block size (aliases `mips` when
+    # CLOSEST_BK == BK): closest-hit and any-hit marches use different
+    # leaf block sizes (see CLOSEST_BK)
+    mips_shadow: tuple = None
 
 
-BK = 8          # leaf BLOCK is BK x BK cells; one ((BK+1)^2/2,)c64 row holds its
-                # (BK+1)^2 corners — see _march
+BK = int(os.environ.get('MT_BK', '8'))
+                # leaf BLOCK is BK x BK cells; one ((BK+1)^2+1,) f32 row
+                # holds its corners + block min — see _march. BK is the
+                # SHADOW/default block; closest-hit rays use CLOSEST_BK.
+                # NOTE round 4: CLOSEST_BK=16 produced impossible lane
+                # states out of jit on BOTH backends at n>=49152 (all-miss;
+                # negative t in an unrolled repro) — an XLA lowering bug at
+                # the 290-wide row shape, so 16 is NOT safe to enable; both
+                # classes default to 8 (tables alias, no extra memory)
+CLOSEST_BK = int(os.environ.get('MT_CLOSEST_BK', '8'))
 FAN = 4         # interior-level fanout per axis: each interior node's row
                 # carries its FAN x FAN children's (max, min) IN-REGISTER, so
                 # one gather decides among 16 children (TPU gather cost is
@@ -76,37 +90,43 @@ def _pool(cur, k, op=jnp.maximum, pad_val=NEG_INF):
     return out
 
 
-def build_max_mip(heights):
-    """Level 0: per-BLOCK max over BK x BK cells (cell = max of 4 corners);
+def build_max_mip(heights, bk=None):
+    """Level 0: per-BLOCK max over bk x bk cells (cell = max of 4 corners);
     each higher level is a FAN x FAN max-pool padded with -inf."""
     h = heights
+    bk = BK if bk is None else bk
     cell = jnp.maximum(jnp.maximum(h[:-1, :-1], h[:-1, 1:]),
                        jnp.maximum(h[1:, :-1], h[1:, 1:]))
-    levels = [_pool(cell, BK)]
+    levels = [_pool(cell, bk)]
     while levels[-1].shape[0] > 1 or levels[-1].shape[1] > 1:
         levels.append(_pool(levels[-1], FAN))
     return tuple(levels)
 
 
-def build_min_mip(heights):
+def build_min_mip(heights, bk=None):
     """MIN pyramid with the exact level shapes of build_max_mip: per-block
-    min over the block's (BK+1)^2 corners at level 0, FAN x FAN min-pools
+    min over the block's (bk+1)^2 corners at level 0, FAN x FAN min-pools
     above. Powers the any-hit early-occlusion test (conservative: padding is
     +inf, edge blocks use real boundary heights)."""
     h = heights
+    bk = BK if bk is None else bk
     cell = jnp.minimum(jnp.minimum(h[:-1, :-1], h[:-1, 1:]),
                        jnp.minimum(h[1:, :-1], h[1:, 1:]))
-    levels = [_pool(cell, BK, op=jnp.minimum, pad_val=-NEG_INF)]
+    levels = [_pool(cell, bk, op=jnp.minimum, pad_val=-NEG_INF)]
     while levels[-1].shape[0] > 1 or levels[-1].shape[1] > 1:
         levels.append(_pool(levels[-1], FAN, op=jnp.minimum, pad_val=-NEG_INF))
     return tuple(levels)
 
 
 def _child_rows(child_max, child_min, n_z, n_x):
-    """(n_z, n_x, FAN*FAN) c64 rows for one interior level: row (i, j) packs
-    node (i, j)'s FAN x FAN children from the level below as
-    complex(child_max, child_min), row-major, padded (-inf, +inf) so
-    out-of-range children never report overlap."""
+    """(n_z, n_x, 2*FAN*FAN) f32 rows for one interior level: row (i, j)
+    packs node (i, j)'s FAN x FAN children from the level below as
+    [child_max x 16 | child_min x 16], row-major, padded (-inf, +inf) so
+    out-of-range children never report overlap. Plain f32 (round 4): the
+    former complex(max, min) packing halved the gathered row only to pay an
+    interleave RELAYOUT every iteration to unpack it — TPU row-gather cost
+    is flat in width (PERF.md), so the wide f32 row is free and the unpack
+    disappears."""
     hc, wc = child_max.shape
     pmax = jnp.full((n_z * FAN, n_x * FAN), NEG_INF, child_max.dtype)
     pmax = pmax.at[:hc, :wc].set(child_max)
@@ -115,13 +135,15 @@ def _child_rows(child_max, child_min, n_z, n_x):
         pmin = pmin.at[:hc, :wc].set(child_min)
     v = pmax.reshape(n_z, FAN, n_x, FAN).transpose(0, 2, 1, 3)
     w = pmin.reshape(n_z, FAN, n_x, FAN).transpose(0, 2, 1, 3)
-    return jax.lax.complex(v.reshape(n_z, n_x, FAN * FAN),
-                           w.reshape(n_z, n_x, FAN * FAN))
+    return jnp.concatenate([v.reshape(n_z, n_x, FAN * FAN),
+                            w.reshape(n_z, n_x, FAN * FAN)], -1)
 
 
-def _block_corner_rows(h):
-    """(H_B, W_B, ceil((BK+1)^2/2)) c64: the (BK+1)^2 corners of every BK x BK cell
-    block, edge-replicated at partial border blocks, packed 2-per-c64."""
+def _block_corner_rows(h, bk=None):
+    """(H_B, W_B, (bk+1)^2 + 1) f32: the (bk+1)^2 corners of every bk x bk
+    cell block row-major, edge-replicated at partial border blocks; the last
+    slot is reserved for the block min (anyhit early occlusion)."""
+    BK = globals()['BK'] if bk is None else bk
     R, C = h.shape
     W, H = C - 1, R - 1
     W_B = (W + BK - 1) // BK
@@ -130,10 +152,9 @@ def _block_corner_rows(h):
                    mode='edge')
     slabs = [hpad[dz:dz + H_B * BK:BK, dx:dx + W_B * BK:BK]
              for dz in range(BK + 1) for dx in range(BK + 1)]
-    v = jnp.stack(slabs, -1)                      # (H_B, W_B, 25) row-major
-    odd = jnp.concatenate([v[..., 1::2],
-                           jnp.zeros(v.shape[:-1] + (1,), v.dtype)], -1)
-    return jax.lax.complex(v[..., 0::2], odd)     # (H_B, W_B, 13)
+    v = jnp.stack(slabs, -1)                      # (H_B, W_B, 81) row-major
+    return jnp.concatenate(
+        [v, jnp.zeros(v.shape[:-1] + (1,), v.dtype)], -1)
 
 
 def pack_cell_corners(h):
@@ -192,6 +213,13 @@ class heightfield:
     PROBE = False
     DEBUG_PROBE = False
     _probe_stats = None
+    # split interior/leaf march loop (A/B lever, default OFF): pays the
+    # 64-patch leaf math only on leaf rounds, but SERIALIZES leaf-walking
+    # lanes behind interior walkers — measured 20% faster on camera rays and
+    # 6.5x slower on leaf-dominated shadow populations. Kept for ray mixes
+    # where it wins; the production lever is the flat-f32 row layout (no
+    # c64 unpack relayout per iteration) in the combined body.
+    SPLIT_MARCH = os.environ.get('MT_SPLIT_MARCH', '0') == '1'
     # per-bounce wavefront-occupancy hints (width DIVISORS) consumed by the
     # unrolled path integrator and passed EXPLICITLY through
     # scene.ray_intersect/ray_test -> intersect(occ_frac=...) -> _march
@@ -205,19 +233,24 @@ class heightfield:
 
     @staticmethod
     def build(props_list):
-        hs, mips, mins, tws = [], [], [], []
+        hs, mips, mips_sh, mins, tws = [], [], [], [], []
         for p in props_list:
             h = jnp.asarray(np.asarray(p['heights'], np.float32))
             hs.append(h)
-            mips.append(tuple(jax.lax.stop_gradient(l)
-                              for l in build_max_mip(h)))
+            mc = tuple(jax.lax.stop_gradient(l)
+                       for l in build_max_mip(h, CLOSEST_BK))
+            mips.append(mc)
+            mips_sh.append(mc if CLOSEST_BK == BK else
+                           tuple(jax.lax.stop_gradient(l)
+                                 for l in build_max_mip(h, BK)))
             mins.append(tuple(jax.lax.stop_gradient(l)
-                              for l in build_min_mip(h)))
+                              for l in build_min_mip(h, BK)))
             tws.append({'to_world': p.get('to_world', Transform4())})
         tw = np.stack([p['to_world'].matrix for p in tws]).astype(np.float32)
         to = np.stack([p['to_world'].inverse_matrix for p in tws]).astype(np.float32)
         return HeightfieldTable(heights=tuple(hs), mips=tuple(mips),
                                 min_mips=tuple(mins),
+                                mips_shadow=tuple(mips_sh),
                                 to_world=jnp.asarray(tw), to_object=jnp.asarray(to))
 
     # ------------------------------------------------------------------
@@ -225,7 +258,8 @@ class heightfield:
     # ------------------------------------------------------------------
     @staticmethod
     def _march(h, mips, o, d, R, C, compact=True, anyhit=False, maxt=None,
-               min_mips=None, stats=False, probe_first=False, occ_frac=1):
+               min_mips=None, stats=False, probe_first=False, occ_frac=1,
+               bk=None):
         """Object-space maximum-mipmap DDA. o,d: (N,3) DETACHED.
         Returns (t_hit (N,), cell_ix, cell_iz).
 
@@ -235,6 +269,7 @@ class heightfield:
         now entirely below a cell min") terminates at a COARSE level without
         descending — exact, because the bilinear surface is continuous."""
         n = o.shape[0]
+        BK = globals()['BK'] if bk is None else bk   # local block size
         W = C - 1
         H = R - 1
         W_B = (W + BK - 1) // BK
@@ -245,7 +280,8 @@ class heightfield:
         h_max = jnp.max(mips[-1]) + 1e-3
         h_min = -jnp.max(-h) - 1e-3
         if anyhit and min_mips is None:
-            min_mips = tuple(jax.lax.stop_gradient(l) for l in build_min_mip(h))
+            min_mips = tuple(jax.lax.stop_gradient(l)
+                             for l in build_min_mip(h, BK))
 
         # gather-economy table (ONE row-gather per DDA iteration): TPU gather
         # cost is per INDEX, nearly independent of row width — FLAT to at
@@ -253,9 +289,9 @@ class heightfield:
         # 2.3ms, c64x13 ~2.6ms, c64x32 2.6ms per 65k-lane gather; PERF.md).
         # Vector math is ~free by comparison (60 ops on 65k lanes = 4us).
         # So the DDA walks BLOCKS of BK x BK cells: each level-0 row holds a
-        # block's (BK+1)^2 corners and ONE iteration tests all
+        # block's (BK+1)^2 corners (+ block min) and ONE iteration tests all
         # BK^2 bilinear patches in-register; interior rows hold
-        # [complex(cmax, 0), 0 ...].
+        # [child max x 16 | child min x 16, 0 ...] (plain f32 rows).
         # entry into the bounding box [0,1] x [hmin,hmax] x [0,1]
         inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-9,
                                 jnp.where(d < 0, -1e-9, 1e-9), d)
@@ -281,30 +317,35 @@ class heightfield:
         # a select-chain over the static level list). Only 1 mip gather (+2
         # packed corner gathers at the leaf) remain per iteration.
         import numpy as _np
-        NROW = (BK + 1) ** 2 // 2 + 1        # c64 slots per row (41 @ BK=8)
-        assert BK % 2 == 0, "odd (BK+1)^2 keeps the last imag slot free"
-        assert NROW >= FAN * FAN, "interior child rows must fit the leaf width"
+        # f32 slots per row (82 @ BK=8): leaf corners + block min, and at
+        # least the interior [max x 16 | min x 16] child layout
+        NROW = max((BK + 1) ** 2 + 1, 2 * FAN * FAN)
         FS = FAN.bit_length() - 1            # log2(FAN)
-        zero = jnp.zeros((), jnp.complex64)
-        block_rows = _block_corner_rows(h).reshape(-1, NROW)
+        zero = jnp.zeros((), jnp.float32)
+        br = _block_corner_rows(h, BK)
+        br = br.reshape(-1, br.shape[-1])
+        if br.shape[-1] < NROW:      # small BK: interior layout sets NROW
+            br = jnp.concatenate(
+                [br, jnp.broadcast_to(zero,
+                                      (br.shape[0], NROW - br.shape[-1]))], -1)
+        block_rows = br
         if anyhit:
-            # leaf rows carry the block min in the last slot's otherwise-free
-            # imag (the (BK+1)^2-th corner occupies its real) — zero extra
-            # gather cost for the early-occlusion test at leaf entry
-            blk_min = min_mips[0].reshape(-1)
-            last = block_rows[:, -1]
-            block_rows = block_rows.at[:, -1].set(
-                jax.lax.complex(jnp.real(last), blk_min))
+            # leaf rows carry the block min in the reserved slot right after
+            # the corners — zero extra gather cost for the early-occlusion
+            # test at entry
+            block_rows = block_rows.at[:, (BK + 1) ** 2].set(
+                min_mips[0].reshape(-1))
         # interior level l>=1 rows: the node's FAN x FAN children from level
-        # l-1 as complex(child_max, child_min) — the min rides the imag slot
-        # for free, so the child-resolution early-occlusion costs nothing
+        # l-1 as [max x 16 | min x 16] — one flat f32 row (no complex
+        # packing: the unpack relayout cost more than the width it saved)
         interior = []
         for l in range(1, n_levels):
             mn = min_mips[l - 1] if anyhit else None
             cr = _child_rows(mips[l - 1], mn, *mips[l].shape)
-            cr = cr.reshape(-1, FAN * FAN)
+            cr = cr.reshape(-1, 2 * FAN * FAN)
             interior.append(jnp.concatenate(
-                [cr, jnp.broadcast_to(zero, (cr.shape[0], NROW - FAN * FAN))],
+                [cr, jnp.broadcast_to(zero,
+                                      (cr.shape[0], NROW - 2 * FAN * FAN))],
                 -1))
         combo_rows = jnp.concatenate([block_rows] + interior)  # (TOTAL, NROW)
         sizes = [mp.size for mp in mips]
@@ -336,25 +377,236 @@ class heightfield:
 
         max_steps = 3 * (W_B + H_B) + 16 * n_levels
 
-        # static per-sub-cell corner indices into the unpacked 25-vector
-        # (row-major (BK+1)x(BK+1) corner grid)
-        sub_sz, sub_sx = _np.divmod(_np.arange(BK * BK), BK)   # (16,)
-        i00 = (sub_sz * (BK + 1) + sub_sx).astype(_np.int32)
-        idx00 = jnp.asarray(i00)
-        idx01 = jnp.asarray(i00 + 1)
-        idx10 = jnp.asarray(i00 + (BK + 1))
-        idx11 = jnp.asarray(i00 + (BK + 2))
-        sub_sx_j = jnp.asarray(sub_sx.astype(_np.int32))
-        sub_sz_j = jnp.asarray(sub_sz.astype(_np.int32))
         # static child offsets for the FAN x FAN interior walk (slot = kz*FAN+kx)
         kx_child = jnp.asarray((_np.arange(FAN * FAN) % FAN).astype(_np.int32))
         kz_child = jnp.asarray((_np.arange(FAN * FAN) // FAN).astype(_np.int32))
+        ar9 = jnp.arange(BK + 1, dtype=jnp.float32)       # (BK+1,)
+        ar8f = jnp.arange(BK, dtype=jnp.float32)
+
+        def leaf_patch_tests(g, bx0, bz0, o, d, inv_d, t_lo, t_exit):
+            """Exact bilinear-patch tests for all BK x BK cells of block
+            (bz0, bx0) from its gathered corner row `g`, over the per-lane
+            segment [t_lo, t_exit]. Returns t_leaf (N,) — +inf on miss.
+            Cell slab planes are computed on the SHARED (BK+1,) boundary
+            grid (each x-plane serves a whole cell column), then broadcast
+            (N,BKz,BKx) — 9-wide divisions instead of 64-wide."""
+            nl = g.shape[0]
+            cg = g[..., :(BK + 1) ** 2].reshape(nl, BK + 1, BK + 1)
+            h00 = cg[:, :BK, :BK].reshape(nl, BK * BK)
+            h01 = cg[:, :BK, 1:].reshape(nl, BK * BK)
+            h10 = cg[:, 1:, :BK].reshape(nl, BK * BK)
+            h11 = cg[:, 1:, 1:].reshape(nl, BK * BK)
+            ox = o[..., 0:1]
+            oz = o[..., 2:3]
+            bxe = bx0.astype(jnp.float32)[:, None] * BK     # (N,1)
+            bze = bz0.astype(jnp.float32)[:, None] * BK
+            tx_b = ((bxe + ar9[None]) / W - ox) * inv_d[..., 0:1]   # (N,9)
+            tz_b = ((bze + ar9[None]) / H - oz) * inv_d[..., 2:3]
+            tx_lo = jnp.minimum(tx_b[:, :-1], tx_b[:, 1:])  # (N,8) per sx
+            tx_hi = jnp.maximum(tx_b[:, :-1], tx_b[:, 1:])
+            tz_lo = jnp.minimum(tz_b[:, :-1], tz_b[:, 1:])  # (N,8) per sz
+            tz_hi = jnp.maximum(tz_b[:, :-1], tz_b[:, 1:])
+            # cell (sz, sx): row-major over (BKz, BKx)
+            c_in = jnp.maximum(jnp.maximum(tx_lo[:, None, :],
+                                           tz_lo[:, :, None]),
+                               t_lo[:, None, None]).reshape(nl, BK * BK)
+            c_out = jnp.minimum(jnp.minimum(tx_hi[:, None, :],
+                                            tz_hi[:, :, None]),
+                                t_exit[:, None, None]).reshape(nl, BK * BK)
+            in_w = (bxe + ar8f[None]) < W                    # (N,8)
+            in_h = (bze + ar8f[None]) < H
+            cell_ok = (c_in <= c_out + eps_t) & \
+                (in_w[:, None, :] & in_h[:, :, None]).reshape(nl, BK * BK)
+            # u0 depends on sx only, v0 on sz only
+            u0_8 = ox * W - (bxe + ar8f[None])               # (N,8)
+            v0_8 = oz * H - (bze + ar8f[None])
+            u0 = jnp.broadcast_to(u0_8[:, None, :],
+                                  (nl, BK, BK)).reshape(nl, BK * BK)
+            v0 = jnp.broadcast_to(v0_8[:, :, None],
+                                  (nl, BK, BK)).reshape(nl, BK * BK)
+            du = d[..., 0:1] * W
+            dv = d[..., 2:3] * H
+            A = h01 - h00
+            B = h10 - h00
+            Cc = h11 - h10 - h01 + h00
+            qa = -Cc * du * dv
+            qb = d[..., 1:2] - A * du - B * dv - Cc * (u0 * dv + v0 * du)
+            qc = o[..., 1:2] - h00 - A * u0 - B * v0 - Cc * u0 * v0
+            found, r0, r1 = m.solve_quadratic(qa, qb, qc)
+            eps = 1e-6
+            ok0 = found & cell_ok & (r0 >= c_in - eps) & (r0 <= c_out + eps)
+            ok1 = found & cell_ok & (r1 >= c_in - eps) & (r1 <= c_out + eps)
+            t_cells = jnp.where(ok0, r0, jnp.where(ok1, r1, jnp.inf))
+            return jnp.min(t_cells, -1)
 
         def make_body(o, d, inv_d, step_ix, step_iz, t_far, t_enter):
             def body(state):
                 return _body_impl(state, o, d, inv_d, step_ix, step_iz,
                                   t_far, t_enter)
             return body
+
+        # ---- SPLIT-LOOP march (round-4 perf lever): the unconditional
+        # leaf-patch math is ~80% of the combined body's per-iteration cost
+        # (measured: 20.3 ms -> 4.0 ms/65k-lane camera march without it,
+        # PERF.md round 4) while only 27% (camera) / 66% (grazing shadow) of
+        # iterations are leaf visits. The march therefore alternates a CHEAP
+        # interior-only while_loop (lanes reaching level 0 PARK) with ONE
+        # full leaf-test step per outer cycle; per-lane visit sequences are
+        # identical to the combined body, so results are bit-equal.
+        def _interior_impl(state, o, d, inv_d, step_ix, step_iz, t_far,
+                           t_enter):
+            t, lvl, ix, iz, t_hit, active, was_above, steps = state
+            walking = active & (lvl > 0)
+            sx = scale_of(lvl, W / BK)
+            sz = scale_of(lvl, H / BK)
+            bx = jnp.where(step_ix > 0, (ix + 1) / sx, ix / sx)
+            bz = jnp.where(step_iz > 0, (iz + 1) / sz, iz / sz)
+            tx = (bx - o[..., 0]) * inv_d[..., 0]
+            tz = (bz - o[..., 2]) * inv_d[..., 2]
+            t_exit = jnp.minimum(jnp.minimum(tx, tz), t_far)
+            g = combo_lookup_batch(lvl, iz, ix)
+            # in-register FAN x FAN child walk (identical to _body_impl)
+            lvl_c = jnp.maximum(lvl - 1, 0)
+            sxc = scale_of(lvl_c, W / BK)[:, None]
+            szc = scale_of(lvl_c, H / BK)[:, None]
+            jx = ix[:, None] * FAN + kx_child[None, :]
+            jz = iz[:, None] * FAN + kz_child[None, :]
+            jxf = jx.astype(jnp.float32)
+            jzf = jz.astype(jnp.float32)
+            ox1 = o[..., 0:1]
+            oz1 = o[..., 2:3]
+            ctxa = (jxf / sxc - ox1) * inv_d[..., 0:1]
+            ctxb = ((jxf + 1) / sxc - ox1) * inv_d[..., 0:1]
+            ctza = (jzf / szc - oz1) * inv_d[..., 2:3]
+            ctzb = ((jzf + 1) / szc - oz1) * inv_d[..., 2:3]
+            ci = jnp.maximum(jnp.maximum(jnp.minimum(ctxa, ctxb),
+                                         jnp.minimum(ctza, ctzb)), t[:, None])
+            co = jnp.minimum(jnp.minimum(jnp.maximum(ctxa, ctxb),
+                                         jnp.maximum(ctza, ctzb)),
+                             jnp.minimum(t_exit, t_far)[:, None])
+            crossed = ci <= co + eps_t
+            cmax_c = g[..., :FAN * FAN]
+            y_ci = o[..., 1:2] + d[..., 1:2] * ci
+            y_co = o[..., 1:2] + d[..., 1:2] * co
+            smin_c = jnp.minimum(y_ci, y_co)
+            ovl = crossed & (smin_c <= cmax_c)
+            ci_m = jnp.where(ovl, ci, jnp.inf)
+            sel = jnp.argmin(ci_m, axis=1)
+            t_first = jnp.min(ci_m, axis=1)
+            has_ovl = jnp.isfinite(t_first)
+            overlap = has_ovl & (t <= t_exit + eps_t)
+
+            early_occ = jnp.zeros_like(active)
+            if anyhit:
+                cmin_c = g[..., FAN * FAN:2 * FAN * FAN]
+                smax_c = jnp.maximum(y_ci, y_co)
+                above_c = crossed & ~ovl
+                any_prior = jnp.any(above_c & (ci < t_first[:, None]), axis=1)
+                was_above = was_above | (walking & any_prior)
+                sel_below = jnp.take_along_axis(
+                    smax_c < cmin_c, sel[:, None], 1)[:, 0]
+                early_occ = walking & was_above & has_ovl & sel_below
+
+            descend = overlap & walking
+            kx_sel = sel.astype(jnp.int32) % FAN
+            kz_sel = sel.astype(jnp.int32) // FAN
+            cx_d = ix * FAN + kx_sel
+            cz_d = iz * FAN + kz_sel
+            t_d = jnp.where(has_ovl, t_first, t)
+
+            advance = ~overlap & walking
+            xfirst = tx <= tz
+            ix_a = ix + jnp.where(xfirst, step_ix, 0)
+            iz_a = iz + jnp.where(xfirst, 0, step_iz)
+            parent_changed = ((ix_a >> FS) != (ix >> FS)) | \
+                ((iz_a >> FS) != (iz >> FS))
+            node_max = jnp.max(cmax_c, axis=1)
+            y_t0 = o[..., 1] + d[..., 1] * t
+            y_x = o[..., 1] + d[..., 1] * t_exit
+            eager_up = (d[..., 1] >= 0) & (jnp.minimum(y_t0, y_x) > node_max)
+            go_up = advance & (parent_changed | eager_up) & \
+                (lvl < n_levels - 1)
+            lvl_a = jnp.where(go_up, lvl + 1, lvl)
+            ix_a = jnp.where(go_up, ix_a >> FS, ix_a)
+            iz_a = jnp.where(go_up, iz_a >> FS, iz_a)
+
+            new_lvl = jnp.where(descend, lvl_c, jnp.where(advance, lvl_a, lvl))
+            new_ix = jnp.where(descend, cx_d, jnp.where(advance, ix_a, ix))
+            new_iz = jnp.where(descend, cz_d, jnp.where(advance, iz_a, iz))
+            new_t = jnp.where(descend, jnp.maximum(t_d, t_enter),
+                              jnp.where(advance, t_exit,
+                                        jnp.maximum(t, t_enter)))
+            in_range = (new_ix >= 0) & (new_ix < ncells(new_lvl, W_B)) & \
+                (new_iz >= 0) & (new_iz < ncells(new_lvl, H_B))
+            t_hit = jnp.where(early_occ,
+                              jnp.minimum(t_hit, jnp.maximum(t, t_enter)),
+                              t_hit)
+            dead = walking & (early_occ | (new_t > t_far + eps_t) | ~in_range)
+            return (jnp.where(walking, new_t, t),
+                    jnp.where(walking, new_lvl, lvl),
+                    jnp.where(walking, new_ix, ix),
+                    jnp.where(walking, new_iz, iz),
+                    t_hit, active & ~dead, was_above, steps + 1)
+
+        def _leaf_impl(state, o, d, inv_d, step_ix, step_iz, t_far, t_enter):
+            t, lvl, ix, iz, t_hit, active, was_above, steps = state
+            parked = active & (lvl == 0)
+            sx = W / BK
+            sz = H / BK
+            bx = jnp.where(step_ix > 0, (ix + 1) / sx, ix / sx)
+            bz = jnp.where(step_iz > 0, (iz + 1) / sz, iz / sz)
+            tx = (bx - o[..., 0]) * inv_d[..., 0]
+            tz = (bz - o[..., 2]) * inv_d[..., 2]
+            t_exit = jnp.minimum(jnp.minimum(tx, tz), t_far)
+            bx0 = jnp.clip(ix, 0, W_B - 1)
+            bz0 = jnp.clip(iz, 0, H_B - 1)
+            g = combo_rows[bz0 * W_B + bx0]        # level-0 block row
+
+            early_occ = jnp.zeros_like(active)
+            if anyhit:
+                y_t = o[..., 1] + d[..., 1] * t
+                y_e = o[..., 1] + d[..., 1] * jnp.minimum(t_exit, t_far)
+                blk_below = jnp.maximum(y_t, y_e) < g[..., (BK + 1) ** 2]
+                early_occ = parked & was_above & blk_below
+
+            t_leaf = leaf_patch_tests(g, bx0, bz0, o, d, inv_d,
+                                      jnp.maximum(t, t_enter) - 2e-5, t_exit)
+            leaf_hit = parked & jnp.isfinite(t_leaf)
+            t_hit = jnp.where(leaf_hit & (t_leaf < t_hit), t_leaf, t_hit)
+
+            adv = parked & ~leaf_hit
+            xfirst = tx <= tz
+            ix_a = ix + jnp.where(xfirst, step_ix, 0)
+            iz_a = iz + jnp.where(xfirst, 0, step_iz)
+            parent_changed = ((ix_a >> FS) != (ix >> FS)) | \
+                ((iz_a >> FS) != (iz >> FS))
+            go_up = adv & parent_changed & (n_levels > 1)
+            lvl_a = jnp.where(go_up, 1, 0).astype(lvl.dtype)
+            ix_a = jnp.where(go_up, ix_a >> FS, ix_a)
+            iz_a = jnp.where(go_up, iz_a >> FS, iz_a)
+            new_t = t_exit
+            in_range = (ix_a >= 0) & (ix_a < ncells(lvl_a, W_B)) & \
+                (iz_a >= 0) & (iz_a < ncells(lvl_a, H_B))
+            t_hit = jnp.where(early_occ,
+                              jnp.minimum(t_hit, jnp.maximum(t, t_enter)),
+                              t_hit)
+            dead = parked & (leaf_hit | early_occ |
+                             (new_t > t_far + eps_t) | ~in_range)
+            return (jnp.where(adv, new_t, t),
+                    jnp.where(adv, lvl_a, lvl),
+                    jnp.where(adv, ix_a, ix),
+                    jnp.where(adv, iz_a, iz),
+                    t_hit, active & ~dead, was_above, steps + 1)
+
+        def make_split(o, d, inv_d, step_ix, step_iz, t_far, t_enter):
+            def ibody(state):
+                return _interior_impl(state, o, d, inv_d, step_ix, step_iz,
+                                      t_far, t_enter)
+
+            def lstep(state):
+                return _leaf_impl(state, o, d, inv_d, step_ix, step_iz,
+                                  t_far, t_enter)
+            return ibody, lstep
 
         def _body_impl(state, o, d, inv_d, step_ix, step_iz, t_far, t_enter):
             t, lvl, ix, iz, t_hit, active, was_above, steps = state
@@ -368,7 +620,7 @@ class heightfield:
             tx = (bx - o[..., 0]) * inv_d[..., 0]
             tz = (bz - o[..., 2]) * inv_d[..., 2]
             t_exit = jnp.minimum(jnp.minimum(tx, tz), t_far)
-            # THE gather: one (NROW,) c64 row — the (BK+1)^2 block corners at
+            # THE gather: one (NROW,) f32 row — the (BK+1)^2 block corners at
             # the leaf level, the FAN x FAN children (max, min) at interior
             # levels
             g = combo_lookup_batch(lvl, iz, ix)
@@ -397,7 +649,7 @@ class heightfield:
                                          jnp.maximum(ctza, ctzb)),
                              jnp.minimum(t_exit, t_far)[:, None])
             crossed = ci <= co + eps_t       # out-of-range pads have
-            cmax_c = jnp.real(g[..., :FAN * FAN])  # cmax=-inf -> never overlap
+            cmax_c = g[..., :FAN * FAN]       # cmax=-inf -> never overlap
             y_ci = o[..., 1:2] + d[..., 1:2] * ci
             y_co = o[..., 1:2] + d[..., 1:2] * co
             smin_c = jnp.minimum(y_ci, y_co)
@@ -416,7 +668,7 @@ class heightfield:
             # occluded, no descent needed
             early_occ = jnp.zeros_like(active)
             if anyhit:
-                cmin_c = jnp.imag(g[..., :FAN * FAN])
+                cmin_c = g[..., FAN * FAN:2 * FAN * FAN]
                 smax_c = jnp.maximum(y_ci, y_co)
                 above_c = crossed & ~ovl
                 any_prior = jnp.any(above_c & (ci < t_first[:, None]), axis=1)
@@ -427,58 +679,17 @@ class heightfield:
                 # (carried in the last slot's imag)
                 y_t = o[..., 1] + d[..., 1] * t
                 y_e = o[..., 1] + d[..., 1] * jnp.minimum(t_exit, t_far)
-                blk_below = jnp.maximum(y_t, y_e) < jnp.imag(g[..., -1])
+                blk_below = jnp.maximum(y_t, y_e) < g[..., (BK + 1) ** 2]
                 early_occ = active & was_above & jnp.where(
                     at_leaf, blk_below, has_ovl & sel_below)
 
             # -- leaf: exact bilinear-patch tests for ALL BKxBK block cells
             # in-register (unconditional: a lax.cond inside the while body
             # explodes XLA compile time; vector math is ~free vs the gather)
-            cv = jnp.concatenate(
-                [jnp.real(g)[..., :, None],
-                 jnp.imag(g)[..., :, None]], -1).reshape(
-                g.shape[0], -1)[:, :(BK + 1) ** 2]
             bx0 = jnp.clip(ix, 0, W_B - 1)
             bz0 = jnp.clip(iz, 0, H_B - 1)
-            ix_c = bx0[:, None] * BK + sub_sx_j[None, :]
-            iz_c = bz0[:, None] * BK + sub_sz_j[None, :]
-            h00 = jnp.take(cv, idx00, axis=1)
-            h01 = jnp.take(cv, idx01, axis=1)
-            h10 = jnp.take(cv, idx10, axis=1)
-            h11 = jnp.take(cv, idx11, axis=1)
-            # per-cell ray interval from the cell's x/z slab planes
-            ox = o[..., 0:1]
-            oz = o[..., 2:3]
-            ixf = ix_c.astype(jnp.float32)
-            izf = iz_c.astype(jnp.float32)
-            txa = (ixf / W - ox) * inv_d[..., 0:1]
-            txb = ((ixf + 1) / W - ox) * inv_d[..., 0:1]
-            tza = (izf / H - oz) * inv_d[..., 2:3]
-            tzb = ((izf + 1) / H - oz) * inv_d[..., 2:3]
-            blk_in = (jnp.maximum(t, t_enter) - 2e-5)[:, None]
-            c_in = jnp.maximum(jnp.maximum(jnp.minimum(txa, txb),
-                                           jnp.minimum(tza, tzb)), blk_in)
-            c_out = jnp.minimum(jnp.minimum(jnp.maximum(txa, txb),
-                                            jnp.maximum(tza, tzb)),
-                                t_exit[:, None])
-            cell_ok = (c_in <= c_out + eps_t) & (ix_c < W) & (iz_c < H)
-            # quadratic y(t) = h_bilinear(x(t), z(t)) per cell
-            u0 = ox * W - ixf
-            v0 = oz * H - izf
-            du = d[..., 0:1] * W
-            dv = d[..., 2:3] * H
-            A = h01 - h00
-            B = h10 - h00
-            Cc = h11 - h10 - h01 + h00
-            qa = -Cc * du * dv
-            qb = d[..., 1:2] - A * du - B * dv - Cc * (u0 * dv + v0 * du)
-            qc = o[..., 1:2] - h00 - A * u0 - B * v0 - Cc * u0 * v0
-            found, r0, r1 = m.solve_quadratic(qa, qb, qc)
-            eps = 1e-6
-            ok0 = found & cell_ok & (r0 >= c_in - eps) & (r0 <= c_out + eps)
-            ok1 = found & cell_ok & (r1 >= c_in - eps) & (r1 <= c_out + eps)
-            t_cells = jnp.where(ok0, r0, jnp.where(ok1, r1, jnp.inf))
-            t_leaf = jnp.min(t_cells, -1)
+            t_leaf = leaf_patch_tests(g, bx0, bz0, o, d, inv_d,
+                                      jnp.maximum(t, t_enter) - 2e-5, t_exit)
             hit_leaf = jnp.isfinite(t_leaf)
             leaf_hit = at_leaf & hit_leaf & active
             t_hit = jnp.where(leaf_hit & (t_leaf < t_hit), t_leaf, t_hit)
@@ -533,7 +744,25 @@ class heightfield:
                     steps + 1)
 
         def run_loop(lane, state, cap):
-            body = make_body(*lane)
+            if not heightfield.SPLIT_MARCH:
+                body = make_body(*lane)
+
+                def cond(st):
+                    return jnp.any(st[5]) & (st[7] < cap)
+                return jax.lax.while_loop(cond, body, state)
+            # split loop: ONE while; each iteration is EITHER an interior
+            # step (while any lane is still walking above level 0 — parked
+            # lanes wait) OR a leaf round (when every active lane is parked).
+            # The taken-branch-only conditional means an iteration pays the
+            # 64-patch leaf math only when it is actually a leaf round —
+            # the combined body paid BOTH every iteration. (A nested
+            # inner-while variant was 6.5x SLOWER on leaf-dominated shadow
+            # populations: per-entry while overhead × #leaf rounds.)
+            ibody, lstep = make_split(*lane)
+
+            def body(st):
+                walking = st[5] & (st[1] > 0)
+                return jax.lax.cond(jnp.any(walking), ibody, lstep, st)
 
             def cond(st):
                 return jnp.any(st[5]) & (st[7] < cap)
@@ -606,51 +835,16 @@ class heightfield:
             tx0 = (bxp - oS[..., 0]) * inv_dS[..., 0]
             tz0 = (bzp - oS[..., 2]) * inv_dS[..., 2]
             t_ex0 = jnp.minimum(jnp.minimum(tx0, tz0), t_farS)
-            cv = jnp.concatenate(
-                [jnp.real(g0)[..., :, None],
-                 jnp.imag(g0)[..., :, None]], -1).reshape(
-                kp, -1)[:, :(BK + 1) ** 2]
-            ix_c = bx0[:, None] * BK + sub_sx_j[None, :]
-            iz_c = bz0[:, None] * BK + sub_sz_j[None, :]
-            h00 = jnp.take(cv, idx00, axis=1)
-            h01 = jnp.take(cv, idx01, axis=1)
-            h10 = jnp.take(cv, idx10, axis=1)
-            h11 = jnp.take(cv, idx11, axis=1)
             ox = oS[..., 0:1]
             oz = oS[..., 2:3]
-            ixf = ix_c.astype(jnp.float32)
-            izf = iz_c.astype(jnp.float32)
-            txa = (ixf / W - ox) * inv_dS[..., 0:1]
-            txb = ((ixf + 1) / W - ox) * inv_dS[..., 0:1]
-            tza = (izf / H - oz) * inv_dS[..., 2:3]
-            tzb = ((izf + 1) / H - oz) * inv_dS[..., 2:3]
-            blk_in = (t - 2e-5)[:, None]
-            c_in = jnp.maximum(jnp.maximum(jnp.minimum(txa, txb),
-                                           jnp.minimum(tza, tzb)), blk_in)
-            c_out = jnp.minimum(jnp.minimum(jnp.maximum(txa, txb),
-                                            jnp.maximum(tza, tzb)),
-                                t_ex0[:, None])
-            cell_ok = (c_in <= c_out + eps_t) & (ix_c < W) & (iz_c < H)
-            u0 = ox * W - ixf
-            v0 = oz * H - izf
-            du = dS[..., 0:1] * W
-            dv = dS[..., 2:3] * H
-            A = h01 - h00
-            Bc = h10 - h00
-            Cc = h11 - h10 - h01 + h00
-            qa = -Cc * du * dv
-            qb = dS[..., 1:2] - A * du - Bc * dv - Cc * (u0 * dv + v0 * du)
-            qc = oS[..., 1:2] - h00 - A * u0 - Bc * v0 - Cc * u0 * v0
-            found, r0, r1 = m.solve_quadratic(qa, qb, qc)
-            epsq = 1e-6
-            ok0 = found & cell_ok & (r0 >= c_in - epsq) & (r0 <= c_out + epsq)
-            ok1 = found & cell_ok & (r1 >= c_in - epsq) & (r1 <= c_out + epsq)
-            hit0 = act0 & jnp.any(ok0 | ok1, -1)
+            t_leaf0 = leaf_patch_tests(g0, bx0, bz0, oS, dS, inv_dS,
+                                       t - 2e-5, t_ex0)
+            hit0 = act0 & jnp.isfinite(t_leaf0)
             occS = occS | hit0
             undec = undec & ~hit0
             # above-evidence at the block exit: the exit point sits above
             # every surface corner of this block
-            blockmax = jnp.max(cv, -1)
+            blockmax = jnp.max(g0[..., :(BK + 1) ** 2], -1)
             y_ex = oS[..., 1] + dS[..., 1] * t_ex0
             was_ab = was_ab | (act0 & ~hit0 & (y_ex > blockmax))
             fin0 = act0 & ~hit0 & (t_ex0 >= t_farS - eps_t)
@@ -694,8 +888,8 @@ class heightfield:
                                              jnp.maximum(ctza, ctzb)),
                                  t_exit[:, None])
                 crossed = ci <= co + eps_t
-                cmax_c = jnp.real(g[..., :FAN * FAN])
-                cmin_c = jnp.imag(g[..., :FAN * FAN])
+                cmax_c = g[..., :FAN * FAN]
+                cmin_c = g[..., FAN * FAN:2 * FAN * FAN]
                 y_ci = oS[..., 1:2] + dS[..., 1:2] * ci
                 y_co = oS[..., 1:2] + dS[..., 1:2] * co
                 smin_c = jnp.minimum(y_ci, y_co)
@@ -758,6 +952,12 @@ class heightfield:
                                 lambda s: s[:7] + (jnp.asarray(0, jnp.int32),),
                                 state)
 
+        if isinstance(stats, tuple):     # ('debug', k): k raw iterations
+            body = make_body(*lane_full)
+            st = state
+            for _ in range(stats[1]):
+                st = body(st)
+            return st
         if stats:
             # cascade-design instrumentation: per-lane iteration demand and
             # leaf/interior split, measured on the true loop (no compaction)
@@ -857,11 +1057,20 @@ class heightfield:
             o_obj = apply_point(to, o)
             d_obj = apply_vector(to, d)
             mn = tbl.min_mips[s] if tbl.min_mips is not None else None
+            # per-class leaf block: anyhit (shadow) marches the BK table,
+            # closest-hit the CLOSEST_BK one
+            if anyhit:
+                mx = (tbl.mips_shadow[s] if tbl.mips_shadow is not None
+                      else tbl.mips[s])
+                bk_s = BK
+            else:
+                mx = tbl.mips[s]
+                bk_s = CLOSEST_BK if tbl.mips_shadow is not None else BK
             # note: d_obj NOT normalized -> t is in world-ray units
-            t_hit, hx, hz = heightfield._march(h, tbl.mips[s], o_obj, d_obj,
+            t_hit, hx, hz = heightfield._march(h, mx, o_obj, d_obj,
                                                R, C, compact=True,
                                                anyhit=anyhit, maxt=maxt,
-                                               min_mips=mn,
+                                               min_mips=mn, bk=bk_s,
                                                probe_first=heightfield.PROBE,
                                                occ_frac=occ_frac)
             ts.append(t_hit)

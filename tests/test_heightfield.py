@@ -139,6 +139,10 @@ def test_dpixel_dheights_interior(hf_scene):
     key = [k for k in params.keys() if 'heights' in k][0]
     h0 = params[key]
 
+    # ONE compiled program reused for every FD probe (the un-jitted version
+    # recompiled the megakernel 21x, which both took minutes and triggered
+    # the XLA-CPU compile-accumulation segfault this box is prone to)
+    @jax.jit
     def loss(h):
         return mt.render_wavefront(params.scene_with({key: h}), spp=4, seed=2).mean()
 

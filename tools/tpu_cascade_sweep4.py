@@ -1,0 +1,78 @@
+"""Round-4 cascade re-sweep after the f32-row body (cheaper per-iteration
+leaf math may shift the optimal stage shapes)."""
+import time, sys
+import numpy as np
+import jax
+import jax.numpy as jnp
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+sys.path.insert(0, '/root/repo')
+import importlib
+hf_mod = importlib.import_module('mitsuba_tpu.plugins.shapes.heightfield')
+hf = hf_mod.heightfield
+from mitsuba_tpu.models.scenes import make_test_heights
+
+N = 65536
+INF = 10 ** 9
+rng = np.random.default_rng(1)
+h_np = make_test_heights(513)
+h = jnp.asarray(h_np)
+R, C = h.shape
+mips = hf_mod.build_max_mip(h)
+mins = hf_mod.build_min_mip(h)
+o_np = np.stack([rng.random(N), np.full(N, 1.2), rng.random(N)], -1)
+t_np = np.stack([rng.random(N), np.zeros(N), rng.random(N)], -1)
+d_np = t_np - o_np
+d_np /= np.linalg.norm(d_np, axis=-1, keepdims=True)
+o = jnp.asarray(o_np, jnp.float32)
+d = jnp.asarray(d_np, jnp.float32)
+u = rng.random(N); v = rng.random(N)
+ixn = np.clip((u*(C-1)).astype(int),0,C-2); izn = np.clip((v*(R-1)).astype(int),0,R-2)
+o2 = np.stack([u, h_np[izn,ixn]+1e-3, v],-1)
+d2 = rng.standard_normal((N,3))
+d2 /= np.linalg.norm(d2,axis=-1,keepdims=True)
+o2=jnp.asarray(o2,jnp.float32); d2=jnp.asarray(d2,jnp.float32)
+maxt=jnp.full((N,), 1e4, jnp.float32)
+
+def timed(f, *a, reps=10):
+    out = f(*a); np.asarray(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = f(*a)
+    np.asarray(out)
+    return (time.time() - t0) / reps * 1e3
+
+print('backend:', jax.default_backend(), flush=True)
+t_ref_c = t_ref_s = None
+for label, cas in [
+    ('cur   (12,1)(36,8)(inf,16)', ((12,1),(36,8),(INF,16))),
+    ('a     (12,1)(inf,8)',        ((12,1),(INF,8))),
+    ('b     (16,1)(inf,16)',       ((16,1),(INF,16))),
+    ('c     (8,1)(24,4)(inf,16)',  ((8,1),(24,4),(INF,16))),
+    ('d     (20,1)(inf,8)',        ((20,1),(INF,8))),
+]:
+    hf.CASCADE = cas
+    f = jax.jit(lambda o, d: hf._march(h, mips, o, d, R, C, compact=True, anyhit=False)[0])
+    ms = timed(f, o, d)
+    t = np.asarray(f(o, d))
+    if t_ref_c is None: t_ref_c = t
+    ok = np.allclose(np.nan_to_num(t,posinf=9e9), np.nan_to_num(t_ref_c,posinf=9e9))
+    print(f'closest {label}: {ms:6.1f} ms  exact={ok}', flush=True)
+    jax.clear_caches()
+hf.CASCADE = ((12,1),(36,8),(INF,16))
+for label, cas in [
+    ('cur   (12,1)(36,4)(inf,8)', ((12,1),(36,4),(INF,8))),
+    ('a     (12,1)(inf,4)',       ((12,1),(INF,4))),
+    ('b     (16,1)(48,4)(inf,8)', ((16,1),(48,4),(INF,8))),
+    ('c     (8,1)(24,2)(inf,8)',  ((8,1),(24,2),(INF,8))),
+    ('d     (24,1)(inf,8)',       ((24,1),(INF,8))),
+]:
+    hf.SHADOW_CASCADE = cas
+    f = jax.jit(lambda o, d: hf._march(h, mips, o, d, R, C, compact=True,
+                anyhit=True, maxt=maxt, min_mips=mins)[0])
+    ms = timed(f, o2, d2)
+    t = np.asarray(f(o2, d2))
+    if t_ref_s is None: t_ref_s = t
+    ok = (np.isfinite(t) == np.isfinite(t_ref_s)).mean()
+    print(f'shadow  {label}: {ms:6.1f} ms  agree={ok:.4f}', flush=True)
+    jax.clear_caches()

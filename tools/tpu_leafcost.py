@@ -1,0 +1,61 @@
+"""A/B the SPLIT march loop (interior-only inner while + one leaf round
+per outer cycle) vs the combined body, on the real chip."""
+import os, time, sys
+import numpy as np
+import jax
+import jax.numpy as jnp
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+sys.path.insert(0, '/root/repo')
+import importlib
+hf_mod = importlib.import_module('mitsuba_tpu.plugins.shapes.heightfield')
+hf = hf_mod.heightfield
+from mitsuba_tpu.models.scenes import make_test_heights
+
+N = 65536
+rng = np.random.default_rng(1)
+h_np = make_test_heights(513)
+h = jnp.asarray(h_np)
+R, C = h.shape
+mips = hf_mod.build_max_mip(h)
+mins = hf_mod.build_min_mip(h)
+o_np = np.stack([rng.random(N), np.full(N, 1.2), rng.random(N)], -1)
+t_np = np.stack([rng.random(N), np.zeros(N), rng.random(N)], -1)
+d_np = t_np - o_np
+d_np /= np.linalg.norm(d_np, axis=-1, keepdims=True)
+o = jnp.asarray(o_np, jnp.float32)
+d = jnp.asarray(d_np, jnp.float32)
+u = rng.random(N); v = rng.random(N)
+ixn = np.clip((u*(C-1)).astype(int),0,C-2); izn = np.clip((v*(R-1)).astype(int),0,R-2)
+o2 = np.stack([u, h_np[izn,ixn]+1e-3, v],-1)
+d2 = rng.standard_normal((N,3))
+# real-mix-like: include downward grazing
+d2 /= np.linalg.norm(d2,axis=-1,keepdims=True)
+o2=jnp.asarray(o2,jnp.float32); d2=jnp.asarray(d2,jnp.float32)
+maxt=jnp.full((N,), 1e4, jnp.float32)
+
+def timed(f, *a, reps=10):
+    out = f(*a); np.asarray(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = f(*a)
+    np.asarray(out)
+    return (time.time() - t0) / reps * 1e3
+
+def bench(split):
+    hf.SPLIT_MARCH = split
+    cam_u = jax.jit(lambda o, d: hf._march(h, mips, o, d, R, C, compact=False, anyhit=False)[0])
+    cam_c = jax.jit(lambda o, d: hf._march(h, mips, o, d, R, C, compact=True, anyhit=False)[0])
+    sh_c = jax.jit(lambda o, d: hf._march(h, mips, o, d, R, C, compact=True, anyhit=True,
+                                          maxt=maxt, min_mips=mins)[0])
+    sh_u = jax.jit(lambda o, d: hf._march(h, mips, o, d, R, C, compact=False, anyhit=True,
+                                          maxt=maxt, min_mips=mins)[0])
+    r = (timed(cam_u, o, d), timed(cam_c, o, d), timed(sh_c, o2, d2), timed(sh_u, o2, d2))
+    jax.clear_caches()
+    return r
+
+print('backend:', jax.default_backend(), flush=True)
+for split in (False,):
+    cu, cc, sc, su = bench(split)
+    print(f'split={split}: camera uncomp {cu:.1f} / cascade {cc:.1f} ms | '
+          f'shadow cascade {sc:.1f} / uncomp {su:.1f} ms', flush=True)

@@ -1,0 +1,144 @@
+"""Isolate the leaf-patch-math cost pieces at 65k lanes on the chip:
+(a) c64 row -> interleaved cv unpack, (b) static corner takes, (c) the
+64-cell quadratic, (d) same starting from a plain f32 row."""
+import time, sys
+import numpy as np
+import jax
+import jax.numpy as jnp
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+sys.path.insert(0, '/root/repo')
+from mitsuba_tpu.core import math as m
+
+N = 65536
+BK = 8
+NROW = (BK + 1) ** 2 // 2 + 1
+rng = np.random.default_rng(0)
+g_re = jnp.asarray(rng.standard_normal((N, NROW)), jnp.float32)
+g_im = jnp.asarray(rng.standard_normal((N, NROW)), jnp.float32)
+g_f = jnp.asarray(rng.standard_normal((N, (BK + 1) ** 2)), jnp.float32)
+o = jnp.asarray(rng.random((N, 3)), jnp.float32)
+d = jnp.asarray(rng.standard_normal((N, 3)), jnp.float32)
+ixs = jnp.asarray(rng.integers(0, 63, N), jnp.int32)
+izs = jnp.asarray(rng.integers(0, 63, N), jnp.int32)
+sub_sz, sub_sx = np.divmod(np.arange(BK * BK), BK)
+i00 = (sub_sz * (BK + 1) + sub_sx).astype(np.int32)
+idx00 = jnp.asarray(i00); idx01 = jnp.asarray(i00 + 1)
+idx10 = jnp.asarray(i00 + (BK + 1)); idx11 = jnp.asarray(i00 + (BK + 2))
+sub_sx_j = jnp.asarray(sub_sx.astype(np.int32))
+sub_sz_j = jnp.asarray(sub_sz.astype(np.int32))
+W = H = 512
+
+def leafmath(cv, z):
+    W_B = 64
+    bx0 = jnp.clip(ixs, 0, W_B - 1)
+    bz0 = jnp.clip(izs, 0, W_B - 1)
+    ix_c = bx0[:, None] * BK + sub_sx_j[None, :]
+    iz_c = bz0[:, None] * BK + sub_sz_j[None, :]
+    h00 = jnp.take(cv, idx00, axis=1)
+    h01 = jnp.take(cv, idx01, axis=1)
+    h10 = jnp.take(cv, idx10, axis=1)
+    h11 = jnp.take(cv, idx11, axis=1)
+    ox = o[..., 0:1] + z; oz = o[..., 2:3]
+    ixf = ix_c.astype(jnp.float32); izf = iz_c.astype(jnp.float32)
+    inv_d = 1.0 / d
+    txa = (ixf / W - ox) * inv_d[..., 0:1]
+    txb = ((ixf + 1) / W - ox) * inv_d[..., 0:1]
+    tza = (izf / H - oz) * inv_d[..., 2:3]
+    tzb = ((izf + 1) / H - oz) * inv_d[..., 2:3]
+    c_in = jnp.maximum(jnp.minimum(txa, txb), jnp.minimum(tza, tzb))
+    c_out = jnp.minimum(jnp.maximum(txa, txb), jnp.maximum(tza, tzb))
+    cell_ok = (c_in <= c_out)
+    u0 = ox * W - ixf; v0 = oz * H - izf
+    du = d[..., 0:1] * W; dv = d[..., 2:3] * H
+    A = h01 - h00; B = h10 - h00; Cc = h11 - h10 - h01 + h00
+    qa = -Cc * du * dv
+    qb = d[..., 1:2] - A * du - B * dv - Cc * (u0 * dv + v0 * du)
+    qc = o[..., 1:2] + z - h00 - A * u0 - B * v0 - Cc * u0 * v0
+    found, r0, r1 = m.solve_quadratic(qa, qb, qc)
+    ok0 = found & cell_ok & (r0 >= c_in) & (r0 <= c_out)
+    ok1 = found & cell_ok & (r1 >= c_in) & (r1 <= c_out)
+    t_cells = jnp.where(ok0, r0, jnp.where(ok1, r1, jnp.inf))
+    return jnp.min(t_cells, -1)
+
+REPS = 32
+def chain(f):
+    @jax.jit
+    def g():
+        z = jnp.zeros(())
+        acc = jnp.zeros((N,))
+        for i in range(REPS):
+            acc = acc + f(z + acc[0] * 1e-30)
+        return acc
+    return g
+
+def timed(label, f):
+    ff = chain(f)
+    out = ff(); np.asarray(out)
+    t0 = time.time(); out = ff(); np.asarray(out)
+    print(f'{label}: {(time.time()-t0)/REPS*1e3:.3f} ms', flush=True)
+
+print('backend:', jax.default_backend(), flush=True)
+def unpack(z):
+    gg = jax.lax.complex(g_re + z, g_im)
+    cv = jnp.concatenate([jnp.real(gg)[..., :, None],
+                          jnp.imag(gg)[..., :, None]], -1).reshape(N, -1)[:, :(BK+1)**2]
+    return cv[:, 0]
+timed('c64 interleave unpack only', unpack)
+def full_c64(z):
+    gg = jax.lax.complex(g_re + z, g_im)
+    cv = jnp.concatenate([jnp.real(gg)[..., :, None],
+                          jnp.imag(gg)[..., :, None]], -1).reshape(N, -1)[:, :(BK+1)**2]
+    return leafmath(cv, z)
+timed('c64 unpack + leafmath', full_c64)
+def full_f32(z):
+    return leafmath(g_f + z, z)
+timed('f32 row leafmath (no unpack)', full_f32)
+def takes_only(z):
+    cv = g_f + z
+    return (jnp.take(cv, idx00, 1) + jnp.take(cv, idx01, 1) +
+            jnp.take(cv, idx10, 1) + jnp.take(cv, idx11, 1))[:, 0]
+timed('4 static takes only', takes_only)
+
+def leafmath_slices(cv81, z):
+    W_B = 64
+    bx0 = jnp.clip(ixs, 0, W_B - 1)
+    bz0 = jnp.clip(izs, 0, W_B - 1)
+    ix_c = bx0[:, None] * BK + sub_sx_j[None, :]
+    iz_c = bz0[:, None] * BK + sub_sz_j[None, :]
+    cg = cv81.reshape(N, BK + 1, BK + 1)
+    h00 = cg[:, :BK, :BK].reshape(N, BK * BK)
+    h01 = cg[:, :BK, 1:].reshape(N, BK * BK)
+    h10 = cg[:, 1:, :BK].reshape(N, BK * BK)
+    h11 = cg[:, 1:, 1:].reshape(N, BK * BK)
+    ox = o[..., 0:1] + z; oz = o[..., 2:3]
+    ixf = ix_c.astype(jnp.float32); izf = iz_c.astype(jnp.float32)
+    inv_d = 1.0 / d
+    txa = (ixf / W - ox) * inv_d[..., 0:1]
+    txb = ((ixf + 1) / W - ox) * inv_d[..., 0:1]
+    tza = (izf / H - oz) * inv_d[..., 2:3]
+    tzb = ((izf + 1) / H - oz) * inv_d[..., 2:3]
+    c_in = jnp.maximum(jnp.minimum(txa, txb), jnp.minimum(tza, tzb))
+    c_out = jnp.minimum(jnp.maximum(txa, txb), jnp.maximum(tza, tzb))
+    cell_ok = (c_in <= c_out)
+    u0 = ox * W - ixf; v0 = oz * H - izf
+    du = d[..., 0:1] * W; dv = d[..., 2:3] * H
+    A = h01 - h00; B = h10 - h00; Cc = h11 - h10 - h01 + h00
+    qa = -Cc * du * dv
+    qb = d[..., 1:2] - A * du - B * dv - Cc * (u0 * dv + v0 * du)
+    qc = o[..., 1:2] + z - h00 - A * u0 - B * v0 - Cc * u0 * v0
+    found, r0, r1 = m.solve_quadratic(qa, qb, qc)
+    ok0 = found & cell_ok & (r0 >= c_in) & (r0 <= c_out)
+    ok1 = found & cell_ok & (r1 >= c_in) & (r1 <= c_out)
+    t_cells = jnp.where(ok0, r0, jnp.where(ok1, r1, jnp.inf))
+    return jnp.min(t_cells, -1)
+
+def full_c64_slices(z):
+    gg = jax.lax.complex(g_re + z, g_im)
+    cv = jnp.concatenate([jnp.real(gg)[..., :, None],
+                          jnp.imag(gg)[..., :, None]], -1).reshape(N, -1)[:, :(BK+1)**2]
+    return leafmath_slices(cv, z)
+timed('c64 unpack + leafmath SLICES', full_c64_slices)
+def full_f32_slices(z):
+    return leafmath_slices(g_f + z, z)
+timed('f32 row leafmath SLICES', full_f32_slices)

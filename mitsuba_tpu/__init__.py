@@ -52,6 +52,7 @@ def variants():
 
 from .render.xml import load_file, load_string, dict_to_xml  # noqa: F401,E402
 from .utils.bitmap import write_bitmap, convert_to_bitmap  # noqa: F401,E402
+from .core.struct import Struct, StructConverter  # noqa: F401,E402
 from .utils.observability import Log, Info, Warn, Debug, set_log_level, sys_info  # noqa: F401,E402
 
 

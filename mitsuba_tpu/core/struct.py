@@ -1,0 +1,347 @@
+"""Runtime-described structured record layouts + layout conversion
+(reference include/mitsuba/core/struct.h + src/core/struct.cpp:1-1884).
+
+The reference JIT-compiles the conversion with asmjit; on the TPU build the
+converter lowers to a handful of VECTORIZED numpy passes over the whole
+record batch (one load/transform/store per field), which is the idiomatic
+equivalent — the per-record "program" becomes array ops.
+
+Semantics replicated from struct.cpp / test_struct.py:
+  * natural alignment + padding layout (offset/size/alignment, test01)
+  * every integer<->integer / integer<->float / endianness conversion with
+    round-to-nearest and RANGE SATURATION (tests 02-05)
+  * Normalized integer fields map to [0,1] (or [-1,1] signed) by dividing
+    with the type's max (tests 06-08)
+  * Gamma fields store sRGB; blending/converting happens in linear space
+    (tests 09-10, 13)
+  * Default fills missing destination fields; a missing source field
+    without Default raises (tests 03b-04); Assert validates a constant
+  * Weight source fields divide every other channel on the way out unless
+    the destination keeps the weight (test14)
+  * linear `blend` combinations on destination fields (tests 12-13)
+  * alpha (un)premultiplication between PremultipliedAlpha conventions;
+    more than one Alpha channel is only allowed when no (un)premultiply
+    conversion is needed (tests 16-19)
+  * optional ordered dithering before float->int quantization (test15)
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+class Type:
+    Int8 = 'int8'
+    UInt8 = 'uint8'
+    Int16 = 'int16'
+    UInt16 = 'uint16'
+    Int32 = 'int32'
+    UInt32 = 'uint32'
+    Int64 = 'int64'
+    UInt64 = 'uint64'
+    Float16 = 'float16'
+    Float32 = 'float32'
+    Float64 = 'float64'
+
+
+class Flags:
+    Empty = 0x00
+    Normalized = 0x01
+    Gamma = 0x02
+    Assert = 0x04
+    Default = 0x08
+    Weight = 0x10
+    PremultipliedAlpha = 0x20
+    Alpha = 0x40
+
+
+class ByteOrder:
+    LittleEndian = '<'
+    BigEndian = '>'
+    HostByteOrder = '='
+
+
+def _np(t):
+    return np.dtype(t)
+
+
+def is_float(t):
+    return _np(t).kind == 'f'
+
+
+def is_integer(t):
+    return _np(t).kind in 'iu'
+
+
+def is_signed(t):
+    return _np(t).kind in 'if'
+
+
+def is_unsigned(t):
+    return _np(t).kind == 'u'
+
+
+def range_(t):
+    """(min, max) representable, as floats (struct.h Struct::range)."""
+    dt = _np(t)
+    if dt.kind == 'f':
+        return (-np.finfo(dt).max, np.finfo(dt).max)
+    info = np.iinfo(dt)
+    return (float(info.min), float(info.max))
+
+
+def _srgb_to_linear(x):
+    return np.where(x < 0.04045, x / 12.92,
+                    ((np.abs(x) + 0.055) / 1.055) ** 2.4)
+
+
+def _linear_to_srgb(x):
+    return np.where(x < 0.0031308, x * 12.92,
+                    1.055 * np.abs(x) ** (1.0 / 2.4) - 0.055)
+
+
+class Field:
+    def __init__(self, name, type, flags=0, default=0.0):
+        self.name = name
+        self.type = type
+        self.flags = flags
+        self.default = default
+        self.blend = None        # optional [(weight, src_name), ...]
+        self.offset = 0
+
+    @property
+    def size(self):
+        return _np(self.type).itemsize
+
+    def is_float(self):
+        return is_float(self.type)
+
+    def is_integer(self):
+        return is_integer(self.type)
+
+    def is_signed(self):
+        return is_signed(self.type)
+
+    def __repr__(self):
+        return (f'Field({self.name!r}, {self.type}, flags={self.flags:#x}, '
+                f'offset={self.offset})')
+
+
+class Struct:
+    """Ordered set of named, typed fields with C natural-alignment layout
+    (struct.h Struct; append computes offsets like the reference)."""
+
+    Type = Type
+    Flags = Flags
+    ByteOrder = ByteOrder
+
+    def __init__(self, pack=False, byte_order=ByteOrder.HostByteOrder):
+        self.fields = []
+        self.pack = pack
+        self.byte_order = byte_order
+
+    # -- construction ----------------------------------------------------
+    def append(self, name, type, flags=0, default=0.0):
+        f = Field(name, type, flags, default)
+        offset = self.fields[-1].offset + self.fields[-1].size \
+            if self.fields else 0
+        if not self.pack:
+            a = f.size
+            offset = (offset + a - 1) // a * a
+        f.offset = offset
+        self.fields.append(f)
+        return self
+
+    # -- queries ---------------------------------------------------------
+    def field(self, name):
+        for f in self.fields:
+            if f.name == name:
+                return f
+        raise KeyError(name)
+
+    def has_field(self, name):
+        return any(f.name == name for f in self.fields)
+
+    def field_count(self):
+        return len(self.fields)
+
+    def alignment(self):
+        if self.pack or not self.fields:
+            return 1
+        return max(f.size for f in self.fields)
+
+    def size(self):
+        if not self.fields:
+            return 0
+        end = max(f.offset + f.size for f in self.fields)
+        a = self.alignment()
+        return (end + a - 1) // a * a
+
+    def dtype(self):
+        """numpy structured dtype with explicit offsets + byte order."""
+        bo = self.byte_order
+        return np.dtype({
+            'names': [f.name for f in self.fields],
+            'formats': [bo + _np(f.type).str[1:] for f in self.fields],
+            'offsets': [f.offset for f in self.fields],
+            'itemsize': self.size(),
+        })
+
+    def __len__(self):
+        return len(self.fields)
+
+    def __getitem__(self, i):
+        return self.fields[i]
+
+    def __repr__(self):
+        rows = ', '.join(f'{f.name}:{f.type}@{f.offset}' for f in self.fields)
+        return f'Struct[{self.size()} B: {rows}]'
+
+    # statics mirroring the reference API
+    is_float = staticmethod(is_float)
+    is_integer = staticmethod(is_integer)
+    is_signed = staticmethod(is_signed)
+    is_unsigned = staticmethod(is_unsigned)
+    range = staticmethod(range_)
+
+
+def _norm_scale(t):
+    """Divisor mapping a Normalized integer to [0,1] / [-1,1]
+    (struct.cpp: value / max)."""
+    return range_(t)[1]
+
+
+class StructConverter:
+    """Vectorized source->target record conversion (struct.cpp
+    StructConverter; the asmjit kernel becomes numpy array passes)."""
+
+    def __init__(self, source: Struct, target: Struct, dither=False):
+        self.source = source
+        self.target = target
+        self.dither = dither
+        # alpha sanity (struct.cpp: only one alpha channel may take part in
+        # a premultiplication CONVERSION; several are fine if none converts)
+        src_alpha = [f for f in source.fields if f.flags & Flags.Alpha]
+        dst_alpha = [f for f in target.fields if f.flags & Flags.Alpha]
+        needs_conv = False
+        for f in target.fields:
+            if not source.has_field(f.name):
+                continue
+            sf = source.field(f.name)
+            if (sf.flags & Flags.PremultipliedAlpha) != \
+                    (f.flags & Flags.PremultipliedAlpha):
+                needs_conv = True
+        if needs_conv and (len(src_alpha) > 1 or len(dst_alpha) > 1):
+            raise RuntimeError(
+                'StructConverter: only a single alpha channel is supported '
+                'when alpha (un)premultiplication is requested')
+        self._src_alpha = src_alpha[0].name if src_alpha else None
+
+    # -- linear-space load of one source field ---------------------------
+    def _load(self, rec, f: Field):
+        v = rec[f.name].astype(np.float64)
+        if f.flags & Flags.Normalized and f.is_integer():
+            v = v / _norm_scale(f.type)
+        if f.flags & Flags.Gamma:
+            v = np.sign(v) * _srgb_to_linear(np.abs(v))
+        return v
+
+    def convert(self, data):
+        """bytes -> bytes (record batch), or structured array -> structured
+        array when given one."""
+        as_bytes = isinstance(data, (bytes, bytearray, memoryview))
+        sdt = self.source.dtype()
+        if as_bytes:
+            buf = np.frombuffer(bytes(data), dtype=sdt)
+        else:
+            buf = np.asarray(data, dtype=sdt)
+        n = buf.shape[0]
+
+        # source-side Assert fields validate even when dropped
+        # (struct.cpp Flags::Assert; reference test11)
+        for sf in self.source.fields:
+            if sf.flags & Flags.Assert:
+                if not np.allclose(buf[sf.name].astype(np.float64),
+                                   float(sf.default)):
+                    raise RuntimeError(
+                        f'StructConverter: field "{sf.name}" failed assert '
+                        f'(expected constant {sf.default})')
+
+        # linear-space source channel cache
+        lin = {}
+
+        def load(name):
+            if name not in lin:
+                lin[name] = self._load(buf, self.source.field(name))
+            return lin[name]
+
+        # weight normalization (test14): a Weight field present in the
+        # source but dropped by the target divides everything else
+        weight = None
+        for sf in self.source.fields:
+            if sf.flags & Flags.Weight and not self.target.has_field(sf.name):
+                w = load(sf.name)
+                weight = w if weight is None else weight * w
+
+        out = np.zeros(n, dtype=self.target.dtype())
+        for tf in self.target.fields:
+            if tf.blend:
+                v = np.zeros(n, np.float64)
+                for wgt, src_name in tf.blend:
+                    v = v + float(wgt) * load(src_name)
+            elif self.source.has_field(tf.name):
+                sf = self.source.field(tf.name)
+                v = load(tf.name)
+                # alpha (un)premultiplication between conventions
+                sp = bool(sf.flags & Flags.PremultipliedAlpha)
+                tp = bool(tf.flags & Flags.PremultipliedAlpha)
+                if sp != tp and self._src_alpha is not None and \
+                        not (tf.flags & Flags.Alpha):
+                    alpha = load(self._src_alpha)
+                    if sp and not tp:      # unpremultiply
+                        v = np.where(alpha != 0, v / np.where(alpha == 0, 1,
+                                                              alpha), 0.0)
+                    else:                  # premultiply
+                        v = v * alpha
+            elif tf.flags & Flags.Default or tf.flags & Flags.Assert:
+                v = np.full(n, float(tf.default))
+            else:
+                raise RuntimeError(
+                    f'StructConverter: Unable to find field "{tf.name}"!')
+            if weight is not None and not (tf.flags & Flags.Weight):
+                v = np.where(weight != 0,
+                             v / np.where(weight == 0, 1, weight), v)
+
+            # store: linear -> target representation
+            if tf.flags & Flags.Gamma:
+                v = np.sign(v) * _linear_to_srgb(np.abs(v))
+            if tf.is_integer():
+                if tf.flags & Flags.Normalized:
+                    v = v * _norm_scale(tf.type)
+                if self.dither:
+                    v = v + self._dither_offsets(n)
+                # saturating round: the float representation of a 64-bit
+                # max rounds UP, so the boundary cast must be masked
+                dt = _np(tf.type)
+                lo, hi = range_(tf.type)
+                v = np.clip(np.rint(v), lo, hi)
+                hi_mask = v >= hi
+                lo_mask = v <= lo
+                mid = np.where(hi_mask | lo_mask, 0, v).astype(dt)
+                info = np.iinfo(dt)
+                out[tf.name] = np.where(hi_mask, info.max,
+                                        np.where(lo_mask, info.min, mid))
+            else:
+                out[tf.name] = v.astype(_np(tf.type))
+        return out.tobytes() if as_bytes else out
+
+    def _dither_offsets(self, n):
+        """Dither offsets in [-0.5, 0.5) before quantization (reference
+        dither-matrix256.cpp role). The converter sees a flat record
+        stream, so a golden-ratio additive recurrence is used — it stays
+        equidistributed under any stride the caller's pixel layout
+        induces, which a raveled 2D matrix does not."""
+        i = np.arange(n, dtype=np.float64)
+        return (i * 0.6180339887498949) % 1.0 - 0.5
+
+    def __repr__(self):
+        return f'StructConverter({self.source!r} -> {self.target!r})'

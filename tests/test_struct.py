@@ -1,0 +1,264 @@
+"""Struct / StructConverter layout engine (reference
+src/core/struct.cpp:1-1884, behaviors pinned by
+src/core/tests/test_struct.py — ported semantics, vectorized numpy
+implementation)."""
+import struct as pystruct
+import itertools
+
+import numpy as np
+import pytest
+
+from mitsuba_tpu.core.struct import Struct, StructConverter, Flags, Type
+
+T = Struct.Type
+
+SUPPORTED = [
+    ('b', T.Int8), ('B', T.UInt8), ('h', T.Int16), ('H', T.UInt16),
+    ('i', T.Int32), ('I', T.UInt32), ('q', T.Int64), ('Q', T.UInt64),
+    ('e', T.Float16), ('f', T.Float32), ('d', T.Float64),
+]
+
+
+def from_srgb(x):
+    return x / 12.92 if x < 0.04045 else ((x + 0.055) / 1.055) ** 2.4
+
+
+def to_srgb(x):
+    return x * 12.92 if x < 0.0031308 else 1.055 * x ** (1 / 2.4) - 0.055
+
+
+def check(conv, src_fmt, dst_fmt, data_in, data_out=None, err=1e-6):
+    raw = pystruct.pack(src_fmt, *data_in)
+    out = conv.convert(raw)
+    got = pystruct.unpack(dst_fmt, out)
+    ref = data_out if data_out is not None else data_in
+    for g, r in zip(got, ref):
+        assert abs((float(g) - float(r)) / (float(r) + 1e-6)) < err, (g, r)
+
+
+def test_layout_basics():
+    s = Struct()
+    assert s.field_count() == 0 and s.alignment() == 1 and s.size() == 0
+    s.append('float_val', T.Float32)
+    assert (s.field_count(), s.alignment(), s.size()) == (1, 4, 4)
+    s.append('byte_val', T.UInt8)
+    assert (s.field_count(), s.alignment(), s.size()) == (2, 4, 8)
+    s.append('half_val', T.Float16)
+    assert (s.field_count(), s.alignment(), s.size()) == (3, 4, 8)
+    assert [f.offset for f in s] == [0, 4, 6]
+    assert [f.size for f in s] == [4, 1, 2]
+
+
+@pytest.mark.parametrize('fmt,t', SUPPORTED)
+def test_passthrough(fmt, t):
+    s = Struct().append('val', t)
+    conv = StructConverter(s, s)
+    values = list(range(10))
+    if Struct.is_signed(t):
+        values += list(range(-10, 0))
+    check(conv, '@' + fmt * len(values), '@' + fmt * len(values), values)
+
+
+@pytest.mark.parametrize('p1,p2', list(itertools.product(
+    [('b', T.Int8), ('H', T.UInt16), ('i', T.Int32), ('e', T.Float16),
+     ('f', T.Float32), ('d', T.Float64)], repeat=2)))
+def test_cross_type(p1, p2):
+    s1 = Struct().append('val', p1[1])
+    s2 = Struct().append('val', p2[1])
+    conv = StructConverter(s1, s2)
+    values = list(range(10))
+    if Struct.is_signed(p1[1]) and Struct.is_signed(p2[1]):
+        values += list(range(-10, 0))
+    check(conv, '@' + p1[0] * len(values), '@' + p2[0] * len(values), values)
+
+
+def test_byte_order():
+    s1 = Struct(byte_order=Struct.ByteOrder.BigEndian).append('val', T.UInt32)
+    s2 = Struct(byte_order=Struct.ByteOrder.LittleEndian).append('val', T.UInt32)
+    check(StructConverter(s1, s2), '>III', '<III', [1, 2, 70000])
+    check(StructConverter(s2, s1), '<III', '>III', [1, 2, 70000])
+
+
+def test_missing_field_default():
+    s1 = Struct().append('val1', T.Int32).append('val3', T.Int32)
+    s2 = Struct().append('val1', T.Int32) \
+                 .append('val2', T.Int32, Flags.Default, 123) \
+                 .append('val3', T.Int32)
+    conv = StructConverter(s1, s2)
+    check(conv, '@iiii', '@iiiiii', [1, 2, 3, 4], [1, 123, 2, 3, 123, 4])
+
+
+def test_missing_field_error():
+    s1 = Struct().append('val1', T.UInt32)
+    s2 = Struct().append('val2', T.UInt32)
+    with pytest.raises(RuntimeError, match='Unable to find field "val2"'):
+        StructConverter(s1, s2).convert(pystruct.pack('@I', 1))
+
+
+def test_round_and_saturation():
+    s1 = Struct().append('val', T.Float32)
+    s2 = Struct().append('val', T.Int8)
+    conv = StructConverter(s1, s2)
+    values = [-0.55, -0.45, 0, 0.45, 0.55, 127, 128, -127, -200]
+    check(conv, '@' + 'f' * 9, '@' + 'b' * 9, values,
+          [-1, 0, 0, 0, 1, 127, 127, -127, -128])
+
+
+def test_round_and_saturation_normalized():
+    s1 = Struct().append('val', T.Float32)
+    s2 = Struct().append('val', T.Int8, Flags.Normalized)
+    conv = StructConverter(s1, s2)
+    f = 1.0 / 127.0
+    values = [-0.55 * f, -0.45 * f, 0, 0.45 * f, 0.55 * f, 1, 2, -1, -2]
+    check(conv, '@' + 'f' * 9, '@' + 'b' * 9, values,
+          [-1, 0, 0, 0, 1, 127, 127, -127, -128])
+
+
+@pytest.mark.parametrize('fmt,t', SUPPORTED)
+def test_roundtrip_normalization(fmt, t):
+    s1 = Struct().append('val', t, Flags.Normalized)
+    s2 = Struct().append('val', T.Float32)
+    max_range = float(Struct.range(t)[1]) if Struct.is_integer(t) else 1.0
+    vin = list(range(10))
+    vout = [i / max_range for i in range(10)]
+    check(StructConverter(s1, s2), '@' + fmt * 10, '@' + 'f' * 10, vin, vout)
+    check(StructConverter(s2, s1), '@' + 'f' * 10, '@' + fmt * 10, vout, vin)
+
+
+@pytest.mark.parametrize('fmt,t', [p for p in SUPPORTED
+                                   if not Struct.is_float(p[1])])
+def test_normalization_int2int(fmt, t):
+    s1_t = T.Int8 if Struct.is_signed(t) else T.UInt8
+    s1_fmt = 'b' if Struct.is_signed(t) else 'B'
+    r1 = Struct.range(s1_t)
+    r2 = Struct.range(t)
+    s1 = Struct().append('val', s1_t, Flags.Normalized)
+    s2 = Struct().append('val', t, Flags.Normalized)
+    vin = list(range(int(r1[0]), int(r1[1]) + 1))
+    vout = np.clip(np.rint(np.asarray(vin, np.float64) * (r2[1] / r1[1])),
+                   r2[0], r2[1])
+    check(StructConverter(s1, s2), '@' + s1_fmt * len(vin),
+          '@' + fmt * len(vin), vin, vout)
+
+
+def test_gamma_decode():
+    conv = StructConverter(
+        Struct().append('v', T.UInt8, Flags.Normalized | Flags.Gamma),
+        Struct().append('v', T.Float32))
+    vin = list(range(256))
+    vout = [from_srgb(x / 255.0) for x in vin]
+    check(conv, '@' + 'B' * 256, '@' + 'f' * 256, vin, vout, err=1e-5)
+
+
+def test_gamma_encode():
+    conv = StructConverter(
+        Struct().append('v', T.Float32),
+        Struct().append('v', T.UInt8, Flags.Normalized | Flags.Gamma))
+    vin = list(np.linspace(0, 1, 256))
+    vout = [np.uint8(np.round(to_srgb(x) * 255)) for x in vin]
+    check(conv, '@' + 'f' * 256, '@' + 'B' * 256, vin, vout, err=1.0 / 255)
+
+
+def test_blend():
+    src = Struct().append('a', T.Float32).append('b', T.Float32)
+    target = Struct().append('v', T.Float32)
+    target.field('v').blend = [(3.0, 'a'), (4.0, 'b')]
+    check(StructConverter(src, target), '@ff', '@f', (1.0, 2.0), (11.0,))
+
+    src = Struct().append('a', T.UInt8, Flags.Normalized) \
+                  .append('b', T.UInt8, Flags.Normalized)
+    target = Struct().append('v', T.Float32)
+    target.field('v').blend = [(3.0, 'a'), (4.0, 'b')]
+    check(StructConverter(src, target), '@BB', '@f', (255, 127),
+          (3.0 + 4.0 * (127.0 / 255.0),))
+
+
+def test_blend_gamma():
+    src = Struct() \
+        .append('a', T.UInt8, Flags.Normalized | Flags.Gamma) \
+        .append('b', T.UInt8, Flags.Normalized | Flags.Gamma)
+    target = Struct().append('v', T.UInt8, Flags.Normalized | Flags.Gamma)
+    target.field('v').blend = [(1, 'a'), (1, 'b')]
+    ref = int(np.round(to_srgb(from_srgb(100 / 255) + from_srgb(200 / 255))
+                       * 255))
+    check(StructConverter(src, target), '@BB', '@B', (100, 200), (ref,))
+
+
+def test_weight():
+    src = Struct() \
+        .append('value1', T.UInt8, Flags.Normalized) \
+        .append('value2', T.UInt8, Flags.Normalized) \
+        .append('weight', T.UInt8, Flags.Normalized | Flags.Weight)
+    target = Struct().append('value1', T.Float32).append('value2', T.Float32)
+    # weight kept -> passthrough
+    check(StructConverter(src, src), '@BBB', '@BBB', (10, 20, 20))
+    # weight dropped -> channels divided by it
+    check(StructConverter(src, target), '@BBB', '@ff', (10, 20, 20),
+          (0.5, 1.0))
+
+
+def test_alpha_premultiply_roundtrip():
+    sp = Struct() \
+        .append('value1', T.Float32, Flags.PremultipliedAlpha) \
+        .append('value2', T.Float32) \
+        .append('alpha', T.Float32, Flags.Alpha)
+    su = Struct() \
+        .append('value1', T.Float32) \
+        .append('value2', T.Float32) \
+        .append('alpha', T.Float32, Flags.Alpha)
+    # unpremultiply: value1 / alpha
+    check(StructConverter(sp, su), '@fff', '@fff', (0.25, 0.3, 0.5),
+          (0.5, 0.3, 0.5))
+    # premultiply: value1 * alpha
+    check(StructConverter(su, sp), '@fff', '@fff', (0.5, 0.3, 0.5),
+          (0.25, 0.3, 0.5))
+
+
+def test_alpha_multiple_channels():
+    def two_alpha(flags):
+        return Struct() \
+            .append('value1', T.Float32, flags) \
+            .append('alpha', T.Float32, Flags.Alpha) \
+            .append('alpha2', T.Float32, Flags.Alpha)
+    # conversion requested + two alpha channels -> error
+    with pytest.raises(RuntimeError, match='single alpha channel'):
+        StructConverter(two_alpha(Flags.PremultipliedAlpha),
+                        two_alpha(0))
+    # no conversion -> fine
+    conv = StructConverter(two_alpha(0), two_alpha(0))
+    check(conv, '@fff', '@fff', (0.5, 0.25, 0.75))
+
+
+def test_dither_preserves_mean():
+    s1 = Struct().append('v', T.Float32)
+    s2 = Struct().append('v', T.UInt8, Flags.Normalized)
+    back = Struct().append('v', T.Float32)
+    n = 256 * 10
+    vals = np.tile(np.linspace(0, 1 / 255.0, 10, dtype=np.float32), 256)
+    conv = StructConverter(s1, s2, dither=True)
+    q = np.frombuffer(conv.convert(vals.astype(np.float32).tobytes()),
+                      np.uint8).astype(np.float64) / 255.0
+    err = np.linalg.norm(q.reshape(256, 10).mean(0) -
+                         vals.reshape(256, 10)[0])
+    assert err < 5e-4, err
+
+
+def test_assert_flag():
+    # source-side assert, validated even when the field is dropped
+    # (reference test11_assert_value)
+    s1 = Struct().append('v', T.UInt8, Flags.Assert, 10).append('w', T.UInt8)
+    s2 = Struct().append('w', T.UInt8)
+    conv = StructConverter(s1, s2)
+    check(conv, '@BB', '@B', (10, 7), (7,))
+    with pytest.raises(RuntimeError, match='failed assert'):
+        conv.convert(pystruct.pack('@BB', 4, 7))
+
+
+def test_structured_array_interface():
+    s1 = Struct().append('a', T.Float32).append('b', T.UInt8)
+    arr = np.zeros(4, dtype=s1.dtype())
+    arr['a'] = [0.5, 1.5, 2.5, 3.5]
+    arr['b'] = [1, 2, 3, 4]
+    out = StructConverter(s1, s1).convert(arr)
+    np.testing.assert_allclose(out['a'], arr['a'])
+    np.testing.assert_array_equal(out['b'], arr['b'])

@@ -26,7 +26,7 @@ def _scenes():
 
 
 _NAMES = ['cornell', 'heightfield_envmap', 'volpath_smoke', 'rough_conductor',
-          'cornell_spectral', 'direct_area']
+          'cornell_spectral', 'direct_area', 'heightfield_grazing']
 
 
 @pytest.mark.parametrize('name', _NAMES)

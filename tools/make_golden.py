@@ -73,6 +73,17 @@ def scenes():
     d = mt.cornell_box(spp=16, res=32, max_depth=4)
     d['spectral'] = True
     out['cornell_spectral'] = d
+    # grazing-light heightfield at 64^2 (VERDICT r2 weak 9: the 32^2 corpus
+    # only pins low-frequency radiometry; silhouettes and long shadows —
+    # the march's hard cases — need resolution and a low sun)
+    hg = mt.heightfield_scene(res_hf=128, res_img=64, spp=16, max_depth=3)
+    hg['sensor']['to_world'] = T.look_at(origin=[-0.3, 0.35, 1.6],
+                                         target=[0.4, 0.08, 0.0],
+                                         up=[0, 1, 0])
+    hg['sensor']['fov'] = 38.0
+    hg['sun'] = {'type': 'directional', 'direction': [0.55, -0.16, -0.35],
+                 'irradiance': {'type': 'rgb', 'value': [3.0, 2.7, 2.2]}}
+    out['heightfield_grazing'] = hg
     out['direct_area'] = {
         'type': 'scene',
         'integrator': {'type': 'direct'},

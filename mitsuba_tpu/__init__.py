@@ -73,6 +73,40 @@ def register_shape(name, plugin):
         loader._SHAPE_TYPES = loader._SHAPE_TYPES + (name,)
 
 
+def register_emitter(name, plugin):
+    """mi.register_emitter analogue (emitter_v.cpp:173): register a
+    user-defined emitter plugin under a scene-dict type name. Contract
+    (see render/emitter.py CUSTOM_EMITTERS): build(props_list, texb) ->
+    SoA table; sample_direction(tbl, eslot, si, sample2, wl) -> dict with
+    p/n/d/dist/pdf/delta/value — participates in NEE with MIS pick pmf."""
+    from .render import emitter as _em
+    from .render import loader
+    _em.CUSTOM_EMITTERS[name] = plugin
+    _em.TYPE_FLAGS[name] = getattr(plugin, 'flags', lambda: 0)()
+    if name not in loader._EMITTER_TYPES:
+        loader._EMITTER_TYPES = loader._EMITTER_TYPES + (name,)
+
+
+def register_sensor(name, plugin):
+    """mi.register_sensor analogue (sensor_v.cpp:108/185): plugin provides
+    build(props, width, height) -> table with static `.kind`, and
+    sample_ray(table, pos01, aperture) -> Ray; ray differentials come from
+    the generic 3-ray offset path."""
+    from .render import sensor as _sens
+    from .render import loader
+    _sens.CUSTOM_SENSORS[name] = plugin
+    if name not in loader._SENSOR_TYPES:
+        loader._SENSOR_TYPES = loader._SENSOR_TYPES + (name,)
+
+
+def register_sampler(name, plugin):
+    """mi.register_sampler analogue (sampler_v.cpp:66): plugin provides
+    next_1d(state) / next_2d(state) pure functions of the counter-RNG
+    SamplerState (replay-exact, like the built-ins)."""
+    from .render import sampler as _sa
+    _sa.CUSTOM_SAMPLERS[name] = plugin
+
+
 def register_integrator(name, sample_fn):
     """mi.register_integrator analogue (integrator_v.cpp:303): sample_fn has
     the signature sample(scene, cfg, sampler, ray) -> (L, valid, sampler)."""

@@ -382,6 +382,19 @@ def envmap_pdf_direction(tbl: EnvmapTable, d_world):
     return pdf_uv / (2.0 * m.Pi * m.Pi * sin_theta)
 
 
+# user-registered emitter plugins (mt.register_emitter; reference
+# emitter_v.cpp:173 trampoline): name -> plugin with
+#   build(props_list, texb) -> SoA table pytree
+#   sample_direction(tbl, eslot, si, sample2, wl=None) -> dict with keys
+#       p, n, d (N,3) · dist, pdf (N,) · delta (N,) bool · value (N,C)
+#       [uv (N,2) optional]
+#   flags() -> emitter flag bits (F_DELTA_POSITION etc.), optional
+# Custom plugins participate in NEE (sample_emitter_direction); surface-
+# attached (hittable) custom emitters are not supported — use the area
+# emitter with a custom texture for that.
+CUSTOM_EMITTERS = {}
+
+
 class EmitterBuilder:
     def __init__(self):
         self.entries = []  # (type_name, props, shape_global or -1)
@@ -501,6 +514,9 @@ class EmitterBuilder:
             elif tn == 'envmap':
                 assert len(plist) == 1, 'one envmap per scene'
                 tables[tn] = build_envmap(plist[0][0], spectral=spectral)
+            elif tn in CUSTOM_EMITTERS:
+                tables[tn] = CUSTOM_EMITTERS[tn].build(
+                    [p for p, _ in plist], texb)
             else:
                 raise ValueError(f'unknown emitter type {tn}')
         # emitter sampling distribution (scene.cpp:93-116): weights from the

@@ -304,9 +304,19 @@ def _orthogonal_2d(s: SamplerState):
     return jnp.stack([x, y], -1)
 
 
+# user-registered sampler plugins (mt.register_sampler; reference
+# sampler_v.cpp:66 trampoline): name -> plugin with
+#   next_1d(state) -> (N,) variate     next_2d(state) -> (N,2) variates
+# The state carries the per-lane counter key/sample index/pixel key; the
+# plugin must be a pure function of it (replay-exact like the built-ins).
+CUSTOM_SAMPLERS = {}
+
+
 def next_1d(s: SamplerState):
     kind, spp = s.kind, s.spp
-    if kind == 'independent' or spp <= 1:
+    if kind in CUSTOM_SAMPLERS:
+        v = CUSTOM_SAMPLERS[kind].next_1d(s)
+    elif kind == 'independent' or spp <= 1:
         v = _iid(s)
     elif kind in ('stratified', 'multijitter'):
         v = _stratified_1d(s)
@@ -323,7 +333,9 @@ def next_1d(s: SamplerState):
 
 def next_2d(s: SamplerState):
     kind, spp = s.kind, s.spp
-    if kind == 'independent' or spp <= 1:
+    if kind in CUSTOM_SAMPLERS:
+        v = CUSTOM_SAMPLERS[kind].next_2d(s)
+    elif kind == 'independent' or spp <= 1:
         v = jnp.stack([_iid(s, 0), _iid(s, 1)], -1)
     elif kind == 'stratified':
         v = _stratified_2d(s)

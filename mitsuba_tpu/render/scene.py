@@ -547,6 +547,20 @@ def sample_emitter_direction(scene: Scene, si: SurfaceInteraction, sample2,
             dist_out = jnp.where(sel, far, dist_out)
             pdf_out = jnp.where(sel & ok, pdf_sl, pdf_out)
             val_out = jnp.where((sel & ok)[..., None], v, val_out)
+        elif name in em.CUSTOM_EMITTERS:
+            # user-registered emitter plugin (mt.register_emitter)
+            out = em.CUSTOM_EMITTERS[name].sample_direction(
+                tbl, eslot, si, s2, wl=wl)
+            ok = out['pdf'] > 0
+            p_out = jnp.where(sel[..., None], out['p'], p_out)
+            n_out = jnp.where(sel[..., None], out['n'], n_out)
+            if 'uv' in out:
+                uv_out = jnp.where(sel[..., None], out['uv'], uv_out)
+            d_out = jnp.where(sel[..., None], out['d'], d_out)
+            dist_out = jnp.where(sel, out['dist'], dist_out)
+            pdf_out = jnp.where(sel & ok, out['pdf'], pdf_out)
+            delta_out = jnp.where(sel, out['delta'], delta_out)
+            val_out = jnp.where((sel & ok)[..., None], out['value'], val_out)
 
     pdf_out = pdf_out * pick_pmf
     val_out = jnp.where((pick_pmf > 0)[..., None],

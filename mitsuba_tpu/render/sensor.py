@@ -49,8 +49,18 @@ def _fov_xy(fov, fov_axis, width, height):
     return tan_x, tan_y
 
 
+# user-registered sensor plugins (mt.register_sensor; reference
+# sensor_v.cpp:108/185 trampolines): name -> plugin with
+#   build(props, width, height) -> table pytree with a static `.kind`
+#   sample_ray(table, pos01, aperture) -> Ray
+# sample_ray_differential works automatically (generic 3-ray offsets).
+CUSTOM_SENSORS = {}
+
+
 def build(props, width, height) -> Camera:
     kind = props['type']
+    if kind in CUSTOM_SENSORS:
+        return CUSTOM_SENSORS[kind].build(props, width, height)
     if kind == 'batch':
         # batch.cpp: concatenated sub-sensors sharing one film; film columns
         # are split equally among them
@@ -171,6 +181,8 @@ def sample_ray(cam: Camera, pos01, aperture):
         o = apply_point(tw, jnp.zeros_like(d_cam))
         d = m.normalize(apply_vector(tw, d_cam))
         return Ray.make(o, d)
+    elif cam.kind in CUSTOM_SENSORS:
+        return CUSTOM_SENSORS[cam.kind].sample_ray(cam, pos01, aperture)
     raise ValueError(cam.kind)
 
 

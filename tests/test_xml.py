@@ -133,3 +133,152 @@ def test_serialized_mesh_round_trip(tmp_path):
                     'film': {'type': 'hdrfilm', 'width': 8, 'height': 8}}}
     img = np.asarray(mt.render(mt.load_dict(d), spp=4, seed=0))
     assert np.isfinite(img).all()
+
+
+def test_register_emitter_plugin():
+    """mi.register_emitter parity (emitter_v.cpp:173): a user-defined
+    point-style emitter participates in NEE through the masked-merge
+    dispatch and matches the built-in `point` emitter exactly."""
+    import jax.numpy as jnp
+    from flax import struct as _struct
+    from mitsuba_tpu.core import math as _m
+
+    @_struct.dataclass
+    class MyPointTable:
+        position: jnp.ndarray      # (E,3)
+        intensity: jnp.ndarray     # (E,3)
+
+    class my_point:
+        @staticmethod
+        def build(props_list, texb):
+            import numpy as _np
+            return MyPointTable(
+                position=jnp.asarray([p.get('position', [0, 0, 0])
+                                      for p in props_list], jnp.float32),
+                intensity=jnp.asarray(_np.broadcast_to(
+                    _np.asarray([_np.ravel(p.get('intensity', 1.0))
+                                 for p in props_list], _np.float32),
+                    (len(props_list), 3))),
+            )
+
+        @staticmethod
+        def sample_direction(tbl, eslot, si, sample2, wl=None):
+            p = tbl.position[eslot]
+            dvec = p - si.p
+            dist2 = _m.squared_norm(dvec)
+            dist = jnp.sqrt(dist2)
+            d = dvec / jnp.maximum(dist[..., None], 1e-12)
+            v = tbl.intensity[eslot] / jnp.maximum(dist2, 1e-12)[..., None]
+            return dict(p=p, n=-d, d=d, dist=dist,
+                        pdf=jnp.ones_like(dist),
+                        delta=jnp.ones(dist.shape, bool), value=v)
+
+        @staticmethod
+        def flags():
+            from mitsuba_tpu.render.emitter import F_DELTA_POSITION
+            return F_DELTA_POSITION
+
+    mt.register_emitter('my_point', my_point)
+    d = mt.cornell_box(spp=4, res=16, max_depth=3)
+    # replace the area light with a point light, render with the custom
+    # plugin and with the built-in — images must match exactly
+    for k in list(d):
+        if isinstance(d[k], dict) and 'emitter' in d[k]:
+            del d[k]
+    d_custom = dict(d)
+    d_custom['lamp'] = {'type': 'my_point', 'position': [0.0, 0.8, 0.2],
+                        'intensity': 4.0}
+    d_ref = dict(d)
+    d_ref['lamp'] = {'type': 'point', 'position': [0.0, 0.8, 0.2],
+                     'intensity': 4.0}
+    img = np.asarray(mt.render(mt.load_dict(d_custom), spp=8, seed=3))
+    ref = np.asarray(mt.render(mt.load_dict(d_ref), spp=8, seed=3))
+    assert img.max() > 0
+    np.testing.assert_allclose(img, ref, atol=1e-5)
+
+
+def test_register_sensor_plugin():
+    """mi.register_sensor parity (sensor_v.cpp:108): a user-defined
+    pinhole clone matches the built-in perspective camera."""
+    import jax.numpy as jnp
+    from flax import struct as _struct
+    from mitsuba_tpu.core import math as _m
+    from mitsuba_tpu.core.transform import apply_point, apply_vector
+
+    @_struct.dataclass
+    class MyCam:
+        kind: str = _struct.field(pytree_node=False)
+        to_world: jnp.ndarray = None
+        tan_x: jnp.ndarray = None
+        tan_y: jnp.ndarray = None
+
+    class my_pinhole:
+        @staticmethod
+        def build(props, width, height):
+            import numpy as _np
+            from mitsuba_tpu.core.transform import Transform4
+            from mitsuba_tpu.render.sensor import _fov_xy
+            tw = props.get('to_world', Transform4())
+            tx, ty = _fov_xy(float(props.get('fov', 34.0)),
+                             props.get('fov_axis', 'x'), width, height)
+            return MyCam(kind='my_pinhole',
+                         to_world=jnp.asarray(tw.matrix, jnp.float32),
+                         tan_x=jnp.asarray(tx, jnp.float32),
+                         tan_y=jnp.asarray(ty, jnp.float32))
+
+        @staticmethod
+        def sample_ray(cam, pos01, aperture):
+            from mitsuba_tpu.render.records import Ray
+            u, v = pos01[..., 0], pos01[..., 1]
+            d_cam = jnp.stack([(1 - 2 * u) * cam.tan_x,
+                               (1 - 2 * v) * cam.tan_y,
+                               jnp.ones_like(u)], -1)
+            d = _m.normalize(apply_vector(cam.to_world, _m.normalize(d_cam)))
+            o = apply_point(cam.to_world, jnp.zeros_like(d_cam))
+            return Ray.make(o + d * 1e-2, d)
+
+    mt.register_sensor('my_pinhole', my_pinhole)
+    d = mt.cornell_box(spp=4, res=16, max_depth=3)
+    ref = np.asarray(mt.render(mt.load_dict(d), spp=8, seed=5))
+    d['sensor'] = dict(d['sensor'], type='my_pinhole')
+    img = np.asarray(mt.render(mt.load_dict(d), spp=8, seed=5))
+    np.testing.assert_allclose(img, ref, atol=1e-5)
+
+
+def test_register_sampler_plugin():
+    """mi.register_sampler parity (sampler_v.cpp:66): a custom sampler
+    drives a full render; replay-exactness holds (same seed => same
+    image)."""
+    import jax.numpy as jnp
+
+    class my_scrambled:
+        # golden-ratio scramble of the iid draw: still uniform, still a
+        # pure function of the counter state
+        @staticmethod
+        def next_1d(s):
+            from mitsuba_tpu.render.sampler import _iid
+            return (_iid(s) + 0.6180339887) % 1.0
+
+        @staticmethod
+        def next_2d(s):
+            from mitsuba_tpu.render.sampler import _iid
+            return jnp.stack([(_iid(s, 0) + 0.6180339887) % 1.0,
+                              (_iid(s, 1) + 0.3819660113) % 1.0], -1)
+
+    mt.register_sampler('my_scrambled', my_scrambled)
+    d = mt.cornell_box(spp=8, res=16, max_depth=3)
+    d['sensor']['sampler'] = {'type': 'my_scrambled', 'sample_count': 8}
+    scene = mt.load_dict(d)
+    img1 = np.asarray(mt.render(scene, spp=8, seed=11))
+    img2 = np.asarray(mt.render(scene, spp=8, seed=11))
+    np.testing.assert_array_equal(img1, img2)
+    assert np.isfinite(img1).all() and img1.max() > 0
+    # agrees with the independent sampler in expectation (matched spp +
+    # averaged seeds; a 16^2 8-spp image mean is itself noisy)
+    cm = np.mean([np.asarray(mt.render(scene, spp=32, seed=s_)).mean()
+                  for s_ in (1, 2)])
+    d['sensor']['sampler'] = {'type': 'independent', 'sample_count': 8}
+    s_ind = mt.load_dict(d)
+    rm = np.mean([np.asarray(mt.render(s_ind, spp=32, seed=s_)).mean()
+                  for s_ in (1, 2)])
+    assert abs(cm - rm) < 0.1 * max(rm, 1e-6), (cm, rm)

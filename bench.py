@@ -102,8 +102,9 @@ def main(deadline):
         compile_s = time.time() - t0
         RESULT["detail"][f"{tag}_compile_s"] = round(compile_s, 2)
         # cache-hit self-check (VERDICT r2 item 1d): a warm persistent cache
-        # turns the minutes-long axon compile into seconds
-        RESULT["detail"][f"{tag}_cache_warm"] = bool(compile_s < 20.0)
+        # cuts the ~95-100 s cold axon compile to the ~36-39 s cache-load +
+        # program-transfer floor measured on this tunnel backend
+        RESULT["detail"][f"{tag}_cache_warm"] = bool(compile_s < 55.0)
         grad_ok = bool(np.isfinite(np.asarray(g0)).all()) and \
             float(jnp.abs(g0).max()) > 0
         RESULT["detail"]["grad_finite_nonzero"] = grad_ok

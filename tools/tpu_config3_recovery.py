@@ -66,7 +66,11 @@ def main():
     # fine-scale problem at 1024^2 is ill-conditioned at low spp (<1 sample
     # per texel per view: plain Adam random-walks), so optimize a bilinear
     # pyramid; the full grid is parameterized as an upsample of the stage grid
-    stage_res = [max(res_hf // 4, 8), max(res_hf // 2, 8), res_hf]
+    # two stages, not three: each distinct stage grid is its own XLA program
+    # and a cold axon compile of the 1024^2-grid grad program is ~8 min —
+    # the 256^2 bilinear basis already captures the smooth component, so the
+    # middle 512^2 stage buys little per compile-minute
+    stage_res = [max(res_hf // 4, 8), res_hf]
     stage_res = sorted(set(stage_res))
 
     def make_stage_loss(cres):
@@ -89,21 +93,33 @@ def main():
     resumed_at = None
     h_cur = init
     it_global = 0
-    for cres in stage_res:
+    for stage_i, cres in enumerate(stage_res):
+        # hot coarse / cool fine: the coarse stages are well-conditioned
+        # (every texel sees many samples through the upsample) and tolerate
+        # a large step; the fine stage at <1 sample/texel/view random-walks
+        # above ~0.01 (round-2 flat-lr finding), so halve per stage
+        stage_lr = lr * (0.5 ** stage_i)
         hc = h_cur if cres == h_cur.shape[0] else jax.image.resize(
             h_cur, (cres, cres), 'linear')
         loss_vg = make_stage_loss(cres)
-        opt = Adam(lr=lr, params={'h': hc})
+        opt = Adam(lr=stage_lr, params={'h': hc})
         for it in range(iters):
-            opt.set_learning_rate(lr * (0.985 ** it))
+            opt.set_learning_rate(stage_lr * (0.985 ** it))
             total = 0.0
             g_acc = jnp.zeros_like(opt['h'])
-            for i in range(n_views):
-                l, g = loss_vg(opt['h'], scenes[i], targets[i],
-                               jnp.asarray(it_global, jnp.int32))
-                total += float(l)
-                g_acc = g_acc + g
-            opt.step({'h': g_acc / n_views})
+            # two RNG replicates per view: the seed is a traced input, so
+            # this doubles the per-iteration sample budget (gradient SNR)
+            # at zero extra compiles — the descent at this scale is
+            # gradient-noise-limited, not step-limited
+            reps = 2
+            for rep in range(reps):
+                for i in range(n_views):
+                    l, g = loss_vg(opt['h'], scenes[i], targets[i],
+                                   jnp.asarray(it_global * reps + rep,
+                                               jnp.int32))
+                    total += float(l) / reps
+                    g_acc = g_acc + g
+            opt.step({'h': g_acc / (n_views * reps)})
             opt.params['h'] = jnp.clip(opt.params['h'], 0.0, 1.0)
             history.append(total / n_views)
             hfull = opt['h'] if cres == res_hf else jax.image.resize(
@@ -115,7 +131,7 @@ def main():
             if cres == res_hf and it == iters // 2:
                 # checkpoint + REAL resume: drop the optimizer, restore
                 save_checkpoint(CKPT, opt, iteration=it_global, seed=0)
-                opt = Adam(lr=lr, params={'h': jnp.zeros_like(opt['h'])})
+                opt = Adam(lr=stage_lr, params={'h': jnp.zeros_like(opt['h'])})
                 resumed_at, _seed, _extra = load_checkpoint(CKPT, opt)
                 print(f'  checkpoint saved+restored (it {resumed_at})',
                       flush=True)
